@@ -1,15 +1,22 @@
 package graft
 
+import graft.dedup._
+import graft.featurize._
+import graft.sim._
+import graft.stages._
+import graft.text._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Determinism discipline for the DuckDB-oracle hash compare:
   *   - integer / string / timestamp outputs are exact;
-  *   - sums over fixed-decimal data go through `cast(decimal(18,s))` (exact,
+  *   - sums over fixed-decimal data go through `cast(decimal(·,s))` (exact,
   *     order-independent) and are emitted `cast("double")`;
-  *   - ratios are double divisions of exact operands (bit-identical IEEE);
+  *   - means use [[graft.core.Determinism.deterministicMean]] (exact decimal
+  *     sum, one double divide) — bit-identical in Spark and DuckDB;
   *   - every computed column is aliased identically in Spark and oracle SQL.
   */
 object SparkEntry {
@@ -23,6 +30,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational / plan-shaping headline queries -----------------
     "q1_pricing_summary" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -35,6 +44,258 @@ object SparkEntry {
           sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax")))
             .cast("decimal(18,6)")).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
+    },
+
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cutoff = lit("1996-03-15").cast("timestamp")
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+
+    "q5_region_revenue" -> { (s, dir) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val region = broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val nation = broadcast(tbl(s, dir, "nation"))
+      val cust = tbl(s, dir, "customer")
+      val supp = tbl(s, dir, "supplier")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = tbl(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+
+    "window_topk_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+    },
+
+    // ---- stages (§2.2, §2.11) ---------------------------------------
+    "select_columns" -> { (s, dir) =>
+      new SelectColumns().setCols(Seq("p_partkey", "p_name", "p_retailprice"))
+        .transform(tbl(s, dir, "part"))
+    },
+
+    "drop_columns" -> { (s, dir) =>
+      new DropColumns().setCols(Seq("n_regionkey")).transform(tbl(s, dir, "nation"))
+    },
+
+    "rename_column" -> { (s, dir) =>
+      new RenameColumn().setInputCol("r_name").setOutputCol("region_name")
+        .transform(tbl(s, dir, "region"))
+    },
+
+    "explode_words" -> { (s, dir) =>
+      new Explode().setInputCol("__words").setOutputCol("word")
+        .transform(tbl(s, dir, "part")
+          .withColumn("__words", split(col("p_type"), " ")))
+        .select(col("p_partkey"), col("word"))
+    },
+
+    "data_conversion" -> { (s, dir) =>
+      val converted = new DataConversion().setCols(Seq("l_quantity"))
+        .setConvertTo("integer")
+        .transform(
+          new DataConversion().setCols(Seq("l_shipdate")).setConvertTo("date")
+            .setDateTimeFormat("yyyy-MM-dd")
+            .transform(tbl(s, dir, "lineitem")))
+      converted.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_shipdate"))
+    },
+
+    "lambda_udf" -> { (s, dir) =>
+      val stage = new UDFTransformer().setInputCols(Seq("value"))
+        .setOutputCol("value_x2").setExpr(cols => cols.head * 2.0)
+      val lam = new Lambda().setTransform(df => df.filter(col("value") > 100.0))
+      stage.transform(lam.transform(tbl(s, dir, "events")))
+        .select(col("event_id"), col("value"), col("value_x2"))
+    },
+
+    "repartition_stage" -> { (s, dir) =>
+      new Repartition().setN(8).transform(
+        tbl(s, dir, "events").select(col("event_id"), col("event_type")))
+    },
+
+    "partition_consolidator" -> { (s, dir) =>
+      new PartitionConsolidator().transform(
+        tbl(s, dir, "events").select(col("event_id"), col("event_type"), col("value")))
+    },
+
+    "stratified_repartition" -> { (s, dir) =>
+      new StratifiedRepartition().setLabelCol("event_type").setMode("original")
+        .transform(tbl(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("props")))
+    },
+
+    "minibatch_roundtrip" -> { (s, dir) =>
+      val batched = new FixedMiniBatchTransformer().setBatchSize(32)
+        .transform(tbl(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")))
+      new FlattenBatch().transform(batched)
+    },
+
+    // ---- aggregations (§2.4) ----------------------------------------
+    "summarize_counts" -> { (s, dir) =>
+      new SummarizeData().setComputeBasic(false).setComputeSample(false)
+        .setExactUnique(true)
+        .transform(tbl(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_discount"), col("l_returnflag")))
+    },
+
+    "summarize_full" -> { (s, dir) => // rows-only: approx quantiles + moments
+      new SummarizeData().transform(tbl(s, dir, "lineitem"))
+    },
+
+    "class_balancer" -> { (s, dir) =>
+      val events = tbl(s, dir, "events")
+      new ClassBalancer().setInputCol("event_type").setOutputCol("weight")
+        .fit(events).transform(events)
+        .select(col("event_id"), col("event_type"), col("weight"))
+    },
+
+    "ensemble_by_key" -> { (s, dir) =>
+      new EnsembleByKey().setKeys(Seq("user_id")).setCols(Seq("value"))
+        .setColNames(Seq("mean_value"))
+        .transform(tbl(s, dir, "events"))
+    },
+
+    "clean_missing_data" -> { (s, dir) =>
+      val events = tbl(s, dir, "events")
+      new CleanMissingData().setInputCols(Seq("value")).setCleaningMode("Mean")
+        .fit(events).transform(events)
+        .select(col("event_id"), col("value"))
+    },
+
+    "value_indexer" -> { (s, dir) =>
+      val events = tbl(s, dir, "events")
+      new ValueIndexer().setInputCol("event_type").setOutputCol("event_type_idx")
+        .fit(events).transform(events)
+        .select(col("event_id"), col("event_type"), col("event_type_idx"))
+    },
+
+    "index_to_value" -> { (s, dir) =>
+      val events = tbl(s, dir, "events")
+      val indexed = new ValueIndexer().setInputCol("event_type")
+        .setOutputCol("event_type_idx").fit(events).transform(events)
+      new IndexToValue().setInputCol("event_type_idx").setOutputCol("event_type_rt")
+        .transform(indexed)
+        .select(col("event_id"), col("event_type"), col("event_type_rt"))
+    },
+
+    // ---- text ops (§2.8 + LLM-pipeline) -----------------------------
+    "unicode_normalize" -> { (s, dir) =>
+      new UnicodeNormalize().setInputCol("text").setOutputCol("text_norm")
+        .setForm("NFC").setLower(true)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("text_norm"))
+    },
+
+    "text_preprocessor" -> { (s, dir) =>
+      new TextPreprocessor().setInputCol("text").setOutputCol("text_repl")
+        .setMap(Map("scan" -> "SCAN", "join" -> "JOIN"))
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("text_repl"))
+    },
+
+    "doc_token_count" -> { (s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(DedupFunctions.canonical(col("text"))).as("fp_md5"))
+    },
+
+    "doc_stats" -> { (s, dir) => // rows-only: quality/lang/fingerprint heuristics
+      new DocumentAnalyzer().setInputCol("text")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_est"),
+          col("quality"), col("lang_pred"), col("fingerprint"))
+    },
+
+    "page_splitter" -> { (s, dir) => // rows-only (per-row page list)
+      new PageSplitter().setInputCol("text").setOutputCol("pages")
+        .setMaximumPageLength(200).setMinimumPageLength(100)
+        .transform(tbl(s, dir, "documents"))
+        .selectExpr("doc_id", "size(pages) as n_pages")
+    },
+
+    "multi_ngram" -> { (s, dir) =>
+      new MultiNGram().setInputCol("__toks").setOutputCol("ngrams")
+        .setLengths(Seq(1, 2, 3))
+        .transform(tbl(s, dir, "documents")
+          .withColumn("__toks", split(col("text"), " ")))
+        .select(col("doc_id"), size(col("ngrams")).cast("int").as("n_ngrams"))
+    },
+
+    // ---- dedup family (LLM-pipeline) --------------------------------
+    "dedup_exact" -> { (s, dir) =>
+      new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+    },
+
+    "dedup_minhash" -> { (s, dir) => // rows-only (hash-function-specific)
+      new MinHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setThreshold(0.8)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"))
+    },
+
+    "dedup_simhash" -> { (s, dir) => // rows-only
+      new SimHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setMaxHamming(3)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"))
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) => // rows-only
+      new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setThreshold(0.8)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"))
+    },
+
+    "dedup_embedding" -> { (s, dir) => // rows-only
+      new EmbeddingNearDupDeduplicator().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.95)
+        .transform(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"))
+    },
+
+    // ---- similarity search (LLM-pipeline) ---------------------------
+    "knn_bruteforce" -> { (s, dir) => // rows-only (float-sum ordering)
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      new NearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
+        .setK(5).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
+    },
+
+    "knn_lsh" -> { (s, dir) => // rows-only
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      new LSHNearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
+        .setK(5).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     }
   )
 
@@ -50,6 +311,140 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
+    "window_topk_per_user" ->
+      """SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "select_columns" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
+
+    "drop_columns" ->
+      "SELECT n_nationkey, n_name FROM nation",
+
+    "rename_column" ->
+      "SELECT r_regionkey, r_name AS region_name FROM region",
+
+    "explode_words" ->
+      "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part",
+
+    "data_conversion" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS l_quantity,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "lambda_udf" ->
+      """SELECT event_id, value, value * 2.0 AS value_x2
+        |FROM events WHERE value > 100.0""".stripMargin,
+
+    "repartition_stage" ->
+      "SELECT event_id, event_type FROM events",
+
+    "partition_consolidator" ->
+      "SELECT event_id, event_type, value FROM events",
+
+    "stratified_repartition" ->
+      "SELECT event_id, user_id, event_type, value, props FROM events",
+
+    "minibatch_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events",
+
+    "summarize_counts" ->
+      """SELECT 'l_quantity' AS Feature, CAST(count(l_quantity) AS DOUBLE) AS count,
+        |  CAST(count(DISTINCT l_quantity) AS DOUBLE) AS "unique",
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS missing
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', CAST(count(l_discount) AS DOUBLE),
+        |  CAST(count(DISTINCT l_discount) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(l_returnflag) AS DOUBLE),
+        |  CAST(count(DISTINCT l_returnflag) AS DOUBLE),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |FROM lineitem""".stripMargin,
+
+    "class_balancer" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+        |m AS (SELECT max(cnt) AS mx FROM c)
+        |SELECT e.event_id, e.event_type, CAST(m.mx AS DOUBLE) / c.cnt AS weight
+        |FROM events e JOIN c ON e.event_type = c.event_type CROSS JOIN m""".stripMargin,
+
+    "ensemble_by_key" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value) AS mean_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "clean_missing_data" ->
+      """SELECT event_id, COALESCE(value,
+        |  (SELECT CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value)
+        |   FROM events)) AS value
+        |FROM events""".stripMargin,
+
+    "value_indexer" ->
+      """WITH lv AS (SELECT event_type AS v,
+        |  CAST(row_number() OVER (ORDER BY event_type) - 1 AS INTEGER) AS idx
+        |  FROM (SELECT DISTINCT event_type FROM events))
+        |SELECT e.event_id, e.event_type, lv.idx AS event_type_idx
+        |FROM events e JOIN lv ON e.event_type = lv.v""".stripMargin,
+
+    "index_to_value" ->
+      "SELECT event_id, event_type, event_type AS event_type_rt FROM events",
+
+    "unicode_normalize" ->
+      "SELECT doc_id, lower(nfc_normalize(text)) AS text_norm FROM documents",
+
+    "text_preprocessor" ->
+      """SELECT doc_id,
+        |  replace(replace(text, 'scan', 'SCAN'), 'join', 'JOIN') AS text_repl
+        |FROM documents""".stripMargin,
+
+    "doc_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents""".stripMargin,
+
+    "multi_ngram" ->
+      """SELECT doc_id,
+        |  CAST(3 * len(string_split(text, ' ')) - 3 AS INTEGER) AS n_ngrams
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, row_number() OVER (
+        |    PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.ml.param._
+
+/** Shared column-name param traits, the reference's operator-composition
+  * convention (ref: core/.../core/contracts/Params.scala:1-208 — operators
+  * communicate through configured column names and validate schema
+  * functionally). Spark's own shared traits are private[ml], so we define
+  * our own public ones.
+  */
+trait HasInputCol extends Params {
+  final val inputCol: Param[String] =
+    new Param[String](this, "inputCol", "name of the input column")
+  final def getInputCol: String = $(inputCol)
+  def setInputCol(v: String): this.type = set(inputCol, v)
+}
+
+trait HasOutputCol extends Params {
+  final val outputCol: Param[String] =
+    new Param[String](this, "outputCol", "name of the output column")
+  final def getOutputCol: String = $(outputCol)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+}
+
+trait HasInputCols extends Params {
+  final val inputCols: StringArrayParam =
+    new StringArrayParam(this, "inputCols", "names of the input columns")
+  final def getInputCols: Array[String] = $(inputCols)
+  def setInputCols(v: Array[String]): this.type = set(inputCols, v)
+  def setInputCols(v: Seq[String]): this.type = set(inputCols, v.toArray)
+}
+
+trait HasOutputCols extends Params {
+  final val outputCols: StringArrayParam =
+    new StringArrayParam(this, "outputCols", "names of the output columns")
+  final def getOutputCols: Array[String] = $(outputCols)
+  def setOutputCols(v: Array[String]): this.type = set(outputCols, v.toArray)
+}
+
+trait HasLabelCol extends Params {
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "name of the label column")
+  final def getLabelCol: String = $(labelCol)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+}
+
+trait HasFeaturesCol extends Params {
+  final val featuresCol: Param[String] =
+    new Param[String](this, "featuresCol", "name of the features column")
+  setDefault(featuresCol -> "features")
+  final def getFeaturesCol: String = $(featuresCol)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+}

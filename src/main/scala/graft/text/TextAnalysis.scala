@@ -1,0 +1,120 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All statistics are native Column expressions (regexp counts, splits,
+  * higher-order functions) so they run inside whole-stage codegen with no
+  * UDF/serialization cost — essential at 100 TB where these run over every
+  * document. (Beyond the reference's surface; see builder brief. The
+  * reference's closest analogues are the TextFeaturizer chain —
+  * featurize/text/TextFeaturizer.scala:285-348 — and quality heuristics.)
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token estimate: words + punctuation marks, long words
+    * counted as ceil(len/4) subword pieces (public rule of thumb ~4
+    * chars/token for English-like text).
+    */
+  def tokenEstimate(c: Column): Column =
+    aggregate(
+      transform(split(trim(c), "\\s+"),
+        w => ceil(length(w).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Character-class ratios + length-based quality score in [0,1].
+    * Components: alpha ratio, punctuation density, mean word length
+    * plausibility, stopword hit ratio.
+    */
+  def qualityScore(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val len = length(c).cast("double")
+    val alphaRatio = length(regexp_replace(c, "[^A-Za-z]", "")) / greatest(len, lit(1.0))
+    val punctRatio = length(regexp_replace(c, "[^.,;:!?]", "")) / greatest(len, lit(1.0))
+    val toks = split(lower(trim(c)), "\\s+")
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    val stopRatio = stopHits.cast("double") / greatest(size(toks).cast("double"), lit(1.0))
+    val meanWordLen = len / greatest(size(toks).cast("double"), lit(1.0))
+    val wordLenOk = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(least(lit(1.0),
+      alphaRatio * 0.4 + (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.2 +
+        stopRatio * 2.0 * 0.2 + wordLenOk * 0.2), 6)
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Per-language character/stopword n-gram heuristic language id.
+    * Scores each candidate language by stopword hits + diacritic/script
+    * signals; returns the argmax language code.
+    */
+  def languageId(c: Column): Column = {
+    val toks = split(lower(c), "[^\\p{L}]+")
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double")
+    val scores: Seq[(String, Column)] = Seq(
+      "en" -> hits(Seq("the", "and", "of", "to", "is", "you", "that", "it")),
+      "fr" -> (hits(Seq("le", "la", "les", "des", "et", "est", "une", "que")) +
+        length(regexp_replace(c, "[^àâçéèêëîïôùûü]", "")).cast("double")),
+      "es" -> (hits(Seq("el", "los", "las", "es", "una", "que", "por", "como")) +
+        length(regexp_replace(c, "[^áéíóúñ¿¡]", "")).cast("double")),
+      "de" -> (hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit")) +
+        length(regexp_replace(c, "[^äöüß]", "")).cast("double")),
+      "zh" -> length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")).cast("double") * 2)
+    // argmax via array of structs + array_max on (score, lang)
+    val pairs = array(scores.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang")) }: _*)
+    array_max(pairs).getField("lang")
+  }
+
+  /** Rolling-hash document fingerprint: 64-bit polynomial hash of the
+    * whitespace-normalized, lowercased text. Deterministic, codegen'd
+    * (xxhash64 of the canonical form).
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
+}
+
+/** Stage wrapper computing all document statistics in one projection:
+  * token count, token estimate, char count, quality score, language id,
+  * fingerprint. Narrow op — no shuffle.
+  */
+class DocumentAnalyzer(override val uid: String) extends Transformer
+    with HasInputCol {
+  def this() = this(Identifiable.randomUID("DocumentAnalyzer"))
+
+  final val prefix = new Param[String](this, "prefix", "output column prefix")
+  setDefault(prefix -> "")
+  def setPrefix(v: String): this.type = set(prefix, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val c = col(getInputCol)
+    val p = $(prefix)
+    ds.toDF()
+      .withColumn(s"${p}n_tokens", TextFunctions.tokenCount(c))
+      .withColumn(s"${p}n_tokens_est", TextFunctions.tokenEstimate(c))
+      .withColumn(s"${p}quality", TextFunctions.qualityScore(c))
+      .withColumn(s"${p}lang_pred", TextFunctions.languageId(c))
+      .withColumn(s"${p}fingerprint", TextFunctions.fingerprint(c))
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    val p = $(prefix)
+    StructType(schema ++ Seq(
+      StructField(s"${p}n_tokens", IntegerType),
+      StructField(s"${p}n_tokens_est", LongType),
+      StructField(s"${p}quality", DoubleType),
+      StructField(s"${p}lang_pred", StringType),
+      StructField(s"${p}fingerprint", LongType)))
+  }
+  override def copy(extra: ParamMap): DocumentAnalyzer = defaultCopy(extra)
+}
