@@ -80,13 +80,17 @@ class PartitionConsolidator(override val uid: String) extends Transformer {
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val schema = df.schema
-    val key = s"consolidator-$uid-${System.nanoTime()}"
-    val state = SharedSingleton(key) {
-      (new ConcurrentLinkedQueue[Row](), new atomic.AtomicBoolean(false),
-        new atomic.AtomicInteger(0))
-    }
+    val uidLocal = uid
     val nParts = df.rdd.getNumPartitions
     val consolidated = df.rdd.mapPartitions { it =>
+      // state must be scoped per ACTION (each action re-runs the stage):
+      // key by stage id + attempt so re-executions get fresh state
+      val tc = org.apache.spark.TaskContext.get()
+      val state = SharedSingleton(
+        s"consolidator-$uidLocal-${tc.stageId()}-${tc.stageAttemptNumber()}") {
+        (new ConcurrentLinkedQueue[Row](), new atomic.AtomicBoolean(false),
+          new atomic.AtomicInteger(0))
+      }
       val (queue, chosen, done) = state.get
       it.foreach(queue.add)
       val amChosen = chosen.compareAndSet(false, true)

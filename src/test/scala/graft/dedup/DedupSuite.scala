@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class DedupSuite extends TestBase {
+  import spark.implicits._
+
+  // base corpus + an exact dup + a near dup (one word changed) + distinct
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (3L, "completely different content about database engines and query planners"),
+    (4L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("doc_id", "text")
+
+  test("ExactDeduplicator keeps min-id per canonical text") {
+    val out = new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .transform(docs)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    // 0,1,4 identical after canonicalization -> keep 0; 2 and 3 distinct
+    assert(ids.sameElements(Array(0L, 2L, 3L)))
+  }
+
+  test("MinHashDeduplicator removes near duplicates") {
+    val out = new MinHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setShingleSize(2).setNumHashes(64).setBands(16).setThreshold(0.6)
+      .transform(docs)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.contains(0L) && ids.contains(3L))
+    assert(!ids.contains(1L) && !ids.contains(4L)) // exact dups gone
+    assert(!ids.contains(2L)) // near dup gone at 0.6 threshold
+  }
+
+  test("SimHashDeduplicator removes near duplicates") {
+    val out = new SimHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setMaxHamming(3).transform(docs)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.contains(0L) && ids.contains(3L) && !ids.contains(1L))
+  }
+
+  test("NGramJaccardDeduplicator removes near duplicates") {
+    val out = new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setThreshold(0.6).transform(docs)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.contains(0L) && ids.contains(3L) && !ids.contains(1L))
+  }
+
+  test("EmbeddingNearDupDeduplicator drops the duplicated vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = new EmbeddingNearDupDeduplicator().setInputCol("embedding")
+      .setIdCol("vec_id").setThreshold(0.99).transform(vecs)
+    val ids = out.select("vec_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(0L, 2L, 3L)))
+  }
+
+  test("jaccard expression is exact") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(DedupFunctions.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("hamming64 counts differing bits") {
+    val df = Seq((0L, 7L)).toDF("a", "b")
+    assert(df.select(DedupFunctions.hamming64(col("a"), col("b")))
+      .head.getInt(0) == 3)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sim
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySuite extends TestBase {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f)),
+    (2L, Array(1.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.9f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine / dot / l2 expressions") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(SimilarityFunctions.dot(col("a"), col("b")))
+      .as[Double].head() == 11.0)
+    assert(math.abs(df.select(SimilarityFunctions.l2Norm(col("a")))
+      .as[Double].head() - math.sqrt(5)) < 1e-12)
+    val cos = df.select(SimilarityFunctions.cosine(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(cos - 11.0 / (math.sqrt(5) * 5)) < 1e-12)
+    assert(math.abs(df.select(SimilarityFunctions.l2Distance(col("a"), col("b")))
+      .as[Double].head() - math.sqrt(8)) < 1e-12)
+  }
+
+  test("NearestNeighbors brute-force returns exact top-k order") {
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val out = new NearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
+      .setK(3).setQueries(queries, "vec_id", "embedding")
+      .transform(vecs)
+    val neighbors = out.select(col("neighbors.id")).as[Seq[Long]].head()
+    // cos(0,0)=1 > cos(0,4)=~0.994 > cos(0,2)=0.707
+    assert(neighbors == Seq(0L, 4L, 2L))
+  }
+
+  test("LSHNearestNeighbors finds the identical vector") {
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val out = new LSHNearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
+      .setK(2).setQueries(queries, "vec_id", "embedding")
+      .transform(vecs)
+    val neighbors = out.select(col("neighbors.id")).as[Seq[Long]].head()
+    assert(neighbors.head == 0L) // self always shares every bucket
+  }
+
+  test("TopKAggregator keeps k best with deterministic tie-break") {
+    val agg = new TopKAggregator(2)
+    val r = agg.merge(
+      agg.reduce(agg.reduce(agg.zero, Scored(0.5, 10)), Scored(0.9, 3)),
+      agg.reduce(agg.zero, Scored(0.9, 1)))
+    assert(agg.finish(r) == Seq(Scored(0.9, 1), Scored(0.9, 3)))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.stages
+
+import graft.TestBase
+import graft.featurize._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StagesSuite extends TestBase {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "a", 10.0, Seq(1, 2)),
+    (2L, "b", 20.0, Seq(3)),
+    (3L, "a", 30.0, Seq.empty[Int]),
+    (4L, "c", 40.0, Seq(4, 5, 6))
+  ).toDF("id", "cat", "v", "arr")
+
+  test("SelectColumns keeps only listed columns") {
+    val out = new SelectColumns().setCols(Seq("id", "v")).transform(df)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.count() == 4)
+    intercept[IllegalArgumentException] {
+      new SelectColumns().setCols(Seq("nope")).transform(df)
+    }
+  }
+
+  test("DropColumns drops") {
+    assert(new DropColumns().setCols(Seq("arr", "cat")).transform(df)
+      .columns.toSeq == Seq("id", "v"))
+  }
+
+  test("RenameColumn renames") {
+    val out = new RenameColumn().setInputCol("v").setOutputCol("value").transform(df)
+    assert(out.columns.contains("value") && !out.columns.contains("v"))
+  }
+
+  test("Explode explodes arrays") {
+    val out = new Explode().setInputCol("arr").setOutputCol("x").transform(df)
+    assert(out.count() == 6) // empty array row dropped
+    assert(out.schema("x").dataType == IntegerType)
+  }
+
+  test("Lambda + UDFTransformer compose") {
+    val out = new UDFTransformer().setInputCols(Seq("v")).setOutputCol("v2")
+      .setExpr(cs => cs.head * 2).transform(
+        new Lambda().setTransform(_.filter(col("v") > 15.0)).transform(df))
+    assert(out.select(sum("v2")).head.getDouble(0) == 180.0)
+  }
+
+  test("Repartition changes partition count") {
+    assert(new Repartition().setN(2).transform(df).rdd.getNumPartitions == 2)
+  }
+
+  test("ClassBalancer weights = max/count") {
+    val m = new ClassBalancer().setInputCol("cat").fit(df)
+    val w = m.transform(df).select("cat", "weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("a") == 1.0 && w("b") == 2.0 && w("c") == 2.0)
+  }
+
+  test("EnsembleByKey mean per key") {
+    val out = new EnsembleByKey().setKeys(Seq("cat")).setCols(Seq("v"))
+      .setColNames(Seq("mv")).transform(df)
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") == 20.0 && m("b") == 20.0 && m("c") == 40.0)
+  }
+
+  test("EnsembleByKey re-join keeps original rows") {
+    val out = new EnsembleByKey().setKeys(Seq("cat")).setCols(Seq("v"))
+      .setColNames(Seq("mv")).setCollapseGroup(false).transform(df)
+    assert(out.count() == 4 && out.columns.contains("mv"))
+  }
+
+  test("SummarizeData computes counts and moments") {
+    val out = new SummarizeData().setExactUnique(true).transform(df.select("v"))
+    val row = out.filter(col("Feature") === "v").head
+    assert(row.getAs[Double]("count") == 4.0)
+    assert(row.getAs[Double]("unique") == 4.0)
+    assert(row.getAs[Double]("missing") == 0.0)
+    assert(row.getAs[Double]("min") == 10.0 && row.getAs[Double]("max") == 40.0)
+    assert(math.abs(row.getAs[Double]("mean") - 25.0) < 1e-9)
+  }
+
+  test("CleanMissingData fills with mean") {
+    val withNulls = Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
+      .toDF("id", "v")
+    val m = new CleanMissingData().setInputCols(Seq("v")).setCleaningMode("Mean")
+      .fit(withNulls)
+    val filled = m.transform(withNulls).select("v").collect().map(_.getDouble(0))
+    assert(filled.sorted.sameElements(Array(10.0, 15.0, 20.0)))
+  }
+
+  test("ValueIndexer round-trips through IndexToValue") {
+    val m = new ValueIndexer().setInputCol("cat").setOutputCol("ci").fit(df)
+    assert(m.levels.sameElements(Array("a", "b", "c")))
+    val indexed = m.transform(df)
+    assert(indexed.filter(col("cat") === "b").head.getAs[Int]("ci") == 1)
+    val rt = new IndexToValue().setInputCol("ci").setOutputCol("cat2")
+      .transform(indexed)
+    assert(rt.filter(col("cat") =!= col("cat2")).count() == 0)
+  }
+
+  test("FixedMiniBatch + FlattenBatch round-trip") {
+    val batched = new FixedMiniBatchTransformer().setBatchSize(3)
+      .transform(df.select("id", "cat", "v"))
+    assert(batched.schema("id").dataType.isInstanceOf[ArrayType])
+    val flat = new FlattenBatch().transform(batched)
+    assertDFEq(flat, df.select("id", "cat", "v"))
+  }
+
+  test("FixedMiniBatch buffered prefetch keeps all rows") {
+    val batched = new FixedMiniBatchTransformer().setBatchSize(2).setBuffered(true)
+      .transform(df.select("id"))
+    val flat = new FlattenBatch().transform(batched)
+    assert(flat.count() == 4)
+  }
+
+  test("DynamicMiniBatch keeps all rows") {
+    val batched = new DynamicMiniBatchTransformer().setMaxBatchSize(2)
+      .transform(df.select("id", "v"))
+    val flat = new FlattenBatch().transform(batched)
+    assertDFEq(flat, df.select("id", "v"))
+  }
+
+  test("TimeIntervalMiniBatch keeps all rows") {
+    val batched = new TimeIntervalMiniBatchTransformer().setMillisToWait(50)
+      .transform(df.select("id"))
+    assert(new FlattenBatch().transform(batched).count() == 4)
+  }
+
+  test("PartitionConsolidator preserves row multiset") {
+    val in = spark.range(0, 100, 1, 8).toDF("id")
+    val out = new PartitionConsolidator().transform(in)
+    assert(out.agg(sum("id")).head.getLong(0) == 4950L)
+    assert(out.count() == 100)
+  }
+
+  test("StratifiedRepartition original mode keeps all rows") {
+    val out = new StratifiedRepartition().setLabelCol("cat").setMode("original")
+      .transform(df)
+    assert(out.count() == 4)
+  }
+
+  test("StratifiedRepartition equal mode downsamples majority") {
+    val skewed = spark.range(0, 90).toDF("id").withColumn("lab", lit("big"))
+      .union(spark.range(90, 100).toDF("id").withColumn("lab", lit("small")))
+    val out = new StratifiedRepartition().setLabelCol("lab").setMode("equal")
+      .transform(skewed)
+    val counts = out.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 10)
+    assert(counts("big") <= 55) // ~50 target
+  }
+
+  test("Cacher caches and Timer times") {
+    val t = new Timer().setStage(new SelectColumns().setCols(Seq("id")))
+      .setMaterialize(true)
+    val out = t.transform(new Cacher().transform(df))
+    assert(out.count() == 4 && t.lastElapsedMs >= 0)
+  }
+
+  test("DataConversion casts and formats dates") {
+    val d = Seq(("2024-01-02 03:04:05", 1.9)).toDF("ts", "x")
+    val parsed = new DataConversion().setCols(Seq("ts")).setConvertTo("date")
+      .setDateTimeFormat("yyyy-MM-dd HH:mm:ss").transform(d)
+    assert(parsed.schema("ts").dataType == TimestampType)
+    val casted = new DataConversion().setCols(Seq("x")).setConvertTo("integer")
+      .transform(d)
+    assert(casted.head.getAs[Int]("x") == 1)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.TestBase
+import graft.dedup._
+import org.apache.spark.sql.functions._
+
+class TextSuite extends TestBase {
+  import spark.implicits._
+
+  test("UnicodeNormalize NFC + lower") {
+    val df = Seq("Café", "ABC").toDF("t") // e + combining acute
+    val out = new UnicodeNormalize().setInputCol("t").setOutputCol("n")
+      .setForm("NFC").transform(df).select("n").as[String].collect()
+    assert(out.contains("café") && out.contains("abc"))
+  }
+
+  test("TextPreprocessor longest-match trie replace") {
+    val df = Seq("the catfish sat on the cat").toDF("t")
+    val out = new TextPreprocessor().setInputCol("t").setOutputCol("r")
+      .setMap(Map("cat" -> "X", "catfish" -> "Y"))
+      .transform(df).select("r").as[String].head()
+    assert(out == "the Y sat on the X") // longest match wins
+  }
+
+  test("PageSplitter respects max length and preserves text") {
+    val text = (1 to 100).map(i => s"word$i").mkString(" ")
+    val df = Seq(text).toDF("t")
+    val pages = new PageSplitter().setInputCol("t").setOutputCol("p")
+      .setMaximumPageLength(100).setMinimumPageLength(50)
+      .transform(df).select("p").as[Seq[String]].head()
+    assert(pages.forall(_.length <= 100))
+    assert(pages.mkString("") == text)
+  }
+
+  test("MultiNGram computes n-grams for each length") {
+    val df = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+    val out = new MultiNGram().setInputCol("toks").setOutputCol("g")
+      .setLengths(Seq(1, 2, 3)).transform(df).select("g").as[Seq[String]].head()
+    assert(out.length == 4 + 3 + 2)
+    assert(out.contains("a b") && out.contains("b c d"))
+  }
+
+  test("TextFunctions token counts and fingerprint") {
+    val df = Seq("hello  world foo", "a").toDF("t")
+    val counts = df.select(TextFunctions.tokenCount(col("t"))).as[Int].collect()
+    assert(counts.sameElements(Array(3, 1)))
+    val fps = df.select(TextFunctions.fingerprint(col("t"))).as[Long].collect()
+    assert(fps.distinct.length == 2)
+    // fingerprint is whitespace-insensitive
+    val fp2 = Seq("hello world   foo").toDF("t")
+      .select(TextFunctions.fingerprint(col("t"))).as[Long].head()
+    assert(fp2 == fps(0))
+  }
+
+  test("languageId picks the stopword-matching language") {
+    val df = Seq(
+      "the cat and the dog went to the store",
+      "le chat est dans les maisons des villes",
+      "der hund ist nicht mit der katze und das haus").toDF("t")
+    val langs = df.select(TextFunctions.languageId(col("t"))).as[String].collect()
+    assert(langs(0) == "en" && langs(1) == "fr" && langs(2) == "de")
+  }
+
+  test("qualityScore in [0,1], higher for clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away",
+      "!!!! ???? ,,,, @@@@ #### $$$$ %%%%").toDF("t")
+    val qs = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(qs.forall(q => q >= 0 && q <= 1))
+    assert(qs(0) > qs(1))
+  }
+
+  test("DocumentAnalyzer adds all stat columns") {
+    val out = new DocumentAnalyzer().setInputCol("text")
+      .transform(sfTable("documents"))
+    assert(Seq("n_tokens", "n_tokens_est", "quality", "lang_pred", "fingerprint")
+      .forall(out.columns.contains))
+    assert(out.count() == 500)
+  }
+
+  test("shingles produce distinct word k-grams") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(DedupFunctions.shingles(col("t"), 2)).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b", "b c", "c d"))
+  }
+}
