@@ -289,6 +289,49 @@ object SparkEntry {
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },
 
+    "knn_balltree" -> { (s, dir) => // rows-only: exact ball-tree KNN
+      val emb = tbl(s, dir, "embeddings")
+      val model = new graft.nn.KNN().setInputCol("embedding")
+        .setIdCol("vec_id").setK(5).fit(emb)
+      model.transform(emb.filter(col("vec_id") < 100))
+        .select(col("vec_id"), explode(col("matches.id")).as("neighbor_id"))
+    },
+
+    // ---- train / eval (§2.13) ---------------------------------------
+    "train_classifier" -> { (s, dir) => // rows-only: predictions
+      val events = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      val model = new graft.train.TrainClassifier().setLabelCol("event_type")
+        .setFeatureCols(Seq("value", "user_id")).setLearner("DecisionTree")
+        .fit(events)
+      model.transform(events)
+        .select(col("event_id"), col("predicted_label"))
+    },
+
+    "model_statistics" -> { (s, dir) => // rows-only: metric frame
+      val events = tbl(s, dir, "events")
+        .withColumn("is_purchase",
+          when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+        .select(col("event_id"), col("value"), col("user_id"), col("is_purchase"))
+      val model = new graft.train.TrainClassifier().setLabelCol("is_purchase")
+        .setFeatureCols(Seq("value", "user_id")).setLearner("LogisticRegression")
+        .fit(events)
+      new graft.train.ComputeModelStatistics().setLabelCol("is_purchase")
+        .setEvaluationMetric("classification")
+        .setScoredProbabilitiesCol("probability")
+        .transform(model.transform(events))
+    },
+
+    "text_featurizer" -> { (s, dir) => // rows-only: tf-idf vector stats
+      val m = new TextFeaturizer().setInputCol("text").setOutputCol("feats")
+        .setNumFeatures(1 << 12).fit(tbl(s, dir, "documents"))
+      m.transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(org.apache.spark.sql.functions.filter(
+            org.apache.spark.ml.functions.vector_to_array(col("feats")),
+            x => x =!= 0.0)).as("nnz"))
+    },
+
     "knn_lsh" -> { (s, dir) => // rows-only
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)

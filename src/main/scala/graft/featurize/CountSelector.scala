@@ -1,0 +1,72 @@
+package graft.featurize
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.feature.VectorSlicer
+import org.apache.spark.ml.linalg.{SparseVector, DenseVector, Vector => MLVector}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Drops vector slots that are zero everywhere (ref:
+  * featurize/CountSelector.scala:33-52,74-82 — BitSet union reduce).
+  * Implemented as an RDD `treeAggregate` over per-partition bitsets —
+  * map-side combining, one small result to the driver. Model = VectorSlicer
+  * on the surviving indices.
+  */
+class CountSelector(override val uid: String)
+    extends Estimator[CountSelectorModel] with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("CountSelector"))
+  setDefault(outputCol -> "selected")
+
+  override def fit(ds: Dataset[_]): CountSelectorModel = {
+    val in = getInputCol
+    val nonZero = ds.toDF().select(col(in)).rdd
+      .treeAggregate(new java.util.BitSet())(
+        seqOp = (bs, row) => {
+          row.getAs[MLVector](0) match {
+            case s: SparseVector =>
+              var i = 0
+              while (i < s.indices.length) {
+                if (s.values(i) != 0.0) bs.set(s.indices(i)); i += 1
+              }
+            case d: DenseVector =>
+              var i = 0
+              while (i < d.values.length) {
+                if (d.values(i) != 0.0) bs.set(i); i += 1
+              }
+          }
+          bs
+        },
+        combOp = (a, b) => { a.or(b); a })
+    val indices = nonZero.stream().toArray
+    val m = new CountSelectorModel(uid + "_model")
+      .setInputCol(in).setOutputCol(getOutputCol)
+    m.indices = indices
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol,
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
+  override def copy(extra: ParamMap): CountSelector = defaultCopy(extra)
+}
+
+class CountSelectorModel(override val uid: String)
+    extends Model[CountSelectorModel] with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("CountSelectorModel"))
+
+  var indices: Array[Int] = Array.empty
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    new VectorSlicer().setInputCol(getInputCol).setOutputCol(getOutputCol)
+      .setIndices(indices).transform(ds.toDF())
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol,
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
+  override def copy(extra: ParamMap): CountSelectorModel = {
+    val c = new CountSelectorModel(uid); c.indices = indices
+    copyValues(c, extra)
+  }
+}

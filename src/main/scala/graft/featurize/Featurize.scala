@@ -1,0 +1,109 @@
+package graft.featurize
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model, Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Automatic featurization: per-type sub-pipelines feeding one
+  * VectorAssembler (ref: featurize/Featurize.scala:121-229):
+  *  - numeric → cast double + mean imputation;
+  *  - string (low cardinality unknown) → tokenizer + HashingTF [+ IDF];
+  *  - boolean → cast double;
+  *  - timestamp/date → [epoch, year, month, dayofweek, day, hour] vector,
+  *    built from native expressions (better than the reference's UDF —
+  *    SURVEY §2.8 note);
+  *  - vector → passthrough.
+  */
+class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
+    with HasOutputCol {
+  def this() = this(Identifiable.randomUID("Featurize"))
+  setDefault(outputCol -> "features")
+
+  final val inputCols = new StringArrayParam(this, "inputCols", "feature columns")
+  def setInputCols(v: Seq[String]): this.type = set(inputCols, v.toArray)
+  final val numFeatures = new IntParam(this, "numFeatures", "text hash buckets")
+  setDefault(numFeatures -> (1 << 16))
+  def setNumFeatures(v: Int): this.type = set(numFeatures, v)
+
+  override def fit(ds: Dataset[_]): FeaturizeModel = {
+    val df = ds.toDF()
+    val stages = scala.collection.mutable.ArrayBuffer.empty[PipelineStage]
+    val assembled = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pre: DataFrame => DataFrame = identity
+    val preExprs = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Column)]
+
+    $(inputCols).foreach { c =>
+      val t = df.schema(c).dataType
+      val tmp = s"__f_$c"
+      t match {
+        case _: NumericType =>
+          preExprs += tmp -> col(c).cast("double")
+          stages += new Imputer().setInputCol(tmp).setOutputCol(tmp + "_i")
+            .setStrategy("mean")
+          assembled += tmp + "_i"
+        case BooleanType =>
+          preExprs += tmp -> col(c).cast("double")
+          assembled += tmp
+        case StringType =>
+          stages += new RegexTokenizer().setInputCol(c).setOutputCol(tmp + "_t")
+            .setPattern("\\s+").setToLowercase(true)
+          stages += new HashingTF().setInputCol(tmp + "_t")
+            .setOutputCol(tmp + "_h").setNumFeatures($(numFeatures))
+          assembled += tmp + "_h"
+        case TimestampType | TimestampNTZType | DateType =>
+          preExprs += (tmp + "_epoch") -> unix_timestamp(col(c)).cast("double")
+          preExprs += (tmp + "_year") -> year(col(c)).cast("double")
+          preExprs += (tmp + "_month") -> month(col(c)).cast("double")
+          preExprs += (tmp + "_dow") -> dayofweek(col(c)).cast("double")
+          preExprs += (tmp + "_day") -> dayofmonth(col(c)).cast("double")
+          assembled ++= Seq(tmp + "_epoch", tmp + "_year", tmp + "_month",
+            tmp + "_dow", tmp + "_day")
+        case org.apache.spark.ml.linalg.SQLDataTypes.VectorType =>
+          assembled += c
+        case other => throw new IllegalArgumentException(
+          s"Featurize: unsupported type $other for column $c")
+      }
+    }
+    pre = d => preExprs.foldLeft(d) { case (cur, (name, e)) => cur.withColumn(name, e) }
+    stages += new VectorAssembler().setInputCols(assembled.toArray)
+      .setOutputCol(getOutputCol).setHandleInvalid("keep")
+    val fitted = new Pipeline().setStages(stages.toArray).fit(pre(df))
+    val m = new FeaturizeModel(uid + "_model").setOutputCol(getOutputCol)
+    m.preExprs = preExprs.toSeq.map { case (n, e) => (n, e) }
+    m.pipeline = fitted
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol,
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
+  override def copy(extra: ParamMap): Featurize = defaultCopy(extra)
+}
+
+class FeaturizeModel(override val uid: String) extends Model[FeaturizeModel]
+    with HasOutputCol {
+  def this() = this(Identifiable.randomUID("FeaturizeModel"))
+
+  var preExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil
+  var pipeline: PipelineModel = _
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val pre = preExprs.foldLeft(ds.toDF()) {
+      case (cur, (name, e)) => cur.withColumn(name, e)
+    }
+    val out = pipeline.transform(pre)
+    out.drop(out.columns.filter(_.startsWith("__f_")).toIndexedSeq: _*)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol,
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
+  override def copy(extra: ParamMap): FeaturizeModel = {
+    val c = new FeaturizeModel(uid)
+    c.preExprs = preExprs; c.pipeline = pipeline
+    copyValues(c, extra)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.nn
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{Vector => MLVector}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact k-NN: collect (features, id) to the driver, build a [[BallTree]],
+  * broadcast it, query per row in a UDF (ref: nn/KNN.scala:1-126). Exact and
+  * fast up to driver-memory corpus sizes; for 100 TB corpora use
+  * [[graft.sim.LSHNearestNeighbors]] — the documented scale-out path
+  * (SURVEY §2.13 / build plan hard-parts note).
+  */
+class KNN(override val uid: String) extends Estimator[KNNModel]
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("KNN"))
+  setDefault(outputCol -> "matches")
+
+  final val idCol = new Param[String](this, "idCol", "corpus id column")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val k = new IntParam(this, "k", "neighbors", ParamValidators.gt(0))
+  setDefault(k -> 5)
+  def setK(v: Int): this.type = set(k, v)
+  final val leafSize = new IntParam(this, "leafSize", "ball tree leaf size")
+  setDefault(leafSize -> 50)
+
+  /** Optional conditioner label column enables ConditionalKNN-style search. */
+  final val labelCol = new Param[String](this, "labelCol", "conditioner labels")
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+
+  private[nn] def extractVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.get(i) match {
+      case v: MLVector => v.toArray
+      case s: scala.collection.Seq[_] => s.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+      case other => throw new IllegalArgumentException(s"bad feature type $other")
+    }
+
+  override def fit(ds: Dataset[_]): KNNModel = {
+    val df = ds.toDF()
+    val hasLabels = isSet(labelCol)
+    val cols = Seq(col(getInputCol), col($(idCol)).cast("long")) ++
+      (if (hasLabels) Seq(col($(labelCol)).cast("int")) else Nil)
+    val rows = df.select(cols: _*).collect()
+    val points = rows.map(r => extractVec(r, 0))
+    val ids = rows.map(_.getLong(1))
+    val labels = if (hasLabels) rows.map(_.getInt(2)) else Array.empty[Int]
+    val tree = new BallTree(points, ids, labels, $(leafSize))
+    val m = new KNNModel(uid + "_model")
+      .setInputCol(getInputCol).setOutputCol(getOutputCol).setK($(k))
+    m.treeBroadcast = df.sparkSession.sparkContext.broadcast(tree)
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    KNNModel.outputSchema(schema, getOutputCol)
+  override def copy(extra: ParamMap): KNN = defaultCopy(extra)
+}
+
+class KNNModel(override val uid: String) extends Model[KNNModel]
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("KNNModel"))
+
+  final val k = new IntParam(this, "k", "neighbors")
+  setDefault(k -> 5)
+  def setK(v: Int): this.type = set(k, v)
+
+  /** Optional column holding an array of allowed conditioner labels. */
+  final val conditionerCol = new Param[String](this, "conditionerCol",
+    "array<int> column of allowed labels per query row")
+  def setConditionerCol(v: String): this.type = set(conditionerCol, v)
+
+  var treeBroadcast: org.apache.spark.broadcast.Broadcast[BallTree] = _
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val bc = treeBroadcast
+    val kk = $(k)
+    val searchUdf = udf((v: Seq[Double]) =>
+      bc.value.search(v.toArray, kk).map { case (d, id) => (d, id) })
+    val condUdf = udf((v: Seq[Double], allowed: Seq[Int]) =>
+      bc.value.search(v.toArray, kk, allowed.toSet).map { case (d, id) => (d, id) })
+    val df = ds.toDF()
+    val inVec = df.schema(getInputCol).dataType match {
+      case _: ArrayType => col(getInputCol).cast(ArrayType(DoubleType))
+      case _ => // ml VectorUDT
+        org.apache.spark.ml.functions.vector_to_array(col(getInputCol))
+    }
+    val out =
+      if (isSet(conditionerCol)) condUdf(inVec, col($(conditionerCol)))
+      else searchUdf(inVec)
+    df.withColumn(getOutputCol,
+      out.cast(ArrayType(StructType(Seq(
+        StructField("distance", DoubleType), StructField("id", LongType))))))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    KNNModel.outputSchema(schema, getOutputCol)
+  override def copy(extra: ParamMap): KNNModel = {
+    val c = new KNNModel(uid); c.treeBroadcast = treeBroadcast
+    copyValues(c, extra)
+  }
+}
+
+object KNNModel {
+  private[nn] def outputSchema(schema: StructType, out: String): StructType =
+    StructType(schema :+ StructField(out, ArrayType(StructType(Seq(
+      StructField("distance", DoubleType), StructField("id", LongType))))))
+}

@@ -1,0 +1,155 @@
+package graft.train
+
+import graft.core._
+import graft.featurize.{Featurize, FeaturizeModel, ValueIndexer, ValueIndexerModel}
+import org.apache.spark.ml.{Estimator, Model, PredictionModel, Predictor}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.regression._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Auto-featurizing classification trainer: reindex label + Featurize +
+  * learner → one model (ref: train/TrainClassifier.scala:95-181).
+  * LightGBM/VW native learners are substituted by Spark ML GBT/LR per the
+  * survey's build-or-buy call (SURVEY §2.13).
+  */
+class TrainClassifier(override val uid: String)
+    extends Estimator[TrainedClassifierModel] with HasLabelCol {
+  def this() = this(Identifiable.randomUID("TrainClassifier"))
+
+  final val featureCols = new StringArrayParam(this, "featureCols",
+    "input feature columns")
+  def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
+  final val learner = new Param[String](this, "learner",
+    "LogisticRegression | RandomForest | GBT | DecisionTree",
+    ParamValidators.inArray(Array(
+      "LogisticRegression", "RandomForest", "GBT", "DecisionTree")))
+  setDefault(learner -> "LogisticRegression")
+  def setLearner(v: String): this.type = set(learner, v)
+  final val numFeatures = new IntParam(this, "numFeatures", "text hash bits")
+  setDefault(numFeatures -> (1 << 16))
+
+  override def fit(ds: Dataset[_]): TrainedClassifierModel = {
+    val df = ds.toDF().na.drop(Seq(getLabelCol))
+    // 1. label -> contiguous indices (metadata-tagged)
+    val indexer = new ValueIndexer().setInputCol(getLabelCol)
+      .setOutputCol("__label").fit(df)
+    val indexed = indexer.transform(df)
+    // 2. auto-featurize
+    val feats = if (isSet(featureCols)) $(featureCols).toSeq
+      else df.columns.filterNot(_ == getLabelCol).toSeq
+    val featurizer = new Featurize().setInputCols(feats)
+      .setOutputCol("__features").setNumFeatures($(numFeatures)).fit(indexed)
+    val prepared = featurizer.transform(indexed).cache()
+    // 3. learner
+    val est = $(learner) match {
+      case "LogisticRegression" => new LogisticRegression()
+      case "RandomForest" => new RandomForestClassifier()
+      case "GBT" => new GBTClassifier()
+      case "DecisionTree" => new DecisionTreeClassifier()
+    }
+    est.setLabelCol("__label").setFeaturesCol("__features")
+    val fitted = est.fit(prepared)
+    prepared.unpersist()
+    val m = new TrainedClassifierModel(uid + "_model")
+    m.indexer = indexer; m.featurizer = featurizer
+    m.inner = fitted.asInstanceOf[PredictionModel[_, _]]
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("prediction", DoubleType),
+      StructField("predicted_label", StringType)))
+  override def copy(extra: ParamMap): TrainClassifier = defaultCopy(extra)
+}
+
+class TrainedClassifierModel(override val uid: String)
+    extends Model[TrainedClassifierModel] {
+  def this() = this(Identifiable.randomUID("TrainedClassifierModel"))
+
+  var indexer: ValueIndexerModel = _
+  var featurizer: FeaturizeModel = _
+  var inner: PredictionModel[_, _] = _
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val featurized = featurizer.transform(ds.toDF())
+    val scored = inner.transform(featurized)
+    val levels = indexer.levels
+    val arr = array(levels.toIndexedSeq.map(lit): _*)
+    scored
+      .withColumn("predicted_label",
+        element_at(arr, col("prediction").cast("int") + 1))
+      .drop("__features")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("prediction", DoubleType),
+      StructField("predicted_label", StringType)))
+  override def copy(extra: ParamMap): TrainedClassifierModel = {
+    val c = new TrainedClassifierModel(uid)
+    c.indexer = indexer; c.featurizer = featurizer; c.inner = inner
+    copyValues(c, extra)
+  }
+}
+
+/** Auto-featurizing regression trainer (ref: train/TrainRegressor.scala). */
+class TrainRegressor(override val uid: String)
+    extends Estimator[TrainedRegressorModel] with HasLabelCol {
+  def this() = this(Identifiable.randomUID("TrainRegressor"))
+
+  final val featureCols = new StringArrayParam(this, "featureCols", "")
+  def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
+  final val learner = new Param[String](this, "learner",
+    "LinearRegression | RandomForest | GBT | DecisionTree",
+    ParamValidators.inArray(Array(
+      "LinearRegression", "RandomForest", "GBT", "DecisionTree")))
+  setDefault(learner -> "LinearRegression")
+  def setLearner(v: String): this.type = set(learner, v)
+
+  override def fit(ds: Dataset[_]): TrainedRegressorModel = {
+    val df = ds.toDF().na.drop(Seq(getLabelCol))
+    val feats = if (isSet(featureCols)) $(featureCols).toSeq
+      else df.columns.filterNot(_ == getLabelCol).toSeq
+    val featurizer = new Featurize().setInputCols(feats)
+      .setOutputCol("__features").fit(df)
+    val prepared = featurizer.transform(df)
+      .withColumn("__label", col(getLabelCol).cast("double")).cache()
+    val est = $(learner) match {
+      case "LinearRegression" => new LinearRegression()
+      case "RandomForest" => new RandomForestRegressor()
+      case "GBT" => new GBTRegressor()
+      case "DecisionTree" => new DecisionTreeRegressor()
+    }
+    est.setLabelCol("__label").setFeaturesCol("__features")
+    val fitted = est.fit(prepared)
+    prepared.unpersist()
+    val m = new TrainedRegressorModel(uid + "_model")
+    m.featurizer = featurizer
+    m.inner = fitted.asInstanceOf[PredictionModel[_, _]]
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField("prediction", DoubleType))
+  override def copy(extra: ParamMap): TrainRegressor = defaultCopy(extra)
+}
+
+class TrainedRegressorModel(override val uid: String)
+    extends Model[TrainedRegressorModel] {
+  def this() = this(Identifiable.randomUID("TrainedRegressorModel"))
+
+  var featurizer: FeaturizeModel = _
+  var inner: PredictionModel[_, _] = _
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    inner.transform(featurizer.transform(ds.toDF())).drop("__features")
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField("prediction", DoubleType))
+  override def copy(extra: ParamMap): TrainedRegressorModel = {
+    val c = new TrainedRegressorModel(uid)
+    c.featurizer = featurizer; c.inner = inner
+    copyValues(c, extra)
+  }
+}

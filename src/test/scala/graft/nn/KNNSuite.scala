@@ -1,0 +1,67 @@
+package graft.nn
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class KNNSuite extends TestBase {
+  import spark.implicits._
+
+  test("BallTree matches brute force on random data") {
+    val rnd = new Random(7)
+    val points = Array.fill(500)(Array.fill(8)(rnd.nextDouble()))
+    val ids = Array.tabulate(500)(_.toLong)
+    val tree = new BallTree(points, ids, Array.empty, leafSize = 20)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(8)(rnd.nextDouble())
+      val brute = points.zip(ids).map { case (p, i) => (dist(q, p), i) }
+        .sortBy(t => (t._1, t._2)).take(5).toSeq
+      val fast = tree.search(q, 5)
+      assert(fast.map(_._2) == brute.map(_._2),
+        s"tree=${fast.mkString(",")} brute=${brute.mkString(",")}")
+    }
+  }
+
+  test("BallTree conditional search restricts to allowed labels") {
+    val points = Array.tabulate(100)(i => Array(i.toDouble))
+    val ids = Array.tabulate(100)(_.toLong)
+    val labels = Array.tabulate(100)(_ % 2)
+    val tree = new BallTree(points, ids, labels, leafSize = 10)
+    val res = tree.search(Array(50.0), 3, allowed = Set(1))
+    assert(res.forall(r => r._2 % 2 == 1))
+    assert(res.map(_._2).contains(51L))
+  }
+
+  test("KNN estimator end-to-end on embeddings") {
+    val emb = sfTable("embeddings")
+    val model = new KNN().setInputCol("embedding").setIdCol("vec_id").setK(3)
+      .fit(emb)
+    val out = model.transform(emb.limit(20))
+    val rows = out.select(col("vec_id"), col("matches")).collect()
+    rows.foreach { r =>
+      val matches = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      assert(matches.length == 3)
+      // nearest neighbor of a corpus point is itself at distance 0
+      assert(matches.head.getAs[Long]("id") == r.getAs[Long](0))
+      assert(matches.head.getAs[Double]("distance") == 0.0)
+    }
+  }
+
+  test("ConditionalKNN via labelCol + conditionerCol") {
+    val emb = sfTable("embeddings")
+    val model = new KNN().setInputCol("embedding").setIdCol("vec_id")
+      .setLabelCol("label").setK(3).fit(emb)
+    model.setConditionerCol("allowed")
+    val out = model.transform(
+      emb.limit(10).withColumn("allowed", array(lit(1), lit(2))))
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.select("matches").collect().foreach { r =>
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0).foreach { m =>
+        assert(Set(1, 2).contains(labelOf(m.getAs[Long]("id"))))
+      }
+    }
+  }
+}
