@@ -478,9 +478,11 @@ object SparkEntry {
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents""".stripMargin,
 
-    "multi_ngram" ->
+    "multi_ngram" -> // piecewise so 1-2-token docs stay correct
       """SELECT doc_id,
-        |  CAST(3 * len(string_split(text, ' ')) - 3 AS INTEGER) AS n_ngrams
+        |  CAST(len(string_split(text, ' '))
+        |    + GREATEST(len(string_split(text, ' ')) - 1, 0)
+        |    + GREATEST(len(string_split(text, ' ')) - 2, 0) AS INTEGER) AS n_ngrams
         |FROM documents""".stripMargin,
 
     "dedup_exact" ->

@@ -57,11 +57,17 @@ case class Scored(score: Double, id: Long)
 
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  // total order (score desc, id asc); duplicate ids collapse to one entry so
+  // a candidate colliding in several LSH bands can't crowd out real neighbors
   private def cap(s: Seq[Scored]): Seq[Scored] =
-    s.sortBy(x => (-x.score, x.id)).take(k)
+    s.sortBy(x => (-x.score, x.id)).distinctBy(_.id).take(k)
   override def zero: Seq[Scored] = Vector.empty
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-    if (b.size >= k && b.last.score >= a.score) b else cap(b :+ a)
+    // shortcut only when a strictly loses to the k-th element under the
+    // same (score desc, id asc) order cap() enforces
+    if (b.size >= k && (b.last.score > a.score ||
+        (b.last.score == a.score && b.last.id <= a.id))) b
+    else cap(b :+ a)
   override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = cap(x ++ y)
   override def finish(r: Seq[Scored]): Seq[Scored] = cap(r)
   override def bufferEncoder: Encoder[Seq[Scored]] =

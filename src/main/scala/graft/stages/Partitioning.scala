@@ -7,14 +7,30 @@ import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.util.concurrent.{ConcurrentLinkedQueue, atomic}
+import java.util.concurrent.LinkedBlockingQueue
 
 /** Per-label exact resampling + spread so every partition sees every label
   * (ref: core/.../stages/StratifiedRepartition.scala:48-77; modes
-  * equal/original/mixed). Implemented with `sampleByKeyExact` on the keyed
-  * RDD followed by a round-robin-within-label redistribution (hash of a
-  * per-label row_number modulo target partitions), which is the
-  * RangePartitioner trick the reference uses expressed as one shuffle.
+  * equal/original/mixed).
+  *
+  * Modes:
+  *  - `original`: keep every row (fraction 1.0, no replacement), only spread
+  *    labels across partitions.
+  *  - `equal`: sample **with replacement** at fraction
+  *    `max(maxLabelCount, numPartitions) / count(label)` — upsamples every
+  *    label to the majority count (ref:
+  *    StratifiedRepartition.scala:76-79 `getEqualLabelCount`).
+  *  - `mixed`: the equal fractions normalized to mean 1.0 — partially boosts
+  *    minority labels while keeping total row count roughly unchanged.
+  *    (Documented divergence: the reference's mixed formula
+  *    (StratifiedRepartition.scala:57-60) divides raw counts by a mean of
+  *    fractions, yielding fractions in the thousands — we use the evident
+  *    intent, a normalized blend, instead.)
+  *
+  * The spread step assigns each row a per-label running index and hash
+  * partitions on it — one shuffle, every label lands on every partition
+  * (the RangePartitioner trick of StratifiedRepartition.scala:66-70
+  * expressed as a single hash partitioning).
   */
 class StratifiedRepartition(override val uid: String) extends Transformer
     with HasLabelCol {
@@ -34,22 +50,20 @@ class StratifiedRepartition(override val uid: String) extends Transformer
     val numPartitions = df.rdd.getNumPartitions
     val counts = df.groupBy(getLabelCol).count().collect()
       .map(r => r.get(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum.toDouble
-    val nLabels = counts.size
-    val fractions: Map[Any, Double] = $(mode) match {
-      case "original" => counts.map { case (k, _) => k -> 1.0 }
-      case "equal" =>
-        val target = total / nLabels
-        counts.map { case (k, c) => k -> math.min(1.0, target / c) }
+    def equalFractions: Map[Any, Double] = {
+      val target = math.max(counts.values.max, numPartitions.toLong).toDouble
+      counts.map { case (k, c) => k -> target / c }
+    }
+    val (withReplacement, fractions: Map[Any, Double]) = $(mode) match {
+      case "original" => (false, counts.map { case (k, _) => k -> 1.0 })
+      case "equal" => (true, equalFractions)
       case "mixed" =>
-        // reference's heuristic: cap classes above 3x the equal share
-        val target = total / nLabels
-        counts.map { case (k, c) =>
-          k -> math.min(1.0, math.max(target * 3, c * 0.5) / c) }
+        val eq = equalFractions
+        val mean = eq.values.sum / eq.size
+        (true, eq.map { case (k, f) => k -> f / mean })
     }
     val keyed = df.rdd.map(r => r.getAs[Any](getLabelCol) -> r)
-    val sampled = keyed.sampleByKeyExact(withReplacement = false,
-      fractions = fractions, seed = $(seed))
+    val sampled = keyed.sampleByKeyExact(withReplacement, fractions, $(seed))
     // spread each label across all partitions: per-label running index
     val spread = sampled
       .mapPartitions { it =>
@@ -67,47 +81,84 @@ class StratifiedRepartition(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): StratifiedRepartition = defaultCopy(extra)
 }
 
+/** Per-JVM funnel state for [[PartitionConsolidator]]. Worker-count
+  * protocol (ref: core/.../stages/PartitionConsolidator.scala:52-138):
+  * the first partition to register on a JVM (workers == 0) becomes the
+  * *chosen* one and lazily streams — buffered rows from other partitions
+  * first, then its own input iterator — staying alive while any other
+  * worker is still feeding the buffer, plus one grace period for workers
+  * that have not registered yet. Non-chosen partitions dump their rows
+  * into the buffer and finish. A partition that registers *after* the
+  * chosen one exited sees workers == 0 again and becomes a new chosen
+  * worker, so late-scheduled partitions can never lose rows — this is
+  * what makes the protocol safe when partitions outnumber task slots or
+  * executors run many waves.
+  */
+private[stages] class ConsolidatorState {
+  val buffer = new LinkedBlockingQueue[Row]()
+  private var workers = 0
+  def register(): Boolean = synchronized { val chosen = workers == 0; workers += 1; chosen }
+  def deregister(): Unit = synchronized { workers -= 1 }
+  def activeWorkers: Int = synchronized { workers }
+}
+
 /** Funnel all rows on a JVM through a single worker partition — the
   * reference uses this to share one rate-limited resource (e.g. an HTTP
   * connection) per machine (ref: core/.../stages/PartitionConsolidator
-  * .scala:22-138). Rows from non-chosen partitions are queued into a
-  * per-JVM singleton; the first partition to claim the JVM drains the queue
-  * and emits everything.
+  * .scala:22-138). Consolidation is per-JVM by design: on a real cluster
+  * each executor JVM funnels its own partitions through one task; rows
+  * never cross JVMs (no shuffle).
   */
 class PartitionConsolidator(override val uid: String) extends Transformer {
   def this() = this(Identifiable.randomUID("PartitionConsolidator"))
+
+  final val gracePeriodMs = new LongParam(this, "gracePeriodMs",
+    "how long the chosen partition lingers for not-yet-registered workers")
+  setDefault(gracePeriodMs -> 1000L)
+  def setGracePeriodMs(v: Long): this.type = set(gracePeriodMs, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val schema = df.schema
     val uidLocal = uid
-    val nParts = df.rdd.getNumPartitions
+    val grace = $(gracePeriodMs)
     val consolidated = df.rdd.mapPartitions { it =>
-      // state must be scoped per ACTION (each action re-runs the stage):
-      // key by stage id + attempt so re-executions get fresh state
+      // state scoped per ACTION: key by stage id + attempt so re-executions
+      // of the stage get fresh per-JVM state
       val tc = org.apache.spark.TaskContext.get()
       val state = SharedSingleton(
         s"consolidator-$uidLocal-${tc.stageId()}-${tc.stageAttemptNumber()}") {
-        (new ConcurrentLinkedQueue[Row](), new atomic.AtomicBoolean(false),
-          new atomic.AtomicInteger(0))
-      }
-      val (queue, chosen, done) = state.get
-      it.foreach(queue.add)
-      val amChosen = chosen.compareAndSet(false, true)
-      val finished = done.incrementAndGet()
-      if (amChosen) {
-        // drain until every partition has contributed; null = retry sentinel
-        new Iterator[Row] {
-          def hasNext: Boolean = !queue.isEmpty || done.get() < nParts
-          def next(): Row = {
-            var r = queue.poll()
-            while (r == null && !(queue.isEmpty && done.get() >= nParts)) {
-              Thread.sleep(1); r = queue.poll()
+        new ConsolidatorState
+      }.get
+      val chosen = state.register()
+      if (chosen) {
+        new Iterator[Option[Row]] {
+          private var done = false
+          private def available: Boolean =
+            !state.buffer.isEmpty || it.hasNext || state.activeWorkers > 1
+          def hasNext: Boolean = {
+            if (done) false
+            else if (available) true
+            else { // linger one grace period for unregistered late workers
+              var left = grace
+              while (left > 0 && !available) { Thread.sleep(10); left -= 10 }
+              if (available) true
+              else { state.deregister(); done = true; false }
             }
-            r
           }
-        }.filter(_ != null)
-      } else Iterator.empty
+          def next(): Option[Row] = {
+            val buffered = state.buffer.poll()
+            if (buffered != null) Some(buffered)
+            else if (it.hasNext) Some(it.next())
+            else // workers still feeding but nothing buffered yet: short block
+              Option(state.buffer.poll(5, java.util.concurrent.TimeUnit.MILLISECONDS))
+          }
+        }.flatten
+      } else {
+        it.foreach(state.buffer.add)
+        state.deregister()
+        Iterator.empty
+      }
     }
     df.sparkSession.createDataFrame(consolidated, schema)
   }

@@ -141,15 +141,28 @@ class StagesSuite extends TestBase {
     assert(out.count() == 4)
   }
 
-  test("StratifiedRepartition equal mode downsamples majority") {
+  test("StratifiedRepartition equal mode upsamples minorities to max count") {
     val skewed = spark.range(0, 90).toDF("id").withColumn("lab", lit("big"))
       .union(spark.range(90, 100).toDF("id").withColumn("lab", lit("small")))
     val out = new StratifiedRepartition().setLabelCol("lab").setMode("equal")
       .transform(skewed)
     val counts = out.groupBy("lab").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts("small") == 10)
-    assert(counts("big") <= 55) // ~50 target
+    // fractions = max(maxCount, nParts)/count with replacement (exact)
+    val target = math.max(90L, skewed.rdd.getNumPartitions.toLong)
+    assert(math.abs(counts("small") - target) <= 2)
+    assert(math.abs(counts("big") - target) <= 2)
+  }
+
+  test("StratifiedRepartition mixed mode equalizes per-label contributions") {
+    val skewed = spark.range(0, 90).toDF("id").withColumn("lab", lit("big"))
+      .union(spark.range(90, 100).toDF("id").withColumn("lab", lit("small")))
+    val out = new StratifiedRepartition().setLabelCol("lab").setMode("mixed")
+      .transform(skewed)
+    val counts = out.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fractions = equal-fractions / mean → each label yields ~target/mean rows
+    assert(math.abs(counts("big") - counts("small")) <= 3)
   }
 
   test("Cacher caches and Timer times") {
