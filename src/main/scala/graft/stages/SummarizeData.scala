@@ -31,8 +31,12 @@ class SummarizeData(override val uid: String) extends Transformer
     "approx quantile relative error", ParamValidators.gtEq(0))
   final val exactUnique = new BooleanParam(this, "exactUnique",
     "exact countDistinct instead of HLL approx (extra shuffle cost)")
+  // ref default errorThreshold 0.0 means "tightest"; we map that to the GK
+  // sketch's standard 1e-4 relative error (accuracy 10000) — the reference's
+  // own approxQuantile path does the same clamp, and exact quantiles at
+  // 100 TB would need a full sort per column
   setDefault(computeCounts -> true, computeBasic -> true,
-    computeSample -> true, computePercentiles -> false, errorThreshold -> 0.0,
+    computeSample -> true, computePercentiles -> false, errorThreshold -> 1e-4,
     exactUnique -> false)
   def setExactUnique(v: Boolean): this.type = set(exactUnique, v)
   def setComputeCounts(v: Boolean): this.type = set(computeCounts, v)
@@ -42,7 +46,7 @@ class SummarizeData(override val uid: String) extends Transformer
   def setErrorThreshold(v: Double): this.type = set(errorThreshold, v)
 
   private def pct: Double =
-    if ($(errorThreshold) <= 0) 1e-6 else $(errorThreshold)
+    if ($(errorThreshold) <= 0) 1e-4 else $(errorThreshold)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
