@@ -10,9 +10,9 @@ import org.apache.spark.sql.types._
 object HashExpressions {
 
   private def toCol(e: Expression): Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+    org.apache.spark.sql.graftshims.ColumnBridge.column(e)
   private def expr(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+    org.apache.spark.sql.graftshims.ColumnBridge.expression(c)
 
   /** MinHash signature of a pre-hashed shingle set (`array<long>`):
     * `numHashes` minima of the Kirsch-Mitzenmacher family

@@ -38,9 +38,9 @@ object VectorExpressions {
 
   // classic-Column ⇄ Expression bridge (Spark 4 column-node API)
   private def expr(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+    org.apache.spark.sql.graftshims.ColumnBridge.expression(c)
   private def toCol(e: Expression): Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+    org.apache.spark.sql.graftshims.ColumnBridge.column(e)
 
   /** Column API: dot product of two float/double array columns. */
   def dot(a: Column, b: Column): Column = toCol(VectorDot(expr(a), expr(b)))
