@@ -34,25 +34,34 @@ object DedupFunctions {
       (_: Column, i: Column) => i <= size(toks) - k))
   }
 
-  /** MinHash signature: for seed s_i, min over shingles of xxhash64(sh, s_i).
-    * Pure expressions — codegen'd, no UDF. */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(i))))
-    }: _*)
+  /** Sorted distinct 64-bit hashes of the word k-shingles — the canonical
+    * set representation every near-dup operator works on. 8 bytes/shingle
+    * through the shuffle instead of the shingle text, and sortedness lets
+    * Jaccard run as a merge instead of a hash-set intersect. Backed by the
+    * native single-pass [[graft.functions.HashExpressions.HashedWordShingles]]
+    * expression — no shingle strings are ever materialized. */
+  def hashedShingles(c: Column, k: Int): Column =
+    graft.functions.HashExpressions.hashedWordShingles(c, k)
+
+  /** MinHash signature over pre-hashed shingles: one primitive pass via the
+    * native [[graft.functions.HashExpressions.MinHashSignature]] expression
+    * (Kirsch-Mitzenmacher g_i(x) = x + i·mix(x)) — vs `numHashes` separate
+    * interpreted `array_min(transform(...))` traversals. */
+  def minHashSignature(hashedShingleCol: Column, numHashes: Int): Column =
+    graft.functions.HashExpressions.minHashSignature(hashedShingleCol, numHashes)
 
   /** Band hashes of a minhash signature: `bands` values, each hashing
-    * `rowsPerBand` consecutive signature entries. */
+    * `rowsPerBand` consecutive signature entries (xxhash64 consumes the
+    * long-array slice directly — no string building). */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      xxhash64(lit(b), array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand), ","))
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
 
-  /** Exact Jaccard similarity of two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter).cast("double")
-  }
+  /** Exact Jaccard similarity of two SORTED `array<long>` hashed-shingle
+    * sets — single codegen'd merge pass. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.HashExpressions.sortedLongJaccard(a, b)
 
   /** 64-bit SimHash of the token array (Charikar random hyperplane over
     * token hashes). Single pass per row via UDF — the per-token inner loop
@@ -144,7 +153,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     val r = $(numHashes) / $(bands)
 
     val withSig = df
-      .withColumn("__sh", shingles(col(getInputCol), $(shingleSize)))
+      .withColumn("__sh", hashedShingles(col(getInputCol), $(shingleSize)))
       .withColumn("__sig", minHashSignature(col("__sh"), $(numHashes)))
     // (bandIdx implicit in hash) -> narrow (bucket, id, shingles) rows
     val buckets = withSig
@@ -234,11 +243,12 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
     import DedupFunctions._
     val df = ds.toDF()
     val id = col($(idCol))
-    val withSh = df.withColumn("__sh", shingles(col(getInputCol), $(shingleSize)))
+    val withSh = df.withColumn("__sh",
+      hashedShingles(col(getInputCol), $(shingleSize)))
     // deterministic sample: the indexShingles shingles with smallest hash
+    // (the hashed-shingle array is already sorted, so this is a prefix)
     val sampled = withSh.withColumn("__probe",
-      slice(array_sort(org.apache.spark.sql.functions.transform(
-        col("__sh"), sh => xxhash64(sh))), 1, $(indexShingles)))
+      slice(col("__sh"), 1, $(indexShingles)))
     val inv = sampled.select(id.as("__id"), col("__sh"),
       explode(col("__probe")).as("__key"))
     val l = inv.select(col("__key"), col("__id").as("__id_l"), col("__sh").as("__sh_l"))

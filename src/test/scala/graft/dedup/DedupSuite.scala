@@ -61,9 +61,16 @@ class DedupSuite extends TestBase {
   }
 
   test("jaccard expression is exact") {
-    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    // sorted long sets: {1,2,3} vs {2,3,4} -> 2/4
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("x", "y")
     val j = df.select(DedupFunctions.jaccard(col("x"), col("y"))).as[Double].head()
     assert(math.abs(j - 0.5) < 1e-12)
+    // via hashedShingles end-to-end: identical canonical text -> 1.0
+    val t = Seq(("Quick  brown fox", "quick brown fox")).toDF("a", "b")
+    val j2 = t.select(DedupFunctions.jaccard(
+      DedupFunctions.hashedShingles(col("a"), 2),
+      DedupFunctions.hashedShingles(col("b"), 2))).as[Double].head()
+    assert(math.abs(j2 - 1.0) < 1e-12)
   }
 
   test("hamming64 counts differing bits") {
