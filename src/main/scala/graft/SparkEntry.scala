@@ -339,6 +339,50 @@ object SparkEntry {
         .setK(5).setQueries(queries, "vec_id", "embedding")
         .transform(emb)
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
+    },
+
+    // ---- recommendation (§2.4, §2.13) -------------------------------
+    "sar_item_similarity" -> { (s, dir) =>
+      new graft.reco.SAR().setUserCol("user_id").setItemCol("event_type")
+        .setRatingCol("value").setSimilarityFunction("jaccard")
+        .calculateItemItemSimilarity(tbl(s, dir, "events"))
+    },
+
+    "sar_affinity" -> { (s, dir) =>
+      new graft.reco.SAR().setUserCol("user_id").setItemCol("event_type")
+        .setRatingCol("value").setTimeCol("ts").setDecayHalfLifeDays(30)
+        .calculateUserItemAffinities(tbl(s, dir, "events"))
+    },
+
+    "sar_recommend" -> { (s, dir) =>
+      val model = new graft.reco.SAR().setUserCol("user_id")
+        .setItemCol("event_type").setRatingCol("value")
+        .setTimeCol("ts").setDecayHalfLifeDays(30)
+        .setSimilarityFunction("jaccard")
+        .fit(tbl(s, dir, "events"))
+      model.recommendForAllUsers(3, removeSeen = false)
+        .withColumn("rank", col("rank").cast("int"))
+    },
+
+    "ranking_ground_truth" -> { (s, dir) =>
+      new graft.reco.RankingAdapter().setUserCol("user_id")
+        .setItemCol("event_type").setRatingCol("value").setK(3)
+        .transform(tbl(s, dir, "events"))
+    },
+
+    "ranking_metrics" -> { (s, dir) => // rows-only: metric frame
+      val events = tbl(s, dir, "events")
+      val gt = new graft.reco.RankingAdapter().setUserCol("user_id")
+        .setItemCol("event_type").setRatingCol("value").setK(3)
+        .transform(events)
+      val model = new graft.reco.SAR().setUserCol("user_id")
+        .setItemCol("event_type").setRatingCol("value").fit(events)
+      val recs = model.recommendForAllUsers(3, removeSeen = false)
+        .groupBy("user")
+        .agg(sort_array(collect_list(struct(col("rank"), col("item"))))
+          .getField("item").as("recommendations"))
+      new graft.reco.RankingEvaluator().setK(3)
+        .transform(recs.join(gt, "user"))
     }
   )
 
@@ -490,6 +534,62 @@ object SparkEntry {
         |  SELECT doc_id, text, row_number() OVER (
         |    PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
-        |  FROM documents) WHERE rn = 1""".stripMargin
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "sar_item_similarity" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),
+        |occ AS (SELECT itm, COUNT(*) AS occ FROM pairs GROUP BY itm),
+        |co AS (SELECT a.itm AS i1, b.itm AS i2, COUNT(*) AS cooc
+        |       FROM pairs a JOIN pairs b ON a.u = b.u GROUP BY 1, 2)
+        |SELECT i1, i2,
+        |  CAST(cooc AS DOUBLE) / (o1.occ + o2.occ - cooc) AS similarity
+        |FROM co
+        |JOIN occ o1 ON co.i1 = o1.itm
+        |JOIN occ o2 ON co.i2 = o2.itm""".stripMargin,
+
+    // whole-day halving exponent => exact power-of-two scaling, so the
+    // double product is bit-identical in Spark and DuckDB; DECIMAL sums
+    // make the aggregation order-independent
+    "sar_affinity" ->
+      """WITH d AS (SELECT user_id, event_type, value,
+        |    FLOOR(FLOOR(epoch(ts)) / 86400.0) AS day FROM events),
+        |m AS (SELECT MAX(day) AS maxday FROM d)
+        |SELECT user_id AS "user", event_type AS item,
+        |  CAST(SUM(CAST(value * POWER(0.5, FLOOR((m.maxday - d.day) / 30.0))
+        |    AS DECIMAL(30,10))) AS DOUBLE) AS affinity
+        |FROM d CROSS JOIN m
+        |GROUP BY user_id, event_type""".stripMargin,
+
+    "sar_recommend" ->
+      """WITH d AS (SELECT user_id, event_type, value,
+        |    FLOOR(FLOOR(epoch(ts)) / 86400.0) AS day FROM events),
+        |m AS (SELECT MAX(day) AS maxday FROM d),
+        |aff AS (SELECT user_id AS u, event_type AS itm,
+        |  CAST(SUM(CAST(value * POWER(0.5, FLOOR((m.maxday - d.day) / 30.0))
+        |    AS DECIMAL(30,10))) AS DOUBLE) AS affinity
+        |  FROM d CROSS JOIN m GROUP BY user_id, event_type),
+        |pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),
+        |occ AS (SELECT itm, COUNT(*) AS occ FROM pairs GROUP BY itm),
+        |co AS (SELECT a.itm AS i1, b.itm AS i2, COUNT(*) AS cooc
+        |       FROM pairs a JOIN pairs b ON a.u = b.u GROUP BY 1, 2),
+        |sim AS (SELECT i1, i2,
+        |  CAST(cooc AS DOUBLE) / (o1.occ + o2.occ - cooc) AS similarity
+        |  FROM co JOIN occ o1 ON co.i1 = o1.itm JOIN occ o2 ON co.i2 = o2.itm),
+        |scored AS (SELECT aff.u AS "user", sim.i2 AS item,
+        |  CAST(SUM(CAST(aff.affinity * sim.similarity AS DECIMAL(30,10)))
+        |    AS DOUBLE) AS score
+        |  FROM aff JOIN sim ON aff.itm = sim.i1 GROUP BY aff.u, sim.i2)
+        |SELECT "user", item, score, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY "user" ORDER BY score DESC, item) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "ranking_ground_truth" ->
+      """SELECT user_id AS "user", list(event_type ORDER BY rn) AS ground_truth
+        |FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_type) AS rn
+        |  FROM events) WHERE rn <= 3
+        |GROUP BY user_id""".stripMargin
   )
 }

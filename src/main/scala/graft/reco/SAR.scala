@@ -1,0 +1,177 @@
+package graft.reco
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model, Transformer}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-name params shared by the recommendation operators. */
+trait HasRecoCols extends Params {
+  final val userCol = new Param[String](this, "userCol", "user id column")
+  setDefault(userCol -> "user")
+  def getUserCol: String = $(userCol)
+  def setUserCol(v: String): this.type = set(userCol, v)
+  final val itemCol = new Param[String](this, "itemCol", "item id column")
+  setDefault(itemCol -> "item")
+  def getItemCol: String = $(itemCol)
+  def setItemCol(v: String): this.type = set(itemCol, v)
+  final val ratingCol = new Param[String](this, "ratingCol", "rating column")
+  setDefault(ratingCol -> "rating")
+  def getRatingCol: String = $(ratingCol)
+  def setRatingCol(v: String): this.type = set(ratingCol, v)
+}
+
+/** Smart Adaptive Recommendations (ref: recommendation/SAR.scala:36-207):
+  * time-decayed user–item affinities + item–item co-occurrence similarity
+  * (jaccard / lift / cooccurrence), scored as affinity-weighted similarity
+  * sums.
+  *
+  * Spark-first plan (vs the reference's driver-side breeze CSC matrices,
+  * SAR.scala:152-207):
+  *  - affinities: one `groupBy(user,item).agg(sum)` — map-side combinable.
+  *  - co-occurrence: distinct (user,item) self-joined on user. The join is
+  *    per-user quadratic, so `maxUserItems` caps each user's distinct item
+  *    set (most-affine first) before the join — the standard skew guard for
+  *    power users; catalogs where this matters are implicit-feedback logs.
+  *  - similarity table stays a DataFrame; scoring broadcasts it (item
+  *    catalogs are ≪ interaction logs) and reduces with one
+  *    `groupBy(user, item).agg(sum)` + per-user top-k window.
+  *
+  * Determinism: time decay uses whole-day exponents of 0.5 (exact binary
+  * scaling) and affinity sums run over `DECIMAL(30,10)` so partial-sum
+  * order cannot change the result.
+  */
+class SAR(override val uid: String) extends Estimator[SARModel]
+    with HasRecoCols {
+  def this() = this(Identifiable.randomUID("SAR"))
+
+  final val timeCol = new Param[String](this, "timeCol",
+    "timestamp column for decay; unset = no decay")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val decayHalfLifeDays = new IntParam(this, "decayHalfLifeDays",
+    "affinity halves every this many days", ParamValidators.gt(0))
+  setDefault(decayHalfLifeDays -> 30)
+  def setDecayHalfLifeDays(v: Int): this.type = set(decayHalfLifeDays, v)
+  final val similarityFunction = new Param[String](this, "similarityFunction",
+    "jaccard | lift | cooccurrence",
+    ParamValidators.inArray(Array("jaccard", "lift", "cooccurrence")))
+  setDefault(similarityFunction -> "jaccard")
+  def setSimilarityFunction(v: String): this.type = set(similarityFunction, v)
+  final val maxUserItems = new IntParam(this, "maxUserItems",
+    "cap on distinct items per user entering the co-occurrence join " +
+    "(skew guard)", ParamValidators.gt(0))
+  setDefault(maxUserItems -> 1000)
+
+  /** Time-decayed user–item affinities:
+    * sum(rating · 0.5^((maxDay − day)/halfLife rounded to whole days)). */
+  def calculateUserItemAffinities(df: DataFrame): DataFrame = {
+    val u = col(getUserCol); val i = col(getItemCol)
+    val decayed = if (isSet(timeCol)) {
+      // whole days since epoch; integer arithmetic throughout (nanos-as-long
+      // columns exceed double precision, so no double division on the raw
+      // value)
+      val day = df.schema($(timeCol)).dataType match {
+        case LongType => // epoch nanos (spark.sql.legacy.parquet.nanosAsLong)
+          expr(s"`${$(timeCol)}` DIV ${86400L * 1000000000L}")
+        case _ => floor(unix_timestamp(col($(timeCol))) / 86400L)
+      }
+      // reference day: one tiny driver-side agg (a global window would
+      // funnel every row through a single partition)
+      val maxDay = df.agg(max(day)).head().getLong(0)
+      // whole-day 0.5-exponent => exact power-of-two scaling of the rating
+      col(getRatingCol) * pow(lit(0.5),
+        floor((lit(maxDay) - day) / $(decayHalfLifeDays)).cast("double"))
+    } else col(getRatingCol)
+    df.groupBy(u.as("user"), i.as("item"))
+      .agg(sum(decayed.cast(DecimalType(30, 10))).cast("double").as("affinity"))
+  }
+
+  /** Item–item similarity from co-occurrence of distinct (user,item) pairs. */
+  def calculateItemItemSimilarity(df: DataFrame): DataFrame = {
+    val pairs = df.select(col(getUserCol).as("user"), col(getItemCol).as("item"))
+      .distinct()
+    // skew guard: cap per-user item set (deterministic by item order)
+    val w = Window.partitionBy("user").orderBy("item")
+    val capped = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= $(maxUserItems)).drop("__rn")
+    val occ = capped.groupBy("item").agg(count("*").as("occ"))
+    val co = capped.as("a")
+      .join(capped.as("b"), Seq("user"))
+      .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+      .agg(count("*").as("cooc"))
+    val joined = co
+      .join(broadcast(occ.select(col("item").as("i1"), col("occ").as("occ1"))), "i1")
+      .join(broadcast(occ.select(col("item").as("i2"), col("occ").as("occ2"))), "i2")
+    val sim = $(similarityFunction) match {
+      case "jaccard" =>
+        col("cooc").cast("double") / (col("occ1") + col("occ2") - col("cooc"))
+      case "lift" => col("cooc").cast("double") / (col("occ1") * col("occ2"))
+      case "cooccurrence" => col("cooc").cast("double")
+    }
+    joined.select(col("i1"), col("i2"), sim.as("similarity"))
+  }
+
+  override def fit(ds: Dataset[_]): SARModel = {
+    val df = ds.toDF()
+    val m = new SARModel(uid + "_model")
+    m.affinities = calculateUserItemAffinities(df)
+    m.itemSimilarity = calculateItemItemSimilarity(df)
+    copyValues(m)
+    m.set(m.userCol, getUserCol).set(m.itemCol, getItemCol)
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(Seq(StructField("user", LongType),
+      StructField("item", StringType), StructField("score", DoubleType)))
+  override def copy(extra: ParamMap): SAR = defaultCopy(extra)
+}
+
+/** Fitted SAR model: score(u, j) = Σ_i affinity(u,i) · sim(i,j). */
+class SARModel(override val uid: String) extends Model[SARModel]
+    with HasRecoCols {
+  def this() = this(Identifiable.randomUID("SARModel"))
+
+  var affinities: DataFrame = _      // (user, item, affinity)
+  var itemSimilarity: DataFrame = _  // (i1, i2, similarity)
+
+  /** Top-k recommendations per user: (user, item, score, rank). Scores are
+    * decimal-summed for partial-order determinism; ties break on item. */
+  def recommendForAllUsers(k: Int, removeSeen: Boolean = true): DataFrame = {
+    val scored = affinities
+      .join(broadcast(itemSimilarity), affinities("item") === itemSimilarity("i1"))
+      .groupBy(col("user"), col("i2").as("item"))
+      .agg(sum((col("affinity") * col("similarity")).cast(DecimalType(30, 10)))
+        .cast("double").as("score"))
+    val unseen = if (removeSeen) {
+      scored.join(affinities.select(col("user"), col("item"), lit(1).as("__seen")),
+          Seq("user", "item"), "left")
+        .filter(col("__seen").isNull).drop("__seen")
+    } else scored
+    val w = Window.partitionBy("user").orderBy(col("score").desc, col("item"))
+    unseen.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    // score the supplied (user, item) pairs
+    val df = ds.toDF().select(col(getUserCol).as("user"), col(getItemCol).as("item"))
+    val scored = affinities
+      .join(broadcast(itemSimilarity), affinities("item") === itemSimilarity("i1"))
+      .groupBy(col("user"), col("i2").as("item"))
+      .agg(sum((col("affinity") * col("similarity")).cast(DecimalType(30, 10)))
+        .cast("double").as("score"))
+    df.join(scored, Seq("user", "item"), "left")
+      .na.fill(0.0, Seq("score"))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(Seq(StructField("user", LongType),
+      StructField("item", StringType), StructField("score", DoubleType)))
+  override def copy(extra: ParamMap): SARModel = {
+    val c = new SARModel(uid)
+    c.affinities = affinities; c.itemSimilarity = itemSimilarity
+    copyValues(c, extra)
+  }
+}

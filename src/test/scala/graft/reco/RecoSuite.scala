@@ -1,0 +1,88 @@
+package graft.reco
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class RecoSuite extends TestBase {
+  import spark.implicits._
+
+  private def ratings = Seq(
+    (1L, "a", 5.0), (1L, "b", 3.0), (1L, "c", 1.0),
+    (2L, "a", 4.0), (2L, "b", 2.0),
+    (3L, "a", 1.0), (3L, "c", 5.0)
+  ).toDF("user", "item", "rating")
+
+  test("SAR item-item jaccard similarity is exact") {
+    val sim = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setSimilarityFunction("jaccard")
+      .calculateItemItemSimilarity(ratings)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // occ: a=3, b=2, c=2; co(a,b)=2, co(a,c)=2, co(b,c)=1
+    assert(math.abs(sim(("a", "b")) - 2.0 / 3.0) < 1e-12) // 2/(3+2-2)
+    assert(math.abs(sim(("a", "c")) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(sim(("b", "c")) - 1.0 / 3.0) < 1e-12) // 1/(2+2-1)
+    assert(sim(("a", "a")) == 1.0)
+  }
+
+  test("SAR affinities without decay are plain sums") {
+    val aff = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating")
+      .calculateUserItemAffinities(
+        ratings.union(Seq((1L, "a", 2.0)).toDF("user", "item", "rating")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(aff((1L, "a")) == 7.0)
+    assert(aff((2L, "b")) == 2.0)
+  }
+
+  test("SAR time decay halves affinity per half-life") {
+    val df = Seq(
+      (1L, "a", 4.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "a", 4.0, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    ).toDF("user", "item", "rating", "ts")
+    val aff = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setTimeCol("ts").setDecayHalfLifeDays(30)
+      .calculateUserItemAffinities(df).collect().head.getDouble(2)
+    // older event is 60 days back => two half-lives => 4/4 + 4 = 5
+    assert(aff == 5.0)
+  }
+
+  test("recommendForAllUsers ranks by affinity-weighted similarity") {
+    val model = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setSimilarityFunction("jaccard").fit(ratings)
+    val recs = model.recommendForAllUsers(2, removeSeen = false)
+    assert(recs.filter(col("rank") === 1).count() == 3) // one top rec per user
+    val u2top = recs.filter(col("user") === 2L && col("rank") === 1)
+      .select("item").head.getString(0)
+    assert(u2top == "a") // user 2's strongest signal
+    // removeSeen drops (2,a) and (2,b), leaving only c for user 2
+    val unseen = model.recommendForAllUsers(2, removeSeen = true)
+      .filter(col("user") === 2L).select("item").as[String].collect()
+    assert(unseen.sameElements(Array("c")))
+  }
+
+  test("RankingAdapter builds ordered ground truth") {
+    val gt = new RankingAdapter().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setK(2).transform(ratings)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(gt(1L) == Seq("a", "b"))
+    assert(gt(3L) == Seq("c", "a"))
+  }
+
+  test("ranking metrics: perfect and imperfect recommendations") {
+    import RankingMetricsAgg._
+    val perfect = perUser(Seq("a", "b"), Seq("a", "b"), 2)
+    assert(perfect.precisionAtK == 1.0 && perfect.recallAtK == 1.0 &&
+      perfect.ap == 1.0 && perfect.ndcg == 1.0 && perfect.rr == 1.0)
+    val half = perUser(Seq("x", "b"), Seq("a", "b"), 2)
+    assert(half.precisionAtK == 0.5 && half.recallAtK == 0.5)
+    assert(half.rr == 0.5)
+    val evaluator = new RankingEvaluator().setK(2)
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("x", "b"), Seq("a", "b"))
+    ).toDF("recommendations", "ground_truth")
+    val m = evaluator.transform(df).head
+    assert(math.abs(m.getAs[Double]("precision_at_k") - 0.75) < 1e-12)
+    assert(math.abs(m.getAs[Double]("hit_rate") - 1.0) < 1e-12)
+  }
+}
