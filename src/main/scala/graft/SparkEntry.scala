@@ -383,6 +383,92 @@ object SparkEntry {
           .getField("item").as("recommendations"))
       new graft.reco.RankingEvaluator().setK(3)
         .transform(recs.join(gt, "user"))
+    },
+
+    // ---- explainers (§2.13) -----------------------------------------
+    "lime_tabular" -> { (s, dir) => // rows-only: surrogate coefficients
+      val ev = tbl(s, dir, "events").filter(col("event_id") < 200)
+      new graft.explain.TabularLIME().setIdCol("event_id")
+        .setInputCols(Seq("value", "user_id")).setNumSamples(64)
+        .setScoringFn(df => df.withColumn("prediction",
+          col("value") * 2.0 + col("user_id") * 0.5))
+        .transform(ev)
+        .select(col("event_id"), col("intercept"),
+          round(element_at(col("coefficients"), 1), 6).as("c_value"),
+          round(element_at(col("coefficients"), 2), 6).as("c_user"))
+    },
+
+    "shap_tabular" -> { (s, dir) => // rows-only: shap values
+      val ev = tbl(s, dir, "events").filter(col("event_id") < 200)
+      new graft.explain.TabularSHAP().setIdCol("event_id")
+        .setInputCols(Seq("value", "user_id")).setNumSamples(64)
+        .setScoringFn(df => df.withColumn("prediction",
+          col("value") * 2.0 + col("user_id") * 0.5))
+        .transform(ev)
+        .select(col("event_id"),
+          round(col("intercept"), 6).as("base"),
+          round(aggregate(col("coefficients"), lit(0.0), _ + _), 6).as("phi_sum"))
+    },
+
+    // ---- cyber (§2.4: per-tenant ops) -------------------------------
+    "cyber_std_scaler" -> { (s, dir) =>
+      new graft.cyber.PerTenantStandardScaler().setTenantCol("event_type")
+        .setInputCol("value").setOutputCol("z")
+        .transform(tbl(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+    },
+
+    "cyber_minmax_scaler" -> { (s, dir) =>
+      new graft.cyber.PerTenantMinMaxScaler().setTenantCol("event_type")
+        .setInputCol("value").setOutputCol("scaled")
+        .transform(tbl(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"), col("scaled"))
+    },
+
+    "cyber_id_indexer" -> { (s, dir) =>
+      new graft.cyber.PerTenantIdIndexer().setTenantCol("event_type")
+        .setInputCol("user_id").setOutputCol("uid")
+        .transform(tbl(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("user_id"), col("uid"))
+    },
+
+    "cyber_complement" -> { (s, dir) =>
+      new graft.cyber.ComplementAccessTransformer().setTenantCol("event_type")
+        .setUserCol("user_id").setResCol("res")
+        .transform(tbl(s, dir, "events")
+          .withColumn("res", pmod(col("value").cast("int"), lit(10))))
+        .select(col("event_type"), col("user_id"), col("res"))
+    },
+
+    "access_anomaly" -> { (s, dir) => // rows-only: ALS scores
+      new graft.cyber.AccessAnomaly().setTenantCol("event_type")
+        .setUserCol("user_id").setResCol("res").setRank(4)
+        .transform(tbl(s, dir, "events")
+          .filter(col("event_id") < 2000)
+          .withColumn("res", pmod(col("value").cast("int"), lit(10))))
+        .select(col("event_type"), col("user_id"), col("res"))
+    },
+
+    // ---- automl (§2.13) ---------------------------------------------
+    "tune_hyperparameters" -> { (s, dir) => // rows-only: CV result frame
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.DecisionTreeClassifier
+      import org.apache.spark.ml.feature.VectorAssembler
+      val ev = tbl(s, dir, "events")
+        .withColumn("label",
+          when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+        .select("value", "user_id", "label")
+      val va = new VectorAssembler().setInputCols(Array("value", "user_id"))
+        .setOutputCol("features")
+      val dt = new DecisionTreeClassifier()
+      val grid = new graft.automl.HyperparamBuilder()
+        .addHyperparam(dt.maxDepth,
+          graft.automl.DiscreteHyperParam(Seq(2, 4))).build(2, seed = 5)
+      val tuned = new graft.automl.TuneHyperparameters(
+        Seq(("dt", new Pipeline().setStages(Array(va, dt)), grid)),
+        graft.automl.Evaluators.accuracy("label", "prediction"),
+        numFolds = 2, parallelism = 4).fit(ev)
+      tuned.results.select("estimator", "grid_index", "fold")
     }
   )
 
@@ -590,6 +676,45 @@ object SparkEntry {
         |  SELECT user_id, event_type, row_number() OVER (
         |    PARTITION BY user_id ORDER BY value DESC, event_type) AS rn
         |  FROM events) WHERE rn <= 3
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+
+    // mirrors PerTenantStandardScaler's exact arithmetic: decimal partial
+    // sums -> double mean / unbiased std -> one subtraction and division
+    "cyber_std_scaler" ->
+      """WITH s AS (SELECT event_type,
+        |    COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN s.n <= 1 OR (s.sq - s.sm * s.sm / s.n) <= 0 THEN 0.0
+        |       ELSE (e.value - s.sm / s.n)
+        |            / SQRT((s.sq - s.sm * s.sm / s.n) / (s.n - 1)) END AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type""".stripMargin,
+
+    "cyber_minmax_scaler" ->
+      """WITH s AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN s.hi = s.lo THEN 0.0
+        |       ELSE (e.value - s.lo) / (s.hi - s.lo) END AS scaled
+        |FROM events e JOIN s ON e.event_type = s.event_type""".stripMargin,
+
+    "cyber_id_indexer" ->
+      """SELECT event_id, event_type, user_id,
+        |  CAST(dense_rank() OVER (
+        |    PARTITION BY event_type ORDER BY user_id) AS INTEGER) AS uid
+        |FROM events""".stripMargin,
+
+    "cyber_complement" ->
+      """WITH obs AS (SELECT DISTINCT event_type,
+        |    user_id, CAST(TRUNC(value) AS INTEGER) % 10 AS res FROM events),
+        |u AS (SELECT DISTINCT event_type, user_id FROM obs),
+        |r AS (SELECT DISTINCT event_type, res FROM obs)
+        |SELECT u.event_type, u.user_id, r.res
+        |FROM u JOIN r ON u.event_type = r.event_type
+        |LEFT JOIN obs ON obs.event_type = u.event_type
+        |  AND obs.user_id = u.user_id AND obs.res = r.res
+        |WHERE obs.user_id IS NULL""".stripMargin
   )
 }

@@ -1,0 +1,318 @@
+package graft.explain
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Weighted lasso via cyclic coordinate descent on standardized data
+  * (ref: explainers/LassoRegression.scala:1-87 — same role: the tiny
+  * per-row local model LIME/SHAP fit; dimensions are ≤ a few dozen so this
+  * runs in microseconds inside `mapGroups`).
+  */
+object WeightedLinearSolver {
+
+  /** Solve argmin_β Σ w_i (y_i − β₀ − xᵢβ)² + λ‖β‖₁.
+    * Returns (intercept, coefficients). */
+  def fit(x: Array[Array[Double]], y: Array[Double], w: Array[Double],
+          lambda: Double, maxIter: Int = 100, tol: Double = 1e-7): (Double, Array[Double]) = {
+    val n = x.length
+    if (n == 0) return (0.0, Array.empty)
+    val d = x(0).length
+    val wSum = w.sum
+    if (wSum <= 0) return (0.0, new Array[Double](d))
+    // weighted means for centering
+    val xMean = new Array[Double](d)
+    var yMean = 0.0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < d) { xMean(j) += w(i) * x(i)(j); j += 1 }
+      yMean += w(i) * y(i)
+      i += 1
+    }
+    var j = 0
+    while (j < d) { xMean(j) /= wSum; j += 1 }
+    yMean /= wSum
+    // precompute weighted column norms
+    val colNorm = new Array[Double](d)
+    i = 0
+    while (i < n) {
+      var k = 0
+      while (k < d) {
+        val c = x(i)(k) - xMean(k); colNorm(k) += w(i) * c * c; k += 1
+      }
+      i += 1
+    }
+    val beta = new Array[Double](d)
+    val resid = new Array[Double](n) // y - yMean - (x-xMean)·beta
+    i = 0
+    while (i < n) { resid(i) = y(i) - yMean; i += 1 }
+    var it = 0
+    var maxDelta = Double.MaxValue
+    while (it < maxIter && maxDelta > tol) {
+      maxDelta = 0.0
+      var k = 0
+      while (k < d) {
+        if (colNorm(k) > 1e-12) {
+          // partial residual correlation for coordinate k
+          var rho = 0.0
+          i = 0
+          while (i < n) {
+            val c = x(i)(k) - xMean(k)
+            rho += w(i) * c * (resid(i) + c * beta(k))
+            i += 1
+          }
+          // soft threshold
+          val bNew =
+            if (rho > lambda) (rho - lambda) / colNorm(k)
+            else if (rho < -lambda) (rho + lambda) / colNorm(k)
+            else 0.0
+          val delta = bNew - beta(k)
+          if (delta != 0.0) {
+            i = 0
+            while (i < n) { resid(i) -= (x(i)(k) - xMean(k)) * delta; i += 1 }
+            beta(k) = bNew
+            if (math.abs(delta) > maxDelta) maxDelta = math.abs(delta)
+          }
+        }
+        k += 1
+      }
+      it += 1
+    }
+    var b0 = yMean
+    j = 0
+    while (j < d) { b0 -= beta(j) * xMean(j); j += 1 }
+    (b0, beta)
+  }
+}
+
+/** Shared plumbing for per-row model-agnostic explainers (ref:
+  * explainers/LIMEBase.scala:67-115 — the reference's exact plan):
+  * explode deterministic per-row samples → ONE distributed
+  * `model.transform` over the whole sample frame → `groupByKey(id)` +
+  * in-group weighted lasso. The black-box model is invoked once, on a
+  * DataFrame of n·numSamples rows — never per row.
+  */
+abstract class LocalExplainerBase(override val uid: String) extends Transformer {
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val inputCols = new StringArrayParam(this, "inputCols",
+    "numeric feature columns to explain")
+  def setInputCols(v: Seq[String]): this.type = set(inputCols, v.toArray)
+  final val scoreCol = new Param[String](this, "scoreCol",
+    "model output column to explain")
+  setDefault(scoreCol -> "prediction")
+  def setScoreCol(v: String): this.type = set(scoreCol, v)
+  final val numSamples = new IntParam(this, "numSamples",
+    "perturbed samples per row", ParamValidators.gt(1))
+  setDefault(numSamples -> 256)
+  def setNumSamples(v: Int): this.type = set(numSamples, v)
+  final val seed = new LongParam(this, "seed", "sampling seed")
+  setDefault(seed -> 42L)
+  def setSeed(v: Long): this.type = set(seed, v)
+  final val regularization = new DoubleParam(this, "regularization",
+    "L1 penalty of the local surrogate", ParamValidators.gtEq(0))
+  setDefault(regularization -> 0.0)
+  def setRegularization(v: Double): this.type = set(regularization, v)
+
+  /** The black-box scoring function: DataFrame with feature cols →
+    * DataFrame that adds `scoreCol`. A fitted model's `transform`. */
+  protected var scorer: DataFrame => DataFrame = _
+  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
+  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+
+  protected def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(Seq(
+      StructField($(idCol), LongType),
+      StructField("intercept", DoubleType),
+      StructField("coefficients", ArrayType(DoubleType, containsNull = false))))
+}
+
+/** Tabular LIME: perturb each numeric feature with gaussian noise scaled by
+  * the column's stddev, weight samples by RBF proximity in standardized
+  * space, fit a weighted lasso per row; coefficients are the explanation
+  * (ref: explainers/TabularLIME.scala + Sampler.scala:1-235).
+  */
+class TabularLIME(override val uid: String) extends LocalExplainerBase(uid) {
+  def this() = this(Identifiable.randomUID("TabularLIME"))
+
+  final val kernelWidth = new DoubleParam(this, "kernelWidth",
+    "RBF kernel width in standardized units", ParamValidators.gt(0))
+  setDefault(kernelWidth -> 0.75)
+  def setKernelWidth(v: Double): this.type = set(kernelWidth, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(scorer != null, "setModel/setScoringFn first")
+    val df = ds.toDF()
+    val feats = $(inputCols).toSeq
+    val id = $(idCol)
+    val nS = $(numSamples)
+    val kw = $(kernelWidth)
+    val sd = $(seed)
+    val spark = df.sparkSession
+
+    // per-feature stddev: one tiny agg (driver scalars, broadcast free)
+    val statsRow = df.agg(
+      stddev(col(feats.head)).as("s0"),
+      feats.tail.zipWithIndex.map { case (f, i) =>
+        stddev(col(f)).as(s"s${i + 1}") }: _*).head()
+    val sigmas = feats.indices.map { i =>
+      val s = statsRow.getDouble(i); if (s.isNaN || s == 0.0) 1.0 else s
+    }.toArray
+
+    // explode: (id, sampleIdx, perturbed features..., weight)
+    val sampleSchema = StructType(
+      StructField("__id", LongType) +:
+      StructField("__w", DoubleType) +:
+      feats.map(f => StructField(f, DoubleType)))
+    val base = df.select((col(id).cast("long").as("__id") +:
+      feats.map(f => col(f).cast("double"))): _*)
+    val exploded = base.mapPartitions { it =>
+      it.flatMap { r =>
+        val rid = r.getLong(0)
+        val xs = Array.tabulate(feats.length)(j => r.getDouble(j + 1))
+        (0 until nS).iterator.map { si =>
+          val rng = new java.util.Random(mix(mix(sd ^ rid) ^ si))
+          val xp = new Array[Double](feats.length)
+          var dist2 = 0.0
+          var j = 0
+          while (j < feats.length) {
+            // first sample = the instance itself (anchors the surrogate)
+            val delta = if (si == 0) 0.0 else rng.nextGaussian() * sigmas(j)
+            xp(j) = xs(j) + delta
+            val z = delta / sigmas(j)
+            dist2 += z * z
+            j += 1
+          }
+          val w = math.exp(-dist2 / (kw * kw))
+          Row.fromSeq(rid +: w +: xp.toSeq)
+        }
+      }
+    }(ExpressionEncoder(sampleSchema))
+
+    val scored = scorer(exploded)
+      .select(col("__id"), col("__w"), col($(scoreCol)).cast("double").as("__y"),
+        struct(feats.map(col): _*).as("__x"))
+
+    val lam = $(regularization)
+    val nF = feats.length
+    val outSchema = transformSchema(df.schema)
+    val grouped = scored.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (rid, rows) =>
+        val buf = rows.toArray
+        val x = buf.map(r => Array.tabulate(nF)(j =>
+          r.getStruct(3).getDouble(j)))
+        val y = buf.map(_.getDouble(2))
+        val w = buf.map(_.getDouble(1))
+        val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lam)
+        Row(rid, b0, beta.toSeq)
+      }(ExpressionEncoder(outSchema))
+    grouped.toDF($(idCol), "intercept", "coefficients")
+  }
+  override def copy(extra: ParamMap): TabularLIME = {
+    val c = new TabularLIME(uid); c.scorer = scorer; copyValues(c, extra)
+  }
+}
+
+/** Kernel SHAP over tabular numeric features: coalition sampling with the
+  * Shapley kernel, masked features replaced by background means, weighted
+  * least squares whose coefficients are the per-feature SHAP values
+  * (ref: explainers/KernelSHAPBase.scala:1-138, KernelSHAPSampler.scala).
+  * Includes the empty and full coalitions with pinning weights so
+  * `intercept ≈ E[f]` and `intercept + Σφ ≈ f(x)`.
+  */
+class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) {
+  def this() = this(Identifiable.randomUID("TabularSHAP"))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(scorer != null, "setModel/setScoringFn first")
+    val df = ds.toDF()
+    val feats = $(inputCols).toSeq
+    val id = $(idCol)
+    val nS = math.max($(numSamples), 4)
+    val sd = $(seed)
+
+    // background = per-feature mean: one tiny agg
+    val bgRow = df.agg(
+      avg(col(feats.head)).as("m0"),
+      feats.tail.zipWithIndex.map { case (f, i) =>
+        avg(col(f)).as(s"m${i + 1}") }: _*).head()
+    val bg = feats.indices.map(bgRow.getDouble).toArray
+    val nF = feats.length
+
+    def shapKernel(s: Int): Double =
+      if (s == 0 || s == nF) 1e6 // pinning weights for the constraints
+      else {
+        // (M-1) / (C(M,s) * s * (M-s))
+        var c = 1.0
+        var i = 0
+        while (i < s) { c = c * (nF - i) / (i + 1); i += 1 }
+        (nF - 1).toDouble / (c * s * (nF - s))
+      }
+
+    val sampleSchema = StructType(
+      StructField("__id", LongType) +:
+      StructField("__w", DoubleType) +:
+      StructField("__mask", ArrayType(DoubleType, containsNull = false)) +:
+      feats.map(f => StructField(f, DoubleType)))
+    val base = df.select((col(id).cast("long").as("__id") +:
+      feats.map(f => col(f).cast("double"))): _*)
+    val exploded = base.mapPartitions { it =>
+      it.flatMap { r =>
+        val rid = r.getLong(0)
+        val xs = Array.tabulate(nF)(j => r.getDouble(j + 1))
+        (0 until nS).iterator.map { si =>
+          val rng = new java.util.Random(mix(mix(sd ^ rid) ^ si))
+          // sample 0 = empty coalition, 1 = full; rest random non-trivial
+          val mask = new Array[Double](nF)
+          if (si == 1) java.util.Arrays.fill(mask, 1.0)
+          else if (si > 1) {
+            var nnz = 0
+            var j = 0
+            while (j < nF) {
+              if (rng.nextBoolean()) { mask(j) = 1.0; nnz += 1 }
+              j += 1
+            }
+            if (nnz == 0) mask(rng.nextInt(nF)) = 1.0
+            else if (nnz == nF) mask(rng.nextInt(nF)) = 0.0
+          }
+          val s = mask.count(_ == 1.0)
+          val xp = Array.tabulate(nF)(j => if (mask(j) == 1.0) xs(j) else bg(j))
+          Row.fromSeq(rid +: shapKernel(s) +: mask.toSeq +: xp.toSeq)
+        }
+      }
+    }(ExpressionEncoder(sampleSchema))
+
+    val scored = scorer(exploded)
+      .select(col("__id"), col("__w"), col("__mask"),
+        col($(scoreCol)).cast("double").as("__y"))
+
+    val lam = $(regularization)
+    val outSchema = transformSchema(df.schema)
+    val grouped = scored.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (rid, rows) =>
+        val buf = rows.toArray
+        val x = buf.map(_.getSeq[Double](2).toArray)
+        val w = buf.map(_.getDouble(1))
+        val y = buf.map(_.getDouble(3))
+        val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lam)
+        Row(rid, b0, beta.toSeq)
+      }(ExpressionEncoder(outSchema))
+    grouped.toDF($(idCol), "intercept", "coefficients")
+  }
+  override def copy(extra: ParamMap): TabularSHAP = {
+    val c = new TabularSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.explain
+
+import graft.TestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ExplainSuite extends TestBase {
+  import spark.implicits._
+
+  // deterministic synthetic frame: y = 3*f1 - 2*f2 + 1 (f3 is noise-free
+  // irrelevant), the black box is the exact linear function
+  private def data: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).map { i =>
+      (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 4, rnd.nextDouble())
+    }.toDF("id", "f1", "f2", "f3")
+  }
+  private val scoreFn: DataFrame => DataFrame =
+    df => df.withColumn("prediction",
+      col("f1") * 3.0 - col("f2") * 2.0 + lit(1.0))
+
+  test("weighted lasso recovers a linear model") {
+    val x = Array(Array(1.0, 2.0), Array(2.0, 1.0), Array(3.0, 5.0),
+      Array(4.0, 0.5), Array(0.0, 1.0))
+    val y = x.map(r => 2.0 * r(0) - 1.0 * r(1) + 0.5)
+    val w = Array.fill(5)(1.0)
+    val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lambda = 0.0)
+    assert(math.abs(beta(0) - 2.0) < 1e-6)
+    assert(math.abs(beta(1) + 1.0) < 1e-6)
+    assert(math.abs(b0 - 0.5) < 1e-6)
+    // heavy L1 zeroes everything
+    val (_, sparse) = WeightedLinearSolver.fit(x, y, w, lambda = 1e9)
+    assert(sparse.forall(_ == 0.0))
+  }
+
+  test("TabularLIME recovers local linear coefficients") {
+    val out = new TabularLIME().setIdCol("id")
+      .setInputCols(Seq("f1", "f2", "f3")).setNumSamples(64)
+      .setScoringFn(scoreFn)
+      .transform(data)
+    assert(out.count() == 40)
+    val row = out.filter(col("id") === 0L).head
+    val coefs = row.getSeq[Double](2)
+    // the surrogate of an exactly-linear model IS the model
+    assert(math.abs(coefs(0) - 3.0) < 1e-6)
+    assert(math.abs(coefs(1) + 2.0) < 1e-6)
+    assert(math.abs(coefs(2)) < 1e-6)
+    // deterministic across runs
+    val again = new TabularLIME().setIdCol("id")
+      .setInputCols(Seq("f1", "f2", "f3")).setNumSamples(64)
+      .setScoringFn(scoreFn)
+      .transform(data).filter(col("id") === 0L).head.getSeq[Double](2)
+    assert(again == coefs)
+  }
+
+  test("TabularSHAP values sum to f(x) - E[f]") {
+    val df = data
+    val out = new TabularSHAP().setIdCol("id")
+      .setInputCols(Seq("f1", "f2", "f3")).setNumSamples(64)
+      .setScoringFn(scoreFn)
+      .transform(df)
+    val joined = out.join(scoreFn(df), "id")
+      .select(col("id"), col("intercept"),
+        aggregate(col("coefficients"), lit(0.0), _ + _).as("phi_sum"),
+        col("prediction"))
+      .collect()
+    joined.foreach { r =>
+      val additive = r.getDouble(1) + r.getDouble(2)
+      assert(math.abs(additive - r.getDouble(3)) < 1e-4,
+        s"id=${r.getLong(0)}: $additive vs ${r.getDouble(3)}")
+    }
+  }
+}
