@@ -30,5 +30,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    MockServices.stopAll()
+    sys.exit(0)
   }
 }

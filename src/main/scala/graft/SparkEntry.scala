@@ -469,6 +469,36 @@ object SparkEntry {
         graft.automl.Evaluators.accuracy("label", "prediction"),
         numFolds = 2, parallelism = 4).fit(ev)
       tuned.results.select("estimator", "grid_index", "fold")
+    },
+
+    // ---- HTTP-on-Spark (§2.12) --------------------------------------
+    "http_transformer" -> { (s, dir) =>
+      // local mock JSON service (driver JVM; executors share it in local
+      // mode) answering {"text": ...} -> {"length": N}
+      val port = MockServices.lenServicePort()
+      import org.apache.spark.sql.types._
+      new graft.io.http.SimpleHTTPTransformer()
+        .setInputCols(Seq("text"))
+        .setUrl(s"http://localhost:$port/len")
+        .setOutputDataType(StructType(Seq(StructField("length", IntegerType))))
+        .setOutputCol("parsed").setConcurrency(16)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("parsed.length").as("text_len"))
+    },
+
+    // ---- streaming semantics on batch frames (§2.10) ----------------
+    "window_agg_hourly" -> { (s, dir) =>
+      new graft.streaming.EventTimeWindowAggregator()
+        .setTimeCol("ts").setWindowDuration("1 hour")
+        .setGroupCols(Seq("event_type")).setValueCol("value")
+        .transform(tbl(s, dir, "events"))
+    },
+
+    "sessionize" -> { (s, dir) =>
+      new graft.streaming.Sessionize().setKeyCol("user_id")
+        .setTimeCol("ts").setGapSeconds(1800)
+        .transform(tbl(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
     }
   )
 
@@ -715,6 +745,34 @@ object SparkEntry {
         |FROM u JOIN r ON u.event_type = r.event_type
         |LEFT JOIN obs ON obs.event_type = u.event_type
         |  AND obs.user_id = u.user_id AND obs.res = r.res
-        |WHERE obs.user_id IS NULL""".stripMargin
+        |WHERE obs.user_id IS NULL""".stripMargin,
+
+    "http_transformer" ->
+      "SELECT doc_id, CAST(len(text) AS INTEGER) AS text_len FROM documents",
+
+    // events.ts is TIMESTAMP(NANOS) parquet: epoch seconds = nanos DIV 1e9;
+    // make_timestamp (not to_timestamp) so the oracle stays naive-UTC like
+    // the parquet round trip of Spark's window bounds
+    "window_agg_hourly" ->
+      """SELECT
+        |  make_timestamp(CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
+        |  make_timestamp((CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) + 3600) * 1000000) AS window_end,
+        |  event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN gap THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY secs
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |    AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, FLOOR(epoch(ts)) AS secs,
+        |    (FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts))) OVER (
+        |      PARTITION BY user_id ORDER BY FLOOR(epoch(ts)))) > 1800 AS gap
+        |  FROM events)""".stripMargin
   )
 }

@@ -40,5 +40,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    MockServices.stopAll()
+    // non-daemon stragglers (mock HTTP dispatcher, pool threads) must not
+    // pin the driver process open once the dump is on disk
+    sys.exit(0)
   }
 }

@@ -1,0 +1,243 @@
+package graft.io.http
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util.concurrent.{CompletableFuture, TimeUnit}
+
+/** Retry policy for transient HTTP failures (ref:
+  * io/http/HTTPClients.scala:74-146 "advanced handler": retry 5xx with a
+  * sleep schedule, honor Retry-After on 429, treat 4xx as terminal).
+  */
+case class RetryPolicy(backoffsMs: Seq[Long] = Seq(100L, 500L, 1000L))
+    extends Serializable {
+  def shouldRetry(status: Int): Boolean = status >= 500 || status == 429
+}
+
+/** Request-struct column → response-struct column over a per-JVM pooled
+  * `java.net.http.HttpClient` with up to `concurrency` in-flight async
+  * requests per partition, completions yielded in input order (ref:
+  * io/http/HTTPTransformer.scala:86-141 + AsyncUtils.bufferedAwait
+  * core/utils/AsyncUtils.scala:1-64).
+  *
+  * Scale design: the client is a JVM singleton (connection reuse across
+  * tasks); the async window keeps `concurrency` requests outstanding
+  * while preserving row order (a sliding buffer, not a barrier); rows
+  * stream — nothing is materialized per partition.
+  */
+class HTTPTransformer(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("HTTPTransformer"))
+  setDefault(inputCol -> "request", outputCol -> "response")
+
+  final val concurrency = new IntParam(this, "concurrency",
+    "max in-flight requests per partition", ParamValidators.gt(0))
+  setDefault(concurrency -> 8)
+  def setConcurrency(v: Int): this.type = set(concurrency, v)
+  final val timeoutMs = new LongParam(this, "timeoutMs", "per-request timeout")
+  setDefault(timeoutMs -> 30000L)
+  def setTimeoutMs(v: Long): this.type = set(timeoutMs, v)
+  final val retries = new IntParam(this, "retries",
+    "max retries for 5xx/429", ParamValidators.gtEq(0))
+  setDefault(retries -> 3)
+  def setRetries(v: Int): this.type = set(retries, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val inIdx = df.schema.fieldIndex(getInputCol)
+    val outSchema = transformSchema(df.schema)
+    val conc = $(concurrency)
+    val tmo = $(timeoutMs)
+    val maxRetries = $(retries)
+    val clientHolder = SharedSingleton("graft-http-client") {
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(30000))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build()
+    }
+    val enc = ExpressionEncoder(outSchema)
+    df.mapPartitions { it =>
+      val client = clientHolder.get
+      def send(req: Row): CompletableFuture[Row] = {
+        val url = req.getString(0)
+        val method = req.getString(1)
+        val entity = if (req.isNullAt(3)) null else req.getAs[Array[Byte]](3)
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofMillis(tmo))
+        if (!req.isNullAt(2)) req.getSeq[Row](2).foreach { h =>
+          b.header(h.getString(0), h.getString(1))
+        }
+        val body =
+          if (entity == null) HttpRequest.BodyPublishers.noBody()
+          else HttpRequest.BodyPublishers.ofByteArray(entity)
+        val request = b.method(method, body).build()
+        def attempt(n: Int): CompletableFuture[Row] =
+          client.sendAsync(request, HttpResponse.BodyHandlers.ofByteArray())
+            .thenCompose { resp =>
+              if (n < maxRetries && resp.statusCode() >= 500) {
+                // async backoff; schedule next attempt
+                val delay = math.min(100L << n, 2000L)
+                val f = new CompletableFuture[Row]()
+                CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
+                  .execute(() => attempt(n + 1).whenComplete { (r, e) =>
+                    if (e != null) f.completeExceptionally(e) else f.complete(r)
+                  })
+                f
+              } else {
+                val headers = resp.headers().map().entrySet().toArray
+                  .map(_.asInstanceOf[java.util.Map.Entry[String, java.util.List[String]]])
+                  .flatMap(e => e.getValue.toArray.map(v => Row(e.getKey, v.toString)))
+                CompletableFuture.completedFuture(
+                  Row(resp.statusCode(), null, headers.toSeq, resp.body()))
+              }
+            }
+            .exceptionally { e =>
+              Row(0, Option(e.getMessage).getOrElse(e.getClass.getName),
+                Seq.empty[Row], null)
+            }
+        attempt(0)
+      }
+      // sliding async window: keep `conc` in flight, emit in input order
+      val buffered = new Iterator[Row] {
+        private val queue = scala.collection.mutable.Queue.empty[(Row, CompletableFuture[Row])]
+        private def fill(): Unit =
+          while (queue.size < conc && it.hasNext) {
+            val row = it.next()
+            queue.enqueue((row, send(row.getStruct(inIdx))))
+          }
+        fill()
+        def hasNext: Boolean = queue.nonEmpty
+        def next(): Row = {
+          val (row, fut) = queue.dequeue()
+          fill()
+          Row.fromSeq(row.toSeq :+ fut.get())
+        }
+      }
+      buffered
+    }(enc)
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema(getInputCol).dataType.isInstanceOf[StructType],
+      s"$getInputCol must be a request struct")
+    StructType(schema :+ StructField(getOutputCol, HTTPSchema.responseType))
+  }
+  override def copy(extra: ParamMap): HTTPTransformer = defaultCopy(extra)
+}
+
+/** Column list → JSON-body POST request struct (ref:
+  * io/http/Parsers.scala:35-88 JSONInputParser). */
+class JSONInputParser(override val uid: String) extends Transformer
+    with HasInputCols with HasOutputCol {
+  def this() = this(Identifiable.randomUID("JSONInputParser"))
+  setDefault(outputCol -> "request")
+
+  final val urlParam = new Param[String](this, "urlParam", "target url")
+  def setUrl(v: String): this.type = set(urlParam, v)
+  final val method = new Param[String](this, "method", "HTTP method")
+  setDefault(method -> "POST")
+  def setMethod(v: String): this.type = set(method, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val body = to_json(struct($(inputCols).map(col).toIndexedSeq: _*))
+    df.withColumn(getOutputCol, HTTPSchema.toRequest(
+      lit($(urlParam)), lit($(method)), body,
+      array(HTTPSchema.header("Content-Type", lit("application/json")))))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol, HTTPSchema.requestType))
+  override def copy(extra: ParamMap): JSONInputParser = defaultCopy(extra)
+}
+
+/** Response entity → typed struct via from_json(schema) (ref:
+  * Parsers.scala:152-293 JSONOutputParser). */
+class JSONOutputParser(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("JSONOutputParser"))
+  setDefault(inputCol -> "response", outputCol -> "parsed")
+
+  private var schema_ : DataType = _
+  def setDataType(dt: DataType): this.type = { schema_ = dt; this }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(schema_ != null, "setDataType first")
+    ds.toDF().withColumn(getOutputCol,
+      from_json(HTTPSchema.entityToString(col(getInputCol)), schema_))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol, schema_))
+  override def copy(extra: ParamMap): JSONOutputParser = {
+    val c = new JSONOutputParser(uid); c.schema_ = schema_
+    copyValues(c, extra)
+  }
+}
+
+/** Response entity → string column (ref: StringOutputParser). */
+class StringOutputParser(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("StringOutputParser"))
+  setDefault(inputCol -> "response", outputCol -> "output")
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF().withColumn(getOutputCol,
+      HTTPSchema.entityToString(col(getInputCol)))
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol, StringType))
+  override def copy(extra: ParamMap): StringOutputParser = defaultCopy(extra)
+}
+
+/** Composite JSON-service transformer: input parser → HTTPTransformer →
+  * error split → output parser → drop temps (ref:
+  * io/http/SimpleHTTPTransformer.scala:64-171). Rows whose response
+  * status ≠ 2xx get null output and the status in `errorCol`.
+  */
+class SimpleHTTPTransformer(override val uid: String) extends Transformer
+    with HasInputCols with HasOutputCol {
+  def this() = this(Identifiable.randomUID("SimpleHTTPTransformer"))
+  setDefault(outputCol -> "parsed")
+
+  final val urlParam = new Param[String](this, "urlParam", "service url")
+  def setUrl(v: String): this.type = set(urlParam, v)
+  final val errorCol = new Param[String](this, "errorCol", "error column")
+  setDefault(errorCol -> "error")
+  def setErrorCol(v: String): this.type = set(errorCol, v)
+  final val concurrency = new IntParam(this, "concurrency", "in-flight cap")
+  setDefault(concurrency -> 8)
+  def setConcurrency(v: Int): this.type = set(concurrency, v)
+
+  private var outputSchema: DataType = _
+  def setOutputDataType(dt: DataType): this.type = { outputSchema = dt; this }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(outputSchema != null, "setOutputDataType first")
+    val df = ds.toDF()
+    val withReq = new JSONInputParser().setInputCols($(inputCols).toSeq)
+      .setUrl($(urlParam)).setOutputCol("__req").transform(df)
+    val withResp = new HTTPTransformer().setInputCol("__req")
+      .setOutputCol("__resp").setConcurrency($(concurrency))
+      .transform(withReq)
+    val status = col("__resp").getField("statusCode")
+    val parsed = new JSONOutputParser().setInputCol("__resp")
+      .setOutputCol(getOutputCol).setDataType(outputSchema)
+      .transform(withResp)
+    parsed
+      .withColumn($(errorCol), when(status >= 200 && status < 300, lit(null)
+        .cast(StringType)).otherwise(concat(lit("HTTP "), status.cast(StringType))))
+      .withColumn(getOutputCol, when(col($(errorCol)).isNull, col(getOutputCol)))
+      .drop("__req", "__resp")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(StructField(getOutputCol, outputSchema),
+      StructField($(errorCol), StringType)))
+  override def copy(extra: ParamMap): SimpleHTTPTransformer = {
+    val c = new SimpleHTTPTransformer(uid); c.outputSchema = outputSchema
+    copyValues(c, extra)
+  }
+}

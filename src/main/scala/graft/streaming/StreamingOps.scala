@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-time analytics operators. The reference inherits Structured
+  * Streaming untouched (SURVEY §2.10) — these stages EXPOSE the engine's
+  * watermark/window/stateful primitives as pipeline operators that work
+  * identically on batch and streaming frames.
+  */
+
+/** Tumbling/sliding event-time windowed aggregation with optional
+  * watermark. On a streaming frame the watermark bounds state; on batch it
+  * is a no-op, so the same stage serves both (one shuffle on
+  * (window, keys)).
+  */
+class EventTimeWindowAggregator(override val uid: String) extends Transformer {
+  def this() = this(Identifiable.randomUID("EventTimeWindowAgg"))
+
+  final val timeCol = new Param[String](this, "timeCol", "event-time column")
+  setDefault(timeCol -> "ts")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val windowDuration = new Param[String](this, "windowDuration", "e.g. '1 hour'")
+  setDefault(windowDuration -> "1 hour")
+  def setWindowDuration(v: String): this.type = set(windowDuration, v)
+  final val slideDuration = new Param[String](this, "slideDuration",
+    "unset = tumbling")
+  def setSlideDuration(v: String): this.type = set(slideDuration, v)
+  final val watermark = new Param[String](this, "watermark",
+    "late-data horizon, e.g. '10 minutes'; unset = none")
+  def setWatermark(v: String): this.type = set(watermark, v)
+  final val groupCols = new StringArrayParam(this, "groupCols", "extra keys")
+  setDefault(groupCols -> Array.empty[String])
+  def setGroupCols(v: Seq[String]): this.type = set(groupCols, v.toArray)
+  final val valueCol = new Param[String](this, "valueCol", "column to aggregate")
+  setDefault(valueCol -> "value")
+  def setValueCol(v: String): this.type = set(valueCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df0 = ds.toDF()
+    // accept raw long nanos (testdata events) or native timestamps
+    val df = df0.schema($(timeCol)).dataType match {
+      case LongType => df0.withColumn($(timeCol),
+        timestamp_micros(expr(s"`${$(timeCol)}` DIV 1000")))
+      case _ => df0
+    }
+    val marked =
+      if (isSet(watermark) && df.isStreaming)
+        df.withWatermark($(timeCol), $(watermark))
+      else df
+    val win =
+      if (isSet(slideDuration))
+        window(col($(timeCol)), $(windowDuration), $(slideDuration))
+      else window(col($(timeCol)), $(windowDuration))
+    marked
+      .groupBy((win.as("window") +: $(groupCols).toSeq.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col($(valueCol)).cast(DecimalType(30, 8))).cast("double").as("sum_value"))
+      .select((Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++
+        $(groupCols).toSeq.map(col) :+ col("n") :+ col("sum_value")): _*)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("window_end", TimestampType)) ++
+      $(groupCols).toSeq.map(schema(_)) ++ Seq(
+      StructField("n", LongType), StructField("sum_value", DoubleType)))
+  override def copy(extra: ParamMap): EventTimeWindowAggregator = defaultCopy(extra)
+}
+
+/** Gap-based sessionization. Batch path: gaps-and-islands with one window
+  * over (key, time) — a session starts where the gap from the previous
+  * event exceeds `gapSeconds`; session_id = running count of starts.
+  * Streaming path (`sessionizeStream`): the same semantics with
+  * `flatMapGroupsWithState` + processing-time timeout, emitting closed
+  * sessions.
+  */
+class Sessionize(override val uid: String) extends Transformer {
+  def this() = this(Identifiable.randomUID("Sessionize"))
+
+  final val keyCol = new Param[String](this, "keyCol", "session key")
+  setDefault(keyCol -> "user_id")
+  def setKeyCol(v: String): this.type = set(keyCol, v)
+  final val timeCol = new Param[String](this, "timeCol", "event-time column")
+  setDefault(timeCol -> "ts")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val gapSeconds = new LongParam(this, "gapSeconds", "session gap")
+  setDefault(gapSeconds -> 1800L)
+  def setGapSeconds(v: Long): this.type = set(gapSeconds, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df0 = ds.toDF()
+    // epoch seconds from native timestamp or long nanos
+    val secs = df0.schema($(timeCol)).dataType match {
+      case LongType => expr(s"`${$(timeCol)}` DIV 1000000000")
+      case _ => unix_timestamp(col($(timeCol)))
+    }
+    val w = Window.partitionBy(col($(keyCol))).orderBy(col("__secs"))
+    df0.withColumn("__secs", secs)
+      .withColumn("__gap",
+        (col("__secs") - lag(col("__secs"), 1).over(w)) > $(gapSeconds))
+      .withColumn("session_id",
+        sum(when(col("__gap"), 1).otherwise(0)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .drop("__secs", "__gap")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField("session_id", IntegerType))
+  override def copy(extra: ParamMap): Sessionize = defaultCopy(extra)
+}
+
+/** Streaming sessionization state machine. */
+object SessionizeStream {
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class ClosedSession(key: Long, start: Long, end: Long, n: Long)
+
+  /** flatMapGroupsWithState over (key, epochSeconds) pairs: emits a row
+    * per CLOSED session (gap exceeded, or state timeout when
+    * `useTimeout` — timeouts trigger perpetual empty micro-batches, so
+    * tests that rely on `processAllAvailable` should pass false). */
+  def apply(events: Dataset[(Long, Long)], gapSeconds: Long,
+            useTimeout: Boolean = true)
+           (implicit spark: org.apache.spark.sql.SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(),
+        if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(key, s.start, s.last, s.n))
+          } else {
+            val times = it.map(_._2).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(key, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

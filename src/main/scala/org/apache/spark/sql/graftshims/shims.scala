@@ -19,3 +19,17 @@ object ColumnBridge {
   /** Unwrap a Column back to its Catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+object StreamingBridge {
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StructType
+
+  /** Streaming-tagged DataFrame from internal rows — what a DSv1 streaming
+    * Source.getBatch must return (private[sql] on the classic session). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+                              rdd: RDD[InternalRow],
+                              schema: StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

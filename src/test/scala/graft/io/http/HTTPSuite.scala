@@ -1,0 +1,98 @@
+package graft.io.http
+
+import graft.TestBase
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** End-to-end HTTP-on-Spark tests against a local mock service (pattern
+  * ref: io/split2/HTTPSuite.scala — the reference also tests with real
+  * sockets).
+  */
+class HTTPSuite extends TestBase {
+  import spark.implicits._
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val flakyCounter = new AtomicInteger(0)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    port = server.getAddress.getPort
+    // /len : JSON {"text": ...} -> {"length": N}
+    server.createContext("/len", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val text = """"text"\s*:\s*"(.*?)"""".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse("")
+        val resp = s"""{"length": ${text.length}}""".getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    // /flaky : fails twice per process with 503, then echoes OK
+    server.createContext("/flaky", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val n = flakyCounter.incrementAndGet()
+        val resp = "OK".getBytes(StandardCharsets.UTF_8)
+        if (n <= 2) { ex.sendResponseHeaders(503, -1); ex.close() }
+        else {
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp); ex.close()
+        }
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+  }
+
+  override def afterAll(): Unit = { server.stop(0); super.afterAll() }
+
+  test("HTTPTransformer round-trips request structs in order") {
+    val df = (0 until 20).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val withReq = df.withColumn("request", HTTPSchema.toRequest(
+      lit(s"http://localhost:$port/len"), lit("POST"),
+      to_json(struct(col("text"))).cast("binary"),
+      array(HTTPSchema.header("Content-Type", lit("application/json")))))
+    val out = new HTTPTransformer().setInputCol("request")
+      .setOutputCol("response").setConcurrency(4)
+      .transform(withReq)
+      .select(col("id"), col("response.statusCode").as("status"),
+        HTTPSchema.entityToString(col("response")).as("body"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 20)
+    assert(out.forall(_.getInt(1) == 200))
+    assert(out(7).getString(2) == """{"length": 4}""") // "doc7"
+    assert(out(15).getString(2) == """{"length": 5}""") // "doc15"
+  }
+
+  test("HTTPTransformer retries 5xx to success") {
+    flakyCounter.set(0)
+    val df = Seq(1L).toDF("id").withColumn("request", HTTPSchema.toRequest(
+      lit(s"http://localhost:$port/flaky"), lit("GET"), lit(null)))
+    val out = new HTTPTransformer().setInputCol("request").setRetries(3)
+      .transform(df)
+      .select(col("response.statusCode")).head.getInt(0)
+    assert(out == 200)
+    assert(flakyCounter.get() == 3) // two failures + one success
+  }
+
+  test("SimpleHTTPTransformer parses JSON service output") {
+    val docs = (0 until 10).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val out = new SimpleHTTPTransformer()
+      .setInputCols(Seq("text"))
+      .setUrl(s"http://localhost:$port/len")
+      .setOutputDataType(StructType(Seq(StructField("length", IntegerType))))
+      .setOutputCol("parsed")
+      .transform(docs)
+      .select(col("doc_id"), col("parsed.length").as("len"), col("error"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.forall(_.isNullAt(2)))
+    assert(out.map(_.getInt(1)).sameElements(0 until 10))
+  }
+}
