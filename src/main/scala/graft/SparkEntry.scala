@@ -499,6 +499,37 @@ object SparkEntry {
         .setTimeCol("ts").setGapSeconds(1800)
         .transform(tbl(s, dir, "events"))
         .select(col("event_id"), col("user_id"), col("session_id"))
+    },
+
+    // ---- VW hashing featurizer (§2.8) -------------------------------
+    "vw_featurizer" -> { (s, dir) => // rows-only: hashed feature vectors
+      new graft.featurize.VowpalHashFeaturizer()
+        .setInputCols(Seq("value", "event_type")).setNumBits(18)
+        .transform(tbl(s, dir, "events"))
+        .select(col("event_id"),
+          size(org.apache.spark.ml.functions.vector_to_array(col("features")))
+            .as("dim"))
+    },
+
+    // ---- isolation forest (§2.13) -----------------------------------
+    "isolation_forest" -> { (s, dir) => // rows-only: anomaly scores
+      val ev = tbl(s, dir, "events").select("event_id", "value", "user_id")
+      val m = new graft.anomaly.IsolationForest()
+        .setInputCols(Seq("value", "user_id"))
+        .setNumTrees(50).setSubsampleSize(128).fit(ev)
+      m.transform(ev).filter(col("anomaly_score") > 0.6)
+        .select(col("event_id"))
+    },
+
+    // ---- multimodal column plumbing (LLM-pipeline) ------------------
+    "multimodal_stub" -> { (s, dir) =>
+      new graft.io.binary.MultimodalFeaturizer().setInputCol("payload")
+        .setModality("image").setDim(8)
+        .transform(tbl(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary")))
+        .select(col("doc_id"), col("media_meta.modality").as("modality"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.magic").as("magic"))
     }
   )
 
@@ -762,6 +793,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "multimodal_stub" ->
+      """SELECT doc_id, 'image' AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+        |  'unknown' AS magic
+        |FROM documents""".stripMargin,
 
     "sessionize" ->
       """SELECT event_id, user_id,

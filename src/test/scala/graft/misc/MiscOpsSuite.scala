@@ -1,0 +1,145 @@
+package graft.misc
+
+import graft.TestBase
+import graft.anomaly.IsolationForest
+import graft.featurize.{Murmur3, VowpalHashFeaturizer}
+import graft.image._
+import graft.io.binary.{BinaryFileReader, MultimodalFeaturizer}
+import graft.stages.MultiColumnAdapter
+import graft.text.UnicodeNormalize
+import org.apache.spark.ml.linalg.{SparseVector, DenseVector}
+import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+class MiscOpsSuite extends TestBase {
+  import spark.implicits._
+
+  test("Murmur3 x86_32 matches the canonical algorithm") {
+    // scala.util.hashing.MurmurHash3.bytesHash IS canonical murmur3
+    // x86_32 (4-byte LE blocks, mixLast tail, fmix(h ^ len)); Spark's
+    // unsafe Murmur3_x86_32 intentionally diverges on unaligned tails
+    assert(Murmur3.hash32(Array.emptyByteArray, 0) == 0)
+    assert(Murmur3.hashString("", 1) == 0x514E28B7) // canonical vector
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 200) {
+      val len = rnd.nextInt(24)
+      val bytes = Array.fill(len)(rnd.nextInt().toByte)
+      val seed = rnd.nextInt()
+      val expected = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed)
+      assert(Murmur3.hash32(bytes, seed) == expected, s"len=$len seed=$seed")
+    }
+  }
+
+  test("VowpalHashFeaturizer hashes numeric and categorical columns") {
+    val df = Seq((1.5, "red"), (0.0, "blue")).toDF("x", "color")
+    val out = new VowpalHashFeaturizer().setInputCols(Seq("x", "color"))
+      .setNumBits(10).transform(df)
+      .select("features").collect().map(_.getAs[SparseVector](0))
+    val mask = (1 << 10) - 1
+    val xIdx = Murmur3.hashString("x", 0) & mask
+    val redIdx = Murmur3.hashString("color=red", 0) & mask
+    assert(out(0)(xIdx) == 1.5 && out(0)(redIdx) == 1.0)
+    assert(out(1)(xIdx) == 0.0) // zero numeric omitted
+    assert(out(1)(Murmur3.hashString("color=blue", 0) & mask) == 1.0)
+  }
+
+  test("IsolationForest scores an obvious outlier highest") {
+    val rnd = new scala.util.Random(5)
+    val normal = (0 until 300).map(i =>
+      (i.toLong, rnd.nextGaussian(), rnd.nextGaussian()))
+    val data = (normal :+ (999L, 10.0, 10.0)).toDF("id", "f1", "f2")
+    val model = new IsolationForest().setInputCols(Seq("f1", "f2"))
+      .setNumTrees(50).setSubsampleSize(64).fit(data)
+    val scored = model.transform(data)
+      .select("id", "anomaly_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val outlier = scored(999L)
+    val normalMax = scored.filter(_._1 != 999L).values.max
+    assert(outlier > 0.6, s"outlier score $outlier")
+    assert(outlier >= normalMax,
+      s"outlier $outlier should top normal max $normalMax")
+  }
+
+  test("image decode/resize/unroll pipeline") {
+    // 4x2 PNG with known colors
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFF0000 else 0x0000FF)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("id", "bytes")
+    val decoded = new DecodeImage().setInputCol("bytes").setOutputCol("image")
+      .transform(df)
+    val r = decoded.select("image.height", "image.width", "image.nChannels").head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (2, 4, 3))
+    val resized = new ResizeImage().setInputCol("image").setOutputCol("small")
+      .setHeight(1).setWidth(2).transform(decoded)
+    val r2 = resized.select("small.height", "small.width").head
+    assert((r2.getInt(0), r2.getInt(1)) == (1, 2))
+    val unrolled = new UnrollImage().setInputCol("small")
+      .setOutputCol("vec").setNormalize(true).transform(resized)
+      .select("vec").head.getAs[DenseVector](0)
+    assert(unrolled.size == 1 * 2 * 3)
+    assert(unrolled.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("BinaryFileReader reads files and inspects zips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.txt"), "hello".getBytes)
+    // zip with two members
+    val zipPath = dir.resolve("stuff.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("one.txt"))
+    zos.write("first".getBytes); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("two.txt"))
+    zos.write("second".getBytes); zos.closeEntry()
+    zos.close()
+    val plain = BinaryFileReader.read(spark, dir.toString)
+    assert(plain.count() == 2)
+    val inspected = BinaryFileReader.read(spark, dir.toString, inspectZip = true)
+    val names = inspected.select("path").as[String].collect().toSet
+    assert(names.exists(_.endsWith("a.txt")))
+    assert(names.contains("one.txt") && names.contains("two.txt"))
+    val content = inspected.filter(col("path") === "two.txt")
+      .select("bytes").head.getAs[Array[Byte]](0)
+    assert(new String(content) == "second")
+  }
+
+  test("MultimodalFeaturizer batches, sniffs magic, emits stable features") {
+    val png = {
+      val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val df = Seq((1L, png), (2L, "RIFFxxxx".getBytes), (3L, null))
+      .toDF("id", "payload")
+    val out = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("image").setDim(8).setBatchSize(2)
+      .transform(df).select("id", "media_meta.magic", "media_features")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getSeq[Float](2)))).toMap
+    assert(out(1L)._1 == "png" && out(1L)._2.get.length == 8)
+    assert(out(2L)._1 == "riff")
+    assert(out(3L)._2.isEmpty)
+    // determinism across runs
+    val again = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("image").setDim(8).setBatchSize(2)
+      .transform(df).filter(col("id") === 1L)
+      .select("media_features").head.getSeq[Float](0)
+    assert(again == out(1L)._2.get)
+  }
+
+  test("MultiColumnAdapter clones a unary stage across columns") {
+    val df = Seq(("Héllo", "Wörld")).toDF("a", "b")
+    val out = new MultiColumnAdapter()
+      .setBaseStage(new UnicodeNormalize().setForm("NFD"))
+      .setInputCols(Seq("a", "b")).setOutputCols(Array("a_n", "b_n"))
+      .transform(df)
+    assert(out.columns.toSet == Set("a", "b", "a_n", "b_n"))
+    val r = out.head
+    assert(r.getAs[String]("a_n").length > 5) // NFD decomposes the accent
+  }
+}
