@@ -501,6 +501,18 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_id"))
     },
 
+    "per_instance_stats" -> { (s, dir) =>
+      // deterministic baseline predictor (decimal-exact global mean) so
+      // the per-row losses are oracle-checkable
+      val ev = tbl(s, dir, "events")
+      val mean = ev.agg(graft.core.Determinism
+        .deterministicMean(col("value"))).head().getDouble(0)
+      new graft.train.ComputePerInstanceStatistics()
+        .setLabelCol("value").setEvaluationMetric("regression")
+        .transform(ev.withColumn("prediction", lit(mean)))
+        .select(col("event_id"), col("L1_loss"), col("L2_loss"))
+    },
+
     // ---- VW hashing featurizer (§2.8) -------------------------------
     "vw_featurizer" -> { (s, dir) => // rows-only: hashed feature vectors
       new graft.featurize.VowpalHashFeaturizer()
@@ -793,6 +805,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "per_instance_stats" ->
+      """WITH m AS (SELECT CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+        |    / COUNT(value) AS mean FROM events)
+        |SELECT event_id,
+        |  ABS(m.mean - value) AS L1_loss,
+        |  (m.mean - value) * (m.mean - value) AS L2_loss
+        |FROM events CROSS JOIN m""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id, 'image' AS modality,
