@@ -96,8 +96,12 @@ class SAR(override val uid: String) extends Estimator[SARModel]
       .distinct()
     // skew guard: cap per-user item set (deterministic by item order)
     val w = Window.partitionBy("user").orderBy("item")
+    // persisted: occ + both sides of the co-occurrence join read this frame,
+    // and without it Catalyst re-runs the full distinct over the raw log
+    // three times (Spark's ContextCleaner reclaims the blocks on GC)
     val capped = pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= $(maxUserItems)).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = capped.groupBy("item").agg(count("*").as("occ"))
     val co = capped.as("a")
       .join(capped.as("b"), Seq("user"))
@@ -118,8 +122,12 @@ class SAR(override val uid: String) extends Estimator[SARModel]
   override def fit(ds: Dataset[_]): SARModel = {
     val df = ds.toDF()
     val m = new SARModel(uid + "_model")
+    // both frames are read multiple times by scoring (affinity join +
+    // seen-filter); persist so the raw interaction log is scanned once
     m.affinities = calculateUserItemAffinities(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     m.itemSimilarity = calculateItemItemSimilarity(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     copyValues(m)
     m.set(m.userCol, getUserCol).set(m.itemCol, getItemCol)
     m
