@@ -108,11 +108,24 @@ class IsolationForest(override val uid: String)
 }
 
 class IsolationForestModel(override val uid: String)
-    extends Model[IsolationForestModel] with HasInputCols {
+    extends Model[IsolationForestModel] with HasInputCols
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("IsolationForestModel"))
 
   var trees: org.apache.spark.broadcast.Broadcast[Array[IsolationForest.ITree]] = _
   var subsample: Int = 256
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(IsolationForestModel.this))
+        graft.core.ModelIO.writeText(sparkSession, s"$path/subsample.txt",
+          subsample.toString)
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/trees.bin",
+          trees.value)
+      }
+    }
 
   final val outputCol = new Param[String](this, "outputCol", "score column")
   setDefault(outputCol -> "anomaly_score")
@@ -144,4 +157,21 @@ class IsolationForestModel(override val uid: String)
     m.trees = trees; m.subsample = subsample
     copyValues(m, extra)
   }
+}
+
+object IsolationForestModel
+    extends org.apache.spark.ml.util.MLReadable[IsolationForestModel] {
+  override def read: org.apache.spark.ml.util.MLReader[IsolationForestModel] =
+    new org.apache.spark.ml.util.MLReader[IsolationForestModel] {
+      override def load(path: String): IsolationForestModel = {
+        val m = new IsolationForestModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.subsample = graft.core.ModelIO
+          .readText(sparkSession, s"$path/subsample.txt").trim.toInt
+        m.trees = sparkSession.sparkContext.broadcast(graft.core.ModelIO
+          .readObject[Array[IsolationForest.ITree]](sparkSession, s"$path/trees.bin"))
+        m
+      }
+    }
 }

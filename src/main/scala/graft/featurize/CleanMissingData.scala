@@ -50,7 +50,8 @@ class CleanMissingData(override val uid: String) extends Estimator[CleanMissingD
 }
 
 class CleanMissingDataModel(override val uid: String)
-    extends Model[CleanMissingDataModel] with HasInputCols {
+    extends Model[CleanMissingDataModel] with HasInputCols
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("CleanMissingDataModel"))
 
   var fillValues: Map[String, Double] = Map.empty
@@ -62,4 +63,27 @@ class CleanMissingDataModel(override val uid: String)
     val c = new CleanMissingDataModel(uid); c.fillValues = fillValues
     copyValues(c, extra)
   }
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(CleanMissingDataModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/fill.bin", fillValues)
+      }
+    }
+}
+
+object CleanMissingDataModel
+    extends org.apache.spark.ml.util.MLReadable[CleanMissingDataModel] {
+  override def read: org.apache.spark.ml.util.MLReader[CleanMissingDataModel] =
+    new org.apache.spark.ml.util.MLReader[CleanMissingDataModel] {
+      override def load(path: String): CleanMissingDataModel = {
+        val m = new CleanMissingDataModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.fillValues = graft.core.ModelIO
+          .readObject[Map[String, Double]](sparkSession, s"$path/fill.bin")
+        m
+      }
+    }
 }

@@ -54,10 +54,20 @@ class CountSelector(override val uid: String)
 }
 
 class CountSelectorModel(override val uid: String)
-    extends Model[CountSelectorModel] with HasInputCol with HasOutputCol {
+    extends Model[CountSelectorModel] with HasInputCol with HasOutputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("CountSelectorModel"))
 
   var indices: Array[Int] = Array.empty
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(CountSelectorModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/indices.bin", indices)
+      }
+    }
 
   override def transform(ds: Dataset[_]): DataFrame =
     new VectorSlicer().setInputCol(getInputCol).setOutputCol(getOutputCol)
@@ -69,4 +79,19 @@ class CountSelectorModel(override val uid: String)
     val c = new CountSelectorModel(uid); c.indices = indices
     copyValues(c, extra)
   }
+}
+
+object CountSelectorModel
+    extends org.apache.spark.ml.util.MLReadable[CountSelectorModel] {
+  override def read: org.apache.spark.ml.util.MLReader[CountSelectorModel] =
+    new org.apache.spark.ml.util.MLReader[CountSelectorModel] {
+      override def load(path: String): CountSelectorModel = {
+        val m = new CountSelectorModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.indices = graft.core.ModelIO
+          .readObject[Array[Int]](sparkSession, s"$path/indices.bin")
+        m
+      }
+    }
 }

@@ -38,7 +38,8 @@ class ValueIndexer(override val uid: String) extends Estimator[ValueIndexerModel
 }
 
 class ValueIndexerModel(override val uid: String) extends Model[ValueIndexerModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("ValueIndexerModel"))
 
   /** Ordered levels; index of a value is its position, null -> levels.length. */
@@ -59,6 +60,28 @@ class ValueIndexerModel(override val uid: String) extends Model[ValueIndexerMode
   override def copy(extra: ParamMap): ValueIndexerModel = {
     val c = new ValueIndexerModel(uid); c.levels = levels; copyValues(c, extra)
   }
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(ValueIndexerModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/levels.bin", levels)
+      }
+    }
+}
+
+object ValueIndexerModel extends org.apache.spark.ml.util.MLReadable[ValueIndexerModel] {
+  override def read: org.apache.spark.ml.util.MLReader[ValueIndexerModel] =
+    new org.apache.spark.ml.util.MLReader[ValueIndexerModel] {
+      override def load(path: String): ValueIndexerModel = {
+        val m = new ValueIndexerModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.levels = graft.core.ModelIO
+          .readObject[Array[String]](sparkSession, s"$path/levels.bin")
+        m
+      }
+    }
 }
 
 /** Inverse of ValueIndexer: index column -> original value, reading the

@@ -64,8 +64,19 @@ class KNN(override val uid: String) extends Estimator[KNNModel]
 }
 
 class KNNModel(override val uid: String) extends Model[KNNModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("KNNModel"))
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(KNNModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/tree.bin",
+          treeBroadcast.value)
+      }
+    }
 
   final val k = new IntParam(this, "k", "neighbors")
   setDefault(k -> 5)
@@ -106,7 +117,20 @@ class KNNModel(override val uid: String) extends Model[KNNModel]
   }
 }
 
-object KNNModel {
+object KNNModel extends org.apache.spark.ml.util.MLReadable[KNNModel] {
+  override def read: org.apache.spark.ml.util.MLReader[KNNModel] =
+    new org.apache.spark.ml.util.MLReader[KNNModel] {
+      override def load(path: String): KNNModel = {
+        val m = new KNNModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        val tree = graft.core.ModelIO
+          .readObject[BallTree](sparkSession, s"$path/tree.bin")
+        m.treeBroadcast = sparkSession.sparkContext.broadcast(tree)
+        m
+      }
+    }
+
   private[nn] def outputSchema(schema: StructType, out: String): StructType =
     StructType(schema :+ StructField(out, ArrayType(StructType(Seq(
       StructField("distance", DoubleType), StructField("id", LongType))))))

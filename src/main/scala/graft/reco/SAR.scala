@@ -140,11 +140,21 @@ class SAR(override val uid: String) extends Estimator[SARModel]
 
 /** Fitted SAR model: score(u, j) = Σ_i affinity(u,i) · sim(i,j). */
 class SARModel(override val uid: String) extends Model[SARModel]
-    with HasRecoCols {
+    with HasRecoCols with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("SARModel"))
 
   var affinities: DataFrame = _      // (user, item, affinity)
   var itemSimilarity: DataFrame = _  // (i1, i2, similarity)
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(SARModel.this))
+        affinities.write.mode("overwrite").parquet(s"$path/affinities")
+        itemSimilarity.write.mode("overwrite").parquet(s"$path/itemSimilarity")
+      }
+    }
 
   /** Top-k recommendations per user: (user, item, score, rank). Scores are
     * decimal-summed for partial-order determinism; ties break on item. */
@@ -182,4 +192,18 @@ class SARModel(override val uid: String) extends Model[SARModel]
     c.affinities = affinities; c.itemSimilarity = itemSimilarity
     copyValues(c, extra)
   }
+}
+
+object SARModel extends org.apache.spark.ml.util.MLReadable[SARModel] {
+  override def read: org.apache.spark.ml.util.MLReader[SARModel] =
+    new org.apache.spark.ml.util.MLReader[SARModel] {
+      override def load(path: String): SARModel = {
+        val m = new SARModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.affinities = sparkSession.read.parquet(s"$path/affinities")
+        m.itemSimilarity = sparkSession.read.parquet(s"$path/itemSimilarity")
+        m
+      }
+    }
 }

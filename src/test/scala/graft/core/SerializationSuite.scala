@@ -1,0 +1,86 @@
+package graft.core
+
+import graft.TestBase
+import graft.anomaly.{IsolationForest, IsolationForestModel}
+import graft.featurize._
+import graft.nn.{KNN, KNNModel}
+import graft.reco.{SAR, SARModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Save/load round-trip checks for fitted models — the reference's
+  * SerializationFuzzing idea (core/test/fuzzing/Fuzzing.scala:222-298):
+  * fit, save, load, re-transform, assert frame equality.
+  */
+class SerializationSuite extends TestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ser-$name").toString + "/m"
+
+  private def roundTrip(a: DataFrame, b: DataFrame): Unit = assertDFEq(a, b)
+
+  test("ValueIndexerModel save/load") {
+    val df = Seq("b", "a", "c", "a").toDF("v")
+    val m = new ValueIndexer().setInputCol("v").setOutputCol("idx").fit(df)
+    val p = tmp("vi"); m.write.overwrite().save(p)
+    val loaded = ValueIndexerModel.load(p)
+    assert(loaded.levels.sameElements(m.levels))
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("CleanMissingDataModel save/load") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val m = new CleanMissingData().setInputCols(Seq("x")).fit(df)
+    val p = tmp("cmd"); m.write.overwrite().save(p)
+    val loaded = CleanMissingDataModel.load(p)
+    assert(loaded.fillValues == m.fillValues)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("CountSelectorModel save/load") {
+    val df = Seq(
+      org.apache.spark.ml.linalg.Vectors.sparse(4, Seq((1, 2.0))),
+      org.apache.spark.ml.linalg.Vectors.sparse(4, Seq((3, 1.0)))
+    ).map(Tuple1(_)).toDF("vec")
+    val m = new CountSelector().setInputCol("vec").setOutputCol("sel").fit(df)
+    val p = tmp("cs"); m.write.overwrite().save(p)
+    val loaded = CountSelectorModel.load(p)
+    assert(loaded.indices.sameElements(m.indices))
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("KNNModel save/load") {
+    val df = (0 until 50).map(i => (i.toLong, Array(i.toDouble, (i * 7 % 13).toDouble)))
+      .toDF("id", "emb")
+    val m = new KNN().setInputCol("emb").setIdCol("id").setK(3).fit(df)
+    val p = tmp("knn"); m.write.overwrite().save(p)
+    val loaded = KNNModel.load(p)
+    roundTrip(
+      m.transform(df).select(col("id"), col("matches.id").as("n")),
+      loaded.transform(df).select(col("id"), col("matches.id").as("n")))
+  }
+
+  test("SARModel save/load") {
+    val ratings = Seq((1L, "a", 5.0), (1L, "b", 3.0), (2L, "a", 4.0))
+      .toDF("user", "item", "rating")
+    val m = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").fit(ratings)
+    val p = tmp("sar"); m.write.overwrite().save(p)
+    val loaded = SARModel.load(p)
+    roundTrip(m.recommendForAllUsers(2, removeSeen = false),
+      loaded.recommendForAllUsers(2, removeSeen = false))
+  }
+
+  test("IsolationForestModel save/load") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
+      .toDF("f1", "f2")
+    val m = new IsolationForest().setInputCols(Seq("f1", "f2"))
+      .setNumTrees(10).setSubsampleSize(32).fit(df)
+    val p = tmp("if"); m.write.overwrite().save(p)
+    val loaded = IsolationForestModel.load(p)
+    assert(loaded.subsample == m.subsample)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+}
