@@ -442,7 +442,7 @@ object SparkEntry {
 
     "access_anomaly" -> { (s, dir) => // rows-only: ALS scores
       new graft.cyber.AccessAnomaly().setTenantCol("event_type")
-        .setUserCol("user_id").setResCol("res").setRank(4)
+        .setUserCol("user_id").setResCol("res").setRank(4).setMaxIter(5)
         .transform(tbl(s, dir, "events")
           .filter(col("event_id") < 2000)
           .withColumn("res", pmod(col("value").cast("int"), lit(10))))

@@ -177,6 +177,9 @@ class AccessAnomaly(override val uid: String) extends Transformer
   final val seed = new LongParam(this, "seed", "ALS seed")
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
+  final val maxIter = new IntParam(this, "maxIter", "ALS iterations")
+  setDefault(maxIter -> 10)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
   final val outputCol = new Param[String](this, "outputCol", "score column")
   setDefault(outputCol -> "anomaly_score")
   def setOutputCol(v: String): this.type = set(outputCol, v)
@@ -208,7 +211,7 @@ class AccessAnomaly(override val uid: String) extends Transformer
     val als = new org.apache.spark.ml.recommendation.ALS()
       .setUserCol("__uid").setItemCol("__rid").setRatingCol("__cnt")
       .setRank($(rank)).setSeed($(seed)).setImplicitPrefs(true)
-      .setMaxIter(10).setColdStartStrategy("nan")
+      .setMaxIter($(maxIter)).setColdStartStrategy("nan")
     val model = als.fit(encoded)
     val scored = model.transform(encoded)
       .withColumnRenamed("prediction", "__raw")
