@@ -386,16 +386,20 @@ object SparkEntry {
     },
 
     // ---- explainers (§2.13) -----------------------------------------
-    "lime_tabular" -> { (s, dir) => // rows-only: surrogate coefficients
+    "lime_tabular" -> { (s, dir) =>
+      // exactly-linear black box => the surrogate recovers the true
+      // coefficients to solver tolerance; rounded to 4 decimals (+0.0
+      // normalizes -0.0) this is oracle-exact
       val ev = tbl(s, dir, "events").filter(col("event_id") < 200)
       new graft.explain.TabularLIME().setIdCol("event_id")
         .setInputCols(Seq("value", "user_id")).setNumSamples(64)
         .setScoringFn(df => df.withColumn("prediction",
           col("value") * 2.0 + col("user_id") * 0.5))
         .transform(ev)
-        .select(col("event_id"), col("intercept"),
-          round(element_at(col("coefficients"), 1), 6).as("c_value"),
-          round(element_at(col("coefficients"), 2), 6).as("c_user"))
+        .select(col("event_id"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"),
+          (round(element_at(col("coefficients"), 1), 4) + lit(0.0)).as("c_value"),
+          (round(element_at(col("coefficients"), 2), 4) + lit(0.0)).as("c_user"))
     },
 
     "shap_tabular" -> { (s, dir) => // rows-only: shap values
@@ -805,6 +809,31 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS score
+        |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (SELECT query_id, id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, id) AS rn FROM scored)
+        |SELECT query_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "knn_balltree" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (SELECT q.qid, e.vec_id AS id,
+        |    list_distance(q.qv, e.embedding) AS d
+        |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
+        |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "lime_tabular" ->
+      """SELECT event_id, CAST(0.0 AS DOUBLE) AS intercept,
+        |  CAST(2.0 AS DOUBLE) AS c_value, CAST(0.5 AS DOUBLE) AS c_user
+        |FROM events WHERE event_id < 200""".stripMargin,
 
     "per_instance_stats" ->
       """WITH m AS (SELECT CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
