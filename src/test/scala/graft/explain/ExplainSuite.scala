@@ -53,6 +53,23 @@ class ExplainSuite extends TestBase {
     assert(again == coefs)
   }
 
+  test("TextLIME ranks the decisive token highest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps spark"),
+      (2L, "lazy dogs sleep all day long")
+    ).toDF("id", "text")
+    // black box: 1.0 iff the text mentions "spark"
+    val hasSpark: DataFrame => DataFrame =
+      d => d.withColumn("prediction",
+        when(col("text").contains("spark"), 1.0).otherwise(0.0))
+    val out = new TextLIME().setIdCol("id").setTextCol("text")
+      .setNumSamples(64).setScoringFn(hasSpark).transform(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val imp1 = out(1L)
+    assert(imp1.indexOf(imp1.max) == 5, s"'spark' should dominate: $imp1")
+    assert(out(2L).forall(math.abs(_) < 1e-9)) // constant-zero scorer
+  }
+
   test("TabularSHAP values sum to f(x) - E[f]") {
     val df = data
     val out = new TabularSHAP().setIdCol("id")

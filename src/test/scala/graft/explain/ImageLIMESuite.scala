@@ -1,0 +1,72 @@
+package graft.explain
+
+import graft.TestBase
+import graft.image.{ImageSchemaUtils, Superpixel}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class ImageLIMESuite extends TestBase {
+  import spark.implicits._
+
+  test("Superpixel segments a 2-color image cleanly") {
+    // 16x16: left half red, right half blue
+    val h = 16; val w = 16
+    val data = new Array[Byte](h * w * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      if (x < w / 2) data(base + 2) = 0xff.toByte // R
+      else data(base) = 0xff.toByte               // B
+    }
+    val (labels, k) = Superpixel.segment(h, w, data, targetSegments = 4)
+    assert(k >= 2)
+    // no segment spans the color boundary
+    for (y <- 0 until h) {
+      val left = labels(y * w + w / 2 - 1)
+      val right = labels(y * w + w / 2)
+      assert(left != right)
+    }
+    // masking off everything yields black
+    val masked = Superpixel.mask(data, labels, Array.fill(k)(false))
+    assert(masked.forall(_ == 0))
+  }
+
+  test("ImageLIME attributes a red-sensitive scorer to the red region") {
+    val h = 16; val w = 16
+    val data = new Array[Byte](h * w * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      if (x < w / 2) data(base + 2) = 0xff.toByte
+      else data(base) = 0xff.toByte
+    }
+    val img = Row("", h, w, 3, ImageSchemaUtils.ocvType8UC3, data)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(Row(1L, img))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("image",
+          ImageSchemaUtils.imageType))))
+    // black box: fraction of red in the image
+    val redness = udf((im: Row) => {
+      val d = im.getAs[Array[Byte]](5)
+      var s = 0.0; var p = 2
+      while (p < d.length) { s += (d(p) & 0xff) / 255.0; p += 3 }
+      s / (d.length / 3)
+    })
+    val out = new ImageLIME().setIdCol("id").setImageCol("image")
+      .setNumSamples(64).setNumSegments(8)
+      .setScoringFn(d => d.withColumn("prediction", redness(col("image"))))
+      .transform(df).head
+    val importances = out.getSeq[Double](2)
+    // segments in the red half must carry the positive weight; verify via
+    // the labels: recompute segmentation (deterministic) and compare mean
+    // importance of red-half vs blue-half segments
+    val (labels, k) = Superpixel.segment(h, w, data, 8)
+    val redSegs = (0 until h).flatMap(y => (0 until w / 2).map(x => labels(y * w + x))).toSet
+    val blueSegs = (0 until k).toSet -- redSegs
+    val redImp = redSegs.map(importances).sum / redSegs.size
+    val blueImp = blueSegs.map(importances).sum / math.max(blueSegs.size, 1)
+    assert(redImp > blueImp + 1e-6,
+      s"red $redImp should outweigh blue $blueImp")
+  }
+}
