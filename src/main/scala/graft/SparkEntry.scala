@@ -315,6 +315,7 @@ object SparkEntry {
         .select(col("event_id"), col("value"), col("user_id"), col("is_purchase"))
       val model = new graft.train.TrainClassifier().setLabelCol("is_purchase")
         .setFeatureCols(Seq("value", "user_id")).setLearner("LogisticRegression")
+        .setMaxIter(25)
         .fit(events)
       new graft.train.ComputeModelStatistics().setLabelCol("is_purchase")
         .setEvaluationMetric("classification")

@@ -31,6 +31,10 @@ class TrainClassifier(override val uid: String)
   def setLearner(v: String): this.type = set(learner, v)
   final val numFeatures = new IntParam(this, "numFeatures", "text hash bits")
   setDefault(numFeatures -> (1 << 16))
+  final val maxIter = new IntParam(this, "maxIter",
+    "iteration cap for iterative learners (LR)", ParamValidators.gt(0))
+  setDefault(maxIter -> 100)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
 
   override def fit(ds: Dataset[_]): TrainedClassifierModel = {
     val df = ds.toDF().na.drop(Seq(getLabelCol))
@@ -46,7 +50,7 @@ class TrainClassifier(override val uid: String)
     val prepared = featurizer.transform(indexed).cache()
     // 3. learner
     val est = $(learner) match {
-      case "LogisticRegression" => new LogisticRegression()
+      case "LogisticRegression" => new LogisticRegression().setMaxIter($(maxIter))
       case "RandomForest" => new RandomForestClassifier()
       case "GBT" => new GBTClassifier()
       case "DecisionTree" => new DecisionTreeClassifier()
