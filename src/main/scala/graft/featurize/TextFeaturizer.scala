@@ -75,10 +75,20 @@ class TextFeaturizer(override val uid: String)
 }
 
 class TextFeaturizerModel(override val uid: String)
-    extends Model[TextFeaturizerModel] with HasInputCol with HasOutputCol {
+    extends Model[TextFeaturizerModel] with HasInputCol with HasOutputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("TextFeaturizerModel"))
 
   var pipeline: PipelineModel = _
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(TextFeaturizerModel.this))
+        pipeline.write.overwrite().save(s"$path/pipeline")
+      }
+    }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val out = pipeline.transform(ds.toDF())
@@ -91,4 +101,18 @@ class TextFeaturizerModel(override val uid: String)
     val c = new TextFeaturizerModel(uid); c.pipeline = pipeline
     copyValues(c, extra)
   }
+}
+
+object TextFeaturizerModel
+    extends org.apache.spark.ml.util.MLReadable[TextFeaturizerModel] {
+  override def read: org.apache.spark.ml.util.MLReader[TextFeaturizerModel] =
+    new org.apache.spark.ml.util.MLReader[TextFeaturizerModel] {
+      override def load(path: String): TextFeaturizerModel = {
+        val m = new TextFeaturizerModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.pipeline = PipelineModel.load(s"$path/pipeline")
+        m
+      }
+    }
 }

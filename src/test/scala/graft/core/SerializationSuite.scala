@@ -72,6 +72,16 @@ class SerializationSuite extends TestBase {
       loaded.recommendForAllUsers(2, removeSeen = false))
   }
 
+  test("TextFeaturizerModel save/load") {
+    val df = Seq("spark scales out", "duck scales in", "spark ducks")
+      .toDF("text")
+    val m = new graft.featurize.TextFeaturizer().setInputCol("text")
+      .setOutputCol("feats").setNumFeatures(1 << 10).fit(df)
+    val p = tmp("tf"); m.write.overwrite().save(p)
+    val loaded = graft.featurize.TextFeaturizerModel.load(p)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
