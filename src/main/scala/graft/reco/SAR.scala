@@ -94,13 +94,18 @@ class SAR(override val uid: String) extends Estimator[SARModel]
   def calculateItemItemSimilarity(df: DataFrame): DataFrame = {
     val pairs = df.select(col(getUserCol).as("user"), col(getItemCol).as("item"))
       .distinct()
-    // skew guard: cap per-user item set (deterministic by item order)
+    // skew guard: cap per-user item set (deterministic by item order) —
+    // skipped entirely when the catalog can't exceed the cap (saves the
+    // window's extra shuffle+sort; one tiny count job decides)
+    val needCap = pairs.select("item").distinct().count() > $(maxUserItems)
     val w = Window.partitionBy("user").orderBy("item")
     // persisted: occ + both sides of the co-occurrence join read this frame,
     // and without it Catalyst re-runs the full distinct over the raw log
     // three times (Spark's ContextCleaner reclaims the blocks on GC)
-    val capped = pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= $(maxUserItems)).drop("__rn")
+    val capped = (if (needCap)
+      pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= $(maxUserItems)).drop("__rn")
+    else pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = capped.groupBy("item").agg(count("*").as("occ"))
     val co = capped.as("a")
