@@ -342,6 +342,16 @@ object SparkEntry {
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },
 
+    "knn_ivf" -> { (s, dir) => // rows-only (kmeans cell assignment)
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      new IVFNearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
+        .setNLists(16).fit(emb)
+        .setK(5).setNProbe(4).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
+    },
+
     // ---- recommendation (§2.4, §2.13) -------------------------------
     "sar_item_similarity" -> { (s, dir) =>
       new graft.reco.SAR().setUserCol("user_id").setItemCol("event_type")

@@ -65,6 +65,30 @@ object BinaryFileReader {
   }
 }
 
+/** Binary file WRITE path (ref: BinaryFileFormat writer 217-243): each
+  * row's `bytes` lands as one file named by its `path` column (relative
+  * names resolved under `outDir`), written executor-side via the Hadoop
+  * FS API — no driver collect, works on any DFS.
+  */
+object BinaryFileWriter {
+  def write(df: DataFrame, outDir: String,
+            pathCol: String = "path", bytesCol: String = "bytes"): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = outDir
+    df.select(col(pathCol), col(bytesCol)).foreachPartition {
+      (it: Iterator[Row]) =>
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(conf.value)
+        it.foreach { r =>
+          val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+          val stream = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+          try stream.write(r.getAs[Array[Byte]](1)) finally stream.close()
+        }
+    }
+  }
+}
+
 /** Multimodal column plumbing: opaque binary payloads + typed metadata +
   * batched "decode / feature-extract" over mapPartitions. The actual
   * media decode is STUBBED with a deterministic fake (media codecs are

@@ -108,6 +108,17 @@ class MiscOpsSuite extends TestBase {
     assert(new String(content) == "second")
   }
 
+  test("BinaryFileWriter round-trips with BinaryFileReader") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bw").toString
+    val df = Seq(("one.bin", "alpha".getBytes), ("two.bin", "beta".getBytes))
+      .toDF("path", "bytes")
+    graft.io.binary.BinaryFileWriter.write(df, outDir)
+    val back = BinaryFileReader.read(spark, outDir)
+      .collect().map(r => new java.io.File(r.getString(0)).getName ->
+        new String(r.getAs[Array[Byte]](1))).toMap
+    assert(back == Map("one.bin" -> "alpha", "two.bin" -> "beta"))
+  }
+
   test("MultimodalFeaturizer batches, sniffs magic, emits stable features") {
     val png = {
       val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)

@@ -1,3 +1,4 @@
+// (IVF tests appended below the existing suite)
 package graft.sim
 
 import graft.TestBase
@@ -52,5 +53,29 @@ class SimilaritySuite extends TestBase {
       agg.reduce(agg.reduce(agg.zero, Scored(0.5, 10)), Scored(0.9, 3)),
       agg.reduce(agg.zero, Scored(0.9, 1)))
     assert(agg.finish(r) == Seq(Scored(0.9, 1), Scored(0.9, 3)))
+  }
+
+  test("IVF ANN recalls brute-force neighbors with full probing") {
+    val emb = sfTable("embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = new NearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setK(3).setQueries(queries, "vec_id", "embedding")
+      .transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ivf = new IVFNearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setNLists(8).fit(emb)
+    // nProbe == nLists => exhaustive => must equal brute force
+    val full = ivf.setK(3).setNProbe(8)
+      .setQueries(queries, "vec_id", "embedding").transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(full == brute)
+    // partial probing still finds the identical vector (its own cell)
+    val partial = ivf.setNProbe(1)
+      .setQueries(queries, "vec_id", "embedding").transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    partial.foreach { case (q, ids) => assert(ids.head == q) }
   }
 }
