@@ -68,6 +68,28 @@ class RecoSuite extends TestBase {
     assert(gt(3L) == Seq("c", "a"))
   }
 
+  test("RankingTrainValidationSplit picks the better grid point") {
+    // 20 users with clear co-occurrence structure
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      u <- 0L until 20L
+      group = if (u % 2 == 0) Seq("a", "b", "c") else Seq("x", "y", "z")
+      item <- group if rnd.nextDouble() < 0.9
+    } yield (u, item, 1.0 + rnd.nextInt(5))).toDF("user", "item", "rating")
+    val result = new RankingTrainValidationSplit()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setK(2).setHoldoutFraction(0.34)
+      .setGrid(Seq(("jaccard", 30), ("cooccurrence", 30)))
+      .fit(rows)
+    assert(result.results.count() == 2)
+    assert(result.bestNdcg >= 0.0 && result.bestNdcg <= 1.0)
+    assert(Set("jaccard", "cooccurrence")
+      .contains(result.bestParams("similarityFunction").toString))
+    // the winner can produce recommendations
+    assert(result.bestModel.recommendForAllUsers(2, removeSeen = false)
+      .count() > 0)
+  }
+
   test("ranking metrics: perfect and imperfect recommendations") {
     import RankingMetricsAgg._
     val perfect = perUser(Seq("a", "b"), Seq("a", "b"), 2)
