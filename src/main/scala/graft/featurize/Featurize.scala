@@ -85,11 +85,25 @@ class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
 }
 
 class FeaturizeModel(override val uid: String) extends Model[FeaturizeModel]
-    with HasOutputCol {
+    with HasOutputCol with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("FeaturizeModel"))
 
   var preExprs: Seq[(String, org.apache.spark.sql.Column)] = Nil
   var pipeline: PipelineModel = _
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(FeaturizeModel.this))
+        // Column itself is not Serializable; its Catalyst Expression is
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/preExprs.bin",
+          preExprs.map { case (n, c) =>
+            (n, org.apache.spark.sql.graftshims.ColumnBridge.expression(c))
+          })
+        pipeline.write.overwrite().save(s"$path/pipeline")
+      }
+    }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val pre = preExprs.foldLeft(ds.toDF()) {
@@ -106,4 +120,24 @@ class FeaturizeModel(override val uid: String) extends Model[FeaturizeModel]
     c.preExprs = preExprs; c.pipeline = pipeline
     copyValues(c, extra)
   }
+}
+
+object FeaturizeModel extends org.apache.spark.ml.util.MLReadable[FeaturizeModel] {
+  override def read: org.apache.spark.ml.util.MLReader[FeaturizeModel] =
+    new org.apache.spark.ml.util.MLReader[FeaturizeModel] {
+      override def load(path: String): FeaturizeModel = {
+        val m = new FeaturizeModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.preExprs = graft.core.ModelIO
+          .readObject[Seq[(String,
+            org.apache.spark.sql.catalyst.expressions.Expression)]](
+            sparkSession, s"$path/preExprs.bin")
+          .map { case (n, e) =>
+            (n, org.apache.spark.sql.graftshims.ColumnBridge.column(e))
+          }
+        m.pipeline = PipelineModel.load(s"$path/pipeline")
+        m
+      }
+    }
 }

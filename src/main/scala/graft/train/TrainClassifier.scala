@@ -71,12 +71,25 @@ class TrainClassifier(override val uid: String)
 }
 
 class TrainedClassifierModel(override val uid: String)
-    extends Model[TrainedClassifierModel] {
+    extends Model[TrainedClassifierModel]
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("TrainedClassifierModel"))
 
   var indexer: ValueIndexerModel = _
   var featurizer: FeaturizeModel = _
   var inner: PredictionModel[_, _] = _
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        indexer.write.overwrite().save(s"$path/indexer")
+        featurizer.write.overwrite().save(s"$path/featurizer")
+        inner.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+          .write.overwrite().save(s"$path/inner")
+        graft.core.ModelIO.writeText(sparkSession, s"$path/innerClass.txt",
+          inner.getClass.getName)
+      }
+    }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val featurized = featurizer.transform(ds.toDF())
@@ -97,6 +110,30 @@ class TrainedClassifierModel(override val uid: String)
     c.indexer = indexer; c.featurizer = featurizer; c.inner = inner
     copyValues(c, extra)
   }
+}
+
+object TrainedClassifierModel
+    extends org.apache.spark.ml.util.MLReadable[TrainedClassifierModel] {
+
+  /** Reload any MLReadable Spark model via its companion's load(path). */
+  private[train] def loadInner(className: String, path: String): PredictionModel[_, _] = {
+    val companion = Class.forName(className + "$")
+    val module = companion.getField("MODULE$").get(null)
+    companion.getMethod("load", classOf[String])
+      .invoke(module, path).asInstanceOf[PredictionModel[_, _]]
+  }
+
+  override def read: org.apache.spark.ml.util.MLReader[TrainedClassifierModel] =
+    new org.apache.spark.ml.util.MLReader[TrainedClassifierModel] {
+      override def load(path: String): TrainedClassifierModel = {
+        val m = new TrainedClassifierModel()
+        m.indexer = ValueIndexerModel.load(s"$path/indexer")
+        m.featurizer = FeaturizeModel.load(s"$path/featurizer")
+        m.inner = loadInner(graft.core.ModelIO
+          .readText(sparkSession, s"$path/innerClass.txt").trim, s"$path/inner")
+        m
+      }
+    }
 }
 
 /** Auto-featurizing regression trainer (ref: train/TrainRegressor.scala). */
@@ -141,11 +178,23 @@ class TrainRegressor(override val uid: String)
 }
 
 class TrainedRegressorModel(override val uid: String)
-    extends Model[TrainedRegressorModel] {
+    extends Model[TrainedRegressorModel]
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("TrainedRegressorModel"))
 
   var featurizer: FeaturizeModel = _
   var inner: PredictionModel[_, _] = _
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        featurizer.write.overwrite().save(s"$path/featurizer")
+        inner.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+          .write.overwrite().save(s"$path/inner")
+        graft.core.ModelIO.writeText(sparkSession, s"$path/innerClass.txt",
+          inner.getClass.getName)
+      }
+    }
 
   override def transform(ds: Dataset[_]): DataFrame =
     inner.transform(featurizer.transform(ds.toDF())).drop("__features")
@@ -156,4 +205,18 @@ class TrainedRegressorModel(override val uid: String)
     c.featurizer = featurizer; c.inner = inner
     copyValues(c, extra)
   }
+}
+
+object TrainedRegressorModel
+    extends org.apache.spark.ml.util.MLReadable[TrainedRegressorModel] {
+  override def read: org.apache.spark.ml.util.MLReader[TrainedRegressorModel] =
+    new org.apache.spark.ml.util.MLReader[TrainedRegressorModel] {
+      override def load(path: String): TrainedRegressorModel = {
+        val m = new TrainedRegressorModel()
+        m.featurizer = FeaturizeModel.load(s"$path/featurizer")
+        m.inner = TrainedClassifierModel.loadInner(graft.core.ModelIO
+          .readText(sparkSession, s"$path/innerClass.txt").trim, s"$path/inner")
+        m
+      }
+    }
 }

@@ -82,6 +82,32 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("FeaturizeModel save/load") {
+    val df = Seq((1.0, "red", "short text"), (2.0, "blue", "other text"))
+      .toDF("num", "cat", "txt")
+    val m = new graft.featurize.Featurize()
+      .setInputCols(Seq("num", "cat", "txt")).setOutputCol("features")
+      .setNumFeatures(1 << 8).fit(df)
+    val p = tmp("fz"); m.write.overwrite().save(p)
+    val loaded = graft.featurize.FeaturizeModel.load(p)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("TrainedClassifierModel save/load end-to-end") {
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 120).map { i =>
+      val f = rnd.nextDouble() * 10
+      (i.toLong, f, if (f > 5) "hi" else "lo")
+    }.toDF("id", "f", "label")
+    val m = new graft.train.TrainClassifier().setLabelCol("label")
+      .setFeatureCols(Seq("f")).setLearner("DecisionTree").fit(df)
+    val p = tmp("tc"); m.write.overwrite().save(p)
+    val loaded = graft.train.TrainedClassifierModel.load(p)
+    roundTrip(
+      m.transform(df).select("id", "prediction", "predicted_label"),
+      loaded.transform(df).select("id", "prediction", "predicted_label"))
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
