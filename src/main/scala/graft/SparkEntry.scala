@@ -413,7 +413,10 @@ object SparkEntry {
           (round(element_at(col("coefficients"), 2), 4) + lit(0.0)).as("c_user"))
     },
 
-    "shap_tabular" -> { (s, dir) => // rows-only: shap values
+    "shap_tabular" -> { (s, dir) =>
+      // linear black box => SHAP values are exactly w_i (x_i - mean_i);
+      // deterministic background means + exact WLS solve make this
+      // oracle-checkable at 4 decimals
       val ev = tbl(s, dir, "events").filter(col("event_id") < 200)
       new graft.explain.TabularSHAP().setIdCol("event_id")
         .setInputCols(Seq("value", "user_id")).setNumSamples(64)
@@ -421,8 +424,9 @@ object SparkEntry {
           col("value") * 2.0 + col("user_id") * 0.5))
         .transform(ev)
         .select(col("event_id"),
-          round(col("intercept"), 6).as("base"),
-          round(aggregate(col("coefficients"), lit(0.0), _ + _), 6).as("phi_sum"))
+          (round(col("intercept"), 4) + lit(0.0)).as("base"),
+          (round(element_at(col("coefficients"), 1), 4) + lit(0.0)).as("phi_value"),
+          (round(element_at(col("coefficients"), 2), 4) + lit(0.0)).as("phi_user"))
     },
 
     // ---- cyber (§2.4: per-tenant ops) -------------------------------
@@ -820,6 +824,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "shap_tabular" -> // background means over the SAME explained subset
+      """WITH m AS (SELECT
+        |    CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / COUNT(value) AS mv,
+        |    CAST(SUM(CAST(user_id AS DECIMAL(30,8))) AS DOUBLE) / COUNT(user_id) AS mu
+        |  FROM events WHERE event_id < 200)
+        |SELECT event_id,
+        |  ROUND(2 * m.mv + 0.5 * m.mu, 4) + 0.0 AS base,
+        |  ROUND(2 * (value - m.mv), 4) + 0.0 AS phi_value,
+        |  ROUND(0.5 * (user_id - m.mu), 4) + 0.0 AS phi_user
+        |FROM events CROSS JOIN m WHERE event_id < 200""".stripMargin,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

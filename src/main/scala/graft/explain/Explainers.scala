@@ -17,12 +17,17 @@ import org.apache.spark.sql.types._
 object WeightedLinearSolver {
 
   /** Solve argmin_β Σ w_i (y_i − β₀ − xᵢβ)² + λ‖β‖₁.
-    * Returns (intercept, coefficients). */
+    * Returns (intercept, coefficients). λ = 0 solves the normal equations
+    * exactly (Gaussian elimination with partial pivoting) — coordinate
+    * descent stalls on the near-collinear designs kernel SHAP's pinned
+    * coalitions create; λ > 0 runs cyclic coordinate descent.
+    */
   def fit(x: Array[Array[Double]], y: Array[Double], w: Array[Double],
           lambda: Double, maxIter: Int = 100, tol: Double = 1e-7): (Double, Array[Double]) = {
     val n = x.length
     if (n == 0) return (0.0, Array.empty)
     val d = x(0).length
+    if (lambda == 0.0) return fitExact(x, y, w, d)
     val wSum = w.sum
     if (wSum <= 0) return (0.0, new Array[Double](d))
     // weighted means for centering
@@ -88,6 +93,74 @@ object WeightedLinearSolver {
     j = 0
     while (j < d) { b0 -= beta(j) * xMean(j); j += 1 }
     (b0, beta)
+  }
+
+  /** Exact weighted least squares with intercept: solve
+    * (AᵀWA + εI)β = AᵀWy with A = [1 | X], tiny ridge ε for rank
+    * deficiency. d ≤ a few dozen here, so O(d³) is trivial. */
+  private def fitExact(x: Array[Array[Double]], y: Array[Double],
+                       w: Array[Double], d: Int): (Double, Array[Double]) = {
+    val m = d + 1
+    val ata = Array.ofDim[Double](m, m)
+    val aty = new Array[Double](m)
+    var i = 0
+    while (i < x.length) {
+      val wi = w(i)
+      val row = x(i)
+      // augmented feature 0 = intercept
+      var a = 0
+      while (a < m) {
+        val va = if (a == 0) 1.0 else row(a - 1)
+        var b = 0
+        while (b < m) {
+          val vb = if (b == 0) 1.0 else row(b - 1)
+          ata(a)(b) += wi * va * vb
+          b += 1
+        }
+        aty(a) += wi * va * y(i)
+        a += 1
+      }
+      i += 1
+    }
+    // minimal ridge: with the pinned-coalition designs cond(AᵀWA) is ~1e4,
+    // so 1e-12-relative keeps the perturbation far below round-off display
+    var j = 0
+    while (j < m) { ata(j)(j) += 1e-12 * (1.0 + ata(j)(j)); j += 1 }
+    // gaussian elimination with partial pivoting
+    j = 0
+    while (j < m) {
+      var p = j
+      var k = j + 1
+      while (k < m) { if (math.abs(ata(k)(j)) > math.abs(ata(p)(j))) p = k; k += 1 }
+      if (p != j) {
+        val t = ata(p); ata(p) = ata(j); ata(j) = t
+        val ty = aty(p); aty(p) = aty(j); aty(j) = ty
+      }
+      val piv = ata(j)(j)
+      if (math.abs(piv) > 1e-300) {
+        k = j + 1
+        while (k < m) {
+          val f = ata(k)(j) / piv
+          if (f != 0.0) {
+            var c = j
+            while (c < m) { ata(k)(c) -= f * ata(j)(c); c += 1 }
+            aty(k) -= f * aty(j)
+          }
+          k += 1
+        }
+      }
+      j += 1
+    }
+    val sol = new Array[Double](m)
+    j = m - 1
+    while (j >= 0) {
+      var s = aty(j)
+      var c = j + 1
+      while (c < m) { s -= ata(j)(c) * sol(c); c += 1 }
+      sol(j) = if (math.abs(ata(j)(j)) > 1e-300) s / ata(j)(j) else 0.0
+      j -= 1
+    }
+    (sol(0), java.util.Arrays.copyOfRange(sol, 1, m))
   }
 }
 
@@ -244,16 +317,21 @@ class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) {
     val nS = math.max($(numSamples), 4)
     val sd = $(seed)
 
-    // background = per-feature mean: one tiny agg
+    // background = per-feature mean: one tiny agg (decimal-exact so the
+    // explanation is bit-reproducible across partitionings and engines)
     val bgRow = df.agg(
-      avg(col(feats.head)).as("m0"),
+      graft.core.Determinism.deterministicMean(col(feats.head)).as("m0"),
       feats.tail.zipWithIndex.map { case (f, i) =>
-        avg(col(f)).as(s"m${i + 1}") }: _*).head()
+        graft.core.Determinism.deterministicMean(col(f)).as(s"m${i + 1}") }: _*)
+      .head()
     val bg = feats.indices.map(bgRow.getDouble).toArray
     val nF = feats.length
 
     def shapKernel(s: Int): Double =
-      if (s == 0 || s == nF) 1e6 // pinning weights for the constraints
+      if (s == 0 || s == nF) 1e4 // pinning weights for the constraints
+      // (when the black box is exactly additive the fit is exact and the
+      // weight magnitude is irrelevant; smaller keeps the system
+      // well-conditioned for the exact solver)
       else {
         // (M-1) / (C(M,s) * s * (M-s))
         var c = 1.0
