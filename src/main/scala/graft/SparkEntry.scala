@@ -376,9 +376,13 @@ object SparkEntry {
     },
 
     "ranking_ground_truth" -> { (s, dir) =>
+      // exploded (user, rn, item) scalar rows: the driver's checker can't
+      // sort list columns, so flatten the ground-truth arrays positionally
       new graft.reco.RankingAdapter().setUserCol("user_id")
         .setItemCol("event_type").setRatingCol("value").setK(3)
         .transform(tbl(s, dir, "events"))
+        .select(col("user"), posexplode(col("ground_truth")).as(Seq("pos", "item")))
+        .select(col("user"), (col("pos") + 1).cast("int").as("rn"), col("item"))
     },
 
     "ranking_metrics" -> { (s, dir) => // rows-only: metric frame
@@ -763,12 +767,12 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     "ranking_ground_truth" ->
-      """SELECT user_id AS "user", list(event_type ORDER BY rn) AS ground_truth
+      """SELECT user_id AS "user", CAST(rn AS INTEGER) AS rn,
+        |       event_type AS item
         |FROM (
         |  SELECT user_id, event_type, row_number() OVER (
         |    PARTITION BY user_id ORDER BY value DESC, event_type) AS rn
-        |  FROM events) WHERE rn <= 3
-        |GROUP BY user_id""".stripMargin,
+        |  FROM events) WHERE rn <= 3""".stripMargin,
 
     // mirrors PerTenantStandardScaler's exact arithmetic: decimal partial
     // sums -> double mean / unbiased std -> one subtraction and division

@@ -92,6 +92,68 @@ object DedupFunctions {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Buffer of [[BoundedIdSetAggregator]]: the `max` smallest ids seen so
+    * far (sorted ascending) plus a count of candidates dropped by the cap. */
+  case class CappedIds(ids: Seq[Long], dropped: Long)
+
+  /** Bounded per-bucket id collector: keeps only the `max` smallest ids,
+    * counting the overflow. Unlike a `Window`+`row_number` cap (which ships
+    * EVERY row of a degenerate bucket to one reducer before capping) or a
+    * raw `collect_list` (unbounded reducer memory), this caps during the
+    * map-side partial aggregation — a bucket shared by millions of rows
+    * costs each map task at most `max` entries, and the merged buffer is
+    * ≤ `max` ids regardless of bucket size.
+    */
+  class BoundedIdSetAggregator(max: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, CappedIds, CappedIds] {
+    private def insert(b: CappedIds, id: Long): CappedIds =
+      if (b.ids.length >= max) {
+        if (id >= b.ids.last) CappedIds(b.ids, b.dropped + 1)
+        else CappedIds((b.ids :+ id).sorted.take(max), b.dropped + 1)
+      } else CappedIds((b.ids :+ id).sorted, b.dropped)
+    override def zero: CappedIds = CappedIds(Vector.empty, 0L)
+    override def reduce(b: CappedIds, id: Long): CappedIds = insert(b, id)
+    override def merge(x: CappedIds, y: CappedIds): CappedIds = {
+      val all = (x.ids ++ y.ids).sorted
+      CappedIds(all.take(max), x.dropped + y.dropped + math.max(all.length - max, 0))
+    }
+    override def finish(b: CappedIds): CappedIds = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CappedIds] =
+      org.apache.spark.sql.Encoders.product[CappedIds]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CappedIds] =
+      org.apache.spark.sql.Encoders.product[CappedIds]
+  }
+
+  /** All unordered in-bucket pairs of a sorted id array, as
+    * `struct(l, r)` with `l < r` — generated inside the (already capped)
+    * bucket, so no self-join and no second shuffle. */
+  private def inBucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x: Column, i: Column) =>
+      transform(slice(ids, i + 2, size(ids)),
+        (y: Column) => struct(x.as("l"), y.as("r")))))
+
+  /** Candidate `(__id_l, __id_r)` pairs from narrow `(__key, __id)` rows:
+    * ONE shuffle (groupBy key with the bounded map-side aggregator above),
+    * per-bucket cap with a dropped-candidate metric (observable as
+    * `<metricName>.dropped_candidates` via a QueryExecutionListener), pair
+    * explosion in-bucket, global `distinct`. Payload columns (shingle
+    * arrays, embeddings) never enter this shuffle — verification joins
+    * them back by id afterwards.
+    */
+  private[graft] def candidatePairs(keyed: DataFrame, maxBucket: Int,
+      metricName: String): DataFrame = {
+    val bounded = udaf(new BoundedIdSetAggregator(maxBucket),
+      org.apache.spark.sql.Encoders.scalaLong)
+    keyed.groupBy(col("__key")).agg(bounded(col("__id")).as("__b"))
+      .observe(metricName, sum(col("__b.dropped")).as("dropped_candidates"))
+      .select(col("__b.ids").as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(inBucketPairs(col("__ids"))).as("__p"))
+      .select(col("__p.l").as("__id_l"), col("__p.r").as("__id_r"))
+      .filter(col("__id_l") < col("__id_r"))
+      .distinct()
+  }
 }
 
 /** Exact deduplication: keep one row (smallest id) per identical canonical
@@ -152,35 +214,42 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     val id = col($(idCol))
     val r = $(numHashes) / $(bands)
 
-    val withSig = df
-      .withColumn("__sh", hashedShingles(col(getInputCol), $(shingleSize)))
-      .withColumn("__sig", minHashSignature(col("__sh"), $(numHashes)))
-    // (bandIdx implicit in hash) -> narrow (bucket, id, shingles) rows
-    val buckets = withSig
-      .select(id.as("__id"), col("__sh"),
-        explode(bandHashes(col("__sig"), $(bands), r)).as("__bucket"))
-    // skew guard: cap candidates considered per bucket
-    val wB = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
-    val capped = buckets
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= $(maxBucketSize))
-    val l = capped.select(col("__bucket"), col("__id").as("__id_l"), col("__sh").as("__sh_l"))
-    val rgt = capped.select(col("__bucket"), col("__id").as("__id_r"), col("__sh").as("__sh_r"))
-    // candidate pairs (smaller id on the left), verified by exact Jaccard
-    val dupIds = l.join(rgt, Seq("__bucket"))
-      .filter(col("__id_l") < col("__id_r"))
+    // band explode carries ONLY (bucket, id) — 16 bytes/row through the
+    // dominant shuffle. The hashed-shingle arrays are recomputed for the
+    // (far smaller) verification join below: CPU per surviving candidate
+    // instead of `bands`× payload amplification through the explode.
+    val buckets = df
+      .withColumn("__sig", minHashSignature(
+        hashedShingles(col(getInputCol), $(shingleSize)), $(numHashes)))
+      .select(id.cast("long").as("__id"),
+        explode(bandHashes(col("__sig"), $(bands), r)).as("__key"))
+    val pairs = candidatePairs(buckets, $(maxBucketSize), s"${uid}_dropped")
+    // exact-Jaccard verification: join shingle sets back by id (twice)
+    val sh = df.select(id.cast("long").as("__id"),
+      hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
+    val dupIds = pairs
+      .join(sh.select(col("__id").as("__id_l"), col("__sh").as("__sh_l")), Seq("__id_l"))
+      .join(sh.select(col("__id").as("__id_r"), col("__sh").as("__sh_r")), Seq("__id_r"))
       .filter(jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold))
       .select(col("__id_r").as("__dup_id")).distinct()
-    df.join(dupIds, id === col("__dup_id"), "left_anti")
+    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): MinHashDeduplicator = defaultCopy(extra)
 }
 
 /** SimHash near-duplicate removal: 64-bit simhash, candidates via the
-  * pigeonhole principle (split fingerprint into `chunks` pieces; any pair
-  * within `maxHamming` must agree on ≥1 chunk), verified by exact Hamming
-  * distance.
+  * block-permutation pigeonhole (Manku et al., WWW'07 "Detecting
+  * Near-Duplicates for Web Crawling"): split the fingerprint into `blocks`
+  * pieces; a pair within `maxHamming` differs in at most `maxHamming`
+  * blocks, so it agrees EXACTLY on some combination of
+  * `blocks - maxHamming` blocks. One bucket table per combination, keyed
+  * on the concatenated agreeing blocks — with the default
+  * (blocks=6, maxHamming=3) each key carries ~32 bits of fingerprint, so
+  * the bucket space is ~2^32 (vs 2^16 for naive 4-way chunking, whose
+  * buckets go quadratic at billions of docs). C(6,3)=20 tables of narrow
+  * (key, id) rows; recall for pairs within `maxHamming` is still exact.
+  * Verified by exact Hamming distance.
   */
 class SimHashDeduplicator(override val uid: String) extends Transformer
     with HasInputCol {
@@ -191,28 +260,45 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
   final val maxHamming = new IntParam(this, "maxHamming", "hamming cutoff")
   setDefault(maxHamming -> 3)
   def setMaxHamming(v: Int): this.type = set(maxHamming, v)
-
-  private val chunks = 4
+  final val blocks = new IntParam(this, "blocks",
+    "pigeonhole blocks (> maxHamming; key width grows with blocks-maxHamming)")
+  setDefault(blocks -> 6)
+  def setBlocks(v: Int): this.type = set(blocks, v)
+  final val maxBucketSize = new IntParam(this, "maxBucketSize",
+    "per-bucket candidate cap (skew guard)")
+  setDefault(maxBucketSize -> 1000)
+  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
     val df = ds.toDF()
     val id = col($(idCol))
+    val nBlocks = $(blocks)
+    require(nBlocks > $(maxHamming),
+      s"blocks ($nBlocks) must exceed maxHamming (${$(maxHamming)})")
+    // block i covers width w_i bits at offset_i; widths differ by ≤1
+    val base = 64 / nBlocks; val rem = 64 % nBlocks
+    val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(fp: Column, i: Int): Column =
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until nBlocks).combinations(nBlocks - $(maxHamming)).toSeq
     val withFp = df.withColumn("__fp",
       simHash64(split(canonical(col(getInputCol)), " ")))
-    val chunkCols = (0 until chunks).map { i =>
-      struct(lit(i).as("ci"),
-        shiftright(col("__fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+    val keyCols = combos.zipWithIndex.map { case (bs, ci) =>
+      xxhash64((lit(ci) +: bs.map(blockVal(col("__fp"), _))): _*)
     }
-    val exploded = withFp.select(id.as("__id"), col("__fp"),
-      explode(array(chunkCols: _*)).as("__chunk"))
-    val l = exploded.select(col("__chunk"), col("__id").as("__id_l"), col("__fp").as("__fp_l"))
-    val rgt = exploded.select(col("__chunk"), col("__id").as("__id_r"), col("__fp").as("__fp_r"))
-    val dupIds = l.join(rgt, Seq("__chunk"))
-      .filter(col("__id_l") < col("__id_r"))
+    val keyed = withFp.select(id.cast("long").as("__id"),
+      explode(array(keyCols: _*)).as("__key"))
+    val pairs = candidatePairs(keyed, $(maxBucketSize), s"${uid}_dropped")
+    // verification joins the (tiny, 16-byte) fingerprints back by id
+    val fp = withFp.select(id.cast("long").as("__id"), col("__fp"))
+    val dupIds = pairs
+      .join(fp.select(col("__id").as("__id_l"), col("__fp").as("__fp_l")), Seq("__id_l"))
+      .join(fp.select(col("__id").as("__id_r"), col("__fp").as("__fp_r")), Seq("__id_r"))
       .filter(hamming64(col("__fp_l"), col("__fp_r")) <= $(maxHamming))
       .select(col("__id_r").as("__dup_id")).distinct()
-    df.join(dupIds, id === col("__dup_id"), "left_anti")
+    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): SimHashDeduplicator = defaultCopy(extra)
@@ -238,26 +324,30 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
   final val threshold = new DoubleParam(this, "threshold", "Jaccard cutoff")
   setDefault(threshold -> 0.8)
   def setThreshold(v: Double): this.type = set(threshold, v)
+  final val maxBucketSize = new IntParam(this, "maxBucketSize",
+    "per-shingle posting-list cap (guards boilerplate shingles shared by millions of docs)")
+  setDefault(maxBucketSize -> 1000)
+  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
     val df = ds.toDF()
     val id = col($(idCol))
-    val withSh = df.withColumn("__sh",
-      hashedShingles(col(getInputCol), $(shingleSize)))
     // deterministic sample: the indexShingles shingles with smallest hash
-    // (the hashed-shingle array is already sorted, so this is a prefix)
-    val sampled = withSh.withColumn("__probe",
-      slice(col("__sh"), 1, $(indexShingles)))
-    val inv = sampled.select(id.as("__id"), col("__sh"),
-      explode(col("__probe")).as("__key"))
-    val l = inv.select(col("__key"), col("__id").as("__id_l"), col("__sh").as("__sh_l"))
-    val rgt = inv.select(col("__key"), col("__id").as("__id_r"), col("__sh").as("__sh_r"))
-    val dupIds = l.join(rgt, Seq("__key"))
-      .filter(col("__id_l") < col("__id_r"))
+    // (the hashed-shingle array is already sorted, so this is a prefix);
+    // the inverted index carries (shingleHash, id) only
+    val inv = df.select(id.cast("long").as("__id"),
+        explode(slice(hashedShingles(col(getInputCol), $(shingleSize)),
+          1, $(indexShingles))).as("__key"))
+    val pairs = candidatePairs(inv, $(maxBucketSize), s"${uid}_dropped")
+    val sh = df.select(id.cast("long").as("__id"),
+      hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
+    val dupIds = pairs
+      .join(sh.select(col("__id").as("__id_l"), col("__sh").as("__sh_l")), Seq("__id_l"))
+      .join(sh.select(col("__id").as("__id_r"), col("__sh").as("__sh_r")), Seq("__id_r"))
       .filter(jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold))
       .select(col("__id_r").as("__dup_id")).distinct()
-    df.join(dupIds, id === col("__dup_id"), "left_anti")
+    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): NGramJaccardDeduplicator = defaultCopy(extra)
@@ -266,6 +356,13 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
 /** Embedding cosine near-duplicate removal: random-hyperplane LSH buckets
   * (sign bits of `numPlanes` fixed pseudo-random projections, split into
   * bands) then exact cosine verification ≥ threshold.
+  *
+  * Defaults (64 planes / 4 bands = 16 sign bits per band) size the bucket
+  * space at 65,536 values per band — collision probability for unrelated
+  * vectors ~2^-16 per band, so buckets stay sparse at billion-vector scale;
+  * shrink `numPlanes` for small corpora where recall matters more than
+  * bucket density (a 16-bit band over 500 vectors is nearly a per-vector
+  * bucket).
   */
 class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
     with HasInputCol {
@@ -277,13 +374,20 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
   setDefault(threshold -> 0.95)
   def setThreshold(v: Double): this.type = set(threshold, v)
   final val numPlanes = new IntParam(this, "numPlanes", "hyperplanes total")
-  setDefault(numPlanes -> 16)
+  setDefault(numPlanes -> 64)
+  def setNumPlanes(v: Int): this.type = set(numPlanes, v)
   final val bands = new IntParam(this, "bands", "bands over sign bits")
   setDefault(bands -> 4)
+  def setBands(v: Int): this.type = set(bands, v)
   final val seed = new LongParam(this, "seed", "hyperplane seed")
   setDefault(seed -> 42L)
+  final val maxBucketSize = new IntParam(this, "maxBucketSize",
+    "per-bucket candidate cap (skew guard)")
+  setDefault(maxBucketSize -> 1000)
+  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    import DedupFunctions.candidatePairs
     val df = ds.toDF()
     val id = col($(idCol))
     val dim = df.select(size(col(getInputCol))).head().getInt(0)
@@ -293,19 +397,21 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
       .hyperplaneSignature(col(getInputCol), planes)
     val bits = $(numPlanes) / $(bands)
     val bandCols = (0 until $(bands)).map { b =>
-      struct(lit(b).as("bi"),
-        shiftright(sigCol, b * bits).bitwiseAND(lit((1L << bits) - 1)).as("bv"))
+      xxhash64(lit(b),
+        shiftright(sigCol, b * bits).bitwiseAND(lit((1L << bits) - 1)))
     }
-    val exploded = df.select(id.as("__id"), col(getInputCol).as("__v"),
-      explode(array(bandCols: _*)).as("__band"))
-    val l = exploded.select(col("__band"), col("__id").as("__id_l"), col("__v").as("__v_l"))
-    val rgt = exploded.select(col("__band"), col("__id").as("__id_r"), col("__v").as("__v_r"))
+    // narrow (bandKey, id) rows; vectors join back only for verification
+    val keyed = df.select(id.cast("long").as("__id"),
+      explode(array(bandCols: _*)).as("__key"))
+    val pairs = candidatePairs(keyed, $(maxBucketSize), s"${uid}_dropped")
+    val vecs = df.select(id.cast("long").as("__id"), col(getInputCol).as("__v"))
     val cos = graft.sim.SimilarityFunctions.cosine(col("__v_l"), col("__v_r"))
-    val dupIds = l.join(rgt, Seq("__band"))
-      .filter(col("__id_l") < col("__id_r"))
+    val dupIds = pairs
+      .join(vecs.select(col("__id").as("__id_l"), col("__v").as("__v_l")), Seq("__id_l"))
+      .join(vecs.select(col("__id").as("__id_r"), col("__v").as("__v_r")), Seq("__id_r"))
       .filter(cos >= $(threshold))
       .select(col("__id_r").as("__dup_id")).distinct()
-    df.join(dupIds, id === col("__dup_id"), "left_anti")
+    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): EmbeddingNearDupDeduplicator = defaultCopy(extra)
