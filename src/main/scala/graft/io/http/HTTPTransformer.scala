@@ -20,6 +20,14 @@ import java.util.concurrent.{CompletableFuture, TimeUnit}
 case class RetryPolicy(backoffsMs: Seq[Long] = Seq(100L, 500L, 1000L))
     extends Serializable {
   def shouldRetry(status: Int): Boolean = status >= 500 || status == 429
+
+  /** Delay before retry `n` (0-based): `Retry-After` (seconds, capped at
+    * 30 s) wins when the service sent one, else the backoff schedule
+    * (clamped to its last entry). */
+  def delayMs(n: Int, retryAfterHeader: Option[String]): Long =
+    retryAfterHeader.flatMap(_.trim.toLongOption)
+      .map(s => math.min(s * 1000L, 30000L))
+      .getOrElse(backoffsMs(math.min(n, backoffsMs.length - 1)))
 }
 
 /** Request-struct column → response-struct column over a per-JVM pooled
@@ -49,6 +57,23 @@ class HTTPTransformer(override val uid: String) extends Transformer
     "max retries for 5xx/429", ParamValidators.gtEq(0))
   setDefault(retries -> 3)
   def setRetries(v: Int): this.type = set(retries, v)
+  final val backoffs = new IntArrayParam(this, "backoffs",
+    "retry backoff schedule in ms (clamped to last entry)")
+  setDefault(backoffs -> Array(100, 500, 1000))
+  def setBackoffs(v: Array[Int]): this.type = set(backoffs, v)
+  final val asyncReply = new BooleanParam(this, "asyncReply",
+    "follow 202 Operation-Location long-running-operation polling " +
+      "(ref: cognitive/.../CognitiveServiceBase.scala BasicAsyncReply)")
+  setDefault(asyncReply -> false)
+  def setAsyncReply(v: Boolean): this.type = set(asyncReply, v)
+  final val pollIntervalMs = new LongParam(this, "pollIntervalMs",
+    "delay between long-running-operation status polls")
+  setDefault(pollIntervalMs -> 1000L)
+  def setPollIntervalMs(v: Long): this.type = set(pollIntervalMs, v)
+  final val maxPolls = new IntParam(this, "maxPolls",
+    "max long-running-operation status polls", ParamValidators.gt(0))
+  setDefault(maxPolls -> 100)
+  def setMaxPolls(v: Int): this.type = set(maxPolls, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
@@ -57,6 +82,10 @@ class HTTPTransformer(override val uid: String) extends Transformer
     val conc = $(concurrency)
     val tmo = $(timeoutMs)
     val maxRetries = $(retries)
+    val policy = RetryPolicy($(backoffs).map(_.toLong).toSeq)
+    val doAsyncReply = $(asyncReply)
+    val pollDelay = $(pollIntervalMs)
+    val pollCap = $(maxPolls)
     val clientHolder = SharedSingleton("graft-http-client") {
       HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(30000))
@@ -79,31 +108,61 @@ class HTTPTransformer(override val uid: String) extends Transformer
           if (entity == null) HttpRequest.BodyPublishers.noBody()
           else HttpRequest.BodyPublishers.ofByteArray(entity)
         val request = b.method(method, body).build()
+        def toRow(resp: HttpResponse[Array[Byte]]): Row = {
+          val headers = resp.headers().map().entrySet().toArray
+            .map(_.asInstanceOf[java.util.Map.Entry[String, java.util.List[String]]])
+            .flatMap(e => e.getValue.toArray.map(v => Row(e.getKey, v.toString)))
+          Row(resp.statusCode(), null, headers.toSeq, resp.body())
+        }
+        def after[T](delay: Long)(task: () => CompletableFuture[T]): CompletableFuture[T] = {
+          val f = new CompletableFuture[T]()
+          CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
+            .execute(() => task().whenComplete { (r, e) =>
+              if (e != null) f.completeExceptionally(e) else f.complete(r)
+            })
+          f
+        }
+        // long-running-operation poll: GET Operation-Location until the
+        // body's "status" is terminal (succeeded/failed/cancelled)
+        val terminalStatus =
+          "(?i)\"status\"\\s*:\\s*\"(succeeded|failed|cancell?ed)\"".r
+        def poll(pollUrl: String, n: Int): CompletableFuture[Row] = {
+          val pb = HttpRequest.newBuilder(URI.create(pollUrl))
+            .timeout(Duration.ofMillis(tmo))
+          if (!req.isNullAt(2)) req.getSeq[Row](2)
+            .filterNot(_.getString(0).equalsIgnoreCase("Content-Type"))
+            .foreach(h => pb.header(h.getString(0), h.getString(1)))
+          client.sendAsync(pb.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+            .thenCompose { resp =>
+              val bodyStr = if (resp.body() == null) ""
+                else new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8)
+              if (n >= pollCap || resp.statusCode() >= 400 ||
+                  terminalStatus.findFirstIn(bodyStr).isDefined)
+                CompletableFuture.completedFuture(toRow(resp))
+              else after(pollDelay)(() => poll(pollUrl, n + 1))
+            }
+        }
         def attempt(n: Int): CompletableFuture[Row] =
           client.sendAsync(request, HttpResponse.BodyHandlers.ofByteArray())
             .thenCompose { resp =>
-              if (n < maxRetries && resp.statusCode() >= 500) {
-                // async backoff; schedule next attempt
-                val delay = math.min(100L << n, 2000L)
-                val f = new CompletableFuture[Row]()
-                CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
-                  .execute(() => attempt(n + 1).whenComplete { (r, e) =>
-                    if (e != null) f.completeExceptionally(e) else f.complete(r)
-                  })
-                f
+              if (n < maxRetries && policy.shouldRetry(resp.statusCode())) {
+                // async backoff; a 429's Retry-After overrides the schedule
+                val delay = policy.delayMs(n,
+                  Option(resp.headers().firstValue("Retry-After").orElse(null)))
+                after(delay)(() => attempt(n + 1))
               } else {
-                val headers = resp.headers().map().entrySet().toArray
-                  .map(_.asInstanceOf[java.util.Map.Entry[String, java.util.List[String]]])
-                  .flatMap(e => e.getValue.toArray.map(v => Row(e.getKey, v.toString)))
-                CompletableFuture.completedFuture(
-                  Row(resp.statusCode(), null, headers.toSeq, resp.body()))
+                val opLoc = resp.headers().firstValue("Operation-Location")
+                  .or(() => resp.headers().firstValue("operation-location"))
+                if (doAsyncReply && resp.statusCode() == 202 && opLoc.isPresent)
+                  poll(opLoc.get(), 0)
+                else CompletableFuture.completedFuture(toRow(resp))
               }
             }
-            .exceptionally { e =>
-              Row(0, Option(e.getMessage).getOrElse(e.getClass.getName),
-                Seq.empty[Row], null)
-            }
         attempt(0)
+          .exceptionally { e =>
+            Row(0, Option(e.getMessage).getOrElse(e.getClass.getName),
+              Seq.empty[Row], null)
+          }
       }
       // sliding async window: keep `conc` in flight, emit in input order
       val buffered = new Iterator[Row] {

@@ -18,6 +18,8 @@ class HTTPSuite extends TestBase {
   private var server: HttpServer = _
   private var port: Int = _
   private val flakyCounter = new AtomicInteger(0)
+  private val rateLimitCounter = new AtomicInteger(0)
+  private val asyncPollCounter = new AtomicInteger(0)
 
   override def beforeAll(): Unit = {
     super.beforeAll()
@@ -44,6 +46,39 @@ class HTTPSuite extends TestBase {
         else {
           ex.sendResponseHeaders(200, resp.length)
           ex.getResponseBody.write(resp); ex.close()
+        }
+      }
+    })
+    // /ratelimited : first call per process gets 429 + Retry-After, then OK
+    server.createContext("/ratelimited", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val n = rateLimitCounter.incrementAndGet()
+        if (n <= 1) {
+          ex.getResponseHeaders.add("Retry-After", "1")
+          ex.sendResponseHeaders(429, -1); ex.close()
+        } else {
+          val resp = "OK".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp); ex.close()
+        }
+      }
+    })
+    // /async : long-running-operation protocol — 202 + Operation-Location,
+    // poll URL reports running twice then succeeded
+    server.createContext("/async", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestURI.getPath.endsWith("/op")) {
+          val n = asyncPollCounter.incrementAndGet()
+          val resp = (if (n <= 2) """{"status":"running"}"""
+            else """{"status":"succeeded","result":7}""")
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp); ex.close()
+        } else {
+          ex.getResponseHeaders.add("Operation-Location",
+            s"http://localhost:${server.getAddress.getPort}/async/op")
+          ex.sendResponseHeaders(202, -1); ex.close()
         }
       }
     })
@@ -80,6 +115,35 @@ class HTTPSuite extends TestBase {
       .select(col("response.statusCode")).head.getInt(0)
     assert(out == 200)
     assert(flakyCounter.get() == 3) // two failures + one success
+  }
+
+  test("HTTPTransformer retries 429 honoring Retry-After") {
+    rateLimitCounter.set(0)
+    val df = Seq(1L).toDF("id").withColumn("request", HTTPSchema.toRequest(
+      lit(s"http://localhost:$port/ratelimited"), lit("GET"), lit(null)))
+    val t0 = System.nanoTime()
+    val out = new HTTPTransformer().setInputCol("request").setRetries(3)
+      .transform(df)
+      .select(col("response.statusCode")).head.getInt(0)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out == 200)
+    assert(rateLimitCounter.get() == 2) // one 429 + one success
+    assert(elapsedMs >= 1000L, s"Retry-After: 1 not honored ($elapsedMs ms)")
+  }
+
+  test("HTTPTransformer follows 202 Operation-Location async replies") {
+    asyncPollCounter.set(0)
+    val df = Seq(1L).toDF("id").withColumn("request", HTTPSchema.toRequest(
+      lit(s"http://localhost:$port/async"), lit("POST"), lit(null)))
+    val out = new HTTPTransformer().setInputCol("request")
+      .setAsyncReply(true).setPollIntervalMs(50L)
+      .transform(df)
+      .select(col("response.statusCode"),
+        HTTPSchema.entityToString(col("response")).as("body"))
+      .head
+    assert(out.getInt(0) == 200)
+    assert(out.getString(1).contains("\"status\":\"succeeded\""))
+    assert(asyncPollCounter.get() == 3) // running ×2 + succeeded
   }
 
   test("SimpleHTTPTransformer parses JSON service output") {
