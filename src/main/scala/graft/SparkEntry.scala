@@ -565,6 +565,19 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.modality").as("modality"),
           col("media_meta.size_bytes").as("size_bytes"),
           col("media_meta.magic").as("magic"))
+    },
+
+    // ---- native ESD anomaly detection (§2.12 DetectAnomalies) -------
+    // per-user series over exact cent-scaled values; fixed critical
+    // values so the full iterative verdict is SQL-expressible
+    "detect_anomalies" -> { (s, dir) =>
+      new graft.anomaly.ESDAnomalyDetector().setInputCol("__cents")
+        .setIdCol("event_id").setGroupCols(Array("user_id"))
+        .setMaxAnomalies(3).setCriticalValues(Array(3.5, 3.5, 3.5))
+        .transform(tbl(s, dir, "events")
+          .withColumn("__cents", round(col("value") * 100)))
+        .filter(col("is_anomaly"))
+        .select(col("user_id"), col("iter"), col("event_id"))
     }
   )
 
@@ -889,6 +902,72 @@ object SparkEntry {
         |  SELECT event_id, user_id, FLOOR(epoch(ts)) AS secs,
         |    (FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts))) OVER (
         |      PARTITION BY user_id ORDER BY FLOOR(epoch(ts)))) > 1800 AS gap
-        |  FROM events)""".stripMargin
+        |  FROM events)""".stripMargin,
+
+    // generalized ESD, k=3 iterations unrolled; arithmetic mirrors the
+    // Spark side exactly (decimal sums -> double, fixed-order ops)
+    "detect_anomalies" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, round(value*100) AS x FROM events),
+        |s1 AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS q
+        |  FROM pts GROUP BY user_id),
+        |d1 AS (
+        |  SELECT p.user_id, p.event_id, s.n, s.s, s.q,
+        |    ABS(s.n * p.x - s.s) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id
+        |      ORDER BY ABS(s.n * p.x - s.s) DESC, p.event_id) AS rn
+        |  FROM pts p JOIN s1 s USING (user_id)),
+        |a1 AS (
+        |  SELECT user_id, event_id, 1 AS iter,
+        |    dev / (n * SQRT((n*q - s*s) / (n * (n - 1.0)))) AS r
+        |  FROM d1 WHERE rn = 1),
+        |p1 AS (
+        |  SELECT p.* FROM pts p ANTI JOIN a1 a
+        |    ON p.user_id = a.user_id AND p.event_id = a.event_id),
+        |s2 AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS q
+        |  FROM p1 GROUP BY user_id),
+        |d2 AS (
+        |  SELECT p.user_id, p.event_id, s.n, s.s, s.q,
+        |    ABS(s.n * p.x - s.s) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id
+        |      ORDER BY ABS(s.n * p.x - s.s) DESC, p.event_id) AS rn
+        |  FROM p1 p JOIN s2 s USING (user_id)),
+        |a2 AS (
+        |  SELECT user_id, event_id, 2 AS iter,
+        |    dev / (n * SQRT((n*q - s*s) / (n * (n - 1.0)))) AS r
+        |  FROM d2 WHERE rn = 1),
+        |p2 AS (
+        |  SELECT p.* FROM p1 p ANTI JOIN a2 a
+        |    ON p.user_id = a.user_id AND p.event_id = a.event_id),
+        |s3 AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS q
+        |  FROM p2 GROUP BY user_id),
+        |d3 AS (
+        |  SELECT p.user_id, p.event_id, s.n, s.s, s.q,
+        |    ABS(s.n * p.x - s.s) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY p.user_id
+        |      ORDER BY ABS(s.n * p.x - s.s) DESC, p.event_id) AS rn
+        |  FROM p2 p JOIN s3 s USING (user_id)),
+        |a3 AS (
+        |  SELECT user_id, event_id, 3 AS iter,
+        |    dev / (n * SQRT((n*q - s*s) / (n * (n - 1.0)))) AS r
+        |  FROM d3 WHERE rn = 1),
+        |tr AS (
+        |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3),
+        |last AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN r > 3.5 THEN iter ELSE 0 END) AS li
+        |  FROM tr GROUP BY user_id)
+        |SELECT t.user_id, t.iter, t.event_id
+        |FROM tr t JOIN last l USING (user_id)
+        |WHERE t.iter <= l.li""".stripMargin
   )
 }

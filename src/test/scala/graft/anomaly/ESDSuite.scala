@@ -1,0 +1,69 @@
+package graft.anomaly
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class ESDSuite extends TestBase {
+  import spark.implicits._
+
+  test("StudentT quantile matches published t-table values") {
+    // R qt() goldens
+    assert(math.abs(StudentT.quantile(0.975, 10) - 2.2281388) < 1e-6)
+    assert(math.abs(StudentT.quantile(0.95, 5) - 2.0150484) < 1e-6)
+    assert(math.abs(StudentT.quantile(0.995, 30) - 2.7499957) < 1e-6)
+    assert(math.abs(StudentT.quantile(0.5, 7)) < 1e-6)
+    assert(math.abs(StudentT.quantile(0.025, 10) + 2.2281388) < 1e-6)
+  }
+
+  test("esdLambda matches Rosner's published critical values") {
+    // Rosner (1983) Table: n=54, alpha=0.05 -> lambda_1=3.158, lambda_2=3.151
+    val d = new ESDAnomalyDetector()
+    assert(math.abs(d.esdLambda(54, 1, 0.05) - 3.158) < 2e-3)
+    assert(math.abs(d.esdLambda(54, 2, 0.05) - 3.151) < 2e-3)
+    assert(d.esdLambda(54, 3, 0.05) < d.esdLambda(54, 2, 0.05) + 1e-9)
+  }
+
+  test("detects planted outliers per series, leaves clean series alone") {
+    // series A: tight gaussian-ish base + two wild points; series B: clean
+    val a = (0 until 50).map(i => ("a", i.toLong, 100.0 + (i % 7) - 3)) ++
+      Seq(("a", 100L, 500.0), ("a", 101L, -300.0))
+    val b = (0 until 50).map(i => ("b", (200 + i).toLong, 10.0 + (i % 5)))
+    val df = (a ++ b).toDF("series", "id", "v")
+    val out = new ESDAnomalyDetector().setInputCol("v").setIdCol("id")
+      .setGroupCols(Array("series")).setMaxAnomalies(4).setAlpha(0.05)
+      .transform(df)
+    val anomalies = out.filter(col("is_anomaly"))
+      .select("series", "id").as[(String, Long)].collect().toSet
+    assert(anomalies == Set(("a", 100L), ("a", 101L)))
+    // iteration order: biggest deviation removed first
+    val iters = out.filter(col("is_anomaly")).select("id", "iter")
+      .as[(Long, Int)].collect().toMap
+    assert(iters(100L) == 1 && iters(101L) == 2) // 500 deviates more than -300
+  }
+
+  test("fixed criticalValues mode and global (ungrouped) series") {
+    val df = ((0 until 30).map(i => (i.toLong, 50.0 + (i % 3))) :+ (99L, 400.0))
+      .toDF("id", "v")
+    val out = new ESDAnomalyDetector().setInputCol("v").setIdCol("id")
+      .setMaxAnomalies(2).setCriticalValues(Array(3.0, 3.0))
+      .transform(df)
+    val anom = out.filter(col("is_anomaly")).select("id").as[Long].collect()
+    assert(anom.toSeq == Seq(99L))
+  }
+
+  test("deterministic across partitionings") {
+    val data = (0 until 200).map(i =>
+      (("s" + (i % 3)), i.toLong, (i * 37 % 97).toDouble)) ++
+      Seq(("s0", 900L, 5000.0), ("s1", 901L, -4000.0))
+    def run(parts: Int): Set[(String, Long)] = {
+      val df = spark.createDataFrame(data).toDF("series", "id", "v")
+        .repartition(parts)
+      new ESDAnomalyDetector().setInputCol("v").setIdCol("id")
+        .setGroupCols(Array("series")).setMaxAnomalies(3)
+        .transform(df)
+        .filter(col("is_anomaly")).select("series", "id")
+        .as[(String, Long)].collect().toSet
+    }
+    assert(run(1) == run(13))
+  }
+}
