@@ -1,0 +1,145 @@
+package graft.core
+
+import graft.TestBase
+import org.apache.spark.ml.{Estimator, Transformer, PipelineStage}
+import org.apache.spark.ml.param.ParamMap
+import java.io.File
+import java.lang.reflect.Modifier
+
+/** Reflection-based fuzzing meta-test (ref: core/src/test/scala/.../core/
+  * test/fuzzing/Fuzzing.scala:29-298 + FuzzingTest.scala): every concrete
+  * PipelineStage in the library is discovered from the classpath and
+  * automatically checked — instantiable, param-copy round-trips, and
+  * REFERENCED from at least one test source file. A new stage with no
+  * test coverage fails this suite; nothing can silently skip.
+  */
+class FuzzingSuite extends TestBase {
+
+  /** All concrete graft PipelineStage classes, discovered from compiled
+    * class files (works under sbt where classes live in target/). */
+  private lazy val stageClasses: Seq[Class[_]] = {
+    val roots = System.getProperty("java.class.path").split(File.pathSeparator)
+      .filter(p => p.endsWith("classes") && p.contains("target"))
+      .map(new File(_)).filter(_.isDirectory)
+    def walk(dir: File, prefix: String): Seq[String] = {
+      val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      fs.flatMap { f =>
+        if (f.isDirectory) walk(f, s"$prefix${f.getName}.")
+        else if (f.getName.endsWith(".class") && !f.getName.contains("$"))
+          Seq(prefix + f.getName.stripSuffix(".class"))
+        else Seq.empty
+      }
+    }
+    val names = roots.flatMap(r => walk(new File(r, "graft"), "graft."))
+    names.distinct.sorted.flatMap { n =>
+      val c = try Class.forName(n) catch { case _: Throwable => null }
+      if (c != null && classOf[PipelineStage].isAssignableFrom(c) &&
+        !Modifier.isAbstract(c.getModifiers)) Seq(c)
+      else Seq.empty
+    }.toSeq
+  }
+
+  private def instantiate(c: Class[_]): Option[PipelineStage] =
+    try Some(c.getConstructor().newInstance().asInstanceOf[PipelineStage])
+    catch { case _: NoSuchMethodException => None } // model classes: fitted only
+
+  test("stage census is non-trivial") {
+    assert(stageClasses.size >= 50,
+      s"expected a full library, found only ${stageClasses.size} stages")
+    val transformers = stageClasses.count(classOf[Transformer].isAssignableFrom)
+    val estimators = stageClasses.count(classOf[Estimator[_]].isAssignableFrom)
+    info(s"discovered ${stageClasses.size} stages " +
+      s"($transformers transformers, $estimators estimators)")
+    assert(transformers > 0 && estimators > 0)
+  }
+
+  test("every default-constructible stage copies with params intact") {
+    val failures = stageClasses.flatMap { c =>
+      instantiate(c).flatMap { stage =>
+        try {
+          val copied = stage.copy(ParamMap.empty)
+          val mismatched = stage.params.filter { p =>
+            stage.get(p).map {
+              case a: Array[_] => a.toSeq
+              case v => v
+            } != copied.get(copied.getParam(p.name)).map {
+              case a: Array[_] => a.toSeq
+              case v => v
+            }
+          }
+          if (copied.uid != stage.uid)
+            Some(s"${c.getName}: uid changed on copy")
+          else if (mismatched.nonEmpty)
+            Some(s"${c.getName}: params lost on copy: ${mismatched.map(_.name).mkString(",")}")
+          else None
+        } catch {
+          case e: Throwable => Some(s"${c.getName}: copy threw ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every default-constructible stage explains its params") {
+    val failures = stageClasses.flatMap { c =>
+      instantiate(c).flatMap { stage =>
+        try { stage.explainParams(); None }
+        catch { case e: Throwable =>
+          Some(s"${c.getName}: explainParams threw ${e.getClass.getSimpleName}") }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every stage is referenced by at least one test source") {
+    val testRoot = new File("src/test/scala")
+    assume(testRoot.isDirectory, "test sources not on disk; skipping")
+    def sources(dir: File): Seq[File] = {
+      val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      fs.flatMap(f => if (f.isDirectory) sources(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty)
+    }
+    val corpus = sources(testRoot)
+      .filterNot(_.getName == "FuzzingSuite.scala") // self-references don't count
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    val uncovered = stageClasses.map(_.getSimpleName).distinct.filterNot { name =>
+      corpus.exists(_.contains(name))
+    }
+    assert(uncovered.isEmpty,
+      s"stages with NO test coverage (add a spec): ${uncovered.mkString(", ")}")
+  }
+
+  test("every MLWritable default-constructible transformer save/load round-trips") {
+    import org.apache.spark.ml.util.{MLWritable, MLReadable}
+    spark.range(1).count() // ml save/load needs an active session
+    // fitted Model shells have no state to save — SerializationSuite
+    // round-trips them post-fit; here we fuzz the params-only stages
+    val candidates = stageClasses
+      .filterNot(classOf[org.apache.spark.ml.Model[_]].isAssignableFrom)
+    val failures = candidates.flatMap { c =>
+      instantiate(c) match {
+        case Some(stage: Transformer with MLWritable) =>
+          try {
+            val dir = java.nio.file.Files
+              .createTempDirectory(s"fuzz-${c.getSimpleName}").toString + "/m"
+            stage.write.overwrite().save(dir)
+            val companion = Class.forName(c.getName + "$")
+            val module = companion.getField("MODULE$").get(null)
+            module match {
+              case r: MLReadable[_] =>
+                val loaded = r.load(dir).asInstanceOf[PipelineStage]
+                if (loaded.uid != stage.uid)
+                  Some(s"${c.getName}: uid lost in save/load")
+                else None
+              case _ => None
+            }
+          } catch {
+            case e: Throwable =>
+              Some(s"${c.getName}: save/load threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        case _ => None
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -146,6 +146,26 @@ class HTTPSuite extends TestBase {
     assert(asyncPollCounter.get() == 3) // running ×2 + succeeded
   }
 
+  test("JSONInputParser -> HTTPTransformer -> JSON/String output parsers") {
+    import org.apache.spark.sql.types._
+    val docs = Seq((1L, "hello"), (2L, "worlds!")).toDF("doc_id", "text")
+    val req = new JSONInputParser().setInputCols(Seq("text"))
+      .setUrl(s"http://localhost:$port/len").setOutputCol("request")
+      .transform(docs)
+    val resp = new HTTPTransformer().setInputCol("request")
+      .setOutputCol("response").transform(req)
+    val parsed = new JSONOutputParser().setInputCol("response")
+      .setOutputCol("parsed")
+      .setDataType(StructType(Seq(StructField("length", IntegerType))))
+      .transform(resp)
+    val raw = new StringOutputParser().setInputCol("response")
+      .setOutputCol("raw").transform(parsed)
+    val out = raw.select(col("doc_id"), col("parsed.length"), col("raw"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getInt(1)).sameElements(Array(5, 7)))
+    assert(out(0).getString(2) == """{"length": 5}""")
+  }
+
   test("SimpleHTTPTransformer parses JSON service output") {
     val docs = (0 until 10).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
     val out = new SimpleHTTPTransformer()

@@ -63,8 +63,8 @@ class SimilaritySuite extends TestBase {
       .transform(emb)
       .select(col("query_id"), col("neighbors.id").as("ids"))
       .as[(Long, Seq[Long])].collect().toMap
-    val ivf = new IVFNearestNeighbors().setInputCol("embedding")
-      .setIdCol("vec_id").setNLists(8).fit(emb)
+    val ivf: IVFNearestNeighborsModel = new IVFNearestNeighbors()
+      .setInputCol("embedding").setIdCol("vec_id").setNLists(8).fit(emb)
     // nProbe == nLists => exhaustive => must equal brute force
     val full = ivf.setK(3).setNProbe(8)
       .setQueries(queries, "vec_id", "embedding").transform(emb)

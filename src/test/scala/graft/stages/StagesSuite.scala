@@ -52,7 +52,7 @@ class StagesSuite extends TestBase {
   }
 
   test("ClassBalancer weights = max/count") {
-    val m = new ClassBalancer().setInputCol("cat").fit(df)
+    val m: ClassBalancerModel = new ClassBalancer().setInputCol("cat").fit(df)
     val w = m.transform(df).select("cat", "weight").distinct().collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(w("a") == 1.0 && w("b") == 2.0 && w("c") == 2.0)

@@ -45,7 +45,7 @@ class TrainSuite extends TestBase {
     val data = (1 to 300).map { i =>
       val x = i / 100.0; (x, 3.0 * x + 1.0)
     }.toDF("x", "target")
-    val model = new TrainRegressor().setLabelCol("target")
+    val model: TrainedRegressorModel = new TrainRegressor().setLabelCol("target")
       .setFeatureCols(Seq("x")).setLearner("LinearRegression").fit(data)
     val scored = model.transform(data)
     val stats = new ComputeModelStatistics().setLabelCol("target")
