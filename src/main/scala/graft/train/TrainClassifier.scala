@@ -31,6 +31,7 @@ class TrainClassifier(override val uid: String)
   def setLearner(v: String): this.type = set(learner, v)
   final val numFeatures = new IntParam(this, "numFeatures", "text hash bits")
   setDefault(numFeatures -> (1 << 16))
+  def setNumFeatures(v: Int): this.type = set(numFeatures, v)
   final val maxIter = new IntParam(this, "maxIter",
     "iteration cap for iterative learners (LR)", ParamValidators.gt(0))
   setDefault(maxIter -> 100)
