@@ -337,7 +337,8 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       new LSHNearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
-        .setK(5).setQueries(queries, "vec_id", "embedding")
+        .setK(5).setNumPlanes(24) // 6-bit bands fit the small sf corpora
+        .setQueries(queries, "vec_id", "embedding")
         .transform(emb)
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },

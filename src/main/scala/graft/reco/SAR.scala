@@ -151,6 +151,26 @@ class SARModel(override val uid: String) extends Model[SARModel]
   var affinities: DataFrame = _      // (user, item, affinity)
   var itemSimilarity: DataFrame = _  // (i1, i2, similarity)
 
+  /** Cap on similar items kept per item before the similarity table is
+    * broadcast (0 = keep all). At catalog scale the dense item-item table
+    * is O(items²); scoring only ever needs the strongest neighbors, so a
+    * top-N cut (similarity desc, ties by item id) bounds the broadcast at
+    * N·items rows — a 1M-item catalog cannot blow the driver. */
+  final val similarityTopN = new IntParam(this, "similarityTopN",
+    "top similar items kept per item before broadcast (0 = all)",
+    ParamValidators.gtEq(0))
+  setDefault(similarityTopN -> 0)
+  def setSimilarityTopN(v: Int): this.type = set(similarityTopN, v)
+
+  private def sparsifiedSimilarity: DataFrame =
+    if ($(similarityTopN) <= 0) itemSimilarity
+    else {
+      val w = Window.partitionBy("i1")
+        .orderBy(col("similarity").desc, col("i2"))
+      itemSimilarity.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= $(similarityTopN)).drop("__rn")
+    }
+
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
@@ -165,7 +185,7 @@ class SARModel(override val uid: String) extends Model[SARModel]
     * decimal-summed for partial-order determinism; ties break on item. */
   def recommendForAllUsers(k: Int, removeSeen: Boolean = true): DataFrame = {
     val scored = affinities
-      .join(broadcast(itemSimilarity), affinities("item") === itemSimilarity("i1"))
+      .join(broadcast(sparsifiedSimilarity), affinities("item") === itemSimilarity("i1"))
       .groupBy(col("user"), col("i2").as("item"))
       .agg(sum((col("affinity") * col("similarity")).cast(DecimalType(30, 10)))
         .cast("double").as("score"))
@@ -182,7 +202,7 @@ class SARModel(override val uid: String) extends Model[SARModel]
     // score the supplied (user, item) pairs
     val df = ds.toDF().select(col(getUserCol).as("user"), col(getItemCol).as("item"))
     val scored = affinities
-      .join(broadcast(itemSimilarity), affinities("item") === itemSimilarity("i1"))
+      .join(broadcast(sparsifiedSimilarity), affinities("item") === itemSimilarity("i1"))
       .groupBy(col("user"), col("i2").as("item"))
       .agg(sum((col("affinity") * col("similarity")).cast(DecimalType(30, 10)))
         .cast("double").as("score"))

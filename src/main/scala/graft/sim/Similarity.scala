@@ -124,12 +124,19 @@ class LSHNearestNeighbors(override val uid: String) extends Transformer
   final val k = new IntParam(this, "k", "neighbors per query")
   setDefault(k -> 10)
   def setK(v: Int): this.type = set(k, v)
+  // 64 planes over 4 bands = 16 sign bits per band: 65,536 bucket values
+  // per table, so a query probes ~corpus/2^16 per band instead of the
+  // corpus/16 a 4-bit band would touch — the scale-correct default; drop
+  // numPlanes for tiny corpora where recall beats bucket sparsity
   final val numPlanes = new IntParam(this, "numPlanes", "hyperplanes")
-  setDefault(numPlanes -> 16)
+  setDefault(numPlanes -> 64)
+  def setNumPlanes(v: Int): this.type = set(numPlanes, v)
   final val bands = new IntParam(this, "bands", "band tables")
   setDefault(bands -> 4)
+  def setBands(v: Int): this.type = set(bands, v)
   final val seed = new LongParam(this, "seed", "plane seed")
   setDefault(seed -> 42L)
+  def setSeed(v: Long): this.type = set(seed, v)
 
   private var queriesDf: DataFrame = _
   def setQueries(df: DataFrame, queryIdCol: String, vecCol: String): this.type = {

@@ -60,6 +60,25 @@ class RecoSuite extends TestBase {
     assert(unseen.sameElements(Array("c")))
   }
 
+  test("similarityTopN sparsifies the broadcast but keeps top scores") {
+    val model = new SAR().setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setSimilarityFunction("jaccard").fit(ratings)
+    // a large cap changes nothing
+    val full = model.recommendForAllUsers(2, removeSeen = false)
+      .select("user", "item", "rank").as[(Long, String, Int)].collect().toSet
+    val capped = model.setSimilarityTopN(100)
+      .recommendForAllUsers(2, removeSeen = false)
+      .select("user", "item", "rank").as[(Long, String, Int)].collect().toSet
+    assert(capped == full)
+    // topN=1 keeps only each item's single strongest neighbor (itself,
+    // sim=1.0) => score(u, j) collapses to affinity(u, j)
+    val self = model.setSimilarityTopN(1)
+      .recommendForAllUsers(1, removeSeen = false)
+      .filter(col("user") === 1L).select("item").head.getString(0)
+    assert(self == "a") // user 1's own top-affinity item
+    model.setSimilarityTopN(0) // restore
+  }
+
   test("RankingAdapter builds ordered ground truth") {
     val gt = new RankingAdapter().setUserCol("user").setItemCol("item")
       .setRatingCol("rating").setK(2).transform(ratings)
