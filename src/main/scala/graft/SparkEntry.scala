@@ -161,8 +161,11 @@ object SparkEntry {
           .select(col("l_quantity"), col("l_discount"), col("l_returnflag")))
     },
 
-    "summarize_full" -> { (s, dir) => // rows-only: approx quantiles + moments
-      new SummarizeData().transform(tbl(s, dir, "lineitem"))
+    "summarize_full" -> { (s, dir) => // exact counts + decimal-sum moments
+      new SummarizeData().setExactUnique(true).setComputeBasic(false)
+        .setExactMoments(true)
+        .transform(tbl(s, dir, "lineitem")
+          .select("l_quantity", "l_discount", "l_tax", "l_returnflag"))
     },
 
     "class_balancer" -> { (s, dir) =>
@@ -222,11 +225,11 @@ object SparkEntry {
         md5(DedupFunctions.canonical(col("text"))).as("fp_md5"))
     },
 
-    "doc_stats" -> { (s, dir) => // rows-only: quality/lang/fingerprint heuristics
+    "doc_stats" -> { (s, dir) => // fingerprint (xxhash64) stays suite-only
       new DocumentAnalyzer().setInputCol("text")
         .transform(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_tokens_est"),
-          col("quality"), col("lang_pred"), col("fingerprint"))
+          col("quality"), col("lang_pred"))
     },
 
     "page_splitter" -> { (s, dir) => // rows-only (per-row page list)
@@ -717,6 +720,118 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents""".stripMargin,
+
+    // exact decimal-power-sum moments, formulas mirrored term-by-term
+    "summarize_full" -> {
+      def statsFor(c: String): String =
+        s"""SELECT '$c' AS "Feature", n AS "count", u AS "unique",
+           |  miss AS "missing",
+           |  s1 / n AS mean,
+           |  (s2 - n * ((s1/n) * (s1/n))) / (n - 1.0) AS variance,
+           |  SQRT((s2 - n * ((s1/n) * (s1/n))) / (n - 1.0)) AS stddev,
+           |  (s3/n - 3.0 * (s1/n) * (s2/n) + 2.0 * (s1/n) * (s1/n) * (s1/n))
+           |    / ((s2/n - (s1/n)*(s1/n)) * SQRT(s2/n - (s1/n)*(s1/n)))
+           |    AS skewness,
+           |  (s4/n - 4.0 * (s1/n) * (s3/n) + 6.0 * ((s1/n)*(s1/n)) * (s2/n)
+           |    - 3.0 * (((s1/n)*(s1/n)) * ((s1/n)*(s1/n))))
+           |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
+           |    AS kurtosis
+           |FROM (
+           |  SELECT CAST(COUNT(x) AS DOUBLE) AS n,
+           |    CAST(COUNT(DISTINCT x) AS DOUBLE) AS u,
+           |    CAST(SUM(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS miss,
+           |    CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+           |    CAST(SUM(CAST(x*x AS DECIMAL(30,8))) AS DOUBLE) AS s2,
+           |    CAST(SUM(CAST((x*x)*x AS DECIMAL(30,8))) AS DOUBLE) AS s3,
+           |    CAST(SUM(CAST((x*x)*(x*x) AS DECIMAL(30,8))) AS DOUBLE) AS s4
+           |  FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem))""".stripMargin
+      Seq("l_quantity", "l_discount", "l_tax").map(statsFor)
+        .mkString("", "\nUNION ALL\n", "\nUNION ALL\n") +
+        """SELECT 'l_returnflag' AS "Feature",
+          |  CAST(COUNT(l_returnflag) AS DOUBLE) AS "count",
+          |  CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) AS "unique",
+          |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+          |    AS DOUBLE) AS "missing",
+          |  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS variance,
+          |  CAST(NULL AS DOUBLE) AS stddev, CAST(NULL AS DOUBLE) AS skewness,
+          |  CAST(NULL AS DOUBLE) AS kurtosis
+          |FROM lineitem""".stripMargin
+    },
+
+    // quality/langid heuristics mirrored term-by-term (fixed-order IEEE)
+    "doc_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len_d,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+        |    string_split_regex(lower(text), '[^\p{L}]+') AS wtoks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    list_sum(list_transform(toks,
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_tokens_est,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      / greatest(len_d, 1.0) AS alpha_r,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      / greatest(len_d, 1.0) AS punct_r,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as','at','by','be','this','are'], t)))
+        |      AS DOUBLE) / greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS stop_r,
+        |    len_d / greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS mean_wl,
+        |    CAST(len(list_filter(wtoks, t -> list_contains(
+        |      ['the','and','of','to','is','you','that','it'], t))) AS DOUBLE)
+        |      AS s_en,
+        |    CAST(len(list_filter(wtoks, t -> list_contains(
+        |      ['le','la','les','des','et','est','une','que'], t))) AS DOUBLE)
+        |      + CAST(length(regexp_replace(text, '[^àâçéèêëîïôùûü]', '', 'g'))
+        |        AS DOUBLE) AS s_fr,
+        |    CAST(len(list_filter(wtoks, t -> list_contains(
+        |      ['el','los','las','es','una','que','por','como'], t))) AS DOUBLE)
+        |      + CAST(length(regexp_replace(text, '[^áéíóúñ¿¡]', '', 'g'))
+        |        AS DOUBLE) AS s_es,
+        |    CAST(len(list_filter(wtoks, t -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit'], t))) AS DOUBLE)
+        |      + CAST(length(regexp_replace(text, '[^äöüß]', '', 'g'))
+        |        AS DOUBLE) AS s_de,
+        |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+        |      AS DOUBLE) * 2 AS s_zh
+        |  FROM base)
+        |SELECT doc_id, n_tokens, n_tokens_est,
+        |  round(least(1.0, alpha_r * 0.4
+        |    + (1.0 - least(punct_r * 5, 1.0)) * 0.2
+        |    + stop_r * 2.0 * 0.2
+        |    + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |      * 0.2), 6) AS quality,
+        |  CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
+        |    WHEN s_zh THEN 'zh' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
+        |    WHEN s_en THEN 'en' ELSE 'de' END AS lang_pred
+        |FROM scored""".stripMargin,
+
+    // PageSplitter greedy cut recurrence via recursive CTE: cut at the
+    // last boundary in (minLen=100, maxLen=200] (regexp strip of the
+    // trailing non-space run finds it), hard cut at maxLen when none
+    "page_splitter" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT doc_id, text, 0 AS off, 0 AS n FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text,
+        |    off + CASE WHEN last_ws > 0 THEN 100 + last_ws ELSE 200 END,
+        |    n + 1
+        |  FROM (
+        |    SELECT doc_id, text, off, n,
+        |      length(regexp_replace(substring(text, off + 101, 100),
+        |        '[^\s]*$', '')) AS last_ws
+        |    FROM r WHERE length(text) - off > 200) s),
+        |final AS (
+        |  SELECT doc_id, max_by(n, off) AS n, max(off) AS off,
+        |    any_value(length(text)) AS tlen
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(n + CASE WHEN tlen - off > 0 OR n = 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_pages
+        |FROM final""".stripMargin,
 
     "multi_ngram" -> // piecewise so 1-2-token docs stay correct
       """SELECT doc_id,

@@ -50,6 +50,18 @@ class SummarizeData(override val uid: String) extends Transformer
   def setComputePercentiles(v: Boolean): this.type = set(computePercentiles, v)
   def setErrorThreshold(v: Double): this.type = set(errorThreshold, v)
 
+  /** Order-independent moments: mean/variance/stddev/skewness/kurtosis
+    * derived from exact decimal power sums (Σx, Σx², Σx³, Σx⁴) with
+    * fixed-order double arithmetic — reproducible across partitionings,
+    * retries, and engines (oracle-checkable), unlike the streaming
+    * central-moment aggregates. Input must be fixed-decimal and of small
+    * enough magnitude that x⁴ is exact in a double (|x| ≲ 5000 at 2
+    * decimal places). Skewness/kurtosis are the population g1 / excess g2.
+    */
+  final val exactMoments = new BooleanParam(this, "exactMoments", "")
+  setDefault(exactMoments -> false)
+  def setExactMoments(v: Boolean): this.type = set(exactMoments, v)
+
   final val singlePass = new BooleanParam(this, "singlePass",
     "compute all columns in one wide aggregation job instead of concurrent " +
     "per-column jobs (use when the input is an expensive uncached computed " +
@@ -73,12 +85,32 @@ class SummarizeData(override val uid: String) extends Transformer
       percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
         lit((1 / pct).toInt)).cast("array<double>").as(s"${c}__q123"),
       max(col(c)).cast("double").as(s"${c}__max")) else Nil
-    val moments = if (isNumeric) Seq(
+    val moments = if (!isNumeric) Nil
+    else if ($(exactMoments)) {
+      val x = col(c).cast("double")
+      def decSum(e: org.apache.spark.sql.Column) =
+        sum(e.cast(DecimalType(30, 8))).cast("double")
+      val nD = count(col(c)).cast("double")
+      val s1 = decSum(x); val s2 = decSum(x * x)
+      val s3 = decSum((x * x) * x); val s4 = decSum((x * x) * (x * x))
+      val mean = s1 / nD
+      val m2 = s2 / nD - mean * mean
+      val varS = (s2 - nD * (mean * mean)) / (nD - lit(1.0))
+      val m3 = s3 / nD - lit(3.0) * mean * (s2 / nD) +
+        lit(2.0) * mean * mean * mean
+      val m4 = s4 / nD - lit(4.0) * mean * (s3 / nD) +
+        lit(6.0) * (mean * mean) * (s2 / nD) -
+        lit(3.0) * ((mean * mean) * (mean * mean))
+      Seq(mean.as(s"${c}__mean"), varS.as(s"${c}__variance"),
+        sqrt(varS).as(s"${c}__stddev"),
+        (m3 / (m2 * sqrt(m2))).as(s"${c}__skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as(s"${c}__kurtosis"))
+    } else Seq(
       avg(col(c)).as(s"${c}__mean"),
       variance(col(c)).as(s"${c}__variance"),
       stddev(col(c)).as(s"${c}__stddev"),
       skewness(col(c)).as(s"${c}__skewness"),
-      kurtosis(col(c)).as(s"${c}__kurtosis")) else Nil
+      kurtosis(col(c)).as(s"${c}__kurtosis"))
     (if ($(computeCounts)) base else Nil) ++
       (if ($(computeBasic)) quant else Nil) ++
       (if ($(computeSample)) moments else Nil)
