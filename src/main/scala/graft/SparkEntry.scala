@@ -571,6 +571,16 @@ object SparkEntry {
           col("media_meta.magic").as("magic"))
     },
 
+    // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
+    "sr_anomalies" -> { (s, dir) => // rows-only (FFT not SQL-expressible)
+      new graft.anomaly.SRAnomalyDetector().setInputCol("value")
+        .setIdCol("event_id").setOrderCol("event_id")
+        .setGroupCols(Array("user_id")).setThreshold(3.0)
+        .transform(tbl(s, dir, "events"))
+        .filter(col("is_anomaly"))
+        .select(col("user_id"), col("event_id"))
+    },
+
     // ---- native ESD anomaly detection (§2.12 DetectAnomalies) -------
     // per-user series over exact cent-scaled values; fixed critical
     // values so the full iterative verdict is SQL-expressible

@@ -4,7 +4,7 @@ import graft.core._
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -148,73 +148,114 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
+    val spark = df.sparkSession
     val groups = $(groupCols).toSeq
-    val gCols = groups.map(col)
     val id = col($(idCol))
     val k = $(maxAnomalies)
     val x = col(getInputCol).cast("double")
 
-    val base = df.select((gCols :+ id.cast("long").as("__id")) :+ x.as("__x"): _*)
+    // series key as one string column (driver-side maps key on it); the
+    //  separator avoids cross-column collisions
+    val keyCol =
+      if (groups.isEmpty) lit("")
+      else concat_ws("", groups.map(c => col(c).cast("string")): _*)
+    val base = df.select(keyCol.as("__k"), id.cast("long").as("__id"),
+        x.as("__x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var remaining = base
-    val traces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (i <- 1 to k) {
-      val stats = remaining.groupBy(gCols: _*).agg(
+
+    // per-series (n, Σx, Σx²) — collected ONCE; all later iterations
+    // update these driver-side by subtracting the removed point (exact:
+    // the sums are fixed-decimal). Size bound = number of series, the
+    // same bound the per-iteration broadcasts already impose.
+    case class SeriesStats(n: Long, s: BigDecimal, q: BigDecimal)
+    var stats: Map[String, SeriesStats] = base.groupBy(col("__k")).agg(
         count(lit(1)).as("__n"),
-        Determinism.exactSum(col("__x")).as("__s"),
-        Determinism.exactSum(col("__x") * col("__x")).as("__q"))
-      val joined =
-        if (groups.isEmpty) remaining.crossJoin(broadcast(stats))
-        else remaining.join(broadcast(stats), groups)
+        sum(col("__x").cast(DecimalType(30, 8))).as("__s"),
+        sum((col("__x") * col("__x")).cast(DecimalType(30, 8))).as("__q"))
+      .collect()
+      .map(r => r.getString(0) -> SeriesStats(r.getLong(1),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))).toMap
+    val n0 = stats.map { case (key, st) => key -> st.n }
+
+    // iteration trace rows collected per pass: (key, id, x, iter, r)
+    case class Removal(key: String, id: Long, x: Double, iter: Int, r: Double)
+    val removals = scala.collection.mutable.ArrayBuffer.empty[Removal]
+    var remaining = base
+    val statsSchema = StructType(Seq(StructField("__k", StringType),
+      StructField("__n", LongType), StructField("__s", DoubleType),
+      StructField("__q", DoubleType)))
+    for (i <- 1 to k) {
+      val statsRows = stats.toSeq.map { case (key, st) =>
+        Row(key, st.n, st.s.toDouble, st.q.toDouble)
+      }
+      val statsDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(statsRows).asJava),
+        statsSchema)
       val dev = abs(col("__n").cast("double") * col("__x") - col("__s"))
-      // argmax via struct max: (dev desc, -id) — map-side combinable
-      val top = joined
+      // ONE pass: argmax via map-side-combinable max(struct)
+      val top = remaining.join(broadcast(statsDf), "__k")
         .withColumn("__dev", dev)
-        .groupBy(gCols: _*)
+        .groupBy(col("__k"))
         .agg(max(struct(col("__dev"), (-col("__id")).as("__nid"),
-          col("__id"), col("__n"), col("__s"), col("__q"))).as("__m"))
-        .select((gCols :+ col("__m.__id").as("__id")) :+
+          col("__id"), col("__x"), col("__n"), col("__s"), col("__q"))).as("__m"))
+        .select(col("__k"), col("__m.__id"), col("__m.__x"),
           (col("__m.__dev") / (col("__m.__n").cast("double") *
             sqrt((col("__m.__n").cast("double") * col("__m.__q") -
               col("__m.__s") * col("__m.__s")) /
               (col("__m.__n").cast("double") * (col("__m.__n").cast("double") - 1.0)))))
-            .as("__r") :+
-          col("__m.__n").as("__n_rem"): _*)
-        .withColumn("__iter", lit(i))
-      traces += top
-      remaining = remaining.join(broadcast(top.select((gCols :+ col("__id")): _*)),
-        groups :+ "__id", "left_anti")
-    }
-    val trace = traces.reduce(_ unionByName _)
-      // original series length: remaining count at iter i is n0 - (i - 1)
-      .withColumn("__n0", col("__n_rem") + col("__iter") - 1)
-    val alphaV = $(alpha)
-    val lambdaCol: Column =
-      if (isSet(criticalValues)) {
-        val cvs = $(criticalValues)
-        require(cvs.length >= k, s"need $k critical values, got ${cvs.length}")
-        element_at(typedLit(cvs.toSeq), col("__iter"))
-      } else {
-        val lamUdf = udf((n0: Long, i: Int) => esdLambda(n0, i, alphaV))
-        lamUdf(col("__n0"), col("__iter"))
+            .as("__r"))
+        .collect()
+      top.foreach { r =>
+        removals += Removal(r.getString(0), r.getLong(1), r.getDouble(2), i,
+          r.getDouble(3))
       }
-    val flagged = trace.withColumn("__pass", col("__r") > lambdaCol)
-    val lastPass = flagged
-      .groupBy(gCols: _*)
-      .agg(max(when(col("__pass"), col("__iter")).otherwise(0)).as("__last"))
-    val verdicts =
-      (if (groups.isEmpty) flagged.crossJoin(broadcast(lastPass))
-       else flagged.join(broadcast(lastPass), groups))
-        .filter(col("__iter") <= col("__last"))
-        .select((gCols :+ col("__id")) :+ col("__iter").as("__anom_iter"): _*)
-    // base stays persisted until the plan's first action has run all k
-    // passes; it is a MEMORY_AND_DISK cache, evicted under pressure
-    val joinKeys = groups :+ "__id"
-    df.withColumn("__id", id.cast("long"))
-      .join(broadcast(verdicts), joinKeys, "left")
+      stats = top.map { r =>
+        val key = r.getString(0); val st = stats(key); val xv = r.getDouble(2)
+        // exact decimal updates mirror what a re-aggregation would return
+        key -> SeriesStats(st.n - 1,
+          st.s - BigDecimal(xv).setScale(8, BigDecimal.RoundingMode.HALF_UP),
+          st.q - BigDecimal(xv * xv).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      }.toMap ++ (stats -- top.map(_.getString(0))) // series too short to continue
+      if (i < k) {
+        val removedDf = spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(top.toSeq.map(r => Row(r.getString(0), r.getLong(1)))).asJava),
+          StructType(Seq(StructField("__k", StringType),
+            StructField("__id", LongType))))
+        remaining = remaining.join(broadcast(removedDf), Seq("__k", "__id"),
+          "left_anti")
+      }
+    }
+    base.unpersist(blocking = false)
+
+    // verdicts computed driver-side from the trace (k rows per series)
+    val alphaV = $(alpha)
+    val cvs = if (isSet(criticalValues)) {
+      val v = $(criticalValues)
+      require(v.length >= k, s"need $k critical values, got ${v.length}")
+      Some(v)
+    } else None
+    val lastPass: Map[String, Int] = removals.groupBy(_.key).map {
+      case (key, rs) =>
+        val li = rs.filter(t => t.r >
+            cvs.map(_(t.iter - 1)).getOrElse(esdLambda(n0(key), t.iter, alphaV)))
+          .map(_.iter)
+        key -> (if (li.isEmpty) 0 else li.max)
+    }
+    val verdictRows = removals
+      .filter(t => t.iter <= lastPass.getOrElse(t.key, 0))
+      .map(t => Row(t.key, t.id, t.iter))
+    val verdicts = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(verdictRows.toSeq).asJava),
+      StructType(Seq(StructField("__k", StringType),
+        StructField("__id", LongType), StructField("__anom_iter", IntegerType))))
+    df.withColumn("__k", keyCol).withColumn("__id", id.cast("long"))
+      .join(broadcast(verdicts), Seq("__k", "__id"), "left")
       .withColumn("iter", col("__anom_iter"))
       .withColumn("is_anomaly", col("__anom_iter").isNotNull)
-      .drop("__id", "__anom_iter")
+      .drop("__k", "__id", "__anom_iter")
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(StructField("iter", IntegerType),
