@@ -1,0 +1,100 @@
+package graft.core
+
+import graft.TestBase
+import graft.SparkEntry
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Physical-plan regression net: the properties that make the headline
+  * queries scale are asserted, not assumed. A refactor that silently
+  * drops a pushed filter, loses a broadcast, or introduces a cartesian
+  * product fails here before it ever reaches a cluster.
+  */
+class PlanSuite extends TestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Every node of the physical plan, descending through the AQE wrapper
+    * and subqueries (collect() alone stops at AdaptiveSparkPlanExec). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan) // pre-execution: initial plan with exchanges
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    (p +: kids.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+  }
+
+  private def planOf(name: String): Seq[SparkPlan] =
+    flatten(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+
+  test("q3/q5 push their filters into the parquet scan") {
+    for (q <- Seq("q3_shipping_priority", "q5_region_revenue")) {
+      val scans = planOf(q).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"$q: no parquet scans found")
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+      assert(pushed.exists(_.isLetter), s"$q: no pushed filters: $pushed")
+    }
+  }
+
+  test("q1 scan reads only the columns it needs") {
+    val scans = planOf("q1_pricing_summary").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "q1: no parquet scans found")
+    val readSchema = scans.map(_.metadata("ReadSchema")).mkString
+    // 7 used columns, not lineitem's full 16
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"q1 reads more than it projects: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val broadcasts = planOf("q5_region_revenue").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(broadcasts.size >= 2,
+      s"q5 should broadcast nation/region, found ${broadcasts.size}")
+  }
+
+  test("no unintended cartesian products anywhere in the suite") {
+    // broadcast-nested-loop is legitimate ONLY for the intentionally tiny
+    // broadcast query sets of the similarity operators and the one-row
+    // global-stats cross joins
+    val allowedBnl = Set("knn_bruteforce", "knn_lsh", "knn_ivf",
+      "sr_anomalies", "per_instance_stats", "clean_missing_data")
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan
+        catch { case _: Throwable => null } // fit-at-plan-time queries
+      if (plan != null) {
+        val nodes = flatten(plan)
+        val cartesian = nodes.collect { case c: CartesianProductExec => c }
+        assert(cartesian.isEmpty, s"$name has a cartesian product")
+        if (!allowedBnl(name)) {
+          val bnl = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+          assert(bnl.isEmpty, s"$name has a broadcast-nested-loop join")
+        }
+      }
+    }
+  }
+
+  test("dedup candidate generation shuffles narrow payloads only") {
+    // the minhash band explode must NOT carry the hashed-shingle array
+    // through its shuffle: no shuffle in dedup_minhash's plan may carry
+    // an array-typed shingle column
+    val shuffles = planOf("dedup_minhash").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty, "dedup_minhash: no shuffles found")
+    val wide = shuffles.filter(_.child.output.exists(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        a.name.contains("__sh")))
+    assert(wide.isEmpty,
+      s"dedup_minhash shuffles the shingle array: ${wide.map(_.child.output.map(_.name))}")
+  }
+}
