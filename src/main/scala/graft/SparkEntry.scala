@@ -346,6 +346,18 @@ object SparkEntry {
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },
 
+    "knn_conditional" -> { (s, dir) => // rows-only: label-conditioned KNN
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("label", (col("vec_id") % 3).cast("int"))
+      val m = new graft.nn.KNN().setInputCol("embedding").setIdCol("vec_id")
+        .setLabelCol("label").setK(5).fit(emb)
+      m.setConditionerCol("allowed")
+        .transform(emb.filter(col("vec_id") < 10)
+          .withColumn("allowed", array(lit(0), lit(1))))
+        .select(col("vec_id"),
+          explode(col(m.getOutputCol).getField("id")).as("neighbor_id"))
+    },
+
     "knn_ivf" -> { (s, dir) => // rows-only (kmeans cell assignment)
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
