@@ -165,3 +165,43 @@ object SessionizeStream {
       }
   }
 }
+
+/** Exact deduplication that works identically on batch and streaming
+  * frames — the streaming side of [[graft.dedup.ExactDeduplicator]] for
+  * continuous training-data ingestion. On a stream, rows carry a
+  * watermark on `timeCol` and duplicates are dropped within the watermark
+  * horizon via `dropDuplicates` (state is bounded by the watermark — the
+  * engine evicts fingerprints older than the delay, so ingest runs
+  * forever at constant memory). On batch the same stage is a plain
+  * fingerprint dedup.
+  *
+  * The dedup key is the 64-bit fingerprint of the canonical text (same
+  * canonicalization as the batch deduplicator), so state per retained
+  * document is 8 bytes + the engine's row overhead, not the document.
+  */
+class StreamingDeduplicator(override val uid: String) extends Transformer
+    with HasInputCol {
+  def this() = this(Identifiable.randomUID("StreamingDeduplicator"))
+
+  final val timeCol = new Param[String](this, "timeCol", "event-time column")
+  setDefault(timeCol -> "ts")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val watermarkDelay = new Param[String](this, "watermarkDelay",
+    "how long duplicate fingerprints are remembered, e.g. '1 hour'")
+  setDefault(watermarkDelay -> "1 hour")
+  def setWatermarkDelay(v: String): this.type = set(watermarkDelay, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val fp = xxhash64(graft.dedup.DedupFunctions.canonical(col(getInputCol)))
+    val withFp = df.withColumn("__fp", fp)
+    val deduped =
+      if (df.isStreaming)
+        withFp.withWatermark($(timeCol), $(watermarkDelay))
+          .dropDuplicatesWithinWatermark("__fp")
+      else withFp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
+}

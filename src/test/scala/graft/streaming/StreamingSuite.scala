@@ -42,6 +42,40 @@ class StreamingSuite extends TestBase {
     } finally q.stop()
   }
 
+  test("StreamingDeduplicator drops duplicate docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = new StreamingDeduplicator().setInputCol("text")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .transform(mem.toDF().toDF("ts", "text"))
+    val q = dedup.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "alpha doc"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "  Alpha   DOC "),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "beta doc"))
+      q.processAllAvailable()
+      mem.addData( // same canonical text again, still inside the watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), "alpha doc"))
+      q.processAllAvailable()
+      val texts = spark.table("streamdedup").collect().map(_.getString(1))
+      assert(texts.length == 2) // one alpha (canonically equal), one beta
+      assert(texts.exists(_.contains("beta")))
+    } finally q.stop()
+  }
+
+  test("StreamingDeduplicator is a plain fingerprint dedup on batch") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x y"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "X  y "),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "z")
+    ).toDF("ts", "text")
+    val out = new StreamingDeduplicator().setInputCol("text").transform(df)
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("ts", "text"))
+  }
+
   test("Sessionize assigns gap-based session ids on batch") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),

@@ -66,7 +66,10 @@ class TrainSuite extends TestBase {
     val out = m.transform(df)
     val v = out.select("features").head
       .getAs[org.apache.spark.ml.linalg.Vector](0)
-    assert(v.size > 64) // 1 numeric + 64 hashed + 5 date feats
+    // exact layout golden (the reference commits featurize-schema JSONs —
+    // benchmark{BasicDataTypes,Date,String}.json — for the same purpose):
+    // 1 numeric slot + 64 hashed text slots + 5 date features
+    assert(v.size == 1 + 64 + 5, s"featurized layout changed: ${v.size}")
   }
 
   test("TextFeaturizer TF-IDF end-to-end") {
