@@ -401,7 +401,7 @@ object SparkEntry {
         .select(col("user"), (col("pos") + 1).cast("int").as("rn"), col("item"))
     },
 
-    "ranking_metrics" -> { (s, dir) => // rows-only: metric frame
+    "ranking_metrics" -> { (s, dir) => // per-user metrics (deterministic)
       val events = tbl(s, dir, "events")
       val gt = new graft.reco.RankingAdapter().setUserCol("user_id")
         .setItemCol("event_type").setRatingCol("value").setK(3)
@@ -412,8 +412,9 @@ object SparkEntry {
         .groupBy("user")
         .agg(sort_array(collect_list(struct(col("rank"), col("item"))))
           .getField("item").as("recommendations"))
-      new graft.reco.RankingEvaluator().setK(3)
+      new graft.reco.RankingEvaluator().setK(3).setPerUserMetrics(true)
         .transform(recs.join(gt, "user"))
+        .withColumn("user", col("user").cast("long"))
     },
 
     // ---- explainers (§2.13) -----------------------------------------
@@ -924,6 +925,61 @@ object SparkEntry {
         |  SELECT user_id, event_type, row_number() OVER (
         |    PARTITION BY user_id ORDER BY value DESC, event_type) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    // per-user ranking metrics over the no-decay SAR recs + adapter ground
+    // truth; every metric rounded to 9 dp on both sides so last-ulp log /
+    // sum-order differences cannot surface
+    "ranking_metrics" ->
+      """WITH aff AS (SELECT user_id AS u, event_type AS itm,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS affinity
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),
+        |occ AS (SELECT itm, COUNT(*) AS occ FROM pairs GROUP BY itm),
+        |co AS (SELECT a.itm AS i1, b.itm AS i2, COUNT(*) AS cooc
+        |       FROM pairs a JOIN pairs b ON a.u = b.u GROUP BY 1, 2),
+        |sim AS (SELECT i1, i2,
+        |  CAST(cooc AS DOUBLE) / (o1.occ + o2.occ - cooc) AS similarity
+        |  FROM co JOIN occ o1 ON co.i1 = o1.itm JOIN occ o2 ON co.i2 = o2.itm),
+        |scored AS (SELECT aff.u, sim.i2 AS item,
+        |  CAST(SUM(CAST(aff.affinity * sim.similarity AS DECIMAL(30,10)))
+        |    AS DOUBLE) AS score
+        |  FROM aff JOIN sim ON aff.itm = sim.i1 GROUP BY 1, 2),
+        |recs AS (SELECT u, item, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY u ORDER BY score DESC, item) AS rank
+        |  FROM scored) WHERE rank <= 3),
+        |gtd AS (SELECT DISTINCT user_id AS u, event_type AS item FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_type) AS rn
+        |  FROM events) WHERE rn <= 3),
+        |nrel AS (SELECT u, COUNT(*) AS nrel FROM gtd GROUP BY u),
+        |rel AS (SELECT r.u, r.rank,
+        |    CASE WHEN g.item IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM recs r LEFT JOIN gtd g ON r.u = g.u AND r.item = g.item),
+        |cum AS (SELECT u, rank, rel,
+        |    SUM(rel) OVER (PARTITION BY u ORDER BY rank) AS hits_so_far
+        |  FROM rel),
+        |per AS (SELECT c.u,
+        |    SUM(c.rel) AS hits,
+        |    SUM(CASE WHEN c.rel = 1
+        |      THEN CAST(c.hits_so_far AS DOUBLE) / c.rank ELSE 0.0 END) AS ap_sum,
+        |    SUM(CASE WHEN c.rel = 1
+        |      THEN 1.0 / (ln(c.rank + 1) / ln(2.0)) ELSE 0.0 END) AS dcg,
+        |    MAX(CASE WHEN c.rel = 1 AND c.hits_so_far = 1
+        |      THEN 1.0 / c.rank ELSE 0.0 END) AS rr
+        |  FROM cum c GROUP BY c.u)
+        |SELECT p.u AS "user",
+        |  round(CAST(p.hits AS DOUBLE) / 3, 9) + 0.0 AS precision_at_k,
+        |  round(CAST(p.hits AS DOUBLE) / n.nrel, 9) + 0.0 AS recall_at_k,
+        |  round(p.ap_sum / LEAST(n.nrel, 3), 9) + 0.0 AS ap,
+        |  round(p.dcg / (CASE LEAST(n.nrel, 3)
+        |    WHEN 1 THEN 1.0 / (ln(2.0) / ln(2.0))
+        |    WHEN 2 THEN 1.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0))
+        |    ELSE 1.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0))
+        |      + 1.0 / (ln(4.0) / ln(2.0)) END), 9) + 0.0 AS ndcg_at_k,
+        |  round(p.rr, 9) + 0.0 AS rr,
+        |  CAST(CASE WHEN p.hits > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hit
+        |FROM per p JOIN nrel n ON p.u = n.u""".stripMargin,
 
     // mirrors PerTenantStandardScaler's exact arithmetic: decimal partial
     // sums -> double mean / unbiased std -> one subtraction and division

@@ -3,7 +3,7 @@ package graft.reco
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -115,24 +115,53 @@ class RankingEvaluator(override val uid: String) extends Transformer {
   final val k = new IntParam(this, "k", "cutoff", ParamValidators.gt(0))
   setDefault(k -> 10)
   def setK(v: Int): this.type = set(k, v)
+  /** Emit one row PER USER instead of the averaged single row — narrow
+    * (no aggregation at all), fully deterministic (each metric is rounded
+    * to 9 dp so last-ulp log/sum differences cannot surface), and thus
+    * oracle-checkable. Requires `keyCol`. */
+  final val perUserMetrics = new BooleanParam(this, "perUserMetrics", "")
+  setDefault(perUserMetrics -> false)
+  def setPerUserMetrics(v: Boolean): this.type = set(perUserMetrics, v)
+  final val keyCol = new Param[String](this, "keyCol", "user key column")
+  setDefault(keyCol -> "user")
+  def setKeyCol(v: String): this.type = set(keyCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import RankingMetricsAgg._
     val df = ds.toDF()
-    val agg = udaf(new MeanAgg($(k)),
-      Encoders.tuple(ExpressionEncoderHelper.seqString, ExpressionEncoderHelper.seqString))
-    df.select(agg(col($(recCol)), col($(gtCol))).as("m"))
-      .select(
-        (col("m.p") / col("m.n")).as("precision_at_k"),
-        (col("m.r") / col("m.n")).as("recall_at_k"),
-        (col("m.map") / col("m.n")).as("map"),
-        (col("m.ndcg") / col("m.n")).as("ndcg_at_k"),
-        (col("m.mrr") / col("m.n")).as("mrr"),
-        (col("m.hitRate") / col("m.n")).as("hit_rate"))
+    if ($(perUserMetrics)) {
+      val kV = $(k)
+      val f = udf((rec: Seq[String], gt: Seq[String]) => perUser(rec, gt, kV))
+      def r9(c: Column): Column = round(c, 9) + lit(0.0)
+      df.select(col($(keyCol)), f(col($(recCol)), col($(gtCol))).as("__m"))
+        .select(col($(keyCol)),
+          r9(col("__m.precisionAtK")).as("precision_at_k"),
+          r9(col("__m.recallAtK")).as("recall_at_k"),
+          r9(col("__m.ap")).as("ap"),
+          r9(col("__m.ndcg")).as("ndcg_at_k"),
+          r9(col("__m.rr")).as("rr"),
+          r9(col("__m.hit")).as("hit"))
+    } else {
+      val agg = udaf(new MeanAgg($(k)),
+        Encoders.tuple(ExpressionEncoderHelper.seqString, ExpressionEncoderHelper.seqString))
+      df.select(agg(col($(recCol)), col($(gtCol))).as("m"))
+        .select(
+          (col("m.p") / col("m.n")).as("precision_at_k"),
+          (col("m.r") / col("m.n")).as("recall_at_k"),
+          (col("m.map") / col("m.n")).as("map"),
+          (col("m.ndcg") / col("m.n")).as("ndcg_at_k"),
+          (col("m.mrr") / col("m.n")).as("mrr"),
+          (col("m.hitRate") / col("m.n")).as("hit_rate"))
+    }
   }
   override def transformSchema(schema: StructType): StructType =
-    StructType(Seq("precision_at_k", "recall_at_k", "map", "ndcg_at_k",
-      "mrr", "hit_rate").map(StructField(_, DoubleType)))
+    if ($(perUserMetrics))
+      StructType(StructField($(keyCol), StringType) +:
+        Seq("precision_at_k", "recall_at_k", "ap", "ndcg_at_k", "rr", "hit")
+          .map(StructField(_, DoubleType)))
+    else
+      StructType(Seq("precision_at_k", "recall_at_k", "map", "ndcg_at_k",
+        "mrr", "hit_rate").map(StructField(_, DoubleType)))
   override def copy(extra: ParamMap): RankingEvaluator = defaultCopy(extra)
 }
 
