@@ -170,9 +170,15 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val fp = DedupFunctions.canonical(col(getInputCol))
-    val w = Window.partitionBy(fp).orderBy(col($(idCol)))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // min_by keeps the whole smallest-id row per fingerprint in ONE
+    // map-side-combinable aggregation — no per-bucket sort, and the map
+    // phase already collapses local duplicates before the shuffle (a
+    // window + row_number ships every duplicate row through the shuffle
+    // and sorts each bucket)
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
+        col($(idCol))).as("__row"))
+      .select(col("__row.*"))
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
