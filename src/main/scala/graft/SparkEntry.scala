@@ -1067,6 +1067,19 @@ object SparkEntry {
         |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
         |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
 
+    // label-conditioned exact KNN: corpus restricted to allowed labels
+    "knn_conditional" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE CAST(vec_id % 3 AS INTEGER) IN (0, 1)),
+        |scored AS (SELECT q.qid, e.vec_id AS id,
+        |    list_distance(q.qv, e.embedding) AS d
+        |  FROM q CROSS JOIN corpus e),
+        |ranked AS (SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
+        |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
     "lime_tabular" ->
       """SELECT event_id, CAST(0.0 AS DOUBLE) AS intercept,
         |  CAST(2.0 AS DOUBLE) AS c_value, CAST(0.5 AS DOUBLE) AS c_user
