@@ -239,6 +239,15 @@ object SparkEntry {
         .selectExpr("doc_id", "size(pages) as n_pages")
     },
 
+    "doc_chunks" -> { (s, dir) =>
+      new TokenChunker().setInputCol("text").setOutputCol("chunks")
+        .setChunkTokens(40).setStrideTokens(30)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(col("chunks")))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+          col("col").as("chunk"))
+    },
+
     "multi_ngram" -> { (s, dir) =>
       new MultiNGram().setInputCol("__toks").setOutputCol("ngrams")
         .setLengths(Seq(1, 2, 3))
@@ -855,6 +864,18 @@ object SparkEntry {
         |  CAST(n + CASE WHEN tlen - off > 0 OR n = 0 THEN 1 ELSE 0 END
         |    AS INTEGER) AS n_pages
         |FROM final""".stripMargin,
+
+    // overlapping token windows; ceil via floor of exact-int double division
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |    CAST(FLOOR((GREATEST(len(toks) - 40, 0) + 29) / CAST(30 AS DOUBLE))
+        |      AS INTEGER) + 1 AS nchunks FROM t)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+        |  array_to_string(list_slice(toks, i * 30 + 1, i * 30 + 40), ' ')
+        |    AS chunk
+        |FROM (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM n)""".stripMargin,
 
     "multi_ngram" -> // piecewise so 1-2-token docs stay correct
       """SELECT doc_id,

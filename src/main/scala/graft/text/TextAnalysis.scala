@@ -118,3 +118,46 @@ class DocumentAnalyzer(override val uid: String) extends Transformer
   }
   override def copy(extra: ParamMap): DocumentAnalyzer = defaultCopy(extra)
 }
+
+/** Overlapping fixed-size token windows — the standard chunking step of a
+  * pre-training / RAG data pipeline (each document becomes
+  * `ceil(max(n-chunk,0)/stride) + 1` windows of `chunkTokens` whitespace
+  * tokens, consecutive windows sharing `chunkTokens - strideTokens`
+  * tokens). Built entirely from native array expressions (split /
+  * sequence / slice / array_join) so chunking is a narrow codegen'd
+  * projection — no UDF, no shuffle, safe to run over 100 TB of text.
+  * (Beyond the reference's surface; standard public construction.)
+  */
+class TokenChunker(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol {
+  def this() = this(Identifiable.randomUID("TokenChunker"))
+  setDefault(outputCol -> "chunks")
+
+  final val chunkTokens = new IntParam(this, "chunkTokens",
+    "tokens per chunk", ParamValidators.gt(0))
+  setDefault(chunkTokens -> 512)
+  def setChunkTokens(v: Int): this.type = set(chunkTokens, v)
+  final val strideTokens = new IntParam(this, "strideTokens",
+    "token stride between chunk starts (< chunkTokens gives overlap)",
+    ParamValidators.gt(0))
+  setDefault(strideTokens -> 512)
+  def setStrideTokens(v: Int): this.type = set(strideTokens, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val n = $(chunkTokens); val s = $(strideTokens)
+    val toks = split(trim(col(getInputCol)), "\\s+")
+    val len = size(toks)
+    // integer ceil((len - n)+ / s) + 1 chunk starts at 0, s, 2s, ...
+    // (floor of an exact-integer double division — mirrors in SQL)
+    val nChunks = floor((greatest(len - n, lit(0)) + (s - 1)) /
+      lit(s.toDouble)).cast("int") + 1
+    val chunks = org.apache.spark.sql.functions.transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * s + 1, lit(n)), " "))
+    ds.toDF().withColumn(getOutputCol, chunks)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+
+      StructField(getOutputCol, ArrayType(StringType)))
+  override def copy(extra: ParamMap): TokenChunker = defaultCopy(extra)
+}

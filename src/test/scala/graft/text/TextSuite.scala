@@ -83,4 +83,23 @@ class TextSuite extends TestBase {
     val sh = df.select(DedupFunctions.shingles(col("t"), 2)).as[Seq[String]].head()
     assert(sh.toSet == Set("a b", "b c", "c d"))
   }
+
+  test("TokenChunker windows overlap and cover every token") {
+    import spark.implicits._
+    val doc = (1 to 95).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "short doc"), (3L, "")).toDF("id", "text")
+    val out = new TokenChunker().setInputCol("text").setOutputCol("chunks")
+      .setChunkTokens(40).setStrideTokens(30).transform(df)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+    // 95 tokens, chunk 40 stride 30 -> ceil(55/30)+1 = 3 chunks
+    assert(out(1L).length == 3)
+    assert(out(1L)(0).startsWith("t1 ") && out(1L)(0).endsWith(" t40"))
+    assert(out(1L)(1).startsWith("t31 ") && out(1L)(1).endsWith(" t70"))
+    assert(out(1L)(2).startsWith("t61 ") && out(1L)(2).endsWith(" t95"))
+    // short and empty docs yield one chunk
+    assert(out(2L) == Seq("short doc"))
+    assert(out(3L).length == 1)
+  }
 }
