@@ -596,7 +596,7 @@ object SparkEntry {
     // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
     "sr_anomalies" -> { (s, dir) => // rows-only (FFT not SQL-expressible)
       new graft.anomaly.SRAnomalyDetector().setInputCol("value")
-        .setIdCol("event_id").setOrderCol("event_id")
+        .setOrderCol("event_id")
         .setGroupCols(Array("user_id")).setThreshold(3.0)
         .transform(tbl(s, dir, "events"))
         .filter(col("is_anomaly"))

@@ -158,9 +158,11 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
     //  separator avoids cross-column collisions
     val keyCol =
       if (groups.isEmpty) lit("")
-      else concat_ws("", groups.map(c => col(c).cast("string")): _*)
+      else concat_ws("",
+        groups.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     val base = df.select(keyCol.as("__k"), id.cast("long").as("__id"),
         x.as("__x"))
+      .filter(col("__x").isNotNull) // null points are not part of any series
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-series (n, Σx, Σx²) — collected ONCE; all later iterations

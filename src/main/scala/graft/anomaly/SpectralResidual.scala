@@ -85,8 +85,6 @@ class SRAnomalyDetector(override val uid: String) extends Transformer
     with HasInputCol {
   def this() = this(Identifiable.randomUID("SRAnomalyDetector"))
 
-  final val idCol = new Param[String](this, "idCol", "unique point id column")
-  def setIdCol(v: String): this.type = set(idCol, v)
   final val orderCol = new Param[String](this, "orderCol",
     "column ordering the series points (e.g. timestamp)")
   def setOrderCol(v: String): this.type = set(orderCol, v)
@@ -142,10 +140,14 @@ class SRAnomalyDetector(override val uid: String) extends Transformer
     val tau = $(threshold)
     val outSchema = transformSchema(df.schema)
     val keyed = df.select(
-      (concat_ws("", groups.map(col): _*).as("__g") +:
+      (concat_ws("",
+        groups.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("__g") +:
         df.columns.toIndexedSeq.map(col)) :+
         col($(orderCol)).cast("double").as("__ord") :+
         col(getInputCol).cast("double").as("__x"): _*)
+      // a null value or order would silently unbox to 0.0 in the group
+      // closure, injecting phantom points — such rows are not series points
+      .filter(col("__x").isNotNull && col("__ord").isNotNull)
     val enc = ExpressionEncoder(outSchema)
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = enc
     val nOrig = df.columns.length

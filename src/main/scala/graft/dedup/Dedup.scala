@@ -175,9 +175,11 @@ class ExactDeduplicator(override val uid: String) extends Transformer
     // phase already collapses local duplicates before the shuffle (a
     // window + row_number ships every duplicate row through the shuffle
     // and sorts each bucket)
+    // null ids order last (min_by skips null ordering values entirely,
+    // which would drop a group whose rows all have null ids)
     df.groupBy(fp.as("__fp"))
       .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
-        col($(idCol))).as("__row"))
+        coalesce(col($(idCol)).cast("long"), lit(Long.MaxValue))).as("__row"))
       .select(col("__row.*"))
   }
   override def transformSchema(schema: StructType): StructType = schema

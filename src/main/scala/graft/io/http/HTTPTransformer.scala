@@ -27,7 +27,9 @@ case class RetryPolicy(backoffsMs: Seq[Long] = Seq(100L, 500L, 1000L))
   def delayMs(n: Int, retryAfterHeader: Option[String]): Long =
     retryAfterHeader.flatMap(_.trim.toLongOption)
       .map(s => math.min(s * 1000L, 30000L))
-      .getOrElse(backoffsMs(math.min(n, backoffsMs.length - 1)))
+      .getOrElse(
+        if (backoffsMs.isEmpty) 100L
+        else backoffsMs(math.min(n, backoffsMs.length - 1)))
 }
 
 /** Request-struct column → response-struct column over a per-JVM pooled
@@ -117,9 +119,14 @@ class HTTPTransformer(override val uid: String) extends Transformer
         def after[T](delay: Long)(task: () => CompletableFuture[T]): CompletableFuture[T] = {
           val f = new CompletableFuture[T]()
           CompletableFuture.delayedExecutor(delay, TimeUnit.MILLISECONDS)
-            .execute(() => task().whenComplete { (r, e) =>
-              if (e != null) f.completeExceptionally(e) else f.complete(r)
-            })
+            .execute { () =>
+              // a synchronous throw from task() must surface as a failed
+              // future — a swallowed one would hang the ordered window's
+              // blocking get() forever
+              try task().whenComplete { (r, e) =>
+                if (e != null) f.completeExceptionally(e) else f.complete(r)
+              } catch { case t: Throwable => f.completeExceptionally(t) }
+            }
           f
         }
         // long-running-operation poll: GET Operation-Location until the

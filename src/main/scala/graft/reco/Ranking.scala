@@ -156,7 +156,8 @@ class RankingEvaluator(override val uid: String) extends Transformer {
   }
   override def transformSchema(schema: StructType): StructType =
     if ($(perUserMetrics))
-      StructType(StructField($(keyCol), StringType) +:
+      StructType(StructField($(keyCol),
+          schema.find(_.name == $(keyCol)).map(_.dataType).getOrElse(StringType)) +:
         Seq("precision_at_k", "recall_at_k", "ap", "ndcg_at_k", "rr", "hit")
           .map(StructField(_, DoubleType)))
     else

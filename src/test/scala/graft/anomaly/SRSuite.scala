@@ -49,7 +49,7 @@ class SRSuite extends TestBase {
           (if (t == 100) 15.0 else 0.0))) ++
       (0 until 128).map(t => ("b", t.toLong, 5.0 + (t % 4) * 0.1))
     val df = rows.toDF("series", "t", "v").repartition(7)
-    val out = new SRAnomalyDetector().setInputCol("v").setIdCol("t")
+    val out = new SRAnomalyDetector().setInputCol("v")
       .setOrderCol("t").setGroupCols(Array("series")).setThreshold(3.0)
       .transform(df)
     val anomalies = out.filter(col("is_anomaly"))
