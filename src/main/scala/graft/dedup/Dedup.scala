@@ -215,6 +215,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
   final val maxBucketSize = new IntParam(this, "maxBucketSize",
     "per-bucket candidate cap (skew guard)")
   setDefault(maxBucketSize -> 1000)
+  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._

@@ -78,4 +78,40 @@ class DedupSuite extends TestBase {
     assert(df.select(DedupFunctions.hamming64(col("a"), col("b")))
       .head.getInt(0) == 3)
   }
+
+  test("bucket caps bound a pathologically skewed fixture and report drops") {
+    // 2,000 identical docs -> every band bucket is one degenerate bucket.
+    // Without the cap the pair space is ~2M; with maxBucketSize=50 the
+    // candidate set is bounded at C(50,2) and the overflow is observable.
+    val docs = (0L until 2000L).map(i => (i, "the same boilerplate text " +
+      "repeated in every single document of this corpus")).toDF("id", "text")
+    @volatile var dropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.values.foreach { row =>
+          if (row.schema.fieldNames.contains("dropped_candidates") &&
+              !row.isNullAt(row.fieldIndex("dropped_candidates")))
+            dropped = math.max(dropped,
+              row.getLong(row.fieldIndex("dropped_candidates")))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = new MinHashDeduplicator().setInputCol("text").setIdCol("id")
+        .setMaxBucketSize(50)
+        .transform(docs)
+      // the 49 capped smaller-id candidates are dropped as duplicates of
+      // id 0; docs outside the cap survive (recall sacrificed, bounded work)
+      val survivors = out.count()
+      assert(survivors == 2000 - 49, s"survivors $survivors")
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (dropped <= 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(dropped > 0, "dropped_candidates metric never observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
