@@ -355,6 +355,16 @@ object SparkEntry {
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },
 
+    "embedding_pool" -> { (s, dir) => // per-group mean-pooled vectors
+      new graft.sim.EmbeddingMeanPooler().setInputCol("embedding")
+        .setGroupCols(Array("__grp")).setOutputCol("pooled")
+        .transform(tbl(s, dir, "embeddings")
+          .withColumn("__grp", (col("vec_id") % 10).cast("long")))
+        .select(col("__grp").as("grp"), posexplode(col("pooled")))
+        .select(col("grp"), col("pos").cast("int").as("dim"),
+          col("col").as("mean_val"))
+    },
+
     "knn_conditional" -> { (s, dir) => // rows-only: label-conditioned KNN
       val emb = tbl(s, dir, "embeddings")
         .withColumn("label", (col("vec_id") % 3).cast("int"))
@@ -1087,6 +1097,16 @@ object SparkEntry {
         |ranked AS (SELECT qid, id, row_number() OVER (
         |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
         |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // per-(group, dim) exact decimal mean over unnested embeddings
+    "embedding_pool" ->
+      """SELECT CAST(vec_id % 10 AS BIGINT) AS grp,
+        |  CAST(i - 1 AS INTEGER) AS dim,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,8)))
+        |    AS DOUBLE) / COUNT(embedding[i]) AS mean_val
+        |FROM (SELECT vec_id, embedding,
+        |  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
 
     // label-conditioned exact KNN: corpus restricted to allowed labels
     "knn_conditional" ->

@@ -78,4 +78,17 @@ class SimilaritySuite extends TestBase {
       .as[(Long, Seq[Long])].collect().toMap
     partial.foreach { case (q, ids) => assert(ids.head == q) }
   }
+
+  test("EmbeddingMeanPooler pools exact per-dimension means") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 20.0f))
+    ).toDF("g", "emb").repartition(5)
+    val out = new EmbeddingMeanPooler().setInputCol("emb")
+      .setGroupCols(Array("g")).setOutputCol("pooled")
+      .transform(df)
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") == Seq(2.0, 4.0))
+    assert(out("b") == Seq(10.0, 20.0))
+  }
 }
