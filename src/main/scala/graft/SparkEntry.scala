@@ -225,11 +225,15 @@ object SparkEntry {
         md5(DedupFunctions.canonical(col("text"))).as("fp_md5"))
     },
 
-    "doc_stats" -> { (s, dir) => // fingerprint (xxhash64) stays suite-only
+    // fingerprint (xxhash64) stays suite-only; quality is hashed as the
+    // scaled integer quality_q4 (floor(q*1e4+0.5)) so no raw IEEE ratio or
+    // round(x,6) decimal-tie semantics ever reaches the hash gate
+    "doc_stats" -> { (s, dir) =>
       new DocumentAnalyzer().setInputCol("text")
         .transform(tbl(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"), col("n_tokens_est"),
-          col("quality"), col("lang_pred"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_est"), col("n_alpha"), col("n_punct"), col("n_stop"),
+          col("quality_q4"), col("lang_pred"))
     },
 
     "page_splitter" -> { (s, dir) => // rows-only (per-row page list)
@@ -800,28 +804,34 @@ object SparkEntry {
           |FROM lineitem""".stripMargin
     },
 
-    // quality/langid heuristics mirrored term-by-term (fixed-order IEEE)
+    // Integer-derived columns only: counts are exact BIGINTs; quality is
+    // hashed as quality_q4 = floor(q*1e4 + 0.5) computed from the same
+    // integers in the same fixed operation order on both sides (floor has
+    // no decimal-tie semantics, unlike round(x,6), so it survives DuckDB
+    // version drift); lang-id tokenization uses a literal letter class
+    // instead of the Unicode-table-dependent \p{L}.
     "doc_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,
         |    CAST(length(text) AS DOUBLE) AS len_d,
         |    string_split_regex(trim(text), '\s+') AS toks,
         |    string_split_regex(lower(trim(text)), '\s+') AS ltoks,
-        |    string_split_regex(lower(text), '[^\p{L}]+') AS wtoks
+        |    string_split_regex(lower(text),
+        |      '[^a-zàâçèéêëîïôùûüáíóúñäöß]+') AS wtoks
         |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, len(toks) AS n_tokens,
+        |counted AS (
+        |  SELECT doc_id, len_d, len(toks) AS n_tokens,
         |    list_sum(list_transform(toks,
         |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_tokens_est,
-        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-        |      / greatest(len_d, 1.0) AS alpha_r,
-        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-        |      / greatest(len_d, 1.0) AS punct_r,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS n_punct,
         |    CAST(len(list_filter(ltoks, t -> list_contains(
         |      ['the','a','an','and','or','of','to','in','is','it','that',
         |       'for','on','with','as','at','by','be','this','are'], t)))
-        |      AS DOUBLE) / greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS stop_r,
-        |    len_d / greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS mean_wl,
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(ltoks) AS DOUBLE) AS n_ltoks_d,
         |    CAST(len(list_filter(wtoks, t -> list_contains(
         |      ['the','and','of','to','is','you','that','it'], t))) AS DOUBLE)
         |      AS s_en,
@@ -840,16 +850,20 @@ object SparkEntry {
         |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
         |      AS DOUBLE) * 2 AS s_zh
         |  FROM base)
-        |SELECT doc_id, n_tokens, n_tokens_est,
-        |  round(least(1.0, alpha_r * 0.4
-        |    + (1.0 - least(punct_r * 5, 1.0)) * 0.2
-        |    + stop_r * 2.0 * 0.2
-        |    + (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
-        |      * 0.2), 6) AS quality,
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_tokens_est,
+        |  n_alpha, n_punct, n_stop,
+        |  CAST(floor(least(1.0,
+        |    CAST(n_alpha AS DOUBLE) / greatest(len_d, 1.0) * 0.4
+        |    + (1.0 - least(
+        |        CAST(n_punct AS DOUBLE) / greatest(len_d, 1.0) * 5, 1.0)) * 0.2
+        |    + CAST(n_stop AS DOUBLE) / greatest(n_ltoks_d, 1.0) * 2.0 * 0.2
+        |    + (CASE WHEN len_d / greatest(n_ltoks_d, 1.0)
+        |        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+        |    * 10000.0 + 0.5) AS BIGINT) AS quality_q4,
         |  CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
         |    WHEN s_zh THEN 'zh' WHEN s_fr THEN 'fr' WHEN s_es THEN 'es'
         |    WHEN s_en THEN 'en' ELSE 'de' END AS lang_pred
-        |FROM scored""".stripMargin,
+        |FROM counted""".stripMargin,
 
     // PageSplitter greedy cut recurrence via recursive CTE: cut at the
     // last boundary in (minLen=100, maxLen=200] (regexp strip of the

@@ -32,34 +32,72 @@ object TextFunctions {
         w => ceil(length(w).cast("double") / 4.0).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
-  /** Character-class ratios + length-based quality score in [0,1].
-    * Components: alpha ratio, punctuation density, mean word length
-    * plausibility, stopword hit ratio.
+  /** Count of ASCII alphabetic characters (literal class — stable across
+    * regex engines, unlike `\p{Alpha}`).
     */
-  def qualityScore(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+  def alphaCount(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", ""))
+
+  /** Count of sentence-punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?]", ""))
+
+  /** Count of whitespace tokens that hit the stopword list. */
+  def stopwordHits(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(split(lower(trim(c)), "\\s+"),
+      t => t.isin(stopwords.map(lit): _*)))
+
+  /** Un-rounded quality composite in [0,1] built from the integer counts
+    * above in one fixed operation order, so any engine evaluating the same
+    * formula over the same integers produces the bit-identical IEEE double.
+    * Components: alpha ratio, punctuation density, stopword hit ratio,
+    * mean word length plausibility.
+    */
+  private def qualityRaw(c: Column, stopwords: Seq[String]): Column = {
     val len = length(c).cast("double")
-    val alphaRatio = length(regexp_replace(c, "[^A-Za-z]", "")) / greatest(len, lit(1.0))
-    val punctRatio = length(regexp_replace(c, "[^.,;:!?]", "")) / greatest(len, lit(1.0))
-    val toks = split(lower(trim(c)), "\\s+")
-    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-    val stopRatio = stopHits.cast("double") / greatest(size(toks).cast("double"), lit(1.0))
-    val meanWordLen = len / greatest(size(toks).cast("double"), lit(1.0))
+    val alphaRatio = alphaCount(c).cast("double") / greatest(len, lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(len, lit(1.0))
+    val nToks = size(split(lower(trim(c)), "\\s+")).cast("double")
+    val stopRatio = stopwordHits(c, stopwords).cast("double") / greatest(nToks, lit(1.0))
+    val meanWordLen = len / greatest(nToks, lit(1.0))
     val wordLenOk = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    round(least(lit(1.0),
+    least(lit(1.0),
       alphaRatio * 0.4 + (lit(1.0) - least(punctRatio * 5, lit(1.0))) * 0.2 +
-        stopRatio * 2.0 * 0.2 + wordLenOk * 0.2), 6)
+        stopRatio * 2.0 * 0.2 + wordLenOk * 0.2)
   }
+
+  /** Quality score rounded to 6 decimals (suite / human-facing form). */
+  def qualityScore(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    round(qualityRaw(c, stopwords), 6)
+
+  /** Quality score as a scaled BIGINT: floor(q*10000 + 0.5). Unlike
+    * `round(x, n)` this has no decimal-tie semantics that drift between
+    * SQL engines/versions, so it is the hash-gate-safe form — the oracle
+    * computes the identical fixed-order expression over the same integer
+    * counts and floors the same double.
+    */
+  def qualityScaled(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    floor(qualityRaw(c, stopwords) * 10000.0 + 0.5).cast("long")
 
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Letter class used for language-id tokenization: explicit literal
+    * characters (ASCII + the diacritics scored below) instead of `\p{L}`,
+    * whose membership tracks the engine's Unicode table version and thus
+    * drifts across regex implementations. Literal sets are stable.
+    */
+  private val letterClass = "a-zàâçèéêë" +
+    "îïôùûüáíóúñ" +
+    "äöß"
 
   /** Per-language character/stopword n-gram heuristic language id.
     * Scores each candidate language by stopword hits + diacritic/script
     * signals; returns the argmax language code.
     */
   def languageId(c: Column): Column = {
-    val toks = split(lower(c), "[^\\p{L}]+")
+    val toks = split(lower(c), s"[^$letterClass]+")
     def hits(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words.map(lit): _*))).cast("double")
     val scores: Seq[(String, Column)] = Seq(
@@ -103,7 +141,11 @@ class DocumentAnalyzer(override val uid: String) extends Transformer
     ds.toDF()
       .withColumn(s"${p}n_tokens", TextFunctions.tokenCount(c))
       .withColumn(s"${p}n_tokens_est", TextFunctions.tokenEstimate(c))
+      .withColumn(s"${p}n_alpha", TextFunctions.alphaCount(c).cast("long"))
+      .withColumn(s"${p}n_punct", TextFunctions.punctCount(c).cast("long"))
+      .withColumn(s"${p}n_stop", TextFunctions.stopwordHits(c).cast("long"))
       .withColumn(s"${p}quality", TextFunctions.qualityScore(c))
+      .withColumn(s"${p}quality_q4", TextFunctions.qualityScaled(c))
       .withColumn(s"${p}lang_pred", TextFunctions.languageId(c))
       .withColumn(s"${p}fingerprint", TextFunctions.fingerprint(c))
   }
@@ -112,7 +154,11 @@ class DocumentAnalyzer(override val uid: String) extends Transformer
     StructType(schema ++ Seq(
       StructField(s"${p}n_tokens", IntegerType),
       StructField(s"${p}n_tokens_est", LongType),
+      StructField(s"${p}n_alpha", LongType),
+      StructField(s"${p}n_punct", LongType),
+      StructField(s"${p}n_stop", LongType),
       StructField(s"${p}quality", DoubleType),
+      StructField(s"${p}quality_q4", LongType),
       StructField(s"${p}lang_pred", StringType),
       StructField(s"${p}fingerprint", LongType)))
   }

@@ -73,9 +73,15 @@ class TextSuite extends TestBase {
   test("DocumentAnalyzer adds all stat columns") {
     val out = new DocumentAnalyzer().setInputCol("text")
       .transform(sfTable("documents"))
-    assert(Seq("n_tokens", "n_tokens_est", "quality", "lang_pred", "fingerprint")
+    assert(Seq("n_tokens", "n_tokens_est", "n_alpha", "n_punct", "n_stop",
+      "quality", "quality_q4", "lang_pred", "fingerprint")
       .forall(out.columns.contains))
     assert(out.count() == 500)
+    // scaled-int quality agrees with the rounded double within one ulp of
+    // the 4th decimal (they share the same raw composite)
+    val drift = out.selectExpr(
+      "cast(max(abs(quality_q4 - round(quality * 10000))) as long)").head().getLong(0)
+    assert(drift <= 1, s"quality_q4 drifted from quality: $drift")
   }
 
   test("shingles produce distinct word k-grams") {
