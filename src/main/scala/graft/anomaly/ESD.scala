@@ -103,16 +103,20 @@ object StudentT {
   * i are flagged. lambda_i defaults to Rosner's t-based critical values
   * (alpha), or `criticalValues` overrides them explicitly.
   *
-  * Scale design: per iteration, ONE map-side-combinable aggregation
-  * computes (n, exact decimal sums of x and x^2), a broadcast join prices
-  * every row's deviation, and a second map-side-combinable `max(struct)`
-  * picks the per-series argmax — no window sort, no per-series collect.
-  * The removed-point sets stay tiny (k rows per series) and anti-join back
-  * as broadcasts. Input is persisted once across the k passes.
+  * Scale design: ONE shuffle groups each series onto an executor
+  * (`groupByKey` on the series key) and the entire k-iteration Rosner
+  * loop runs inside `flatMapGroups` over that series' points — a series
+  * is bounded (one time series per key), so the group fits in executor
+  * memory, and the driver holds NO per-series state: no driver map over
+  * series, no per-iteration collect, no locally-built broadcast frames.
+  * Millions of series scale horizontally with executors. The verdict
+  * table (≤ k rows per series) joins back by (key, id); AQE picks
+  * broadcast when it is small.
   *
   * Determinism: sums are exact decimals (order-independent); all scalar
-  * arithmetic is fixed-order IEEE, so verdicts are reproducible and
-  * oracle-checkable when inputs are fixed-decimal.
+  * arithmetic is fixed-order IEEE identical to a per-iteration
+  * re-aggregation, so verdicts are reproducible and oracle-checkable when
+  * inputs are fixed-decimal.
   */
 class ESDAnomalyDetector(override val uid: String) extends Transformer
     with HasInputCol {
@@ -136,6 +140,60 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
   def setCriticalValues(v: Array[Double]): this.type = set(criticalValues, v)
 
   /** Rosner critical value for removal i (1-based) of an n-point series. */
+  def esdLambda(n: Long, i: Int, a: Double): Double =
+    ESDAnomalyDetector.esdLambda(n, i, a)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = $(groupCols).toSeq
+    val id = col($(idCol))
+    val k = $(maxAnomalies)
+    val x = col(getInputCol).cast("double")
+    val alphaV = $(alpha)
+    val cvs: Option[Array[Double]] = if (isSet(criticalValues)) {
+      val v = $(criticalValues)
+      require(v.length >= k, s"need $k critical values, got ${v.length}")
+      Some(v)
+    } else None
+
+    // series key as one string column; the separator avoids cross-column
+    // collisions
+    val keyCol =
+      if (groups.isEmpty) lit("")
+      else concat_ws("\u0001",
+        groups.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val base = df.select(keyCol.as("__k"), id.cast("long").as("__id"),
+        x.as("__x"))
+      .filter(col("__x").isNotNull) // null points are not part of any series
+
+    // ONE shuffle: each series lands whole on an executor and the entire
+    // k-iteration Rosner loop runs there — no driver-side per-series map,
+    // no per-iteration collect, no locally-built broadcast frames
+    val verdicts = base.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        ESDAnomalyDetector.rosnerVerdicts(rows, k, alphaV, cvs)
+          .map { case (pid, iter) => (key, pid, iter) }
+      }
+      .toDF("__k", "__id", "__anom_iter")
+
+    df.withColumn("__k", keyCol).withColumn("__id", id.cast("long"))
+      .join(verdicts, Seq("__k", "__id"), "left")
+      .withColumn("iter", col("__anom_iter"))
+      .withColumn("is_anomaly", col("__anom_iter").isNotNull)
+      .drop("__k", "__id", "__anom_iter")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(StructField("iter", IntegerType),
+      StructField("is_anomaly", BooleanType, nullable = false)))
+  override def copy(extra: ParamMap): ESDAnomalyDetector = defaultCopy(extra)
+}
+
+object ESDAnomalyDetector {
+
+  /** Rosner critical value for removal i (1-based) of an n-point series. */
   def esdLambda(n: Long, i: Int, a: Double): Double = {
     val df = n - i - 1
     if (df <= 0) Double.PositiveInfinity
@@ -146,121 +204,62 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
     }
   }
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val df = ds.toDF()
-    val spark = df.sparkSession
-    val groups = $(groupCols).toSeq
-    val id = col($(idCol))
-    val k = $(maxAnomalies)
-    val x = col(getInputCol).cast("double")
+  private def dec8(v: Double): BigDecimal =
+    BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
 
-    // series key as one string column (driver-side maps key on it); the
-    //  separator avoids cross-column collisions
-    val keyCol =
-      if (groups.isEmpty) lit("")
-      else concat_ws("",
-        groups.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-    val base = df.select(keyCol.as("__k"), id.cast("long").as("__id"),
-        x.as("__x"))
-      .filter(col("__x").isNotNull) // null points are not part of any series
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // per-series (n, Σx, Σx²) — collected ONCE; all later iterations
-    // update these driver-side by subtracting the removed point (exact:
-    // the sums are fixed-decimal). Size bound = number of series, the
-    // same bound the per-iteration broadcasts already impose.
-    case class SeriesStats(n: Long, s: BigDecimal, q: BigDecimal)
-    var stats: Map[String, SeriesStats] = base.groupBy(col("__k")).agg(
-        count(lit(1)).as("__n"),
-        sum(col("__x").cast(DecimalType(30, 8))).as("__s"),
-        sum((col("__x") * col("__x")).cast(DecimalType(30, 8))).as("__q"))
-      .collect()
-      .map(r => r.getString(0) -> SeriesStats(r.getLong(1),
-        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))).toMap
-    val n0 = stats.map { case (key, st) => key -> st.n }
-
-    // iteration trace rows collected per pass: (key, id, x, iter, r)
-    case class Removal(key: String, id: Long, x: Double, iter: Int, r: Double)
-    val removals = scala.collection.mutable.ArrayBuffer.empty[Removal]
-    var remaining = base
-    val statsSchema = StructType(Seq(StructField("__k", StringType),
-      StructField("__n", LongType), StructField("__s", DoubleType),
-      StructField("__q", DoubleType)))
-    for (i <- 1 to k) {
-      val statsRows = stats.toSeq.map { case (key, st) =>
-        Row(key, st.n, st.s.toDouble, st.q.toDouble)
-      }
-      val statsDf = spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(statsRows).asJava),
-        statsSchema)
-      val dev = abs(col("__n").cast("double") * col("__x") - col("__s"))
-      // ONE pass: argmax via map-side-combinable max(struct)
-      val top = remaining.join(broadcast(statsDf), "__k")
-        .withColumn("__dev", dev)
-        .groupBy(col("__k"))
-        .agg(max(struct(col("__dev"), (-col("__id")).as("__nid"),
-          col("__id"), col("__x"), col("__n"), col("__s"), col("__q"))).as("__m"))
-        .select(col("__k"), col("__m.__id"), col("__m.__x"),
-          (col("__m.__dev") / (col("__m.__n").cast("double") *
-            sqrt((col("__m.__n").cast("double") * col("__m.__q") -
-              col("__m.__s") * col("__m.__s")) /
-              (col("__m.__n").cast("double") * (col("__m.__n").cast("double") - 1.0)))))
-            .as("__r"))
-        .collect()
-      top.foreach { r =>
-        removals += Removal(r.getString(0), r.getLong(1), r.getDouble(2), i,
-          r.getDouble(3))
-      }
-      stats = top.map { r =>
-        val key = r.getString(0); val st = stats(key); val xv = r.getDouble(2)
-        // exact decimal updates mirror what a re-aggregation would return
-        key -> SeriesStats(st.n - 1,
-          st.s - BigDecimal(xv).setScale(8, BigDecimal.RoundingMode.HALF_UP),
-          st.q - BigDecimal(xv * xv).setScale(8, BigDecimal.RoundingMode.HALF_UP))
-      }.toMap ++ (stats -- top.map(_.getString(0))) // series too short to continue
-      if (i < k) {
-        val removedDf = spark.createDataFrame(
-          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-            .SeqHasAsJava(top.toSeq.map(r => Row(r.getString(0), r.getLong(1)))).asJava),
-          StructType(Seq(StructField("__k", StringType),
-            StructField("__id", LongType))))
-        remaining = remaining.join(broadcast(removedDf), Seq("__k", "__id"),
-          "left_anti")
-      }
+  /** The full k-iteration Rosner loop for ONE series, run executor-side.
+    * Numerics are bit-identical to a per-iteration decimal re-aggregation:
+    * running sums are exact decimals at scale 8 (matching a
+    * `sum(cast(x as decimal(30,8)))`), each iteration converts them to
+    * IEEE doubles in the same fixed order the former plan-level
+    * implementation used (dev = |n·x − Σx|, R = dev / (n·sd)), and the
+    * argmax tie-break is (deviation desc, id asc) under IEEE total order.
+    * Returns the flagged (id, iteration) pairs.
+    */
+  private[anomaly] def rosnerVerdicts(
+      rows: Iterator[(String, Long, Double)], k: Int, alpha: Double,
+      cvs: Option[Array[Double]]): Iterator[(Long, Int)] = {
+    val pts = rows.map(t => (t._2, t._3)).toArray // (id, x); series-bounded
+    val n0 = pts.length.toLong
+    var n = n0
+    var s = BigDecimal(0); var q = BigDecimal(0)
+    var j = 0
+    while (j < pts.length) {
+      s += dec8(pts(j)._2); q += dec8(pts(j)._2 * pts(j)._2); j += 1
     }
-    base.unpersist(blocking = false)
-
-    // verdicts computed driver-side from the trace (k rows per series)
-    val alphaV = $(alpha)
-    val cvs = if (isSet(criticalValues)) {
-      val v = $(criticalValues)
-      require(v.length >= k, s"need $k critical values, got ${v.length}")
-      Some(v)
-    } else None
-    val lastPass: Map[String, Int] = removals.groupBy(_.key).map {
-      case (key, rs) =>
-        val li = rs.filter(t => t.r >
-            cvs.map(_(t.iter - 1)).getOrElse(esdLambda(n0(key), t.iter, alphaV)))
-          .map(_.iter)
-        key -> (if (li.isEmpty) 0 else li.max)
+    val alive = Array.fill(pts.length)(true)
+    var nAlive = pts.length
+    // (id, iter, R) trace, at most k entries
+    val removals = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double)](k)
+    var i = 1
+    while (i <= k && nAlive > 0) {
+      val sD = s.toDouble; val qD = q.toDouble; val nD = n.toDouble
+      var bestIdx = -1; var bestDev = Double.NegativeInfinity
+      j = 0
+      while (j < pts.length) {
+        if (alive(j)) {
+          val devJ = math.abs(nD * pts(j)._2 - sD)
+          val c = java.lang.Double.compare(devJ, bestDev) // NaN sorts greatest
+          if (c > 0 || (c == 0 && (bestIdx < 0 || pts(j)._1 < pts(bestIdx)._1)))
+            { bestIdx = j; bestDev = devJ }
+        }
+        j += 1
+      }
+      val xv = pts(bestIdx)._2
+      val r = bestDev / (nD * math.sqrt((nD * qD - sD * sD) / (nD * (nD - 1.0))))
+      removals += ((pts(bestIdx)._1, i, r))
+      alive(bestIdx) = false; nAlive -= 1
+      n -= 1; s -= dec8(xv); q -= dec8(xv * xv)
+      i += 1
     }
-    val verdictRows = removals
-      .filter(t => t.iter <= lastPass.getOrElse(t.key, 0))
-      .map(t => Row(t.key, t.id, t.iter))
-    val verdicts = spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(verdictRows.toSeq).asJava),
-      StructType(Seq(StructField("__k", StringType),
-        StructField("__id", LongType), StructField("__anom_iter", IntegerType))))
-    df.withColumn("__k", keyCol).withColumn("__id", id.cast("long"))
-      .join(broadcast(verdicts), Seq("__k", "__id"), "left")
-      .withColumn("iter", col("__anom_iter"))
-      .withColumn("is_anomaly", col("__anom_iter").isNotNull)
-      .drop("__k", "__id", "__anom_iter")
+    // largest iteration whose R exceeds its critical value; rows removed
+    // at iterations <= that bound are the anomalies
+    var lastPass = 0
+    removals.foreach { case (_, iter, r) =>
+      val lam = cvs.map(_(iter - 1)).getOrElse(esdLambda(n0, iter, alpha))
+      if (r > lam && iter > lastPass) lastPass = iter
+    }
+    val lp = lastPass
+    removals.iterator.filter(_._2 <= lp).map { case (pid, iter, _) => (pid, iter) }
   }
-  override def transformSchema(schema: StructType): StructType =
-    StructType(schema ++ Seq(StructField("iter", IntegerType),
-      StructField("is_anomaly", BooleanType, nullable = false)))
-  override def copy(extra: ParamMap): ESDAnomalyDetector = defaultCopy(extra)
 }

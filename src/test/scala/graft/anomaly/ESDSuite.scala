@@ -66,4 +66,26 @@ class ESDSuite extends TestBase {
     }
     assert(run(1) == run(13))
   }
+
+  test("many-series: verdicts stay correct with thousands of series") {
+    // 2000 series × 20 points, every third series carries one planted
+    // outlier — the loop runs per-series inside flatMapGroups, so series
+    // count stresses executor parallelism, not driver memory
+    val data = (0 until 2000).flatMap { s =>
+      val base = (0 until 20).map(i =>
+        (s"srs$s", (s * 100 + i).toLong, 10.0 + ((s * 31 + i * 7) % 11)))
+      if (s % 3 == 0) base :+ (s"srs$s", (s * 100 + 99).toLong, 9999.0)
+      else base
+    }
+    val out = new ESDAnomalyDetector().setInputCol("v").setIdCol("id")
+      .setGroupCols(Array("series")).setMaxAnomalies(2)
+      .setCriticalValues(Array(3.0, 3.0))
+      .transform(data.toDF("series", "id", "v"))
+      .filter(col("is_anomaly")).select("series", "id")
+      .as[(String, Long)].collect()
+    val expected = (0 until 2000).filter(_ % 3 == 0)
+      .map(s => (s"srs$s", (s * 100 + 99).toLong)).toSet
+    assert(out.toSet == expected)
+    assert(out.length == expected.size)
+  }
 }
