@@ -37,19 +37,28 @@ class ComputeModelStatistics(override val uid: String) extends Transformer
     val spark = df.sparkSession
     $(evaluationMetric) match {
       case "classification" =>
-        val pl = df.select(col($(scoresCol)).cast("double"),
-          col(getLabelCol).cast("double")).rdd
-          .map(r => (r.getDouble(0), r.getDouble(1)))
-        val mc = new MulticlassMetrics(pl)
+        // project + persist ONCE: the input is typically an unmaterialized
+        // featurize+predict lineage, and the multiclass and AUC evaluators
+        // would otherwise each recompute it from scratch
+        val hasProb = isSet(scoredProbabilitiesCol)
+        val projCols = Seq(
+          col($(scoresCol)).cast("double").as("__p"),
+          col(getLabelCol).cast("double").as("__l")) ++
+          (if (hasProb)
+            Seq(element_at(org.apache.spark.ml.functions.vector_to_array(
+              col($(scoredProbabilitiesCol))), 2).as("__s"))
+          else Nil)
+        val proj = df.select(projCols: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mc = new MulticlassMetrics(
+          proj.rdd.map(r => (r.getDouble(0), r.getDouble(1))))
         val auc =
-          if (isSet(scoredProbabilitiesCol)) {
-            val sl = df.select(col($(scoredProbabilitiesCol)), col(getLabelCol)
-              .cast("double")).rdd.map { r =>
-              (r.getAs[org.apache.spark.ml.linalg.Vector](0)(1), r.getDouble(1))
-            }
-            new BinaryClassificationMetrics(sl).areaUnderROC()
-          } else Double.NaN
-        spark.createDataFrame(java.util.List.of(
+          if (hasProb)
+            new BinaryClassificationMetrics(
+              proj.rdd.map(r => (r.getDouble(2), r.getDouble(1))))
+              .areaUnderROC()
+          else Double.NaN
+        val out = spark.createDataFrame(java.util.List.of(
           Row(mc.accuracy, mc.weightedPrecision, mc.weightedRecall,
             mc.weightedFMeasure, auc)),
           StructType(Seq(
@@ -58,6 +67,8 @@ class ComputeModelStatistics(override val uid: String) extends Transformer
             StructField("recall", DoubleType),
             StructField("f1", DoubleType),
             StructField("AUC", DoubleType))))
+        proj.unpersist(blocking = false) // metrics above are already materialized
+        out
       case "regression" =>
         val pl = df.select(col($(scoresCol)).cast("double"),
           col(getLabelCol).cast("double")).rdd

@@ -38,7 +38,9 @@ class TrainClassifier(override val uid: String)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
 
   override def fit(ds: Dataset[_]): TrainedClassifierModel = {
-    val df = ds.toDF().na.drop(Seq(getLabelCol))
+    // cache the cleaned input: the indexer fit, featurizer fit, and the
+    // featurized-transform scan below would otherwise each re-read source
+    val df = ds.toDF().na.drop(Seq(getLabelCol)).cache()
     // 1. label -> contiguous indices (metadata-tagged)
     val indexer = new ValueIndexer().setInputCol(getLabelCol)
       .setOutputCol("__label").fit(df)
@@ -59,6 +61,7 @@ class TrainClassifier(override val uid: String)
     est.setLabelCol("__label").setFeaturesCol("__features")
     val fitted = est.fit(prepared)
     prepared.unpersist()
+    df.unpersist(blocking = false)
     val m = new TrainedClassifierModel(uid + "_model")
     m.indexer = indexer; m.featurizer = featurizer
     m.inner = fitted.asInstanceOf[PredictionModel[_, _]]
@@ -152,7 +155,7 @@ class TrainRegressor(override val uid: String)
   def setLearner(v: String): this.type = set(learner, v)
 
   override def fit(ds: Dataset[_]): TrainedRegressorModel = {
-    val df = ds.toDF().na.drop(Seq(getLabelCol))
+    val df = ds.toDF().na.drop(Seq(getLabelCol)).cache()
     val feats = if (isSet(featureCols)) $(featureCols).toSeq
       else df.columns.filterNot(_ == getLabelCol).toSeq
     val featurizer = new Featurize().setInputCols(feats)
@@ -168,6 +171,7 @@ class TrainRegressor(override val uid: String)
     est.setLabelCol("__label").setFeaturesCol("__features")
     val fitted = est.fit(prepared)
     prepared.unpersist()
+    df.unpersist(blocking = false)
     val m = new TrainedRegressorModel(uid + "_model")
     m.featurizer = featurizer
     m.inner = fitted.asInstanceOf[PredictionModel[_, _]]
