@@ -152,14 +152,16 @@ class SARModel(override val uid: String) extends Model[SARModel]
   var itemSimilarity: DataFrame = _  // (i1, i2, similarity)
 
   /** Cap on similar items kept per item before the similarity table is
-    * broadcast (0 = keep all). At catalog scale the dense item-item table
-    * is O(items²); scoring only ever needs the strongest neighbors, so a
-    * top-N cut (similarity desc, ties by item id) bounds the broadcast at
-    * N·items rows — a 1M-item catalog cannot blow the driver. */
+    * broadcast (0 = keep all, opt-in). At catalog scale the dense
+    * item-item table is O(items²); scoring only ever needs the strongest
+    * neighbors, so a top-N cut (similarity desc, ties by item id) bounds
+    * the broadcast at N·items rows — a 1M-item catalog cannot blow the
+    * driver. The DEFAULT is the bounded one (100): unbounded broadcast is
+    * the wrong default at scale and must be asked for explicitly. */
   final val similarityTopN = new IntParam(this, "similarityTopN",
-    "top similar items kept per item before broadcast (0 = all)",
+    "top similar items kept per item before broadcast (0 = all, opt-in)",
     ParamValidators.gtEq(0))
-  setDefault(similarityTopN -> 0)
+  setDefault(similarityTopN -> 100)
   def setSimilarityTopN(v: Int): this.type = set(similarityTopN, v)
 
   private def sparsifiedSimilarity: DataFrame =

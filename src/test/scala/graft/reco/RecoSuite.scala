@@ -63,8 +63,11 @@ class RecoSuite extends TestBase {
   test("similarityTopN sparsifies the broadcast but keeps top scores") {
     val model = new SAR().setUserCol("user").setItemCol("item")
       .setRatingCol("rating").setSimilarityFunction("jaccard").fit(ratings)
-    // a large cap changes nothing
-    val full = model.recommendForAllUsers(2, removeSeen = false)
+    // the DEFAULT is the bounded path (100) — unbounded is opt-in via 0
+    assert(model.getOrDefault(model.similarityTopN) == 100)
+    // unbounded and default-capped agree on a small catalog
+    val full = model.setSimilarityTopN(0)
+      .recommendForAllUsers(2, removeSeen = false)
       .select("user", "item", "rank").as[(Long, String, Int)].collect().toSet
     val capped = model.setSimilarityTopN(100)
       .recommendForAllUsers(2, removeSeen = false)
@@ -76,7 +79,7 @@ class RecoSuite extends TestBase {
       .recommendForAllUsers(1, removeSeen = false)
       .filter(col("user") === 1L).select("item").head.getString(0)
     assert(self == "a") // user 1's own top-affinity item
-    model.setSimilarityTopN(0) // restore
+    model.setSimilarityTopN(100) // restore the default
   }
 
   test("RankingAdapter builds ordered ground truth") {
