@@ -66,6 +66,7 @@ class PlanSuite extends TestBase {
     // broadcast query sets of the similarity operators and the one-row
     // global-stats cross joins
     val allowedBnl = Set("knn_bruteforce", "knn_lsh", "knn_ivf",
+      "knn_lsh_recall", // contains the brute-force reference side
       "sr_anomalies", "per_instance_stats", "clean_missing_data")
     for ((name, fn) <- SparkEntry.queries) {
       val plan =

@@ -79,6 +79,40 @@ class SimilaritySuite extends TestBase {
     partial.foreach { case (q, ids) => assert(ids.head == q) }
   }
 
+  test("ANN recall@5 >= 0.9 vs brute force at the driver operating points") {
+    // the regression gate the approximate paths were missing: a silent
+    // drop to near-zero recall (bad banding, broken bucket join, top-k
+    // crowd-out) fails here even though row counts stay plausible
+    val emb = sfTable("embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = new NearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setK(5).setQueries(queries, "vec_id", "embedding")
+      .transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def recall(approx: Map[Long, Seq[Long]]): Double = {
+      val hits = brute.map { case (q, ids) =>
+        ids.toSet.intersect(approx.getOrElse(q, Nil).toSet).size }.sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val lsh = new LSHNearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setK(5) // the knn_lsh operating point (2-bit bands)
+      .setNumPlanes(16).setBands(8)
+      .setQueries(queries, "vec_id", "embedding").transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val lshRecall = recall(lsh)
+    assert(lshRecall >= 0.9, s"LSH recall@5 regressed: $lshRecall")
+    val ivf = new IVFNearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setNLists(8).fit(emb) // knn_ivf operating point
+      .setK(5).setNProbe(4).setQueries(queries, "vec_id", "embedding")
+      .transform(emb)
+      .select(col("query_id"), col("neighbors.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ivfRecall = recall(ivf)
+    assert(ivfRecall >= 0.9, s"IVF recall@5 regressed: $ivfRecall")
+  }
+
   test("EmbeddingMeanPooler pools exact per-dimension means") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
