@@ -36,6 +36,18 @@ object MockServices {
           ex.getResponseBody.write(resp); ex.close()
         }
       })
+      // GET /blob/<n> → (n % 64) + 1 deterministic bytes (download demo)
+      server.createContext("/blob", new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          val name = ex.getRequestURI.getPath.stripPrefix("/blob/")
+          val n = try name.toLong catch { case _: Throwable => 0L }
+          val len = (n % 64).toInt + 1
+          val resp = Array.tabulate[Byte](len)(i => ((n + i) % 256).toByte)
+          ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp); ex.close()
+        }
+      })
       // daemon threads: the mock must never pin the JVM open after main()
       server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
         r => { val t = new Thread(r); t.setDaemon(true); t }))

@@ -574,6 +574,19 @@ object SparkEntry {
         .select(col("doc_id"), col("parsed.length").as("text_len"))
     },
 
+    "download_from_urls" -> { (s, dir) =>
+      // pooled async GETs against the mock blob service: payload length is
+      // a pure function of the id, so byte counts are oracle-checkable
+      val port = MockServices.lenServicePort()
+      new graft.io.http.DownloadFromUrls().setInputCol("__url")
+        .setOutputCol("bytes").setConcurrency(16)
+        .transform(tbl(s, dir, "documents")
+          .withColumn("__url",
+            concat(lit(s"http://localhost:$port/blob/"), col("doc_id"))))
+        .select(col("doc_id"), length(col("bytes")).cast("int").as("n_bytes"),
+          col("download_status").as("status"))
+    },
+
     // ---- streaming semantics on batch frames (§2.10) ----------------
     "window_agg_hourly" -> { (s, dir) =>
       new graft.streaming.EventTimeWindowAggregator()
@@ -1092,6 +1105,12 @@ object SparkEntry {
 
     "http_transformer" ->
       "SELECT doc_id, CAST(len(text) AS INTEGER) AS text_len FROM documents",
+
+    // mock blob service serves (doc_id % 64) + 1 bytes per document
+    "download_from_urls" ->
+      """SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS n_bytes,
+        |  CAST(200 AS INTEGER) AS status
+        |FROM documents""".stripMargin,
 
     // events.ts is TIMESTAMP(NANOS) parquet: epoch seconds = nanos DIV 1e9;
     // make_timestamp (not to_timestamp) so the oracle stays naive-UTC like

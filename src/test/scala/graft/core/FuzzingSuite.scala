@@ -109,6 +109,34 @@ class FuzzingSuite extends TestBase {
       s"stages with NO test coverage (add a spec): ${uncovered.mkString(", ")}")
   }
 
+  test("every MLWritable fitted model is loadable and round-trip tested") {
+    // fitted models can't be fuzz-instantiated, but persistence is still
+    // enforced mechanically: an MLWritable Model must have an MLReadable
+    // companion (save without load is a trap) and must appear in
+    // SerializationSuite, whose tests do the actual fit→save→load→compare
+    import org.apache.spark.ml.util.{MLWritable, MLReadable}
+    val models = stageClasses.filter { c =>
+      classOf[org.apache.spark.ml.Model[_]].isAssignableFrom(c) &&
+        classOf[MLWritable].isAssignableFrom(c)
+    }
+    assert(models.nonEmpty, "expected MLWritable fitted models in the library")
+    val noReader = models.filterNot { c =>
+      try {
+        val companion = Class.forName(c.getName + "$")
+        classOf[MLReadable[_]].isAssignableFrom(companion)
+      } catch { case _: Throwable => false }
+    }
+    assert(noReader.isEmpty,
+      s"MLWritable models with NO MLReadable companion: ${noReader.map(_.getSimpleName).mkString(", ")}")
+    val serSuite = new File("src/test/scala/graft/core/SerializationSuite.scala")
+    assume(serSuite.isFile, "test sources not on disk; skipping")
+    val serSrc = new String(java.nio.file.Files.readAllBytes(serSuite.toPath))
+    val untested = models.map(_.getSimpleName).distinct
+      .filterNot(serSrc.contains)
+    assert(untested.isEmpty,
+      s"MLWritable models missing a SerializationSuite round-trip: ${untested.mkString(", ")}")
+  }
+
   test("every MLWritable default-constructible transformer save/load round-trips") {
     import org.apache.spark.ml.util.{MLWritable, MLReadable}
     spark.range(1).count() // ml save/load needs an active session

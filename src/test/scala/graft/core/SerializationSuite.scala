@@ -108,6 +108,65 @@ class SerializationSuite extends TestBase {
       loaded.transform(df).select("id", "prediction", "predicted_label"))
   }
 
+  test("TrainedRegressorModel save/load end-to-end") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 120).map { i =>
+      val f = rnd.nextDouble() * 10
+      (i.toLong, f, 3.0 * f + 1.0 + rnd.nextGaussian() * 0.1)
+    }.toDF("id", "f", "y")
+    val m = new graft.train.TrainRegressor().setLabelCol("y")
+      .setFeatureCols(Seq("f")).setLearner("DecisionTree").fit(df)
+    val p = tmp("tr"); m.write.overwrite().save(p)
+    val loaded = graft.train.TrainedRegressorModel.load(p)
+    roundTrip(
+      m.transform(df).select("id", "prediction"),
+      loaded.transform(df).select("id", "prediction"))
+  }
+
+  test("RankingTrainValidationSplit winner save/load") {
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      u <- 0L until 20L
+      group = if (u % 2 == 0) Seq("a", "b", "c") else Seq("x", "y", "z")
+      item <- group if rnd.nextDouble() < 0.9
+    } yield (u, item, 1.0 + rnd.nextInt(5))).toDF("user", "item", "rating")
+    val result = new graft.reco.RankingTrainValidationSplit()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setK(2).setHoldoutFraction(0.34)
+      .setGrid(Seq(("jaccard", 30), ("cooccurrence", 30)))
+      .fit(rows)
+    val p = tmp("rtvs"); result.bestModel.write.overwrite().save(p)
+    val loaded = SARModel.load(p)
+    roundTrip(
+      result.bestModel.recommendForAllUsers(2, removeSeen = false),
+      loaded.recommendForAllUsers(2, removeSeen = false))
+  }
+
+  test("TuneHyperparameters best model save/load") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 150).map { i =>
+      val f = rnd.nextDouble() * 10
+      (i.toLong, f, if (f > 5) "hi" else "lo")
+    }.toDF("id", "f", "label")
+    val est = new graft.train.TrainClassifier().setLabelCol("label")
+      .setFeatureCols(Seq("f"))
+    val grids = new graft.automl.HyperparamBuilder()
+      .addHyperparam(est.learner,
+        graft.automl.DiscreteHyperParam(Seq("DecisionTree", "LogisticRegression")))
+      .build(2, seed = 5L)
+    val tuned = new graft.automl.TuneHyperparameters(
+      Seq(("tc", est, grids)),
+      graft.automl.Evaluators.accuracy("label", "predicted_label"),
+      numFolds = 2, parallelism = 2).fit(df)
+    val p = tmp("tune")
+    tuned.bestModel.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+      .write.overwrite().save(p)
+    val loaded = graft.train.TrainedClassifierModel.load(p)
+    roundTrip(
+      tuned.bestModel.transform(df).select("id", "prediction", "predicted_label"),
+      loaded.transform(df).select("id", "prediction", "predicted_label"))
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))

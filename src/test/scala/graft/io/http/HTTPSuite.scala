@@ -82,6 +82,20 @@ class HTTPSuite extends TestBase {
         }
       }
     })
+    // /blob/<name> : deterministic binary payload derived from the name;
+    // /blob/missing is a 404
+    server.createContext("/blob", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val name = ex.getRequestURI.getPath.stripPrefix("/blob/")
+        if (name == "missing") { ex.sendResponseHeaders(404, -1); ex.close() }
+        else {
+          val resp = Array.tabulate[Byte](16)(i => (name.hashCode + i).toByte)
+          ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp); ex.close()
+        }
+      }
+    })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
   }
@@ -178,5 +192,26 @@ class HTTPSuite extends TestBase {
       .collect().sortBy(_.getLong(0))
     assert(out.forall(_.isNullAt(2)))
     assert(out.map(_.getInt(1)).sameElements(0 until 10))
+  }
+
+  test("DownloadFromUrls fetches bytes per URL and flags failures") {
+    val df = (Seq("a", "b", "missing", "c").zipWithIndex.map { case (n, i) =>
+      (i.toLong, s"http://localhost:$port/blob/$n", n)
+    }).toDF("id", "url", "name")
+    val out = new DownloadFromUrls().setInputCol("url").setOutputCol("bytes")
+      .setConcurrency(4).transform(df)
+      .select("id", "bytes", "download_status", "name")
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(out.map(_.getInt(2)) == Seq(200, 200, 404, 200))
+    // payload matches the server's deterministic derivation from the name
+    out.filter(_.getInt(2) == 200).foreach { r =>
+      val expected = Array.tabulate[Byte](16)(i => (r.getString(3).hashCode + i).toByte)
+      assert(r.getAs[Array[Byte]](1).sameElements(expected))
+    }
+    assert(out.filter(_.getInt(2) == 404).forall(_.isNullAt(1)))
+    // dropFailures filters the dead URL
+    val kept = new DownloadFromUrls().setInputCol("url")
+      .setDropFailures(true).transform(df)
+    assert(kept.count() == 3)
   }
 }
