@@ -48,8 +48,10 @@ object MockServices {
           ex.getResponseBody.write(resp); ex.close()
         }
       })
-      // daemon threads: the mock must never pin the JVM open after main()
-      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
+      // daemon threads: the mock must never pin the JVM open after main().
+      // 128 handlers: the server must never be the benchmark bottleneck,
+      // even when a kernel's delayed-ACK stalls each exchange ~40 ms
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(128,
         r => { val t = new Thread(r); t.setDaemon(true); t }))
       server.start()
       lenServer = server

@@ -570,7 +570,9 @@ object SparkEntry {
         .setUrl(s"http://localhost:$port/len")
         .setOutputDataType(StructType(Seq(StructField("length", IntegerType))))
         .setOutputCol("parsed").setConcurrency(16)
-        .transform(tbl(s, dir, "documents"))
+        // spread the async window across tasks — the cluster shape (HTTP
+        // fan-out per executor), and robust to per-request latency spikes
+        .transform(tbl(s, dir, "documents").repartition(8))
         .select(col("doc_id"), col("parsed.length").as("text_len"))
     },
 
@@ -580,7 +582,7 @@ object SparkEntry {
       val port = MockServices.lenServicePort()
       new graft.io.http.DownloadFromUrls().setInputCol("__url")
         .setOutputCol("bytes").setConcurrency(16)
-        .transform(tbl(s, dir, "documents")
+        .transform(tbl(s, dir, "documents").repartition(8)
           .withColumn("__url",
             concat(lit(s"http://localhost:$port/blob/"), col("doc_id"))))
         .select(col("doc_id"), length(col("bytes")).cast("int").as("n_bytes"),
