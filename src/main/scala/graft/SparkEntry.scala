@@ -267,7 +267,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     },
 
-    "dedup_minhash" -> { (s, dir) => // rows-only (hash-function-specific)
+    "dedup_minhash" -> { (s, dir) => // hash-gated vs exact Jaccard
       new MinHashDeduplicator().setInputCol("text").setIdCol("doc_id")
         .setThreshold(0.8)
         .transform(tbl(s, dir, "documents"))
@@ -281,14 +281,14 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
-    "dedup_ngram_jaccard" -> { (s, dir) => // rows-only
+    "dedup_ngram_jaccard" -> { (s, dir) => // hash-gated vs exact Jaccard
       new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
         .setThreshold(0.8)
         .transform(tbl(s, dir, "documents"))
         .select(col("doc_id"))
     },
 
-    "dedup_embedding" -> { (s, dir) => // rows-only
+    "dedup_embedding" -> { (s, dir) => // hash-gated vs exact cosine
       new EmbeddingNearDupDeduplicator().setInputCol("embedding")
         .setIdCol("vec_id").setThreshold(0.95)
         .transform(tbl(s, dir, "embeddings"))
@@ -954,6 +954,70 @@ object SparkEntry {
         |    PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // Brute-force word-3-shingle Jaccard ground truth: a doc is dropped iff
+    // a smaller-id doc reaches threshold. The LSH/posting-list candidate
+    // paths are probabilistically full-recall at J>=0.8 and verified by
+    // exact Jaccard, so their FINAL output must equal the exact pair
+    // computation — a hash gate on end-to-end dedup correctness (empty
+    // shingle sets count as J=1, mirroring the merge expression's 0/0=1).
+    "dedup_minhash" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |p AS (
+        |  SELECT b.doc_id AS r
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+        |    THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
+        |    >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
+
+    // same exact ground truth; the n-gram posting-list candidates verify
+    // against the identical Jaccard, with no empty-set pairs (an empty doc
+    // indexes no shingles) — the fixture has none, so the exact set matches
+    "dedup_ngram_jaccard" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |p AS (
+        |  SELECT b.doc_id AS r
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+        |    THEN 1.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
+        |    >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
+
+    // exact cosine ground truth for the hyperplane-LSH near-dup path; the
+    // fixture's closest pair sits ~0.44 below the 0.95 threshold, so no
+    // float-boundary ambiguity exists
+    "dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT b.vec_id AS r,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT r FROM p WHERE cs >= 0.95)""".stripMargin,
 
     "sar_item_similarity" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),
