@@ -40,6 +40,27 @@ class DedupSuite extends TestBase {
     assert(ids.contains(0L) && ids.contains(3L) && !ids.contains(1L))
   }
 
+  test("SimHashDeduplicator equals brute-force Hamming dedup on the sf corpus") {
+    // Manku's pigeonhole candidate generation is EXACT for pairs within
+    // maxHamming, and verification is exact Hamming — so the pipeline's
+    // output must equal the O(n^2) ground truth computed from the same
+    // fingerprints. A recall or verification regression fails this.
+    val docs = sfTable("documents")
+    val out = new SimHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setMaxHamming(3).transform(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val fp = docs.select(col("doc_id").cast("long").as("id"),
+      DedupFunctions.simHash64(
+        split(DedupFunctions.canonical(col("text")), " ")).as("fp"))
+    val dropped = fp.as("a").join(fp.as("b"),
+        col("a.id") < col("b.id") &&
+          DedupFunctions.hamming64(col("a.fp"), col("b.fp")) <= 3)
+      .select(col("b.id")).as[Long].collect().toSet
+    val expected = fp.select("id").as[Long].collect().toSet -- dropped
+    assert(out == expected)
+    assert(dropped.nonEmpty, "fixture should contain at least one near-dup")
+  }
+
   test("NGramJaccardDeduplicator removes near duplicates") {
     val out = new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
       .setThreshold(0.6).transform(docs)
