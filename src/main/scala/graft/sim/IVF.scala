@@ -35,6 +35,13 @@ class IVFNearestNeighbors(override val uid: String)
   final val seed = new LongParam(this, "seed", "k-means seed")
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
+  // a coarse quantizer needs rough cells, not convergence: 10 Lloyd
+  // iterations is the standard IVF training budget; recall at the gated
+  // operating points is asserted by SimilaritySuite either way
+  final val maxIter = new IntParam(this, "maxIter",
+    "k-means iteration cap", ParamValidators.gt(0))
+  setDefault(maxIter -> 10)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
 
   override def fit(ds: Dataset[_]): IVFNearestNeighborsModel = {
     val df = ds.toDF()
@@ -42,6 +49,7 @@ class IVFNearestNeighbors(override val uid: String)
       org.apache.spark.ml.functions.array_to_vector(
         col(getInputCol).cast(ArrayType(DoubleType))))
     val km = new KMeans().setK($(nLists)).setSeed($(seed))
+      .setMaxIter($(maxIter))
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(withVec)
     val m = new IVFNearestNeighborsModel(uid + "_model")
