@@ -961,10 +961,14 @@ object SparkEntry {
     // exact Jaccard, so their FINAL output must equal the exact pair
     // computation — a hash gate on end-to-end dedup correctness (empty
     // shingle sets count as J=1, mirroring the merge expression's 0/0=1).
+    // Tokenization mirrors the native expression's Character.isWhitespace
+    // split as an explicit literal class (RE2 \s is narrower); known
+    // residual divergence: per-char Character.toLowerCase vs utf8proc
+    // full case mapping differ on locale-special codepoints (e.g. U+0130).
     "dedup_minhash" ->
       """WITH c AS (
-        |  SELECT doc_id, string_split(
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -983,13 +987,14 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
 
-    // same exact ground truth; the n-gram posting-list candidates verify
-    // against the identical Jaccard, with no empty-set pairs (an empty doc
-    // indexes no shingles) — the fixture has none, so the exact set matches
+    // same exact ground truth, except docs with NO shingles are excluded
+    // from the pair set: they index nothing, so the operator can never
+    // produce them as candidates (unlike minhash, whose constant
+    // empty-set signature pairs empties as exact duplicates)
     "dedup_ngram_jaccard" ->
       """WITH c AS (
-        |  SELECT doc_id, string_split(
-        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -1000,7 +1005,8 @@ object SparkEntry {
         |p AS (
         |  SELECT b.doc_id AS r
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
         |    THEN 1.0
         |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END

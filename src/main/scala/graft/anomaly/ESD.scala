@@ -166,7 +166,10 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
         groups.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     val base = df.select(keyCol.as("__k"), id.cast("long").as("__id"),
         x.as("__x"))
-      .filter(col("__x").isNotNull) // null points are not part of any series
+      // null values are not part of any series; rows with a null (or
+      // non-castable) id cannot be keyed to a verdict and would break the
+      // primitive tuple encoding below
+      .filter(col("__x").isNotNull && col("__id").isNotNull)
 
     // ONE shuffle: each series lands whole on an executor and the entire
     // k-iteration Rosner loop runs there — no driver-side per-series map,
@@ -240,8 +243,14 @@ object ESDAnomalyDetector {
         if (alive(j)) {
           val devJ = math.abs(nD * pts(j)._2 - sD)
           val c = java.lang.Double.compare(devJ, bestDev) // NaN sorts greatest
-          if (c > 0 || (c == 0 && (bestIdx < 0 || pts(j)._1 < pts(bestIdx)._1)))
-            { bestIdx = j; bestDev = devJ }
+          // (deviation desc, id asc, x desc): the x tie-break keeps the
+          // selection deterministic even for duplicate ids, matching the
+          // former max(struct(dev, -id, id, x, ...)) lexicographic order
+          val better = c > 0 || (c == 0 && (bestIdx < 0 ||
+            pts(j)._1 < pts(bestIdx)._1 ||
+            (pts(j)._1 == pts(bestIdx)._1 &&
+              java.lang.Double.compare(pts(j)._2, pts(bestIdx)._2) > 0)))
+          if (better) { bestIdx = j; bestDev = devJ }
         }
         j += 1
       }

@@ -151,8 +151,14 @@ class HTTPTransformer(override val uid: String) extends Transformer
         }
         def attempt(n: Int): CompletableFuture[Row] =
           client.sendAsync(request, HttpResponse.BodyHandlers.ofByteArray())
-            .thenCompose { resp =>
-              if (n < maxRetries && policy.shouldRetry(resp.statusCode())) {
+            .handle[CompletableFuture[Row]] { (resp, err) =>
+              if (err != null) {
+                // transport-level failures (connect refused/reset, timeout)
+                // retry on the same backoff schedule as 5xx — a transient
+                // socket hiccup must not poison a row when retries remain
+                if (n < maxRetries) after(policy.delayMs(n, None))(() => attempt(n + 1))
+                else CompletableFuture.failedFuture[Row](err)
+              } else if (n < maxRetries && policy.shouldRetry(resp.statusCode())) {
                 // async backoff; a 429's Retry-After overrides the schedule
                 val delay = policy.delayMs(n,
                   Option(resp.headers().firstValue("Retry-After").orElse(null)))
@@ -165,6 +171,7 @@ class HTTPTransformer(override val uid: String) extends Transformer
                 else CompletableFuture.completedFuture(toRow(resp))
               }
             }
+            .thenCompose(f => f)
         attempt(0)
           .exceptionally { e =>
             Row(0, Option(e.getMessage).getOrElse(e.getClass.getName),

@@ -67,6 +67,22 @@ class ESDSuite extends TestBase {
     assert(run(1) == run(13))
   }
 
+  test("rows with null value or null id are ignored, not fatal") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(50.0)),
+      (java.lang.Long.valueOf(2L), java.lang.Double.valueOf(51.0)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Double]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(52.0)),
+      (java.lang.Long.valueOf(4L), java.lang.Double.valueOf(53.0)),
+      (java.lang.Long.valueOf(99L), java.lang.Double.valueOf(400.0))
+    ).toDF("id", "v")
+    val out = new ESDAnomalyDetector().setInputCol("v").setIdCol("id")
+      .setMaxAnomalies(1).setCriticalValues(Array(1.2)).transform(df)
+    assert(out.count() == 6) // every input row survives the left join
+    val anom = out.filter(col("is_anomaly")).select("id").as[Long].collect()
+    assert(anom.toSeq == Seq(99L))
+  }
+
   test("many-series: verdicts stay correct with thousands of series") {
     // 2000 series × 20 points, every third series carries one planted
     // outlier — the loop runs per-series inside flatMapGroups, so series

@@ -23,7 +23,7 @@ class HTTPSuite extends TestBase {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server = HttpServer.create(new InetSocketAddress(0), 1024)
     port = server.getAddress.getPort
     // /len : JSON {"text": ...} -> {"length": N}
     server.createContext("/len", new HttpHandler {
@@ -143,6 +143,40 @@ class HTTPSuite extends TestBase {
     assert(out == 200)
     assert(rateLimitCounter.get() == 2) // one 429 + one success
     assert(elapsedMs >= 1000L, s"Retry-After: 1 not honored ($elapsedMs ms)")
+  }
+
+  test("HTTPTransformer retries transport-level connection failures") {
+    // a raw socket that hard-closes the first two connections before any
+    // HTTP response, then serves a minimal 200 — transport errors must
+    // ride the same backoff schedule as 5xx instead of poisoning the row
+    val ss = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("localhost"))
+    val failuresLeft = new AtomicInteger(2)
+    val acceptor = new Thread(() => {
+      try while (!ss.isClosed) {
+        val s = ss.accept()
+        if (failuresLeft.getAndDecrement() > 0) s.close()
+        else {
+          val buf = new Array[Byte](8192)
+          s.getInputStream.read(buf) // request head
+          s.getOutputStream.write(
+            "HTTP/1.1 200 OK\r\nContent-Length: 2\r\nConnection: close\r\n\r\nOK"
+              .getBytes(StandardCharsets.UTF_8))
+          s.getOutputStream.flush(); s.close()
+        }
+      } catch { case _: Throwable => } // closed
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    try {
+      val df = Seq(1L).toDF("id").withColumn("request", HTTPSchema.toRequest(
+        lit(s"http://localhost:${ss.getLocalPort}/x"), lit("GET"), lit(null)))
+      val out = new HTTPTransformer().setInputCol("request").setRetries(3)
+        .setBackoffs(Array(50, 50, 50))
+        .transform(df)
+        .select(col("response.statusCode")).head.getInt(0)
+      assert(out == 200)
+      assert(failuresLeft.get() <= 0, "both planted failures should be consumed")
+    } finally ss.close()
   }
 
   test("HTTPTransformer follows 202 Operation-Location async replies") {
