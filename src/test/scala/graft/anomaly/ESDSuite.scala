@@ -83,6 +83,26 @@ class ESDSuite extends TestBase {
     assert(anom.toSeq == Seq(99L))
   }
 
+  test("rosnerVerdicts is invariant to point arrival order") {
+    // the executor-side loop must produce identical verdicts no matter how
+    // the shuffle delivers a series' rows — including duplicate ids and
+    // heavy value ties
+    val rnd = new scala.util.Random(6174)
+    for (trial <- 0 until 100) {
+      val n = 2 + rnd.nextInt(30)
+      val pts = Vector.fill(n)(
+        ("", rnd.nextInt(10).toLong, (rnd.nextInt(7) * 10).toDouble))
+      val k = 1 + rnd.nextInt(4)
+      val cvs = Some(Array.fill(k)(0.5 + rnd.nextDouble()))
+      def run(order: Vector[(String, Long, Double)]): Seq[(Long, Int)] =
+        ESDAnomalyDetector.rosnerVerdicts(order.iterator, k, 0.05, cvs)
+          .toSeq.sorted
+      val base = run(pts)
+      assert(run(rnd.shuffle(pts)) == base, s"trial $trial order-dependent")
+      assert(run(pts.reverse) == base, s"trial $trial reverse-dependent")
+    }
+  }
+
   test("many-series: verdicts stay correct with thousands of series") {
     // 2000 series × 20 points, every third series carries one planted
     // outlier — the loop runs per-series inside flatMapGroups, so series

@@ -79,6 +79,37 @@ class SimilaritySuite extends TestBase {
     partial.foreach { case (q, ids) => assert(ids.head == q) }
   }
 
+  test("TopKAggregator equals reference top-k under random merge trees") {
+    // the aggregator must be insensitive to how Spark partitions and
+    // merges partial buffers: for random inputs, random merge trees, and
+    // heavy score/id ties, the result must equal the oracle computed from
+    // the flat list under the (score desc, id asc, distinct id) order
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 0 until 200) {
+      val k = 1 + rnd.nextInt(6)
+      val agg = new TopKAggregator(k)
+      val n = rnd.nextInt(40)
+      // small value domains force ties and duplicate ids
+      val xs = Vector.fill(n)(Scored((rnd.nextInt(5) * 0.5), rnd.nextInt(12).toLong))
+      def reference(s: Seq[Scored]): Seq[Scored] =
+        s.sortBy(x => (-x.score, x.id)).distinctBy(_.id).take(k)
+      // random merge tree: split the input into random runs, reduce each,
+      // then merge in random order
+      def build(items: Seq[Scored]): Seq[Scored] =
+        if (items.isEmpty) agg.zero
+        else if (items.length == 1 || rnd.nextBoolean())
+          items.foldLeft(agg.zero)(agg.reduce)
+        else {
+          val split = 1 + rnd.nextInt(items.length - 1)
+          val (a, b) = items.splitAt(split)
+          agg.merge(build(a), build(b))
+        }
+      val got = agg.finish(build(xs))
+      assert(got == reference(xs),
+        s"trial $trial k=$k xs=$xs got=$got want=${reference(xs)}")
+    }
+  }
+
   test("ANN recall@5 >= 0.9 vs brute force at the driver operating points") {
     // the regression gate the approximate paths were missing: a silent
     // drop to near-zero recall (bad banding, broken bucket join, top-k

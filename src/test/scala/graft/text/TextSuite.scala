@@ -90,6 +90,39 @@ class TextSuite extends TestBase {
     assert(sh.toSet == Set("a b", "b c", "c d"))
   }
 
+  test("TokenChunker invariants hold for random doc/chunk/stride shapes") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31415)
+    val cases = Seq.fill(25) {
+      val n = rnd.nextInt(120) // tokens, including 0
+      val chunk = 1 + rnd.nextInt(20)
+      val stride = 1 + rnd.nextInt(chunk) // stride <= chunk (overlap or abut)
+      (n, chunk, stride)
+    }
+    for (((n, chunk, stride), ci) <- cases.zipWithIndex) {
+      val doc = (1 to n).map(i => s"w$i").mkString(" ")
+      val chunks = new TokenChunker().setInputCol("text").setOutputCol("c")
+        .setChunkTokens(chunk).setStrideTokens(stride)
+        .transform(Seq(doc).toDF("text"))
+        .select(col("c")).as[Seq[String]].head()
+      val expected = math.ceil(math.max(n - chunk, 0).toDouble / stride).toInt + 1
+      assert(chunks.length == expected, s"case $ci ($n,$chunk,$stride)")
+      val tokenLists = chunks.map(c => if (c.isEmpty) Seq.empty
+        else c.split(" ").toSeq)
+      // no chunk exceeds the window; every token is covered in order
+      assert(tokenLists.forall(_.length <= chunk), s"case $ci oversized chunk")
+      val all = (1 to n).map(i => s"w$i").toSet
+      assert(tokenLists.flatten.toSet == all, s"case $ci lost tokens")
+      // consecutive chunk starts advance by exactly the stride
+      tokenLists.sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), w) if a.nonEmpty && b.nonEmpty =>
+          val sa = a.head.drop(1).toInt; val sb = b.head.drop(1).toInt
+          assert(sb - sa == stride, s"case $ci window $w stride drift")
+        case _ =>
+      }
+    }
+  }
+
   test("TokenChunker windows overlap and cover every token") {
     import spark.implicits._
     val doc = (1 to 95).map(i => s"t$i").mkString(" ")
