@@ -61,6 +61,30 @@ class PlanSuite extends TestBase {
       s"q5 should broadcast nation/region, found ${broadcasts.size}")
   }
 
+  test("hot narrow queries run inside whole-stage codegen") {
+    // the per-document scalar paths are where 100 TB of text flows; they
+    // must stay fused codegen'd projections — an interpreted fallback
+    // (codegen limit blown, non-codegen expression introduced) fails here
+    // (dedup_exact is excluded: min_by(struct) is a TypedImperativeAggregate
+    // and ObjectHashAggregate never participates in whole-stage codegen)
+    for (q <- Seq("doc_stats", "doc_token_count", "doc_chunks",
+        "multi_ngram", "unicode_normalize")) {
+      val nodes = planOf(q)
+      val wsc = nodes.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wsc.nonEmpty, s"$q: no WholeStageCodegen span in the plan")
+      // the parquet scan's downstream projection must be inside a span
+      val fusedScan = wsc.exists(w => w.collectLeaves().exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case i: org.apache.spark.sql.execution.InputAdapter =>
+          i.child.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+        case _ => false
+      })
+      assert(fusedScan, s"$q: scan-side projection not fused into codegen")
+    }
+  }
+
   test("no unintended cartesian products anywhere in the suite") {
     // broadcast-nested-loop is legitimate ONLY for the intentionally tiny
     // broadcast query sets of the similarity operators and the one-row
