@@ -196,15 +196,28 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
 
 object ESDAnomalyDetector {
 
+  // per-JVM memo for the t-quantile bisection (~200 iterations of an
+  // incomplete-beta continued fraction): millions of series share few
+  // distinct lengths, so executor-side verdicts would otherwise redo
+  // identical numerics per series. Bounded so adversarial length variety
+  // cannot grow the map without limit.
+  private val lambdaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Double), Double]()
+  private val lambdaCacheCap = 1 << 20
+
   /** Rosner critical value for removal i (1-based) of an n-point series. */
   def esdLambda(n: Long, i: Int, a: Double): Double = {
-    val df = n - i - 1
-    if (df <= 0) Double.PositiveInfinity
-    else {
-      val p = 1.0 - a / (2.0 * (n - i + 1))
-      val t = StudentT.quantile(p, df.toDouble)
-      (n - i) * t / math.sqrt((df + t * t) * (n - i + 1.0))
+    def compute: Double = {
+      val df = n - i - 1
+      if (df <= 0) Double.PositiveInfinity
+      else {
+        val p = 1.0 - a / (2.0 * (n - i + 1))
+        val t = StudentT.quantile(p, df.toDouble)
+        (n - i) * t / math.sqrt((df + t * t) * (n - i + 1.0))
+      }
     }
+    if (lambdaCache.size >= lambdaCacheCap) compute
+    else lambdaCache.computeIfAbsent((n, i, a), _ => compute)
   }
 
   private def dec8(v: Double): BigDecimal =
