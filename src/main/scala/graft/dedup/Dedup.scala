@@ -63,32 +63,13 @@ object DedupFunctions {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.HashExpressions.sortedLongJaccard(a, b)
 
-  /** 64-bit SimHash of the token array (Charikar random hyperplane over
-    * token hashes). Single pass per row via UDF — the per-token inner loop
-    * over 64 bits is cheaper in JVM code than 64 separate aggregates. */
-  val simHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((tokens: Seq[String]) => {
-      if (tokens == null) null
-      else {
-        val acc = new Array[Int](64)
-        tokens.foreach { t =>
-          // xxhash-style avalanche of the string hash for bit diffusion
-          var h = scala.util.hashing.MurmurHash3.stringHash(t).toLong
-          h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
-          h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
-          h ^= (h >>> 33)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-            b += 1
-          }
-        }
-        var out = 0L
-        var b = 0
-        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(out)
-      }
-    })
+  /** Charikar 64-bit SimHash of the whitespace-tokenized, lowercased text
+    * — backed by the native codegen'd
+    * [[graft.functions.HashExpressions.SimHash64]] expression (one pass
+    * over the characters; the former token-array UDF forced a per-row
+    * serialization boundary plus a boxed Seq[String] in the scan path). */
+  def simHash64(text: Column): Column =
+    graft.functions.HashExpressions.simHash64(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -292,8 +273,7 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
     def blockVal(fp: Column, i: Int): Column =
       shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val combos = (0 until nBlocks).combinations(nBlocks - $(maxHamming)).toSeq
-    val withFp = df.withColumn("__fp",
-      simHash64(split(canonical(col(getInputCol)), " ")))
+    val withFp = df.withColumn("__fp", simHash64(col(getInputCol)))
     val keyCols = combos.zipWithIndex.map { case (bs, ci) =>
       xxhash64((lit(ci) +: bs.map(blockVal(col("__fp"), _))): _*)
     }

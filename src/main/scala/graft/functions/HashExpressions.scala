@@ -96,6 +96,58 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Charikar 64-bit SimHash of `text`, computed in ONE pass over the
+    * characters: tokenize on Character.isWhitespace, hash each lowercased
+    * token (FNV-1a + splitmix finalizer — the same token-hash family as
+    * [[shingleHashesImpl]]), and majority-vote the 64 bit positions. No
+    * token array, no string allocation, no per-element boxing — this runs
+    * in the 100 TB document scan, so it must stay a fused codegen'd
+    * projection (the former UDF forced a serialization boundary per row).
+    */
+  def simHash64(text: Column): Column = toCol(SimHash64(expr(text)))
+
+  /** Static impl shared by interpreted eval and generated code. */
+  def simHash64Impl(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0xCBF29CE484222325L // FNV offset basis
+        while (i < n && !Character.isWhitespace(str.charAt(i))) {
+          h = (h ^ Character.toLowerCase(str.charAt(i))) * 0x100000001B3L
+          i += 1
+        }
+        val th = mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((th >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(a: Any): Any =
+      simHash64Impl(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.simHash64Impl($a);")
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
   /** Exact Jaccard similarity of two SORTED `array<long>` sets via a single
     * merge-intersect pass — no per-element boxing, no temp array allocation
     * (vs `array_intersect` which builds a hash set + result array per pair;

@@ -50,8 +50,7 @@ class DedupSuite extends TestBase {
       .setMaxHamming(3).transform(docs)
       .select("doc_id").as[Long].collect().toSet
     val fp = docs.select(col("doc_id").cast("long").as("id"),
-      DedupFunctions.simHash64(
-        split(DedupFunctions.canonical(col("text")), " ")).as("fp"))
+      DedupFunctions.simHash64(col("text")).as("fp"))
     val dropped = fp.as("a").join(fp.as("b"),
         col("a.id") < col("b.id") &&
           DedupFunctions.hamming64(col("a.fp"), col("b.fp")) <= 3)
