@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) + optional lowercase
-  * (ref: core/.../stages/UnicodeNormalize.scala:52-71). UDF over
-  * java.text.Normalizer — no built-in expression exists.
+  * (ref: core/.../stages/UnicodeNormalize.scala:52-71). No built-in
+  * expression exists, so a native codegen'd one
+  * ([[graft.functions.TextExpressions.UnicodeNormalizeExpr]]) keeps this
+  * per-document op fused into the scan instead of crossing a UDF boundary.
   */
 class UnicodeNormalize(override val uid: String) extends Transformer
     with HasInputCol with HasOutputCol {
@@ -24,17 +26,9 @@ class UnicodeNormalize(override val uid: String) extends Transformer
   setDefault(lower -> true)
   def setLower(v: Boolean): this.type = set(lower, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val f = java.text.Normalizer.Form.valueOf($(form))
-    val doLower = $(lower)
-    val normUdf = udf((s: String) =>
-      if (s == null) null
-      else {
-        val n = java.text.Normalizer.normalize(s, f)
-        if (doLower) n.toLowerCase else n
-      })
-    ds.toDF().withColumn(getOutputCol, normUdf(col(getInputCol)))
-  }
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF().withColumn(getOutputCol, graft.functions.TextExpressions
+      .unicodeNormalize(col(getInputCol), $(form), $(lower)))
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField(getOutputCol, StringType, true))
   override def copy(extra: ParamMap): UnicodeNormalize = defaultCopy(extra)
@@ -131,28 +125,10 @@ class PageSplitter(override val uid: String) extends Transformer
   def setMaximumPageLength(v: Int): this.type = set(maximumPageLength, v)
   def setMinimumPageLength(v: Int): this.type = set(minimumPageLength, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val maxLen = $(maximumPageLength)
-    val minLen = $(minimumPageLength)
-    val re = $(boundaryRegex)
-    val splitUdf = udf((s: String) =>
-      if (s == null) null
-      else {
-        val pages = scala.collection.mutable.ArrayBuffer.empty[String]
-        var rest = s
-        while (rest.length > maxLen) {
-          // last boundary in (minLen, maxLen]; hard cut if none
-          val window = rest.substring(minLen, maxLen)
-          val m = re.r.findAllMatchIn(window).toSeq.lastOption
-          val cut = m.map(minLen + _.end).getOrElse(maxLen)
-          pages += rest.substring(0, cut)
-          rest = rest.substring(cut)
-        }
-        if (rest.nonEmpty || pages.isEmpty) pages += rest
-        pages.toSeq
-      })
-    ds.toDF().withColumn(getOutputCol, splitUdf(col(getInputCol)))
-  }
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF().withColumn(getOutputCol, graft.functions.TextExpressions
+      .pageSplit(col(getInputCol), $(maximumPageLength),
+        $(minimumPageLength), $(boundaryRegex)))
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+
       StructField(getOutputCol, ArrayType(StringType, true), true))

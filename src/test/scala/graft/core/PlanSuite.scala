@@ -68,7 +68,7 @@ class PlanSuite extends TestBase {
     // (dedup_exact is excluded: min_by(struct) is a TypedImperativeAggregate
     // and ObjectHashAggregate never participates in whole-stage codegen)
     for (q <- Seq("doc_stats", "doc_token_count", "doc_chunks",
-        "multi_ngram", "unicode_normalize")) {
+        "multi_ngram", "unicode_normalize", "page_splitter")) {
       val nodes = planOf(q)
       val wsc = nodes.collect {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
