@@ -49,6 +49,33 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Longest-match-wins multi-substring replace over a prebuilt trie.
+    * The trie ships inside the expression (codegen references array) —
+    * one deserialization per task, zero per-row conversion.
+    */
+  def trieReplace(text: Column, trie: graft.text.Trie): Column =
+    toCol(TrieReplaceExpr(expr(text), trie))
+
+  case class TrieReplaceExpr(child: Expression, trie: graft.text.Trie)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    def replace(s: UTF8String): UTF8String =
+      UTF8String.fromString(trie.replaceAll(s.toString))
+
+    override def nullSafeEval(a: Any): Any =
+      replace(a.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("trieReplace", this,
+        classOf[TrieReplaceExpr].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.replace($a);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): TrieReplaceExpr =
+      copy(child = c)
+  }
+
   /** Greedy page split: cut at the last boundary-regex match in
     * (minLen, maxLen], hard cut at maxLen when none. */
   def pageSplit(text: Column, maxLen: Int, minLen: Int,

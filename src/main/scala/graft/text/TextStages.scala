@@ -56,9 +56,10 @@ class TextPreprocessor(override val uid: String) extends Transformer
     val norm: Char => Char =
       if ($(normFunc) == "lowercase") c => c.toLower else identity
     val trie = Trie.build(map, norm)
-    val bc = ds.sparkSession.sparkContext.broadcast(trie)
-    val replUdf = udf((s: String) => if (s == null) null else bc.value.replaceAll(s))
-    ds.toDF().withColumn(getOutputCol, replUdf(col(getInputCol)))
+    // the trie ships inside the codegen'd expression (one deserialization
+    // per task — replacement maps are param-sized, not data-sized)
+    ds.toDF().withColumn(getOutputCol,
+      graft.functions.TextExpressions.trieReplace(col(getInputCol), trie))
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField(getOutputCol, StringType, true))
