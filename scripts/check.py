@@ -54,6 +54,18 @@ def main():
             print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(ocols)}")
             n_fail += 1
             continue
+        # column TYPE skew: a HUGEINT (e.g. DuckDB list_sum/sum over BIGINT)
+        # renders as float64 "42.0" in pandas/arrow-based compares while the
+        # int values still repr-match via fetchall — the exact doc_stats
+        # round-5/6 failure mode. Flag any int-width/float skew as FAIL.
+        stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+        otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+        skew = {c: (otypes[c], stypes[c]) for c in otypes
+                if otypes[c] != stypes[c]}
+        if skew:
+            print(f"FAIL {name}: column type skew {skew}")
+            n_fail += 1
+            continue
         cs, co = canon(srows, scols), canon(orows, ocols)
         if cs != co:
             print(f"FAIL {name}: rows {len(cs)} vs {len(co)}")

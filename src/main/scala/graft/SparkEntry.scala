@@ -861,8 +861,13 @@ object SparkEntry {
         |  FROM documents),
         |counted AS (
         |  SELECT doc_id, len_d, len(toks) AS n_tokens,
-        |    list_sum(list_transform(toks,
-        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_tokens_est,
+        |    -- CAST the list_sum: DuckDB widens BIGINT sums to HUGEINT,
+        |    -- which pandas/arrow-side compares render as float64 ("42.0"
+        |    -- vs Spark's int64 "42") — the round-5/6 hash-gate red was
+        |    -- exactly this type skew, not a value difference
+        |    CAST(list_sum(list_transform(toks,
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+        |      AS n_tokens_est,
         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         |      AS BIGINT) AS n_alpha,
         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))

@@ -138,6 +138,18 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
   final val criticalValues = new DoubleArrayParam(this, "criticalValues",
     "explicit lambda_i per iteration (overrides alpha-based values)")
   def setCriticalValues(v: Array[Double]): this.type = set(criticalValues, v)
+  /** Hard bound on points per series: the Rosner loop materializes one
+    * series as an in-task array (~40 B/point), so a pathological series
+    * must fail with a clear message naming this knob rather than OOM an
+    * executor. 10M points ≈ 400 MB task memory — raise it only with the
+    * executor heap to match, or pre-aggregate (e.g. 1-minute means) before
+    * detection, which is the statistically sound move anyway at that
+    * density. */
+  final val maxSeriesPoints = new IntParam(this, "maxSeriesPoints",
+    "max points materialized per series (guard against executor OOM)",
+    ParamValidators.gt(0))
+  setDefault(maxSeriesPoints -> 10000000)
+  def setMaxSeriesPoints(v: Int): this.type = set(maxSeriesPoints, v)
 
   /** Rosner critical value for removal i (1-based) of an n-point series. */
   def esdLambda(n: Long, i: Int, a: Double): Double =
@@ -174,10 +186,11 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
     // ONE shuffle: each series lands whole on an executor and the entire
     // k-iteration Rosner loop runs there — no driver-side per-series map,
     // no per-iteration collect, no locally-built broadcast frames
+    val maxPts = $(maxSeriesPoints)
     val verdicts = base.as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (key, rows) =>
-        ESDAnomalyDetector.rosnerVerdicts(rows, k, alphaV, cvs)
+        ESDAnomalyDetector.rosnerVerdicts(rows, k, alphaV, cvs, maxPts, key)
           .map { case (pid, iter) => (key, pid, iter) }
       }
       .toDF("__k", "__id", "__anom_iter")
@@ -234,8 +247,19 @@ object ESDAnomalyDetector {
     */
   private[anomaly] def rosnerVerdicts(
       rows: Iterator[(String, Long, Double)], k: Int, alpha: Double,
-      cvs: Option[Array[Double]]): Iterator[(Long, Int)] = {
-    val pts = rows.map(t => (t._2, t._3)).toArray // (id, x); series-bounded
+      cvs: Option[Array[Double]], maxPts: Int = Int.MaxValue,
+      key: String = ""): Iterator[(Long, Int)] = {
+    // (id, x); bounded by maxSeriesPoints — fail loudly, not executor-OOM
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    rows.foreach { t =>
+      if (buf.length >= maxPts)
+        throw new IllegalStateException(
+          s"series '$key' exceeds maxSeriesPoints=$maxPts points; " +
+            "raise setMaxSeriesPoints (with executor heap to match) or " +
+            "pre-aggregate the series before ESD detection")
+      buf += ((t._2, t._3))
+    }
+    val pts = buf.toArray
     val n0 = pts.length.toLong
     var n = n0
     var s = BigDecimal(0); var q = BigDecimal(0)

@@ -33,7 +33,10 @@ object TextExpressions {
 
     def normalize(s: UTF8String): UTF8String = {
       val n = java.text.Normalizer.normalize(s.toString, f)
-      UTF8String.fromString(if (lower) n.toLowerCase else n)
+      // Locale.ROOT: executors on tr/az-locale JVMs would otherwise map
+      // 'I' -> 'ı', making the normalize stage environment-dependent
+      UTF8String.fromString(
+        if (lower) n.toLowerCase(java.util.Locale.ROOT) else n)
     }
 
     override def nullSafeEval(a: Any): Any =

@@ -152,20 +152,36 @@ class SARModel(override val uid: String) extends Model[SARModel]
   var itemSimilarity: DataFrame = _  // (i1, i2, similarity)
 
   /** Cap on similar items kept per item before the similarity table is
-    * broadcast (0 = keep all, opt-in). At catalog scale the dense
-    * item-item table is O(items²); scoring only ever needs the strongest
-    * neighbors, so a top-N cut (similarity desc, ties by item id) bounds
-    * the broadcast at N·items rows — a 1M-item catalog cannot blow the
-    * driver. The DEFAULT is the bounded one (100): unbounded broadcast is
-    * the wrong default at scale and must be asked for explicitly. */
+    * broadcast (0 = keep all). The DEFAULT is 0 — full-matrix scoring,
+    * matching the reference SAR's semantics (reference
+    * core/src/main/scala/com/microsoft/ml/spark/recommendation/SARModel.scala
+    * scores against the whole similarity matrix). At catalog scale the
+    * dense item-item table is O(items²) and scoring only ever needs the
+    * strongest neighbors, so when the full table exceeds a broadcast-safe
+    * size we log a loud warning pointing at this param; a top-N cut
+    * (similarity desc, ties by item id) bounds the broadcast at N·items
+    * rows. Opt in with setSimilarityTopN — silently truncating by default
+    * would change results vs the reference. */
   final val similarityTopN = new IntParam(this, "similarityTopN",
-    "top similar items kept per item before broadcast (0 = all, opt-in)",
+    "top similar items kept per item before broadcast (0 = all, default)",
     ParamValidators.gtEq(0))
-  setDefault(similarityTopN -> 100)
+  setDefault(similarityTopN -> 0)
   def setSimilarityTopN(v: Int): this.type = set(similarityTopN, v)
 
+  /** Rows above which an uncapped similarity broadcast draws a warning
+    * (~5M rows ≈ hundreds of MB serialized — the edge of sane broadcast). */
+  private val broadcastWarnRows = 5000000L
+
   private def sparsifiedSimilarity: DataFrame =
-    if ($(similarityTopN) <= 0) itemSimilarity
+    if ($(similarityTopN) <= 0) {
+      val n = itemSimilarity.limit((broadcastWarnRows + 1).toInt).count()
+      if (n > broadcastWarnRows)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"item-item similarity table exceeds $broadcastWarnRows rows and " +
+            "similarityTopN=0 (keep all): the broadcast may overwhelm the " +
+            "driver. Set similarityTopN (e.g. 100) to bound it.")
+      itemSimilarity
+    }
     else {
       val w = Window.partitionBy("i1")
         .orderBy(col("similarity").desc, col("i2"))

@@ -99,6 +99,30 @@ class DedupSuite extends TestBase {
       .head.getInt(0) == 3)
   }
 
+  test("gate fixture keeps every pair margined away from the 0.8 threshold") {
+    // The dedup_minhash / dedup_ngram_jaccard driver gates encode a
+    // probabilistic recall property as an exact-constant oracle: banding
+    // must surface every pair with exact Jaccard >= 0.8 (exact verify then
+    // filters, so sub-threshold pairs can never flip the gate). That is
+    // only robust because the sf0.01 fixture keeps all pairs MARGINED off
+    // the threshold: at J >= 0.88 the 128-hash/32-band miss probability is
+    // (1 - 0.88^4)^32 ~ 6e-13. If a fixture regeneration ever lands a pair
+    // in the (0.70, 0.88) dead zone, this test goes red BEFORE the driver
+    // gate starts flipping probabilistically. (The band hash mixing seed
+    // is fixed in code, so given a fixed fixture the gate is
+    // deterministic; this guards the fixture side of that pact.)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = docs.select(col("doc_id").cast("long").as("id"),
+      DedupFunctions.hashedShingles(col("text"), 3).as("sh"))
+    val inZone = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(DedupFunctions.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") > 0.70 && col("j") < 0.88)
+    assert(inZone.count() == 0,
+      "fixture has a doc pair with exact Jaccard in (0.70, 0.88) — " +
+        "the dedup_minhash/dedup_ngram_jaccard driver gates are no longer " +
+        "margined away from their 0.8 threshold")
+  }
+
   test("bucket caps bound a pathologically skewed fixture and report drops") {
     // 2,000 identical docs -> every band bucket is one degenerate bucket.
     // Without the cap the pair space is ~2M; with maxBucketSize=50 the

@@ -63,8 +63,10 @@ class RecoSuite extends TestBase {
   test("similarityTopN sparsifies the broadcast but keeps top scores") {
     val model = new SAR().setUserCol("user").setItemCol("item")
       .setRatingCol("rating").setSimilarityFunction("jaccard").fit(ratings)
-    // the DEFAULT is the bounded path (100) — unbounded is opt-in via 0
-    assert(model.getOrDefault(model.similarityTopN) == 100)
+    // the DEFAULT is 0 (full matrix — reference SAR parity); capping is
+    // opt-in, with a logged warning when an uncapped table looks too big
+    // to broadcast
+    assert(model.getOrDefault(model.similarityTopN) == 0)
     // unbounded and default-capped agree on a small catalog
     val full = model.setSimilarityTopN(0)
       .recommendForAllUsers(2, removeSeen = false)
@@ -79,7 +81,7 @@ class RecoSuite extends TestBase {
       .recommendForAllUsers(1, removeSeen = false)
       .filter(col("user") === 1L).select("item").head.getString(0)
     assert(self == "a") // user 1's own top-affinity item
-    model.setSimilarityTopN(100) // restore the default
+    model.setSimilarityTopN(0) // restore the default
   }
 
   test("RankingAdapter builds ordered ground truth") {
