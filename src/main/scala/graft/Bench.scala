@@ -1,6 +1,28 @@
 package graft
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with the total, per-query
+  * wall seconds (the driver's contract), and a per-query attribution
+  * record {wall, stages, tasks, shuffle_read, shuffle_write, spilled} so
+  * a round-over-round regression can be pinned to a stage-level cause
+  * (scheduling drift vs real shuffle growth) instead of guessed at.
+  *
+  * Queries run in sorted-name order: Map iteration order shifts when
+  * entries are added, which re-orders JIT warmup round-over-round and
+  * showed up in round 6 as broad ±2x drift on small queries. A fixed
+  * order keeps consecutive rounds comparable.
+  */
 object Bench {
+
+  private final class Acc {
+    val stages = new LongAdder; val tasks = new LongAdder
+    val shuffleRead = new LongAdder; val shuffleWrite = new LongAdder
+    val spilled = new LongAdder
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +34,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    @volatile var current: Acc = null
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val a = current
+        if (a != null) {
+          a.stages.increment()
+          a.tasks.add(ev.stageInfo.numTasks.toLong)
+          val m = ev.stageInfo.taskMetrics
+          if (m != null) {
+            a.shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+            a.shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+            a.spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      }
+    })
     // untimed warmup: pay one-time JVM/codegen/parquet-footer costs here so
     // the first timed query measures the query, not session initialization
     try {
@@ -20,15 +58,29 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("sum(length(text))").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val acc = new Acc
+      current = acc
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // stage-completed events deliver async; drain before re-attributing
+      org.apache.spark.graftshims.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 5000)
+      current = null
+      name -> ((wall, acc))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, (w, a)) =>
+      "\"" + k + "\":{\"wall\":" + w +
+        ",\"stages\":" + a.stages.sum + ",\"tasks\":" + a.tasks.sum +
+        ",\"shuffle_read\":" + a.shuffleRead.sum +
+        ",\"shuffle_write\":" + a.shuffleWrite.sum +
+        ",\"spilled\":" + a.spilled.sum + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir"}""")
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)
