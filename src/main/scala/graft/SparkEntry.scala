@@ -498,6 +498,43 @@ object SparkEntry {
           (round(element_at(col("coefficients"), 2), 4) + lit(0.0)).as("phi_user"))
     },
 
+    // linear per-dimension black box f(v) = sum_d c_d v_d with
+    // c_d = ((d % 4) + 1) / 4: the vector explainers must recover c_d
+    // (LIME) / c_d (x_d - mean_d) (SHAP) exactly, emitted long-form
+    // (vec_id, dim, ...) so a 64-dim explanation stays oracle-checkable
+    "lime_vector" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 20)
+      new graft.explain.VectorLIME().setIdCol("vec_id")
+        .setInputCol("embedding").setNumSamples(160)
+        .setScoringFn(df => df.withColumn("prediction",
+          aggregate(zip_with(
+            col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (v, d) => v * ((d % 4 + 1).cast("double") * lit(0.25))),
+            lit(0.0), (acc, x) => acc + x)))
+        .transform(emb)
+        .select(col("vec_id"), posexplode(col("coefficients")))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          (round(col("col"), 4) + lit(0.0)).as("coef"))
+    },
+
+    "shap_vector" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 20)
+      new graft.explain.VectorSHAP().setIdCol("vec_id")
+        .setInputCol("embedding").setNumSamples(160)
+        .setScoringFn(df => df.withColumn("prediction",
+          aggregate(zip_with(
+            col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (v, d) => v * ((d % 4 + 1).cast("double") * lit(0.25))),
+            lit(0.0), (acc, x) => acc + x)))
+        .transform(emb)
+        .select(col("vec_id"), (round(col("intercept"), 3) + lit(0.0)).as("base"),
+          posexplode(col("coefficients")))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          (round(col("col"), 4) + lit(0.0)).as("phi"), col("base"))
+    },
+
     // ---- cyber (§2.4: per-tenant ops) -------------------------------
     "cyber_std_scaler" -> { (s, dir) =>
       new graft.cyber.PerTenantStandardScaler().setTenantCol("event_type")
@@ -1212,6 +1249,32 @@ object SparkEntry {
         |  ROUND(2 * (value - m.mv), 4) + 0.0 AS phi_value,
         |  ROUND(0.5 * (user_id - m.mu), 4) + 0.0 AS phi_user
         |FROM events CROSS JOIN m WHERE event_id < 200""".stripMargin,
+
+    // exactly-linear per-dimension model => VectorLIME's surrogate IS the
+    // model: coef(d) = ((d % 4) + 1) / 4 for every explained vector
+    "lime_vector" ->
+      """SELECT vec_id, CAST(d AS INTEGER) AS dim,
+        |  CAST(((d % 4) + 1) * 0.25 AS DOUBLE) AS coef
+        |FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS d
+        |      FROM embeddings WHERE vec_id < 20)""".stripMargin,
+
+    // linear model => phi_d = c_d (x_d - mean_d) with decimal-exact
+    // per-dimension background means over the same explained subset
+    "shap_vector" ->
+      """WITH u AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings WHERE vec_id < 20)),
+        |m AS (SELECT dim,
+        |    CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(v) AS mv
+        |  FROM u GROUP BY dim),
+        |b AS (SELECT ROUND(SUM(((dim % 4) + 1) * 0.25 * mv), 3) + 0.0 AS base
+        |  FROM m)
+        |SELECT u.vec_id, u.dim,
+        |  ROUND(((u.dim % 4) + 1) * 0.25 * (u.v - m.mv), 4) + 0.0 AS phi,
+        |  b.base AS base
+        |FROM u JOIN m ON u.dim = m.dim CROSS JOIN b""".stripMargin,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -394,3 +394,237 @@ class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) {
     val c = new TabularSHAP(uid); c.scorer = scorer; copyValues(c, extra)
   }
 }
+
+/** Shared plumbing for explainers over a single vector/array feature
+  * column (ref: explainers/VectorLIME.scala:1-60, VectorSHAP.scala:1-55 —
+  * same surface: one `inputCol` holding the assembled features, per-
+  * dimension attributions out). Reuses the tabular machinery's plan —
+  * deterministic per-row sample explosion, ONE distributed scorer pass,
+  * per-row weighted solve in `mapGroups` — with samples built per vector
+  * dimension. Accepts `VectorUDT` or `array<numeric>` and hands the
+  * scorer perturbed features in the SAME type it was trained on.
+  */
+abstract class VectorExplainerBase(uid: String) extends LocalExplainerBase(uid) {
+  final val inputCol = new Param[String](this, "inputCol",
+    "vector/array feature column to explain")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+
+  protected def isVectorType(dt: DataType): Boolean =
+    dt == org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+
+  /** (id, features-as-double-array) projection + a function restoring the
+    * scorer's expected feature type from the perturbed double array. */
+  protected def baseAndRestore(df: DataFrame):
+      (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val dt = df.schema($(inputCol)).dataType
+    val asArr =
+      if (isVectorType(dt))
+        org.apache.spark.ml.functions.vector_to_array(col($(inputCol)))
+      else col($(inputCol)).cast(ArrayType(DoubleType))
+    val base = df.select(col($(idCol)).cast("long").as("__id"),
+      asArr.as("__x"))
+    val restore: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (isVectorType(dt)) org.apache.spark.ml.functions.array_to_vector
+      else (c: org.apache.spark.sql.Column) => c.cast(dt)
+    (base, restore)
+  }
+}
+
+/** LIME over a vector feature column: gaussian perturbation per dimension
+  * scaled by the corpus' per-dimension stddev (one Summarizer pass, no
+  * shuffle), RBF proximity weights in standardized space, per-row weighted
+  * lasso — the vector twin of [[TabularLIME]] (ref:
+  * explainers/VectorLIME.scala + LIMEVectorSampler).
+  */
+class VectorLIME(override val uid: String) extends VectorExplainerBase(uid) {
+  def this() = this(Identifiable.randomUID("VectorLIME"))
+
+  final val kernelWidth = new DoubleParam(this, "kernelWidth",
+    "RBF kernel width in sqrt(d)-scaled standardized units",
+    ParamValidators.gt(0))
+  setDefault(kernelWidth -> 0.75)
+  def setKernelWidth(v: Double): this.type = set(kernelWidth, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(scorer != null, "setModel/setScoringFn first")
+    val df = ds.toDF()
+    val (base, restore) = baseAndRestore(df)
+    val nS = $(numSamples)
+    val kw = $(kernelWidth)
+    val sd = $(seed)
+
+    // per-dimension stddev in ONE pass (Summarizer aggregates vectors
+    // map-side; nothing wider than d doubles crosses the wire)
+    val stdVec = df
+      .select(org.apache.spark.ml.stat.Summarizer.std(
+        if (isVectorType(df.schema($(inputCol)).dataType)) col($(inputCol))
+        else org.apache.spark.ml.functions.array_to_vector(
+          col($(inputCol)).cast(ArrayType(DoubleType)))).as("s"))
+      .head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val sigmas = stdVec.toArray.map(s => if (s.isNaN || s == 0.0) 1.0 else s)
+    val nF = sigmas.length
+    // standardized distances concentrate at sqrt(d): an unscaled RBF
+    // underflows to 0 for EVERY perturbed sample once d is a few dozen,
+    // leaving the surrogate fit to a single anchor point. The public LIME
+    // default (lime_tabular.py) is kernel_width = 0.75 * sqrt(d) for the
+    // same reason.
+    val kw2 = kw * kw * nF
+
+    val sampleSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__w", DoubleType),
+      StructField("__x", ArrayType(DoubleType, containsNull = false))))
+    val exploded = base.mapPartitions { it =>
+      it.flatMap { r =>
+        val rid = r.getLong(0)
+        val xs = r.getSeq[Double](1).toArray
+        (0 until nS).iterator.map { si =>
+          val rng = new java.util.Random(mix(mix(sd ^ rid) ^ si))
+          val xp = new Array[Double](xs.length)
+          var dist2 = 0.0
+          var j = 0
+          while (j < xs.length) {
+            // first sample = the instance itself (anchors the surrogate)
+            val delta = if (si == 0) 0.0 else rng.nextGaussian() * sigmas(j)
+            xp(j) = xs(j) + delta
+            val z = delta / sigmas(j)
+            dist2 += z * z
+            j += 1
+          }
+          Row(rid, math.exp(-dist2 / kw2), xp.toSeq)
+        }
+      }
+    }(ExpressionEncoder(sampleSchema))
+
+    val scored = scorer(exploded.withColumn($(inputCol), restore(col("__x"))))
+      .select(col("__id"), col("__w"), col("__x"),
+        col($(scoreCol)).cast("double").as("__y"))
+
+    val lam = $(regularization)
+    val outSchema = transformSchema(df.schema)
+    scored.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (rid, rows) =>
+        val buf = rows.toArray
+        val x = buf.map(_.getSeq[Double](2).toArray)
+        val w = buf.map(_.getDouble(1))
+        val y = buf.map(_.getDouble(3))
+        val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lam)
+        Row(rid, b0, beta.toSeq)
+      }(ExpressionEncoder(outSchema))
+      .toDF($(idCol), "intercept", "coefficients")
+  }
+  override def copy(extra: ParamMap): VectorLIME = {
+    val c = new VectorLIME(uid); c.scorer = scorer; copyValues(c, extra)
+  }
+}
+
+/** Kernel SHAP over a vector feature column: coalition masks per
+  * dimension, masked dimensions replaced by decimal-exact per-dimension
+  * background means (bit-reproducible, so a linear black box is
+  * oracle-checkable), Shapley-kernel weighted least squares — the vector
+  * twin of [[TabularSHAP]] (ref: explainers/VectorSHAP.scala +
+  * KernelSHAPSampler).
+  */
+class VectorSHAP(override val uid: String) extends VectorExplainerBase(uid) {
+  def this() = this(Identifiable.randomUID("VectorSHAP"))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(scorer != null, "setModel/setScoringFn first")
+    val df = ds.toDF()
+    val (base, restore) = baseAndRestore(df)
+    val nS = math.max($(numSamples), 4)
+    val sd = $(seed)
+
+    // per-dimension background mean, decimal-exact: unnest to (dim, v) —
+    // map-side-combining keyed agg over n·d skinny rows, collected as d
+    // driver doubles. Deterministic regardless of partitioning.
+    val meansRows = base
+      .select(posexplode(col("__x")).as(Seq("__dim", "__v")))
+      .groupBy("__dim")
+      .agg(graft.core.Determinism.deterministicMean(col("__v")).as("__m"))
+      .collect()
+    val nF = meansRows.length
+    val bg = new Array[Double](nF)
+    meansRows.foreach(r => bg(r.getInt(0)) = r.getDouble(1))
+
+    // Coalition SIZES are importance-sampled from the normalized Shapley
+    // kernel over sizes, pi(s) ∝ (M-1)/(s(M-s)) (the C(M,s) term cancels
+    // against drawing a uniform subset of that size), and sampled rows get
+    // UNIFORM solver weight — the public KernelSHAP construction. Keeping
+    // uniform masks and putting the kernel in the solver weights instead
+    // (the low-d tabular shortcut) collapses at vector widths: a mid-size
+    // coalition's kernel weight is ~1/C(64,32) ≈ 1e-19, 23 orders below
+    // the constraint pins, so every sampled row sinks beneath the solver's
+    // ridge and the fit degenerates to the two pinned points.
+    val sizeCdf = new Array[Double](math.max(nF - 1, 1))
+    if (nF > 1) {
+      var acc = 0.0
+      var s = 1
+      while (s < nF) {
+        acc += (nF - 1).toDouble / (s.toDouble * (nF - s))
+        sizeCdf(s - 1) = acc
+        s += 1
+      }
+      s = 1
+      while (s < nF) { sizeCdf(s - 1) /= acc; s += 1 }
+    } else sizeCdf(0) = 1.0
+
+    val sampleSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__w", DoubleType),
+      StructField("__mask", ArrayType(DoubleType, containsNull = false)),
+      StructField("__x", ArrayType(DoubleType, containsNull = false))))
+    val exploded = base.mapPartitions { it =>
+      it.flatMap { r =>
+        val rid = r.getLong(0)
+        val xs = r.getSeq[Double](1).toArray
+        (0 until nS).iterator.map { si =>
+          val rng = new java.util.Random(mix(mix(sd ^ rid) ^ si))
+          // sample 0 = empty coalition, 1 = full (pinned constraints);
+          // the rest: kernel-distributed size, uniform subset of that size
+          val mask = new Array[Double](nF)
+          var weight = 1e4
+          if (si == 1) java.util.Arrays.fill(mask, 1.0)
+          else if (si > 1) {
+            weight = 1.0
+            val u = rng.nextDouble()
+            var s = 1
+            while (s < nF - 1 && sizeCdf(s - 1) < u) s += 1
+            // partial Fisher-Yates: first s entries of a shuffled index
+            // array are the coalition
+            val idx = Array.range(0, nF)
+            var j = 0
+            while (j < s) {
+              val k = j + rng.nextInt(nF - j)
+              val t = idx(j); idx(j) = idx(k); idx(k) = t
+              mask(idx(j)) = 1.0
+              j += 1
+            }
+          }
+          val xp = Array.tabulate(nF)(j => if (mask(j) == 1.0) xs(j) else bg(j))
+          Row(rid, weight, mask.toSeq, xp.toSeq)
+        }
+      }
+    }(ExpressionEncoder(sampleSchema))
+
+    val scored = scorer(exploded.withColumn($(inputCol), restore(col("__x"))))
+      .select(col("__id"), col("__w"), col("__mask"),
+        col($(scoreCol)).cast("double").as("__y"))
+
+    val lam = $(regularization)
+    val outSchema = transformSchema(df.schema)
+    scored.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (rid, rows) =>
+        val buf = rows.toArray
+        val x = buf.map(_.getSeq[Double](2).toArray)
+        val w = buf.map(_.getDouble(1))
+        val y = buf.map(_.getDouble(3))
+        val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lam)
+        Row(rid, b0, beta.toSeq)
+      }(ExpressionEncoder(outSchema))
+      .toDF($(idCol), "intercept", "coefficients")
+  }
+  override def copy(extra: ParamMap): VectorSHAP = {
+    val c = new VectorSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+  }
+}

@@ -87,4 +87,72 @@ class ExplainSuite extends TestBase {
         s"id=${r.getLong(0)}: $additive vs ${r.getDouble(3)}")
     }
   }
+
+  // vector twin of `data`: the same features assembled into one array /
+  // VectorUDT column, scored by the same linear function over dimensions
+  private def vecData: DataFrame = data
+    .select(col("id"), array(col("f1"), col("f2"), col("f3")).as("features"))
+  private val vecScoreFn: DataFrame => DataFrame =
+    df => df.withColumn("prediction",
+      element_at(col("features"), 1) * 3.0 -
+        element_at(col("features"), 2) * 2.0 + lit(1.0))
+
+  test("VectorLIME recovers per-dimension linear coefficients") {
+    val out = new VectorLIME().setIdCol("id").setInputCol("features")
+      .setNumSamples(64).setScoringFn(vecScoreFn)
+      .transform(vecData)
+    assert(out.count() == 40)
+    val coefs = out.filter(col("id") === 0L).head.getSeq[Double](2)
+    assert(math.abs(coefs(0) - 3.0) < 1e-6)
+    assert(math.abs(coefs(1) + 2.0) < 1e-6)
+    assert(math.abs(coefs(2)) < 1e-6)
+  }
+
+  test("VectorSHAP matches TabularSHAP on the same assembled features") {
+    // identical model, identical per-feature backgrounds (decimal means),
+    // identical coalition seeds => per-dimension phi must agree with the
+    // tabular explainer's per-column phi to solver tolerance
+    val tab = new TabularSHAP().setIdCol("id")
+      .setInputCols(Seq("f1", "f2", "f3")).setNumSamples(64)
+      .setScoringFn(scoreFn).transform(data)
+      .select(col("id"), col("intercept"), col("coefficients"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Double](2))))
+      .toMap
+    val vec = new VectorSHAP().setIdCol("id").setInputCol("features")
+      .setNumSamples(64).setScoringFn(vecScoreFn)
+      .transform(vecData)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Double](2))))
+      .toMap
+    assert(tab.keySet == vec.keySet)
+    tab.foreach { case (id, (b0, phis)) =>
+      val (vb0, vphis) = vec(id)
+      assert(math.abs(b0 - vb0) < 1e-6, s"id=$id intercept")
+      phis.indices.foreach { j =>
+        assert(math.abs(phis(j) - vphis(j)) < 1e-6, s"id=$id phi($j)")
+      }
+    }
+  }
+
+  test("VectorSHAP accepts VectorUDT input and keeps additivity") {
+    val df = vecData.select(col("id"),
+      org.apache.spark.ml.functions.array_to_vector(col("features"))
+        .as("features"))
+    val fn: DataFrame => DataFrame = d => d.withColumn("prediction",
+      element_at(org.apache.spark.ml.functions.vector_to_array(
+        col("features")), 1) * 3.0 -
+        element_at(org.apache.spark.ml.functions.vector_to_array(
+          col("features")), 2) * 2.0 + lit(1.0))
+    val out = new VectorSHAP().setIdCol("id").setInputCol("features")
+      .setNumSamples(64).setScoringFn(fn).transform(df)
+    val joined = out.join(fn(df), "id")
+      .select(col("id"), col("intercept"),
+        aggregate(col("coefficients"), lit(0.0), _ + _).as("phi_sum"),
+        col("prediction"))
+      .collect()
+    joined.foreach { r =>
+      val additive = r.getDouble(1) + r.getDouble(2)
+      assert(math.abs(additive - r.getDouble(3)) < 1e-4,
+        s"id=${r.getLong(0)}: $additive vs ${r.getDouble(3)}")
+    }
+  }
 }
