@@ -628,3 +628,56 @@ class VectorSHAP(override val uid: String) extends VectorExplainerBase(uid) {
     val c = new VectorSHAP(uid); c.scorer = scorer; copyValues(c, extra)
   }
 }
+
+/** Kernel SHAP coalition sampling shared by the segment/token/dimension
+  * explainers: sizes drawn from the normalized Shapley kernel over sizes
+  * pi(s) ∝ (M-1)/(s(M-s)) — uniform subset within a size — with the empty
+  * and full coalitions pinned at large weight so `intercept ≈ f(empty)`
+  * and `intercept + Σφ ≈ f(x)` (the public KernelSHAP construction).
+  */
+private[explain] object ShapSampling {
+  /** Cumulative size distribution for a k-feature coalition space. */
+  def sizeCdf(k: Int): Array[Double] = {
+    val n = math.max(k - 1, 1)
+    val cdf = new Array[Double](n)
+    if (k > 1) {
+      var acc = 0.0
+      var s = 1
+      while (s < k) {
+        acc += (k - 1).toDouble / (s.toDouble * (k - s))
+        cdf(s - 1) = acc
+        s += 1
+      }
+      s = 1
+      while (s < k) { cdf(s - 1) /= acc; s += 1 }
+    } else cdf(0) = 1.0
+    cdf
+  }
+
+  /** Coalition mask + solver weight for sample `si`: 0 = empty, 1 = full
+    * (both pinned at 1e4), else kernel-size-sampled uniform subset at
+    * weight 1. */
+  def coalition(rng: java.util.Random, k: Int, si: Int,
+      cdf: Array[Double]): (Array[Boolean], Double) = {
+    val mask = new Array[Boolean](k)
+    if (si == 0) (mask, 1e4)
+    else if (si == 1 || k == 1) {
+      if (si == 1) java.util.Arrays.fill(mask, true)
+      else mask(0) = rng.nextBoolean() // k=1: only empty/full exist
+      (mask, if (si == 1) 1e4 else 1.0)
+    } else {
+      val u = rng.nextDouble()
+      var s = 1
+      while (s < k - 1 && cdf(s - 1) < u) s += 1
+      val idx = Array.range(0, k)
+      var j = 0
+      while (j < s) {
+        val p = j + rng.nextInt(k - j)
+        val t = idx(j); idx(j) = idx(p); idx(p) = t
+        mask(idx(j)) = true
+        j += 1
+      }
+      (mask, 1.0)
+    }
+  }
+}

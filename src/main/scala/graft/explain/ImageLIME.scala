@@ -109,3 +109,105 @@ class ImageLIME(override val uid: String) extends Transformer {
     val c = new ImageLIME(uid); c.scorer = scorer; copyValues(c, extra)
   }
 }
+
+/** Image Kernel SHAP (ref: explainers/ImageSHAP.scala): the same
+  * superpixel masking sampler as [[ImageLIME]] under the KernelSHAP
+  * coalition construction — pinned empty/full coalitions plus
+  * kernel-size-sampled masks ([[ShapSampling]]) — so the per-segment
+  * coefficients are SHAP values: `intercept ≈ f(all masked)` and
+  * `intercept + Σφ ≈ f(image)`. Same execution shape: explode → one
+  * scorer pass → groupByKey + in-group weighted solve.
+  */
+class ImageSHAP(override val uid: String) extends Transformer {
+  def this() = this(Identifiable.randomUID("ImageSHAP"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val imageCol = new Param[String](this, "imageCol", "ImageSchema struct col")
+  setDefault(imageCol -> "image")
+  def setImageCol(v: String): this.type = set(imageCol, v)
+  final val scoreCol = new Param[String](this, "scoreCol", "model output column")
+  setDefault(scoreCol -> "prediction")
+  def setScoreCol(v: String): this.type = set(scoreCol, v)
+  final val numSamples = new IntParam(this, "numSamples", "coalitions per image")
+  setDefault(numSamples -> 64)
+  def setNumSamples(v: Int): this.type = set(numSamples, v)
+  final val numSegments = new IntParam(this, "numSegments", "target superpixels")
+  setDefault(numSegments -> 16)
+  def setNumSegments(v: Int): this.type = set(numSegments, v)
+  final val seed = new LongParam(this, "seed", "coalition seed")
+  setDefault(seed -> 42L)
+  def setSeed(v: Long): this.type = set(seed, v)
+
+  private var scorer: DataFrame => DataFrame = _
+  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
+  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(scorer != null, "setModel/setScoringFn first")
+    val df = ds.toDF()
+    val nS = math.max($(numSamples), 4)
+    val nSeg = $(numSegments)
+    val sd = $(seed)
+    val idIdx = df.schema.fieldIndex($(idCol))
+    val imgIdx = df.schema.fieldIndex($(imageCol))
+
+    val sampleSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__w", DoubleType),
+      StructField("__mask", ArrayType(DoubleType, containsNull = false)),
+      StructField($(imageCol), ImageSchemaUtils.imageType)))
+    val exploded = df.mapPartitions { it =>
+      it.flatMap { r =>
+        val rid = r.getLong(idIdx)
+        val img = r.getStruct(imgIdx)
+        val h = img.getInt(1); val w = img.getInt(2)
+        val data = img.getAs[Array[Byte]](5)
+        val (labels, k) = Superpixel.segment(h, w, data, nSeg)
+        val cdf = ShapSampling.sizeCdf(k)
+        (0 until nS).iterator.map { si =>
+          val rng = new java.util.Random(mix(mix(sd ^ rid) ^ si))
+          val (keep, weight) = ShapSampling.coalition(rng, k, si, cdf)
+          val masked =
+            if (keep.forall(identity)) data
+            else Superpixel.mask(data, labels, keep)
+          Row(rid, weight, keep.map(b => if (b) 1.0 else 0.0).toSeq,
+            Row(img.getString(0), h, w, 3, ImageSchemaUtils.ocvType8UC3, masked))
+        }
+      }
+    }(ExpressionEncoder(sampleSchema))
+
+    val scored = scorer(exploded)
+      .select(col("__id"), col("__w"), col("__mask"),
+        col($(scoreCol)).cast("double").as("__y"))
+
+    val outSchema = transformSchema(df.schema)
+    scored.groupByKey(_.getLong(0))(Encoders.scalaLong)
+      .mapGroups { (rid, rows) =>
+        val buf = rows.toArray
+        val x = buf.map(_.getSeq[Double](2).toArray)
+        val w = buf.map(_.getDouble(1))
+        val y = buf.map(_.getDouble(3))
+        val (b0, beta) = WeightedLinearSolver.fit(x, y, w, lambda = 0.0)
+        Row(rid, b0, beta.toSeq)
+      }(ExpressionEncoder(outSchema))
+      .toDF($(idCol), "intercept", "segment_shap")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(Seq(
+      StructField($(idCol), LongType),
+      StructField("intercept", DoubleType),
+      StructField("segment_shap",
+        ArrayType(DoubleType, containsNull = false))))
+  override def copy(extra: ParamMap): ImageSHAP = {
+    val c = new ImageSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+  }
+}

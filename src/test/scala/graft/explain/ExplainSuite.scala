@@ -70,6 +70,31 @@ class ExplainSuite extends TestBase {
     assert(out(2L).forall(math.abs(_) < 1e-9)) // constant-zero scorer
   }
 
+  test("TextSHAP pins the decisive token and satisfies additivity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps spark"),
+      (2L, "lazy dogs sleep all day long")
+    ).toDF("id", "text")
+    val hasSpark: DataFrame => DataFrame =
+      d => d.withColumn("prediction",
+        when(col("text").contains("spark"), 1.0).otherwise(0.0))
+    val out = new TextSHAP().setIdCol("id").setTextCol("text")
+      .setNumSamples(64).setScoringFn(hasSpark).transform(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Double](2)))).toMap
+    val (b1, phi1) = out(1L)
+    // pinned constraints: base ~ f(empty) = 0; base + sum(phi) ~ f(x) = 1
+    assert(math.abs(b1) < 1e-3, s"base $b1")
+    assert(math.abs(b1 + phi1.sum - 1.0) < 1e-3)
+    // 'spark' (token 5) is a dictator game: its SHAP value carries ~all
+    // of the attribution
+    assert(phi1.indexOf(phi1.max) == 5, s"'spark' should dominate: $phi1")
+    assert(phi1(5) > 0.5)
+    // constant-zero scorer explains to exactly nothing
+    val (b2, phi2) = out(2L)
+    assert(math.abs(b2) < 1e-9 && phi2.forall(math.abs(_) < 1e-9))
+  }
+
   test("TabularSHAP values sum to f(x) - E[f]") {
     val df = data
     val out = new TabularSHAP().setIdCol("id")

@@ -69,4 +69,53 @@ class ImageLIMESuite extends TestBase {
     assert(redImp > blueImp + 1e-6,
       s"red $redImp should outweigh blue $blueImp")
   }
+
+  test("ImageSHAP: additive scorer gives exact per-segment SHAP values") {
+    // the redness scorer is EXACTLY additive over superpixels (masking
+    // zeroes pixels, so f(S) = sum of kept segments' red mass): SHAP must
+    // return intercept ~ 0 (all-masked image is black) and
+    // phi_seg = that segment's exact red contribution
+    val h = 16; val w = 16
+    val data = new Array[Byte](h * w * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      if (x < w / 2) data(base + 2) = 0xff.toByte
+      else data(base) = 0xff.toByte
+    }
+    val img = Row("", h, w, 3, ImageSchemaUtils.ocvType8UC3, data)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(Row(1L, img))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("image",
+          ImageSchemaUtils.imageType))))
+    val redness = udf((im: Row) => {
+      val d = im.getAs[Array[Byte]](5)
+      var s = 0.0; var p = 2
+      while (p < d.length) { s += (d(p) & 0xff) / 255.0; p += 3 }
+      s / (d.length / 3)
+    })
+    val out = new ImageSHAP().setIdCol("id").setImageCol("image")
+      .setNumSamples(64).setNumSegments(8)
+      .setScoringFn(d => d.withColumn("prediction", redness(col("image"))))
+      .transform(df).head
+    val b0 = out.getDouble(1)
+    val phis = out.getSeq[Double](2)
+    assert(math.abs(b0) < 1e-6, s"empty-coalition base should be 0: $b0")
+    // additivity: base + sum(phi) = f(full image) = 0.5 redness
+    assert(math.abs(b0 + phis.sum - 0.5) < 1e-6)
+    // exact per-segment values: each red-half segment's phi equals its
+    // pixel share of the red mass; blue segments are exactly 0
+    val (labels, k) = Superpixel.segment(h, w, data, 8)
+    val segPix = Array.fill(k)(0)
+    labels.foreach(l => segPix(l) += 1)
+    val redSegs = (0 until h)
+      .flatMap(y => (0 until w / 2).map(x => labels(y * w + x))).toSet
+    (0 until k).foreach { s =>
+      val expected = if (redSegs(s)) segPix(s).toDouble / (h * w) else 0.0
+      assert(math.abs(phis(s) - expected) < 1e-6,
+        s"segment $s: phi=${phis(s)} expected=$expected")
+    }
+  }
 }
