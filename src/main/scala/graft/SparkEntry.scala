@@ -324,19 +324,26 @@ object SparkEntry {
         .select(col("event_id"), col("predicted_label"))
     },
 
-    "model_statistics" -> { (s, dir) => // rows-only: metric frame
-      val events = tbl(s, dir, "events")
+    // hash-gated: the operator under test is ComputeModelStatistics itself,
+    // driven by a DETERMINISTIC rule model (no fit) so the confusion counts
+    // are fixture-exact. Accuracy / weighted precision / recall / F1 are
+    // integer-ratio functions of those counts; floor-scaled to q4 integers
+    // they hash-match SQL count arithmetic. AUC (sort + trapezoid, not
+    // SQL-stable) stays suite-gated via the BenchmarksSuite AUROC goldens.
+    "model_statistics" -> { (s, dir) =>
+      val scored = tbl(s, dir, "events")
         .withColumn("is_purchase",
           when(col("event_type") === "purchase", 1.0).otherwise(0.0))
-        .select(col("event_id"), col("value"), col("user_id"), col("is_purchase"))
-      val model = new graft.train.TrainClassifier().setLabelCol("is_purchase")
-        .setFeatureCols(Seq("value", "user_id")).setLearner("LogisticRegression")
-        .setMaxIter(25)
-        .fit(events)
+        .withColumn("prediction",
+          when(col("value") > 35.0, 1.0).otherwise(0.0))
       new graft.train.ComputeModelStatistics().setLabelCol("is_purchase")
         .setEvaluationMetric("classification")
-        .setScoredProbabilitiesCol("probability")
-        .transform(model.transform(events))
+        .transform(scored)
+        .select(
+          floor(col("accuracy") * 1e4 + 0.5).cast("long").as("accuracy_q4"),
+          floor(col("precision") * 1e4 + 0.5).cast("long").as("precision_q4"),
+          floor(col("recall") * 1e4 + 0.5).cast("long").as("recall_q4"),
+          floor(col("f1") * 1e4 + 0.5).cast("long").as("f1_q4"))
     },
 
     "text_featurizer" -> { (s, dir) => // rows-only: tf-idf vector stats
@@ -1338,6 +1345,45 @@ object SparkEntry {
         |  ABS(m.mean - value) AS L1_loss,
         |  (m.mean - value) * (m.mean - value) AS L2_loss
         |FROM events CROSS JOIN m""".stripMargin,
+
+    // mirrors MulticlassMetrics arithmetic exactly: per-class precision =
+    // tp/(tp+fp), recall = tp/classCount, f1 = ((2*p)*r)/((1*p)+r), weighted
+    // mean term = ((metric * classCount) / n), label-0 term first — every
+    // division/multiplication in the same IEEE order the evaluator uses,
+    // then the same floor(x*1e4+0.5) scaling as the Spark projection
+    "model_statistics" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 35.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS tp1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' AND value > 35.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS fp1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' AND NOT value > 35.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS tp0,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' AND NOT value > 35.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS fp0,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM events),
+        |m AS (
+        |  SELECT n, tp0 + fp1 AS c0, tp1 + fp0 AS c1,
+        |    tp0 / (tp0 + fp0) AS p0, tp1 / (tp1 + fp1) AS p1,
+        |    tp0 / (tp0 + fp1) AS r0, tp1 / (tp1 + fp0) AS r1,
+        |    (tp0 + tp1) / n AS accuracy
+        |  FROM c),
+        |f AS (
+        |  SELECT n, c0, c1, p0, p1, r0, r1, accuracy,
+        |    ((2.0 * p0) * r0) / ((1.0 * p0) + r0) AS f0,
+        |    ((2.0 * p1) * r1) / ((1.0 * p1) + r1) AS f1
+        |  FROM m)
+        |SELECT
+        |  CAST(floor(accuracy * 10000.0 + 0.5) AS BIGINT) AS accuracy_q4,
+        |  CAST(floor((((p0 * c0) / n) + ((p1 * c1) / n)) * 10000.0 + 0.5)
+        |    AS BIGINT) AS precision_q4,
+        |  CAST(floor((((r0 * c0) / n) + ((r1 * c1) / n)) * 10000.0 + 0.5)
+        |    AS BIGINT) AS recall_q4,
+        |  CAST(floor((((f0 * c0) / n) + ((f1 * c1) / n)) * 10000.0 + 0.5)
+        |    AS BIGINT) AS f1_q4
+        |FROM f""".stripMargin,
 
     "multimodal_stub" ->
       """SELECT doc_id, 'image' AS modality,
