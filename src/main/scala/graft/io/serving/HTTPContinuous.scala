@@ -2,8 +2,8 @@ package graft.io.serving
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, PartitionOffset, Offset => ConnectorOffset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, PartitionOffset, Offset => ConnectorOffset}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -58,20 +58,149 @@ class HTTPContinuousProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("numpartitions")).map(_.toInt).getOrElse(2))
 }
 
+/** Serves BOTH streaming modes through one DSv2 table (ref:
+  * HTTPSourceV2.scala:54-79, whose HTTPSourceProviderV2 likewise exposes
+  * micro-batch and continuous from the same provider): the trigger picks
+  * the path — default/AvailableNow → [[HTTPMicroBatchStream]],
+  * Trigger.Continuous → [[HTTPContinuousStream]]. Both share
+  * [[DistributedServingState]], so the per-JVM listener, request queue
+  * and (machine, requestId) reply correlation are identical across modes.
+  */
 class HTTPContinuousTable(name: String, host: String, path: String,
                           numPartitions: Int) extends Table with SupportsRead {
   override def name(): String = s"graft-http-continuous-$name"
   override def schema(): StructType = HTTPContinuous.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.CONTINUOUS_READ)
+    util.EnumSet.of(TableCapability.CONTINUOUS_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HTTPContinuous.schema
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
           new HTTPContinuousStream(name, host, path, numPartitions)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HTTPMicroBatchStream(name, host, path)
       }
     }
+}
+
+/** DSv2 MICRO-BATCH mode over the same per-JVM serving state the
+  * continuous reader uses — retires the DSv1 `Source`/`Sink`
+  * deprecation-risk path flagged by SURVEY §7. Mechanics mirror
+  * [[DistributedHTTPSourceV1]]: offsets are a per-machine request-count
+  * map polled by a lightweight job over a one-partition-per-slot setup
+  * RDD; each batch's rows are drained locally by whichever task claims
+  * the batch on its JVM (exactly one winner per JVM per batch), and stay
+  * in the `drained` map until commit so recomputation replays
+  * identically. Request payloads never pass through the driver.
+  */
+class HTTPMicroBatchStream(name: String, host: String, path: String)
+    extends MicroBatchStream {
+  import HTTPMicroBatch._
+
+  private val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+  @transient private lazy val setupRdd =
+    sc.parallelize(0 until sc.defaultParallelism, sc.defaultParallelism)
+
+  // start the per-JVM listeners everywhere before the first offset poll
+  locally {
+    val (n, h, p) = (name, host, path)
+    setupRdd.mapPartitions { _ =>
+      DistributedServingState.ensure(n, h, p); Iterator.empty[Int]
+    }.count()
+  }
+
+  override def latestOffset(): ConnectorOffset = {
+    val n = name
+    val counts = setupRdd.mapPartitions { _ =>
+      DistributedServingState.get(n)
+        .map(s => Iterator((s.machineId, s.counter.get())))
+        .getOrElse(Iterator.empty)
+    }.collect().distinct.toMap
+    MachineOffset(counts)
+  }
+
+  override def initialOffset(): ConnectorOffset = MachineOffset(Map.empty)
+  override def deserializeOffset(json: String): ConnectorOffset =
+    MachineOffset.fromJson(json)
+
+  override def planInputPartitions(start: ConnectorOffset,
+                                   end: ConnectorOffset): Array[InputPartition] = {
+    val lo = MachineOffset.fromJson(start.json()).counts
+    val hi = MachineOffset.fromJson(end.json()).counts
+    Array.tabulate(sc.defaultParallelism)(i =>
+      BatchServingPartition(i, name, host, path, lo, hi, end.json()))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new HTTPMicroBatchReader(partition.asInstanceOf[BatchServingPartition])
+    }
+
+  override def commit(end: ConnectorOffset): Unit = {
+    val n = name
+    val hi = MachineOffset.fromJson(end.json()).counts
+    val hiB = sc.broadcast(hi)
+    setupRdd.mapPartitions { _ =>
+      DistributedServingState.get(n).foreach { s =>
+        val to = hiB.value.getOrElse(s.machineId, 0L)
+        s.drained.keys.filter(_ < to).foreach(s.drained.remove)
+        s.batchClaims.clear()
+      }
+      Iterator.empty[Int]
+    }.count()
+    ()
+  }
+
+  override def stop(): Unit = {
+    val n = name
+    setupRdd.mapPartitions { _ =>
+      DistributedServingState.stop(n); Iterator.empty[Int]
+    }.count()
+    ()
+  }
+}
+
+object HTTPMicroBatch {
+  case class BatchServingPartition(partitionId: Int, name: String,
+                                   host: String, path: String,
+                                   lo: Map[String, Long], hi: Map[String, Long],
+                                   endJson: String) extends InputPartition
+}
+
+/** Emits the local JVM's drained rows in [lo, hi) — only if this task won
+  * the per-JVM batch claim (same single-emitter trick as the DSv1 path:
+  * deterministic on recompute because the winner re-runs with its id). */
+class HTTPMicroBatchReader(p: HTTPMicroBatch.BatchServingPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val s = DistributedServingState.ensure(p.name, p.host, p.path)
+    s.synchronized { s.drainQueue() }
+    val winner = s.batchClaims.putIfAbsent(p.endJson, p.partitionId)
+      .getOrElse(p.partitionId)
+    if (winner != p.partitionId) Iterator.empty
+    else {
+      val from = p.lo.getOrElse(s.machineId, 0L)
+      val to = p.hi.getOrElse(s.machineId, 0L)
+      s.drained.keys.filter(id => id >= from && id < to).toSeq.sorted
+        .iterator.flatMap { id =>
+          s.drained.get(id).map { case (m, pth, b) =>
+            InternalRow(
+              InternalRow(UTF8String.fromString(s.machineId), id),
+              UTF8String.fromString(m), UTF8String.fromString(pth), b)
+          }
+        }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class HTTPContinuousStream(name: String, host: String, path: String,
