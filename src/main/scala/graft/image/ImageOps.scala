@@ -180,3 +180,25 @@ class UnrollImage(override val uid: String) extends Transformer
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): UnrollImage = defaultCopy(extra)
 }
+
+/** Decode encoded image bytes → bilinear resize → grayscale → row-major
+  * [0,1] floats: the REAL decode behind MultimodalFeaturizer's image
+  * modality (DecodeImage → resize → unroll compressed into one
+  * allocation-lean pass over the same kernels). Deterministic for
+  * PNG/BMP/GIF (exact codecs), so suites golden-gate the output pixels.
+  */
+object ImageFeatures {
+  def decodeResizeGray(bytes: Array[Byte], height: Int,
+                       width: Int): Option[Array[Float]] =
+    try {
+      Option(bytes).flatMap(b => ImageSchemaUtils.decode("", b)).map { row =>
+        val raw = RawImage("", row.getInt(1), row.getInt(2), row.getInt(3),
+          row.getAs[Array[Byte]](5))
+        val gray = ImageKernels.bgr2gray(ImageKernels.resize(raw, height, width))
+        val out = new Array[Float](gray.data.length)
+        var i = 0
+        while (i < out.length) { out(i) = (gray.data(i) & 0xff) / 255f; i += 1 }
+        out
+      }
+    } catch { case _: java.io.IOException => None }
+}

@@ -90,12 +90,16 @@ object BinaryFileWriter {
 }
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata +
-  * batched "decode / feature-extract" over mapPartitions. The actual
-  * media decode is STUBBED with a deterministic fake (media codecs are
-  * not in this container — SURVEY build plan §10 / prompt contract); the
-  * Spark-side contract — schema, batching, partitioning, null handling —
-  * is real and tested, and a real decoder drops into `decodeBatch`
-  * unchanged.
+  * batched "decode / feature-extract" over mapPartitions. The IMAGE
+  * modality is REAL: payloads decode through the pure-JVM image stack
+  * ([[graft.image.ImageFeatures]]: DecodeImage → bilinear resize →
+  * grayscale unroll) into `dim` [0,1] floats. Audio/video decode is
+  * STUBBED with a deterministic hash pseudo-embedding (media codecs are
+  * not in this container — SURVEY build plan §10 / prompt contract);
+  * `stubbedFallback` controls whether un-decodable payloads and stub
+  * modalities warn-and-fake (default, keeps pipelines flowing) or throw.
+  * The Spark-side contract — schema, batching, partitioning, null
+  * handling — is identical for all modalities.
   */
 class MultimodalFeaturizer(override val uid: String) extends Transformer
     with HasInputCol with HasOutputCol {
@@ -113,35 +117,71 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
     "rows per decode batch (a real model would infer per batch)")
   setDefault(batchSize -> 32)
   def setBatchSize(v: Int): this.type = set(batchSize, v)
+  final val stubbedFallback = new BooleanParam(this, "stubbedFallback",
+    "true: hash pseudo-embedding (with a warning) for stub modalities " +
+      "and undecodable payloads; false: throw instead")
+  setDefault(stubbedFallback -> true)
+  def setStubbedFallback(v: Boolean): this.type = set(stubbedFallback, v)
 
   val metadataType: StructType = StructType(Seq(
     StructField("modality", StringType),
     StructField("size_bytes", LongType),
-    StructField("magic", StringType)))
+    StructField("magic", StringType),
+    StructField("decoded", BooleanType)))
 
-  /** STUB decode: a real implementation would decode media and run a
-    * broadcast model per batch. The fake derives a deterministic
-    * pseudo-embedding from the payload hash so tests and oracles are
-    * stable. Signature (batch in → batch out) matches what a real
-    * batched inference needs. */
-  private def decodeBatch(batch: Array[Array[Byte]], d: Int): Array[Array[Float]] =
+  /** STUB decode for the modalities with no in-container codec: a
+    * deterministic pseudo-embedding from the payload hash, so tests and
+    * oracles stay stable until a real decoder replaces it. */
+  private def stubFeatures(bytes: Array[Byte], d: Int): Array[Float] = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001B3L; i += 1 }
+    val out = new Array[Float](d)
+    var j = 0
+    var z = h
+    while (j < d) {
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(j) = ((z >>> 16).toInt.toFloat / Int.MaxValue)
+      j += 1
+    }
+    out
+  }
+
+  /** Grayscale target (h, w) with h*w == dim: the largest divisor pair
+    * closest to square. */
+  private[binary] def grayDims(d: Int): (Int, Int) = {
+    var h = math.sqrt(d.toDouble).toInt
+    while (d % h != 0) h -= 1
+    (h, d / h)
+  }
+
+  /** Batched decode: (features, decodedForReal) per row. Real image path
+    * first; stub fallback (or failure) per `stubbedFallback`. Signature
+    * (batch in → batch out) matches what batched model inference needs. */
+  private def decodeBatch(batch: Array[Array[Byte]], mod: String, d: Int,
+                          allowStub: Boolean): Array[(Array[Float], Boolean)] = {
+    val (gh, gw) = grayDims(d)
     batch.map { bytes =>
       if (bytes == null) null
       else {
-        var h = 0xCBF29CE484222325L
-        var i = 0
-        while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001B3L; i += 1 }
-        val out = new Array[Float](d)
-        var j = 0
-        var z = h
-        while (j < d) {
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          out(j) = ((z >>> 16).toInt.toFloat / Int.MaxValue)
-          j += 1
+        val real: Option[Array[Float]] =
+          if (mod == "image") graft.image.ImageFeatures.decodeResizeGray(bytes, gh, gw)
+          else None
+        real match {
+          case Some(f) => (f, true)
+          case None if allowStub =>
+            MultimodalFeaturizer.warnStubOnce(mod)
+            (stubFeatures(bytes, d), false)
+          case None =>
+            throw new IllegalArgumentException(
+              if (mod == "image") "payload did not decode as an image and " +
+                "stubbedFallback=false"
+              else s"no real decoder for modality '$mod' in this build and " +
+                "stubbedFallback=false")
         }
-        out
       }
     }
+  }
 
   private def sniffMagic(bytes: Array[Byte]): String =
     if (bytes == null || bytes.length < 4) "unknown"
@@ -160,6 +200,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
     val d = $(dim)
     val bs = $(batchSize)
     val mod = $(modality)
+    val allowStub = $(stubbedFallback)
     val outSchema = transformSchema(df.schema)
     val enc = ExpressionEncoder(outSchema)
     df.mapPartitions { it =>
@@ -167,12 +208,13 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
       it.grouped(bs).flatMap { rows =>
         val payloads = rows.map(r =>
           if (r.isNullAt(inIdx)) null else r.getAs[Array[Byte]](inIdx)).toArray
-        val feats = decodeBatch(payloads, d)
+        val feats = decodeBatch(payloads, mod, d, allowStub)
         rows.zip(feats).map { case (r, f) =>
           val bytes = if (r.isNullAt(inIdx)) null else r.getAs[Array[Byte]](inIdx)
           val meta = Row(mod,
-            if (bytes == null) 0L else bytes.length.toLong, sniffMagic(bytes))
-          Row.fromSeq(r.toSeq ++ Seq(meta, if (f == null) null else f.toSeq))
+            if (bytes == null) 0L else bytes.length.toLong, sniffMagic(bytes),
+            if (f == null) false else f._2)
+          Row.fromSeq(r.toSeq ++ Seq(meta, if (f == null) null else f._1.toSeq))
         }
       }
     }(enc)
@@ -182,4 +224,16 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
       StructField("media_meta", metadataType),
       StructField(getOutputCol, ArrayType(FloatType))))
   override def copy(extra: ParamMap): MultimodalFeaturizer = defaultCopy(extra)
+}
+
+object MultimodalFeaturizer {
+  // once per JVM per modality, not per row — executors log exactly one
+  // loud line when the stub path is actually taken
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnStubOnce(mod: String): Unit =
+    if (warned.add(mod))
+      org.slf4j.LoggerFactory.getLogger(classOf[MultimodalFeaturizer]).warn(
+        s"MultimodalFeaturizer: emitting STUB hash pseudo-embeddings for " +
+          s"modality '$mod' (payload not decodable by a real in-container " +
+          "codec). Set stubbedFallback=false to fail instead.")
 }

@@ -143,6 +143,43 @@ class MiscOpsSuite extends TestBase {
     assert(again == out(1L)._2.get)
   }
 
+  test("MultimodalFeaturizer image modality decodes real pixels") {
+    def png(rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    // constant-color image: bilinear resize + luma of a constant is the
+    // constant's rounded luma everywhere — golden-computable by hand
+    val c = png(0x4080C0) // r=64 g=128 b=192
+    val expected = math.round(0.299 * 64 + 0.587 * 128 + 0.114 * 192)
+      .toFloat / 255f
+    val df = Seq((1L, c), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("image").setDim(16).transform(df)
+      .select("id", "media_meta.decoded", "media_features").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[Float](2))).toMap
+    assert(out(1L)._1, "png payload must take the REAL decode path")
+    assert(out(1L)._2.length == 16 &&
+      out(1L)._2.forall(v => math.abs(v - expected) < 1e-6))
+    // parity with the image-stack helper (4x4 = grayDims(16))
+    val direct = graft.image.ImageFeatures.decodeResizeGray(c, 4, 4).get
+    assert(out(1L)._2 == direct.toSeq)
+    // non-image payload: warned stub fallback, flagged not-decoded
+    assert(!out(2L)._1 && out(2L)._2.length == 16)
+    // audio modality has no in-container codec: always stub-flagged
+    val audio = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("audio").setDim(4).transform(df)
+      .select("media_meta.decoded").collect()
+    assert(audio.forall(!_.getBoolean(0)))
+    // strict mode surfaces the failure instead of faking features
+    intercept[org.apache.spark.SparkException] {
+      new MultimodalFeaturizer().setInputCol("payload").setModality("image")
+        .setStubbedFallback(false).transform(df).collect()
+    }
+  }
+
   test("MultiColumnAdapter clones a unary stage across columns") {
     val df = Seq(("Héllo", "Wörld")).toDF("a", "b")
     val out = new MultiColumnAdapter()
