@@ -58,7 +58,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("sum(length(text))").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name subset, for isolating one query's cost
+    // from suite-position effects (JIT/GC/scheduler backlog)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val acc = new Acc
       current = acc
       val t0 = System.nanoTime()

@@ -161,6 +161,13 @@ object SparkEntry {
           .select(col("l_quantity"), col("l_discount"), col("l_returnflag")))
     },
 
+    // concurrent per-column jobs deliberately kept (NOT singlePass): with
+    // exactUnique the wide single-agg plans one Expand row per distinct
+    // aggregate — a ×5 blowup of the scan, measured 2.6× slower than the
+    // 4 concurrent per-column jobs at sf0.1. Round-6's 2.9→5.1 s bench
+    // drift on this query was suite-position JIT/GC, not plan change:
+    // isolated wall (fresh JVM, bench attribution) matches round 5 and
+    // stage/task/shuffle counts are identical.
     "summarize_full" -> { (s, dir) => // exact counts + decimal-sum moments
       new SummarizeData().setExactUnique(true).setComputeBasic(false)
         .setExactMoments(true)
@@ -395,10 +402,14 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       new IVFNearestNeighbors().setInputCol("embedding").setIdCol("vec_id")
-        // 8 cells / 4 probes: recall@5 >= 0.9 on the small sf corpora
-        // (SimilaritySuite gates this operating point vs brute force)
+        // 8 cells / 6 probes: the small-sf corpora are near-unclustered
+        // random vectors, so 50% scan tops out at ~0.83 median recall over
+        // quantizer seeds — 6 probes is the smallest point whose WORST
+        // seed stays above the suite's 0.9 recall gate (margin per the
+        // probabilistic-gate discipline). Production corpora with real
+        // cluster structure run nLists=4096/nProbe=64 (~1.6% scan).
         .setNLists(8).fit(emb)
-        .setK(5).setNProbe(4).setQueries(queries, "vec_id", "embedding")
+        .setK(5).setNProbe(6).setQueries(queries, "vec_id", "embedding")
         .transform(emb)
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },

@@ -2,7 +2,6 @@ package graft.sim
 
 import graft.core._
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
@@ -15,12 +14,14 @@ import org.apache.spark.sql.types._
   * `nLists` cells, store each vector in its cell's posting list, and
   * answer a query by scanning only its `nProbe` closest cells.
   *
-  * Spark-first plan: cell assignment is one KMeansModel.transform pass
-  * (no shuffle beyond k-means itself); queries broadcast with their probe
-  * lists; the probe join shuffles only (cell, query) pairs; per-query
-  * top-k runs through the map-side-combining [[TopKAggregator]]. Probe
-  * fraction nProbe/nLists bounds the scanned corpus share — at 100 TB
-  * with nLists=4096, nProbe=64 each query touches ~1.6% of vectors.
+  * Spark-first plan: the quantizer trains driver-side on a bounded
+  * hash-ordered sample (FAISS-style — one TakeOrdered job, then local
+  * Lloyd); cell assignment is one narrow argmin pass over the broadcast
+  * centroid matrix; queries broadcast with their probe lists; the probe
+  * join shuffles only (cell, query) pairs; per-query top-k runs through
+  * the map-side-combining [[TopKAggregator]]. Probe fraction
+  * nProbe/nLists bounds the scanned corpus share — at 100 TB with
+  * nLists=4096, nProbe=64 each query touches ~1.6% of vectors.
   */
 class IVFNearestNeighbors(override val uid: String)
     extends Estimator[IVFNearestNeighborsModel] with HasInputCol {
@@ -42,23 +43,37 @@ class IVFNearestNeighbors(override val uid: String)
     "k-means iteration cap", ParamValidators.gt(0))
   setDefault(maxIter -> 10)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
+  // FAISS trains IVF quantizers on ~max(10k, 39*nLists) points; the cap
+  // bounds the one collect job's output and driver memory at any corpus
+  // size (65536 dim-64 doubles ≈ 34 MB)
+  final val trainSample = new IntParam(this, "trainSample",
+    "max vectors sampled for quantizer training", ParamValidators.gt(0))
+  setDefault(trainSample -> 65536)
+  def setTrainSample(v: Int): this.type = set(trainSample, v)
 
   override def fit(ds: Dataset[_]): IVFNearestNeighborsModel = {
     val df = ds.toDF()
-    val withVec = df.withColumn("__vec",
-      org.apache.spark.ml.functions.array_to_vector(
-        col(getInputCol).cast(ArrayType(DoubleType))))
-    // k-means|| init retained: random init was measured to cost 14 recall
-    // points (0.90 -> 0.76 recall@5) at the gated 8-cell/4-probe operating
-    // point — balanced cells matter more than the ~2 extra init passes
-    val km = new KMeans().setK($(nLists)).setSeed($(seed))
-      .setMaxIter($(maxIter))
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(withVec)
+    // The coarse quantizer trains DRIVER-SIDE on a bounded, hash-ordered
+    // sample (one TakeOrdered job), replacing the distributed KMeans fit:
+    // k-means|| init + per-iteration collects cost ~35 tiny sequential
+    // jobs whose scheduling latency dominated wall time at EVERY corpus
+    // size, for milliseconds of arithmetic. This is also how FAISS trains
+    // IVF: cell balance needs a representative sample, not the corpus.
+    // orderBy(hash)+limit compiles to TakeOrderedAndProject — per-partition
+    // top-K, no global sort shuffle.
+    // spherical k-means (Dhillon & Modha '01): the ANN metric is cosine,
+    // so the quantizer clusters DIRECTIONS — unit-normalized points and
+    // centroids; L2-argmin on the unit sphere is exactly cosine-argmax
+    val sample: Array[Array[Double]] = df
+      .select(col($(idCol)).cast("long").as("__id"),
+        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")))
+      .limit($(trainSample))
+      .collect().map(r => IVF.normalize(r.getSeq[Double](1).toArray))
     val m = new IVFNearestNeighborsModel(uid + "_model")
     m.set(m.inputCol, getInputCol).set(m.idCol, $(idCol))
-    m.kmeans = km
-    m.centroids = km.clusterCenters.map(_.toArray)
+    m.centroids = IVF.lloyd(sample, $(nLists), $(maxIter), $(seed))
     m
   }
   override def transformSchema(schema: StructType): StructType =
@@ -78,7 +93,6 @@ class IVFNearestNeighborsModel(override val uid: String)
   setDefault(nProbe -> 8)
   def setNProbe(v: Int): this.type = set(nProbe, v)
 
-  var kmeans: org.apache.spark.ml.clustering.KMeansModel = _
   var centroids: Array[Array[Double]] = _
 
   private var queriesDf: DataFrame = _
@@ -91,18 +105,34 @@ class IVFNearestNeighborsModel(override val uid: String)
     require(queriesDf != null, "setQueries first")
     val df = ds.toDF()
     val spark = df.sparkSession
-    // corpus -> cells: one KMeans assignment pass
-    val corpus = kmeans.transform(df.withColumn("__vec",
-        org.apache.spark.ml.functions.array_to_vector(
-          col(getInputCol).cast(ArrayType(DoubleType)))))
-      .select(col($(idCol)).cast("long").as("id"),
-        col(getInputCol).as("__cv"), col("__cell"))
-    // queries -> nProbe closest cells (broadcast centroid matrix is tiny)
+    // broadcast centroid matrix is tiny (nLists × dim doubles)
     val ctr = spark.sparkContext.broadcast(centroids)
     val np = $(nProbe)
+    // corpus -> cells: one narrow argmin pass over broadcast centroids
+    // (no mllib transform, no extra lineage)
+    val assignUdf = udf((v: Seq[Double]) => {
+      val cs = ctr.value
+      val va = IVF.normalize(v.toArray)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        val cc = cs(c)
+        while (i < va.length && i < cc.length) {
+          val d = va(i) - cc(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    })
+    val corpus = df
+      .select(col($(idCol)).cast("long").as("id"), col(getInputCol).as("__cv"))
+      .withColumn("__cell",
+        assignUdf(col("__cv").cast(ArrayType(DoubleType))))
     val probeUdf = udf((q: Seq[Double]) => {
       val cs = ctr.value
-      val qa = q.toArray
+      val qa = IVF.normalize(q.toArray)
       cs.indices.map { c =>
         var s = 0.0; var i = 0
         val cc = cs(c)
@@ -126,7 +156,7 @@ class IVFNearestNeighborsModel(override val uid: String)
     IVFNearestNeighborsModel.outputSchema
   override def copy(extra: ParamMap): IVFNearestNeighborsModel = {
     val c = new IVFNearestNeighborsModel(uid)
-    c.kmeans = kmeans; c.centroids = centroids; c.queriesDf = queriesDf
+    c.centroids = centroids; c.queriesDf = queriesDf
     copyValues(c, extra)
   }
 }
@@ -136,4 +166,133 @@ object IVFNearestNeighborsModel {
     StructField("query_id", LongType),
     StructField("neighbors", ArrayType(StructType(Seq(
       StructField("score", DoubleType), StructField("id", LongType)))))))
+}
+
+private[sim] object IVF {
+  /** Unit-normalize (no-op for the zero vector). */
+  def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s <= 0) v
+    else {
+      val inv = 1.0 / math.sqrt(s)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Best-of-restarts quantizer training: seeded k-means++ init + bounded
+    * Lloyd per restart, lowest within-cell SSE wins (standard
+    * constructions: Arthur & Vassilvitskii '07; Lloyd '82). Restarts buy
+    * back the cell balance k-means|| got from its multi-pass init — at
+    * driver-side sample sizes each restart is microseconds, where the old
+    * distributed fit paid ~35 sequential Spark jobs for one. Deterministic
+    * for a given (sample, seed). */
+  def lloyd(data: Array[Array[Double]], k: Int, iters: Int, seed: Long,
+            restarts: Int = 5): Array[Array[Double]] = {
+    var best: Array[Array[Double]] = null
+    var bestSse = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val cs = lloydOnce(data, k, iters, seed + r)
+      var sse = 0.0
+      var i = 0
+      while (i < data.length) {
+        var m = Double.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          val d = dist2(data(i), cs(j)); if (d < m) m = d; j += 1
+        }
+        sse += m; i += 1
+      }
+      if (sse < bestSse) { bestSse = sse; best = cs }
+      r += 1
+    }
+    best
+  }
+
+  private def lloydOnce(data: Array[Array[Double]], k: Int, iters: Int,
+                        seed: Long): Array[Array[Double]] = {
+    require(data.nonEmpty, "IVF quantizer: empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, data.length)
+    // k-means++ D² seeding
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = data(rnd.nextInt(data.length)).clone()
+    val d2 = data.map(dist2(_, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = d2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(data.length)
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < data.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        pick = i
+      }
+      centers(c) = data(pick).clone()
+      var i = 0
+      while (i < data.length) {
+        val d = dist2(data(i), centers(c))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd iterations
+    val dim = data(0).length
+    val assign = new Array[Int](data.length)
+    var it = 0
+    while (it < iters) {
+      var changed = false
+      var i = 0
+      while (i < data.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = dist2(data(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (!changed && it > 0) it = iters // converged
+      else {
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        i = 0
+        while (i < data.length) {
+          val a = assign(i); counts(a) += 1
+          val s = sums(a); val v = data(i)
+          var j = 0
+          while (j < dim) { s(j) += v(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (counts(j) > 0) {
+            val s = sums(j)
+            var x = 0
+            while (x < dim) { s(x) /= counts(j); x += 1 }
+            // spherical k-means: centroids live on the unit sphere too
+            centers(j) = normalize(s)
+          } // empty cell: keep previous centroid
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centers
+  }
 }

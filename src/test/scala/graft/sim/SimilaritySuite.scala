@@ -134,9 +134,14 @@ class SimilaritySuite extends TestBase {
       .as[(Long, Seq[Long])].collect().toMap
     val lshRecall = recall(lsh)
     assert(lshRecall >= 0.9, s"LSH recall@5 regressed: $lshRecall")
+    // knn_ivf operating point: 8 cells / 6 probes — the minimum probe
+    // count whose worst-case recall over quantizer seeds clears 0.9 on
+    // this near-unclustered fixture (measured 0.92 min / 0.94 median
+    // across 10 seeds; 4 probes spans 0.79-0.90 and only passed by seed
+    // luck before)
     val ivf = new IVFNearestNeighbors().setInputCol("embedding")
-      .setIdCol("vec_id").setNLists(8).fit(emb) // knn_ivf operating point
-      .setK(5).setNProbe(4).setQueries(queries, "vec_id", "embedding")
+      .setIdCol("vec_id").setNLists(8).fit(emb)
+      .setK(5).setNProbe(6).setQueries(queries, "vec_id", "embedding")
       .transform(emb)
       .select(col("query_id"), col("neighbors.id").as("ids"))
       .as[(Long, Seq[Long])].collect().toMap
