@@ -149,6 +149,40 @@ class SimilaritySuite extends TestBase {
     assert(ivfRecall >= 0.9, s"IVF recall@5 regressed: $ivfRecall")
   }
 
+  test("knn_lsh_recall fixture margin: every true neighbor shares sign bits") {
+    // The driver gate knn_lsh_recall encodes FULL recall at 1-bit banding
+    // (16 planes / 16 bands, seed 42) as an exact-constant oracle: a
+    // (query, neighbor) pair is missed only if ALL 16 sign bits differ.
+    // Planes and fixture are both fixed, so the gate is deterministic —
+    // but only safely so while the fixture keeps every brute-force top-5
+    // pair MARGINED off the all-bits-differ cliff. Assert >= 2 agreeing
+    // bits per pair (missing a pair needs 0), so a fixture regeneration
+    // that lands a pair at the edge reddens here before the driver gate
+    // starts flipping.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = SimilarityFunctions.randomPlanes(16, dim, 42L)
+    val pairs = new NearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setK(5).setQueries(queries, "vec_id", "embedding")
+      .transform(emb)
+      .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+    val sigs = emb.select(col("vec_id").cast("long").as("sid"),
+      SimilarityFunctions.hyperplaneSignature(col("embedding"), planes)
+        .as("sig"))
+    val minAgree = pairs
+      .join(sigs.withColumnRenamed("sid", "query_id")
+        .withColumnRenamed("sig", "qsig"), Seq("query_id"))
+      .join(sigs.withColumnRenamed("sid", "id")
+        .withColumnRenamed("sig", "nsig"), Seq("id"))
+      .select((lit(16) - bit_count(col("qsig").bitwiseXOR(col("nsig"))
+        .bitwiseAND(lit(0xFFFFL)))).as("agree"))
+      .agg(min(col("agree"))).head().getInt(0)
+    assert(minAgree >= 2,
+      s"a brute-force neighbor pair agrees on only $minAgree/16 sign " +
+        "bits — the knn_lsh_recall full-recall gate is no longer margined")
+  }
+
   test("EmbeddingMeanPooler pools exact per-dimension means") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
