@@ -672,13 +672,21 @@ object SparkEntry {
     },
 
     // ---- VW hashing featurizer (§2.8) -------------------------------
-    "vw_featurizer" -> { (s, dir) => // rows-only: hashed feature vectors
-      new graft.featurize.VowpalHashFeaturizer()
+    // hash-gated: the sparse (index, value) pairs themselves. The murmur
+    // feature indices form a tiny closed set here (1 numeric column + 5
+    // event types, all distinct under the 18-bit mask), so the oracle
+    // enumerates them as constants — Murmur3 itself is property-tested
+    // against the public test vectors in FeaturizeSuite, and an
+    // independent python murmur3_32 reproduced these exact constants.
+    "vw_featurizer" -> { (s, dir) =>
+      val feats = new graft.featurize.VowpalHashFeaturizer()
         .setInputCols(Seq("value", "event_type")).setNumBits(18)
         .transform(tbl(s, dir, "events"))
-        .select(col("event_id"),
-          size(org.apache.spark.ml.functions.vector_to_array(col("features")))
-            .as("dim"))
+      val toPairs = udf((v: org.apache.spark.ml.linalg.SparseVector) =>
+        v.indices.zip(v.values).toSeq)
+      feats.select(col("event_id"), explode(toPairs(col("features"))).as("p"))
+        .select(col("event_id"), col("p._1").as("feat_idx"),
+          col("p._2").as("feat_val"))
     },
 
     // ---- isolation forest (§2.13) -----------------------------------
@@ -1395,6 +1403,24 @@ object SparkEntry {
         |  CAST(floor((((f0 * c0) / n) + ((f1 * c1) / n)) * 10000.0 + 0.5)
         |    AS BIGINT) AS f1_q4
         |FROM f""".stripMargin,
+
+    // constants = murmur3_32(key) & 0x3FFFF, the closed key set of this
+    // fixture (see the query's comment); a regenerated fixture with a new
+    // event_type yields NULL feat_idx here and reddens the gate loudly
+    "vw_featurizer" -> {
+      def vwIdx(k: String): Int =
+        graft.featurize.Murmur3.hashString(k, 0) & ((1 << 18) - 1)
+      val cases = Seq("click", "signup", "error", "view", "purchase")
+        .map(t => s"WHEN '$t' THEN ${vwIdx("event_type=" + t)}").mkString(" ")
+      s"""SELECT event_id, CAST(${vwIdx("value")} AS INTEGER) AS feat_idx,
+         |  value AS feat_val FROM events
+         |WHERE value IS NOT NULL AND value <> 0.0
+         |UNION ALL
+         |SELECT event_id, CAST(CASE event_type $cases END AS INTEGER)
+         |    AS feat_idx,
+         |  CAST(1.0 AS DOUBLE) AS feat_val FROM events
+         |WHERE event_type IS NOT NULL""".stripMargin
+    },
 
     "multimodal_stub" ->
       """SELECT doc_id, 'image' AS modality,
