@@ -434,6 +434,27 @@ object SparkEntry {
         .select(col("query_id"), col("hits"), lit(5L).as("k"))
     },
 
+    // IVF twin of knn_lsh_recall: at nProbe == nLists the posting-list
+    // scan is exhaustive, so the top-5 must EQUAL brute force — any cell
+    // assignment / probe-join / top-k regression breaks the constant
+    // full-recall hash (cells only shape the scan, never the candidates)
+    "knn_ivf_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ivf = new IVFNearestNeighbors().setInputCol("embedding")
+        .setIdCol("vec_id").setNLists(8).fit(emb)
+        .setK(5).setNProbe(8).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      val bf = new NearestNeighbors().setInputCol("embedding")
+        .setIdCol("vec_id").setK(5).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      bf.join(ivf, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(col("query_id"), col("hits"), lit(5L).as("k"))
+    },
+
     // ---- recommendation (§2.4, §2.13) -------------------------------
     "sar_item_similarity" -> { (s, dir) =>
       new graft.reco.SAR().setUserCol("user_id").setItemCol("event_type")
@@ -1315,6 +1336,13 @@ object SparkEntry {
     // full recall is the expected steady state at 1-bit banding; any ANN
     // regression (banding, bucket join, top-k) breaks the hash
     "knn_lsh_recall" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
+        |  CAST(5 AS BIGINT) AS k
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // exhaustive probing == brute force, deterministically (quantizer is
+    // seeded and trained driver-side; ties break by id in the aggregator)
+    "knn_ivf_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
