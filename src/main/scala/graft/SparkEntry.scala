@@ -288,6 +288,27 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // exactness gate in the driver's eyes (twin of the suite ground-truth
+    // test): Manku pigeonhole candidates are exact for pairs within
+    // maxHamming, so survivors must EQUAL the O(n²) brute-force Hamming
+    // dedup computed from the same fingerprints — emitted as a symmetric
+    // difference count whose oracle is the constant 0
+    "dedup_simhash_exact" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val out = new SimHashDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setMaxHamming(3)
+        .transform(docs).select(col("doc_id").cast("long").as("id"))
+      val fp = docs.select(col("doc_id").cast("long").as("id"),
+        DedupFunctions.simHash64(col("text")).as("fp"))
+      val dropped = fp.as("a").join(fp.as("b"),
+          col("a.id") < col("b.id") &&
+            DedupFunctions.hamming64(col("a.fp"), col("b.fp")) <= 3)
+        .select(col("b.id").as("id")).distinct()
+      val expected = fp.select("id").except(dropped)
+      expected.except(out).unionAll(out.except(expected))
+        .agg(count(lit(1)).as("mismatches"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) => // hash-gated vs exact Jaccard
       new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
         .setThreshold(0.8)
@@ -1054,6 +1075,10 @@ object SparkEntry {
     // split as an explicit literal class (RE2 \s is narrower); known
     // residual divergence: per-char Character.toLowerCase vs utf8proc
     // full case mapping differ on locale-special codepoints (e.g. U+0130).
+    // exact-by-construction (Spark computes both sides; see the query)
+    "dedup_simhash_exact" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches",
+
     "dedup_minhash" ->
       """WITH c AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
