@@ -61,6 +61,12 @@ object Bench {
     // optional args = query-name subset, for isolating one query's cost
     // from suite-position effects (JIT/GC/scheduler backlog)
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"Unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -85,7 +91,14 @@ object Bench {
         ",\"spilled\":" + a.spilled.sum + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir"}""")
+    // The driver captures only a stdout tail: the compact contract line
+    // {"metric",...,"queries"} must be LAST, and the (2x-larger) stage
+    // attribution goes to a file so it can never truncate the signal.
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)

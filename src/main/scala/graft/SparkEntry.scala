@@ -1438,14 +1438,19 @@ object SparkEntry {
         |  FROM events),
         |m AS (
         |  SELECT n, tp0 + fp1 AS c0, tp1 + fp0 AS c1,
-        |    tp0 / (tp0 + fp0) AS p0, tp1 / (tp1 + fp1) AS p1,
+        |    CASE WHEN tp0 + fp0 = 0 THEN 0 ELSE tp0 / (tp0 + fp0) END AS p0,
+        |    CASE WHEN tp1 + fp1 = 0 THEN 0 ELSE tp1 / (tp1 + fp1) END AS p1,
         |    tp0 / (tp0 + fp1) AS r0, tp1 / (tp1 + fp0) AS r1,
         |    (tp0 + tp1) / n AS accuracy
         |  FROM c),
         |f AS (
+        |  -- zero-denominator guards mirror MulticlassMetrics' convention
+        |  -- (precision/fMeasure return 0 for a never-predicted class)
         |  SELECT n, c0, c1, p0, p1, r0, r1, accuracy,
-        |    ((2.0 * p0) * r0) / ((1.0 * p0) + r0) AS f0,
-        |    ((2.0 * p1) * r1) / ((1.0 * p1) + r1) AS f1
+        |    CASE WHEN p0 + r0 = 0 THEN 0
+        |      ELSE ((2.0 * p0) * r0) / ((1.0 * p0) + r0) END AS f0,
+        |    CASE WHEN p1 + r1 = 0 THEN 0
+        |      ELSE ((2.0 * p1) * r1) / ((1.0 * p1) + r1) END AS f1
         |  FROM m)
         |SELECT
         |  CAST(floor(accuracy * 10000.0 + 0.5) AS BIGINT) AS accuracy_q4,

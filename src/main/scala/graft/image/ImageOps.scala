@@ -200,5 +200,11 @@ object ImageFeatures {
         while (i < out.length) { out(i) = (gray.data(i) & 0xff) / 255f; i += 1 }
         out
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions on malformed payloads
+      // (CMMException, ArrayIndexOutOfBounds in PNG/GIF readers) — all
+      // undecodable inputs must take the stubbedFallback path, not fail
+      // the task.
+      case scala.util.control.NonFatal(_) => None
+    }
 }

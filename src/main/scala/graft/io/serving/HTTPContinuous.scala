@@ -117,7 +117,11 @@ class HTTPMicroBatchStream(name: String, host: String, path: String)
       DistributedServingState.get(n)
         .map(s => Iterator((s.machineId, s.counter.get())))
         .getOrElse(Iterator.empty)
-    }.collect().distinct.toMap
+    }.collect()
+      // two setup partitions on one JVM can observe different counter
+      // values while requests arrive; keep the max so the reported
+      // offset never regresses across polls
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).max }
     MachineOffset(counts)
   }
 
