@@ -119,7 +119,7 @@ object StudentT {
   * inputs are fixed-decimal.
   */
 class ESDAnomalyDetector(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ESDAnomalyDetector"))
 
   final val idCol = new Param[String](this, "idCol", "unique point id column")
@@ -207,7 +207,7 @@ class ESDAnomalyDetector(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): ESDAnomalyDetector = defaultCopy(extra)
 }
 
-object ESDAnomalyDetector {
+object ESDAnomalyDetector extends graft.core.GraftReadable[ESDAnomalyDetector] {
 
   // per-JVM memo for the t-quantile bisection (~200 iterations of an
   // incomplete-beta continued fraction): millions of series share few

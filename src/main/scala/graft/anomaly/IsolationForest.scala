@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * independent of table size); the fitted forest broadcasts and scoring
   * is a stateless per-row map, no shuffle.
   */
-object IsolationForest {
+object IsolationForest extends graft.core.GraftReadable[IsolationForest] {
   sealed trait ITree extends Serializable
   case class Leaf(size: Int) extends ITree
   case class Split(feature: Int, threshold: Double,
@@ -62,7 +62,7 @@ object IsolationForest {
 }
 
 class IsolationForest(override val uid: String)
-    extends Estimator[IsolationForestModel] with HasInputCols {
+    extends Estimator[IsolationForestModel] with HasInputCols with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("IsolationForest"))
 
   final val numTrees = new IntParam(this, "numTrees", "", ParamValidators.gt(0))

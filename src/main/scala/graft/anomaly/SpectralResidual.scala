@@ -82,7 +82,7 @@ object FFT {
   * giant one; chunk long series by time window upstream if needed).
   */
 class SRAnomalyDetector(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("SRAnomalyDetector"))
 
   final val orderCol = new Param[String](this, "orderCol",
@@ -177,3 +177,5 @@ class SRAnomalyDetector(override val uid: String) extends Transformer
       StructField("is_anomaly", BooleanType, nullable = false)))
   override def copy(extra: ParamMap): SRAnomalyDetector = defaultCopy(extra)
 }
+object SRAnomalyDetector extends graft.core.GraftReadable[SRAnomalyDetector]
+

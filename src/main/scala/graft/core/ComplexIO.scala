@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.ml.param.Params
+import org.apache.spark.ml.util.{MLReadable, MLReader, MLWritable, MLWriter}
+
+/** ComplexParamsWritable analogue (ref: core/src/main/scala/org/apache/
+  * spark/ml/Serializer.scala:1-147): persistence for stages whose params
+  * are not all expressible in DefaultParamsWriter's JSON encoding.
+  *
+  * Simple params (string/int/long/double/boolean/string-array) go to
+  * `params.json` via [[ModelIO.paramsJson]]; every other explicitly-set
+  * param value is Java-serialized into `complex.bin`. Anything a stage
+  * holds in a param is already required to be Serializable by Spark's
+  * task shipping (closures, UDFs, nested transformers, DataTypes), so
+  * Java serialization is exactly as portable as running the stage.
+  */
+trait GraftWritable extends MLWritable { self: Params =>
+  override def write: MLWriter = new GraftWriter(this)
+}
+
+private[graft] object ComplexIO {
+  def isSimple(v: Any): Boolean = v match {
+    case _: String | _: Int | _: Long | _: Double | _: Boolean => true
+    case _: Array[String] => true
+    case _ => false
+  }
+}
+
+private[graft] class GraftWriter(stage: Params) extends MLWriter {
+  override protected def saveImpl(path: String): Unit = {
+    ModelIO.writeText(sparkSession, s"$path/metadata.json",
+      s"""{"class":"${stage.getClass.getName}","uid":"${stage.uid}"}""")
+    ModelIO.writeText(sparkSession, s"$path/params.json",
+      ModelIO.paramsJson(stage))
+    val complex: Map[String, Any] = stage.params.toSeq.flatMap { p =>
+      stage.get(p) match {
+        case Some(v) if !ComplexIO.isSimple(v) => Seq(p.name -> v)
+        case _ => Seq.empty
+      }
+    }.toMap
+    if (complex.nonEmpty)
+      ModelIO.writeObject(sparkSession, s"$path/complex.bin", complex)
+  }
+}
+
+private[graft] class GraftReader[T <: Params] extends MLReader[T] {
+  override def load(path: String): T = {
+    val meta = ModelIO.readText(sparkSession, s"$path/metadata.json")
+    val ClassUid = """\{"class":"([^"]+)","uid":"([^"]+)"\}""".r
+    val (clsName, uid) = meta.trim match {
+      case ClassUid(c, u) => (c, u)
+      case other => sys.error(s"unreadable stage metadata: $other")
+    }
+    val stage = Class.forName(clsName).getConstructor(classOf[String])
+      .newInstance(uid).asInstanceOf[T]
+    ModelIO.setParamsFromJson(stage,
+      ModelIO.readText(sparkSession, s"$path/params.json"))
+    val cp = new org.apache.hadoop.fs.Path(s"$path/complex.bin")
+    val fs = cp.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(cp)) {
+      val complex = ModelIO.readObject[Map[String, Any]](
+        sparkSession, s"$path/complex.bin")
+      complex.foreach { case (n, v) =>
+        stage.set(stage.getParam(n).asInstanceOf[
+          org.apache.spark.ml.param.Param[Any]], v)
+      }
+    }
+    stage
+  }
+}
+
+/** Companion-object mixin: `object Foo extends GraftReadable[Foo]`. */
+trait GraftReadable[T <: Params] extends MLReadable[T] {
+  override def read: MLReader[T] = new GraftReader[T]
+}

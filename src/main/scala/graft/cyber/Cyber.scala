@@ -31,7 +31,7 @@ trait HasTenantCol extends Params {
   * unbiased sample variance computed with exact decimal sums.
   */
 class PerTenantStandardScaler(override val uid: String) extends Transformer
-    with HasTenantCol with HasInputCol with HasOutputCol {
+    with HasTenantCol with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PerTenantStandardScaler"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -59,11 +59,13 @@ class PerTenantStandardScaler(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, DoubleType))
   override def copy(extra: ParamMap): PerTenantStandardScaler = defaultCopy(extra)
 }
+object PerTenantStandardScaler extends graft.core.GraftReadable[PerTenantStandardScaler]
+
 
 /** Per-tenant linear rescale to [minValue, maxValue] (ref:
   * cyber/feature/scalers.py LinearScalarScaler). */
 class PerTenantMinMaxScaler(override val uid: String) extends Transformer
-    with HasTenantCol with HasInputCol with HasOutputCol {
+    with HasTenantCol with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PerTenantMinMaxScaler"))
 
   final val minValue = new DoubleParam(this, "minValue", "output min")
@@ -90,12 +92,14 @@ class PerTenantMinMaxScaler(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, DoubleType))
   override def copy(extra: ParamMap): PerTenantMinMaxScaler = defaultCopy(extra)
 }
+object PerTenantMinMaxScaler extends graft.core.GraftReadable[PerTenantMinMaxScaler]
+
 
 /** Per-tenant contiguous id assignment (ref: cyber/feature/indexers.py
   * IdIndexer): dense_rank of the value within its tenant, 1-based —
   * deterministic, no zipWithIndex, one shuffle on (tenant). */
 class PerTenantIdIndexer(override val uid: String) extends Transformer
-    with HasTenantCol with HasInputCol with HasOutputCol {
+    with HasTenantCol with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PerTenantIdIndexer"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -107,6 +111,8 @@ class PerTenantIdIndexer(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, IntegerType))
   override def copy(extra: ParamMap): PerTenantIdIndexer = defaultCopy(extra)
 }
+object PerTenantIdIndexer extends graft.core.GraftReadable[PerTenantIdIndexer]
+
 
 /** Complement sampler for access graphs (ref:
   * cyber/anomaly/complement_access.py): per tenant, emit (user, res)
@@ -116,7 +122,7 @@ class PerTenantIdIndexer(override val uid: String) extends Transformer
   * that keeps a dense tenant from going quadratic.
   */
 class ComplementAccessTransformer(override val uid: String) extends Transformer
-    with HasTenantCol {
+    with HasTenantCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ComplementAccess"))
 
   final val userCol = new Param[String](this, "userCol", "user column")
@@ -153,6 +159,8 @@ class ComplementAccessTransformer(override val uid: String) extends Transformer
     StructType(Seq(schema(getTenantCol), schema($(userCol)), schema($(resCol))))
   override def copy(extra: ParamMap): ComplementAccessTransformer = defaultCopy(extra)
 }
+object ComplementAccessTransformer extends graft.core.GraftReadable[ComplementAccessTransformer]
+
 
 /** ALS-embedding access-anomaly scorer (ref:
   * cyber/anomaly/collaborative_filtering.py:472-890 AccessAnomaly):
@@ -162,7 +170,7 @@ class ComplementAccessTransformer(override val uid: String) extends Transformer
   * considers unlikely.
   */
 class AccessAnomaly(override val uid: String) extends Transformer
-    with HasTenantCol {
+    with HasTenantCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("AccessAnomaly"))
 
   final val userCol = new Param[String](this, "userCol", "user column")
@@ -226,3 +234,5 @@ class AccessAnomaly(override val uid: String) extends Transformer
     StructType(schema :+ StructField($(outputCol), DoubleType))
   override def copy(extra: ParamMap): AccessAnomaly = defaultCopy(extra)
 }
+object AccessAnomaly extends graft.core.GraftReadable[AccessAnomaly]
+

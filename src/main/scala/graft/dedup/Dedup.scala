@@ -142,7 +142,7 @@ object DedupFunctions {
   * along only once; at 100 TB the shuffled key is 16 bytes/row.
   */
 class ExactDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ExactDeduplicator"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -166,6 +166,8 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
 }
+object ExactDeduplicator extends graft.core.GraftReadable[ExactDeduplicator]
+
 
 /** MinHash+LSH near-duplicate removal: shingle → minhash → band →
   * bucket-join. A row is dropped when any band bucket contains a surviving
@@ -176,7 +178,7 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   * degenerate bucket (e.g. empty docs) cannot quadratically explode.
   */
 class MinHashDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("MinHashDeduplicator"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -227,6 +229,8 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): MinHashDeduplicator = defaultCopy(extra)
 }
+object MinHashDeduplicator extends graft.core.GraftReadable[MinHashDeduplicator]
+
 
 /** SimHash near-duplicate removal: 64-bit simhash, candidates via the
   * block-permutation pigeonhole (Manku et al., WWW'07 "Detecting
@@ -242,7 +246,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
   * Verified by exact Hamming distance.
   */
 class SimHashDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("SimHashDeduplicator"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -292,6 +296,8 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): SimHashDeduplicator = defaultCopy(extra)
 }
+object SimHashDeduplicator extends graft.core.GraftReadable[SimHashDeduplicator]
+
 
 /** N-gram Jaccard dedup without minhash: inverted index on a sampled
   * subset of each document's shingles (rarest-first would need a global DF;
@@ -300,7 +306,7 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
   * Jaccard verification.
   */
 class NGramJaccardDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("NGramJaccardDeduplicator"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -341,6 +347,8 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): NGramJaccardDeduplicator = defaultCopy(extra)
 }
+object NGramJaccardDeduplicator extends graft.core.GraftReadable[NGramJaccardDeduplicator]
+
 
 /** Embedding cosine near-duplicate removal: random-hyperplane LSH buckets
   * (sign bits of `numPlanes` fixed pseudo-random projections, split into
@@ -354,7 +362,7 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
   * bucket).
   */
 class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("EmbeddingNearDup"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -405,3 +413,5 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): EmbeddingNearDupDeduplicator = defaultCopy(extra)
 }
+object EmbeddingNearDupDeduplicator extends graft.core.GraftReadable[EmbeddingNearDupDeduplicator]
+

@@ -196,9 +196,12 @@ abstract class LocalExplainerBase(override val uid: String) extends Transformer 
 
   /** The black-box scoring function: DataFrame with feature cols →
     * DataFrame that adds `scoreCol`. A fitted model's `transform`. */
-  protected var scorer: DataFrame => DataFrame = _
-  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
-  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+  final val scoringFn = new Param[DataFrame => DataFrame](this, "scoringFn",
+    "black-box scoring function (persisted via Java serialization)")
+  protected def scorer: DataFrame => DataFrame = get(scoringFn).orNull
+  def setModel(t: Transformer): this.type =
+    set(scoringFn, (df: DataFrame) => t.transform(df))
+  def setScoringFn(f: DataFrame => DataFrame): this.type = set(scoringFn, f)
 
   protected def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -218,7 +221,7 @@ abstract class LocalExplainerBase(override val uid: String) extends Transformer 
   * space, fit a weighted lasso per row; coefficients are the explanation
   * (ref: explainers/TabularLIME.scala + Sampler.scala:1-235).
   */
-class TabularLIME(override val uid: String) extends LocalExplainerBase(uid) {
+class TabularLIME(override val uid: String) extends LocalExplainerBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TabularLIME"))
 
   final val kernelWidth = new DoubleParam(this, "kernelWidth",
@@ -295,9 +298,11 @@ class TabularLIME(override val uid: String) extends LocalExplainerBase(uid) {
     grouped.toDF($(idCol), "intercept", "coefficients")
   }
   override def copy(extra: ParamMap): TabularLIME = {
-    val c = new TabularLIME(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new TabularLIME(uid); copyValues(c, extra)
   }
 }
+object TabularLIME extends graft.core.GraftReadable[TabularLIME]
+
 
 /** Kernel SHAP over tabular numeric features: coalition sampling with the
   * Shapley kernel, masked features replaced by background means, weighted
@@ -306,7 +311,7 @@ class TabularLIME(override val uid: String) extends LocalExplainerBase(uid) {
   * Includes the empty and full coalitions with pinning weights so
   * `intercept ≈ E[f]` and `intercept + Σφ ≈ f(x)`.
   */
-class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) {
+class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TabularSHAP"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -391,9 +396,11 @@ class TabularSHAP(override val uid: String) extends LocalExplainerBase(uid) {
     grouped.toDF($(idCol), "intercept", "coefficients")
   }
   override def copy(extra: ParamMap): TabularSHAP = {
-    val c = new TabularSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new TabularSHAP(uid); copyValues(c, extra)
   }
 }
+object TabularSHAP extends graft.core.GraftReadable[TabularSHAP]
+
 
 /** Shared plumbing for explainers over a single vector/array feature
   * column (ref: explainers/VectorLIME.scala:1-60, VectorSHAP.scala:1-55 —
@@ -436,7 +443,7 @@ abstract class VectorExplainerBase(uid: String) extends LocalExplainerBase(uid) 
   * lasso — the vector twin of [[TabularLIME]] (ref:
   * explainers/VectorLIME.scala + LIMEVectorSampler).
   */
-class VectorLIME(override val uid: String) extends VectorExplainerBase(uid) {
+class VectorLIME(override val uid: String) extends VectorExplainerBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("VectorLIME"))
 
   final val kernelWidth = new DoubleParam(this, "kernelWidth",
@@ -514,9 +521,11 @@ class VectorLIME(override val uid: String) extends VectorExplainerBase(uid) {
       .toDF($(idCol), "intercept", "coefficients")
   }
   override def copy(extra: ParamMap): VectorLIME = {
-    val c = new VectorLIME(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new VectorLIME(uid); copyValues(c, extra)
   }
 }
+object VectorLIME extends graft.core.GraftReadable[VectorLIME]
+
 
 /** Kernel SHAP over a vector feature column: coalition masks per
   * dimension, masked dimensions replaced by decimal-exact per-dimension
@@ -525,7 +534,7 @@ class VectorLIME(override val uid: String) extends VectorExplainerBase(uid) {
   * twin of [[TabularSHAP]] (ref: explainers/VectorSHAP.scala +
   * KernelSHAPSampler).
   */
-class VectorSHAP(override val uid: String) extends VectorExplainerBase(uid) {
+class VectorSHAP(override val uid: String) extends VectorExplainerBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("VectorSHAP"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -625,9 +634,11 @@ class VectorSHAP(override val uid: String) extends VectorExplainerBase(uid) {
       .toDF($(idCol), "intercept", "coefficients")
   }
   override def copy(extra: ParamMap): VectorSHAP = {
-    val c = new VectorSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new VectorSHAP(uid); copyValues(c, extra)
   }
 }
+object VectorSHAP extends graft.core.GraftReadable[VectorSHAP]
+
 
 /** Kernel SHAP coalition sampling shared by the segment/token/dimension
   * explainers: sizes drawn from the normalized Shapley kernel over sizes

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * Same execution shape as [[TabularLIME]]: explode → score → groupByKey
   * + in-group solve; images never leave executors.
   */
-class ImageLIME(override val uid: String) extends Transformer {
+class ImageLIME(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ImageLIME"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -41,9 +41,12 @@ class ImageLIME(override val uid: String) extends Transformer {
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
 
-  private var scorer: DataFrame => DataFrame = _
-  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
-  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+  final val scoringFn = new Param[DataFrame => DataFrame](this, "scoringFn",
+    "black-box scoring function (persisted via Java serialization)")
+  private def scorer: DataFrame => DataFrame = get(scoringFn).orNull
+  def setModel(t: Transformer): this.type =
+    set(scoringFn, (df: DataFrame) => t.transform(df))
+  def setScoringFn(f: DataFrame => DataFrame): this.type = set(scoringFn, f)
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -106,9 +109,11 @@ class ImageLIME(override val uid: String) extends Transformer {
       StructField("segment_importance",
         ArrayType(DoubleType, containsNull = false))))
   override def copy(extra: ParamMap): ImageLIME = {
-    val c = new ImageLIME(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new ImageLIME(uid); copyValues(c, extra)
   }
 }
+object ImageLIME extends graft.core.GraftReadable[ImageLIME]
+
 
 /** Image Kernel SHAP (ref: explainers/ImageSHAP.scala): the same
   * superpixel masking sampler as [[ImageLIME]] under the KernelSHAP
@@ -118,7 +123,7 @@ class ImageLIME(override val uid: String) extends Transformer {
   * `intercept + Σφ ≈ f(image)`. Same execution shape: explode → one
   * scorer pass → groupByKey + in-group weighted solve.
   */
-class ImageSHAP(override val uid: String) extends Transformer {
+class ImageSHAP(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ImageSHAP"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -140,9 +145,12 @@ class ImageSHAP(override val uid: String) extends Transformer {
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
 
-  private var scorer: DataFrame => DataFrame = _
-  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
-  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+  final val scoringFn = new Param[DataFrame => DataFrame](this, "scoringFn",
+    "black-box scoring function (persisted via Java serialization)")
+  private def scorer: DataFrame => DataFrame = get(scoringFn).orNull
+  def setModel(t: Transformer): this.type =
+    set(scoringFn, (df: DataFrame) => t.transform(df))
+  def setScoringFn(f: DataFrame => DataFrame): this.type = set(scoringFn, f)
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -208,6 +216,8 @@ class ImageSHAP(override val uid: String) extends Transformer {
       StructField("segment_shap",
         ArrayType(DoubleType, containsNull = false))))
   override def copy(extra: ParamMap): ImageSHAP = {
-    val c = new ImageSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new ImageSHAP(uid); copyValues(c, extra)
   }
 }
+object ImageSHAP extends graft.core.GraftReadable[ImageSHAP]
+

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * surrogate; coefficients rank token importance. Same explode → score →
   * groupByKey shape as the other explainers.
   */
-class TextLIME(override val uid: String) extends Transformer {
+class TextLIME(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TextLIME"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -38,9 +38,12 @@ class TextLIME(override val uid: String) extends Transformer {
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
 
-  private var scorer: DataFrame => DataFrame = _
-  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
-  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+  final val scoringFn = new Param[DataFrame => DataFrame](this, "scoringFn",
+    "black-box scoring function (persisted via Java serialization)")
+  private def scorer: DataFrame => DataFrame = get(scoringFn).orNull
+  def setModel(t: Transformer): this.type =
+    set(scoringFn, (df: DataFrame) => t.transform(df))
+  def setScoringFn(f: DataFrame => DataFrame): this.type = set(scoringFn, f)
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -101,9 +104,11 @@ class TextLIME(override val uid: String) extends Transformer {
       StructField("token_importance",
         ArrayType(DoubleType, containsNull = false))))
   override def copy(extra: ParamMap): TextLIME = {
-    val c = new TextLIME(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new TextLIME(uid); copyValues(c, extra)
   }
 }
+object TextLIME extends graft.core.GraftReadable[TextLIME]
+
 
 /** Text Kernel SHAP (ref: explainers/TextSHAP.scala): the token-drop
   * sampler of [[TextLIME]] under the KernelSHAP coalition construction
@@ -111,7 +116,7 @@ class TextLIME(override val uid: String) extends Transformer {
   * masks), making the per-token coefficients SHAP values —
   * `intercept ≈ f(empty text)` and `intercept + Σφ ≈ f(text)`.
   */
-class TextSHAP(override val uid: String) extends Transformer {
+class TextSHAP(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TextSHAP"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -134,9 +139,12 @@ class TextSHAP(override val uid: String) extends Transformer {
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
 
-  private var scorer: DataFrame => DataFrame = _
-  def setModel(t: Transformer): this.type = { scorer = df => t.transform(df); this }
-  def setScoringFn(f: DataFrame => DataFrame): this.type = { scorer = f; this }
+  final val scoringFn = new Param[DataFrame => DataFrame](this, "scoringFn",
+    "black-box scoring function (persisted via Java serialization)")
+  private def scorer: DataFrame => DataFrame = get(scoringFn).orNull
+  def setModel(t: Transformer): this.type =
+    set(scoringFn, (df: DataFrame) => t.transform(df))
+  def setScoringFn(f: DataFrame => DataFrame): this.type = set(scoringFn, f)
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -199,6 +207,8 @@ class TextSHAP(override val uid: String) extends Transformer {
       StructField("token_shap",
         ArrayType(DoubleType, containsNull = false))))
   override def copy(extra: ParamMap): TextSHAP = {
-    val c = new TextSHAP(uid); c.scorer = scorer; copyValues(c, extra)
+    val c = new TextSHAP(uid); copyValues(c, extra)
   }
 }
+object TextSHAP extends graft.core.GraftReadable[TextSHAP]
+

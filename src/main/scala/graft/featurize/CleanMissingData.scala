@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * transform is a `na.fill` — no shuffle, fully codegen'd.
   */
 class CleanMissingData(override val uid: String) extends Estimator[CleanMissingDataModel]
-    with HasInputCols {
+    with HasInputCols with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("CleanMissingData"))
 
   final val cleaningMode = new Param[String](this, "cleaningMode",
@@ -48,6 +48,8 @@ class CleanMissingData(override val uid: String) extends Estimator[CleanMissingD
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): CleanMissingData = defaultCopy(extra)
 }
+object CleanMissingData extends graft.core.GraftReadable[CleanMissingData]
+
 
 class CleanMissingDataModel(override val uid: String)
     extends Model[CleanMissingDataModel] with HasInputCols

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * on the surviving indices.
   */
 class CountSelector(override val uid: String)
-    extends Estimator[CountSelectorModel] with HasInputCol with HasOutputCol {
+    extends Estimator[CountSelectorModel] with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("CountSelector"))
   setDefault(outputCol -> "selected")
 
@@ -52,6 +52,8 @@ class CountSelector(override val uid: String)
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): CountSelector = defaultCopy(extra)
 }
+object CountSelector extends graft.core.GraftReadable[CountSelector]
+
 
 class CountSelectorModel(override val uid: String)
     extends Model[CountSelectorModel] with HasInputCol with HasOutputCol

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *  - vector → passthrough.
   */
 class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
-    with HasOutputCol {
+    with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("Featurize"))
   setDefault(outputCol -> "features")
 
@@ -83,6 +83,8 @@ class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): Featurize = defaultCopy(extra)
 }
+object Featurize extends graft.core.GraftReadable[Featurize]
+
 
 class FeaturizeModel(override val uid: String) extends Model[FeaturizeModel]
     with HasOutputCol with org.apache.spark.ml.util.MLWritable {

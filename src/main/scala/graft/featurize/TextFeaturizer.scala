@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * are Spark ML built-ins — narrow ops except IDF's one aggregation.
   */
 class TextFeaturizer(override val uid: String)
-    extends Estimator[TextFeaturizerModel] with HasInputCol with HasOutputCol {
+    extends Estimator[TextFeaturizerModel] with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TextFeaturizer"))
   setDefault(outputCol -> "features")
 
@@ -73,6 +73,8 @@ class TextFeaturizer(override val uid: String)
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): TextFeaturizer = defaultCopy(extra)
 }
+object TextFeaturizer extends graft.core.GraftReadable[TextFeaturizer]
+
 
 class TextFeaturizerModel(override val uid: String)
     extends Model[TextFeaturizerModel] with HasInputCol with HasOutputCol

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * no shuffle, no UDF.
   */
 class ValueIndexer(override val uid: String) extends Estimator[ValueIndexerModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ValueIndexer"))
 
   override def fit(ds: Dataset[_]): ValueIndexerModel = {
@@ -36,6 +36,8 @@ class ValueIndexer(override val uid: String) extends Estimator[ValueIndexerModel
     StructType(schema :+ StructField(getOutputCol, IntegerType, nullable = false))
   override def copy(extra: ParamMap): ValueIndexer = defaultCopy(extra)
 }
+object ValueIndexer extends graft.core.GraftReadable[ValueIndexer]
+
 
 class ValueIndexerModel(override val uid: String) extends Model[ValueIndexerModel]
     with HasInputCol with HasOutputCol
@@ -88,7 +90,7 @@ object ValueIndexerModel extends org.apache.spark.ml.util.MLReadable[ValueIndexe
   * level list from column metadata (ref: featurize/IndexToValue.scala:38-70).
   */
 class IndexToValue(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("IndexToValue"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -105,3 +107,5 @@ class IndexToValue(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, StringType, nullable = true))
   override def copy(extra: ParamMap): IndexToValue = defaultCopy(extra)
 }
+object IndexToValue extends graft.core.GraftReadable[IndexToValue]
+

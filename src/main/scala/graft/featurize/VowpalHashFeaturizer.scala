@@ -64,7 +64,7 @@ object Murmur3 {
   * learner.
   */
 class VowpalHashFeaturizer(override val uid: String) extends Transformer
-    with HasInputCols with HasOutputCol {
+    with HasInputCols with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("VowpalHashFeaturizer"))
   setDefault(outputCol -> "features")
 
@@ -129,3 +129,5 @@ class VowpalHashFeaturizer(override val uid: String) extends Transformer
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): VowpalHashFeaturizer = defaultCopy(extra)
 }
+object VowpalHashFeaturizer extends graft.core.GraftReadable[VowpalHashFeaturizer]
+

@@ -77,7 +77,7 @@ object ImageSchemaUtils {
   * struct column. Rows that fail to decode become null (tolerant path,
   * like Spark's image source with dropInvalid=false). */
 class DecodeImage(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("DecodeImage"))
   setDefault(outputCol -> "image")
 
@@ -94,10 +94,12 @@ class DecodeImage(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, ImageSchemaUtils.imageType))
   override def copy(extra: ParamMap): DecodeImage = defaultCopy(extra)
 }
+object DecodeImage extends graft.core.GraftReadable[DecodeImage]
+
 
 /** Resize an ImageSchema struct column (bilinear, java.awt). */
 class ResizeImage(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ResizeImage"))
   setDefault(inputCol -> "image", outputCol -> "resized")
 
@@ -146,11 +148,13 @@ class ResizeImage(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, ImageSchemaUtils.imageType))
   override def copy(extra: ParamMap): ResizeImage = defaultCopy(extra)
 }
+object ResizeImage extends graft.core.GraftReadable[ResizeImage]
+
 
 /** Unroll an ImageSchema struct to an ml Vector, row-major BGR, optional
   * [0,1] normalization (ref: core/.../image/UnrollImage.scala:30-173). */
 class UnrollImage(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("UnrollImage"))
   setDefault(inputCol -> "image", outputCol -> "unrolled")
 
@@ -180,6 +184,8 @@ class UnrollImage(override val uid: String) extends Transformer
       org.apache.spark.ml.linalg.SQLDataTypes.VectorType))
   override def copy(extra: ParamMap): UnrollImage = defaultCopy(extra)
 }
+object UnrollImage extends graft.core.GraftReadable[UnrollImage]
+
 
 /** Decode encoded image bytes → bilinear resize → grayscale → row-major
   * [0,1] floats: the REAL decode behind MultimodalFeaturizer's image

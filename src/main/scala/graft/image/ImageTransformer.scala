@@ -225,7 +225,7 @@ private[image] object ImageKernels {
   * transformer copies and persists like any params-only stage.
   */
 class ImageTransformer(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ImageTransformer"))
   setDefault(inputCol -> "image", outputCol -> "transformed")
 
@@ -310,3 +310,5 @@ class ImageTransformer(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, ImageSchemaUtils.imageType))
   override def copy(extra: ParamMap): ImageTransformer = defaultCopy(extra)
 }
+object ImageTransformer extends graft.core.GraftReadable[ImageTransformer]
+

@@ -102,7 +102,7 @@ object BinaryFileWriter {
   * handling — is identical for all modalities.
   */
 class MultimodalFeaturizer(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("MultimodalFeaturizer"))
   setDefault(outputCol -> "media_features")
 
@@ -226,7 +226,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): MultimodalFeaturizer = defaultCopy(extra)
 }
 
-object MultimodalFeaturizer {
+object MultimodalFeaturizer extends graft.core.GraftReadable[MultimodalFeaturizer] {
   // once per JVM per modality, not per row — executors log exactly one
   // loud line when the stub path is actually taken
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

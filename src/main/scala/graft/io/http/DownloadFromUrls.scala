@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * crawl data cannot kill the job; set `dropFailures` to filter them.
   */
 class DownloadFromUrls(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("DownloadFromUrls"))
   setDefault(inputCol -> "url", outputCol -> "bytes")
 
@@ -74,3 +74,5 @@ class DownloadFromUrls(override val uid: String) extends Transformer
       StructField($(statusCol), IntegerType)))
   override def copy(extra: ParamMap): DownloadFromUrls = defaultCopy(extra)
 }
+object DownloadFromUrls extends graft.core.GraftReadable[DownloadFromUrls]
+

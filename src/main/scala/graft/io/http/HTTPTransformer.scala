@@ -44,7 +44,7 @@ case class RetryPolicy(backoffsMs: Seq[Long] = Seq(100L, 500L, 1000L))
   * stream — nothing is materialized per partition.
   */
 class HTTPTransformer(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("HTTPTransformer"))
   setDefault(inputCol -> "request", outputCol -> "response")
 
@@ -204,11 +204,13 @@ class HTTPTransformer(override val uid: String) extends Transformer
   }
   override def copy(extra: ParamMap): HTTPTransformer = defaultCopy(extra)
 }
+object HTTPTransformer extends graft.core.GraftReadable[HTTPTransformer]
+
 
 /** Column list → JSON-body POST request struct (ref:
   * io/http/Parsers.scala:35-88 JSONInputParser). */
 class JSONInputParser(override val uid: String) extends Transformer
-    with HasInputCols with HasOutputCol {
+    with HasInputCols with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("JSONInputParser"))
   setDefault(outputCol -> "request")
 
@@ -229,16 +231,20 @@ class JSONInputParser(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, HTTPSchema.requestType))
   override def copy(extra: ParamMap): JSONInputParser = defaultCopy(extra)
 }
+object JSONInputParser extends graft.core.GraftReadable[JSONInputParser]
+
 
 /** Response entity → typed struct via from_json(schema) (ref:
   * Parsers.scala:152-293 JSONOutputParser). */
 class JSONOutputParser(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("JSONOutputParser"))
   setDefault(inputCol -> "response", outputCol -> "parsed")
 
-  private var schema_ : DataType = _
-  def setDataType(dt: DataType): this.type = { schema_ = dt; this }
+  final val dataTypeParam = new Param[DataType](this, "dataTypeParam",
+    "result schema (persisted via Java serialization)")
+  private def schema_ : DataType = get(dataTypeParam).orNull
+  def setDataType(dt: DataType): this.type = set(dataTypeParam, dt)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     require(schema_ != null, "setDataType first")
@@ -247,15 +253,14 @@ class JSONOutputParser(override val uid: String) extends Transformer
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField(getOutputCol, schema_))
-  override def copy(extra: ParamMap): JSONOutputParser = {
-    val c = new JSONOutputParser(uid); c.schema_ = schema_
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): JSONOutputParser = defaultCopy(extra)
 }
+object JSONOutputParser extends graft.core.GraftReadable[JSONOutputParser]
+
 
 /** Response entity → string column (ref: StringOutputParser). */
 class StringOutputParser(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("StringOutputParser"))
   setDefault(inputCol -> "response", outputCol -> "output")
   override def transform(ds: Dataset[_]): DataFrame =
@@ -265,6 +270,8 @@ class StringOutputParser(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, StringType))
   override def copy(extra: ParamMap): StringOutputParser = defaultCopy(extra)
 }
+object StringOutputParser extends graft.core.GraftReadable[StringOutputParser]
+
 
 /** Composite JSON-service transformer: input parser → HTTPTransformer →
   * error split → output parser → drop temps (ref:
@@ -272,7 +279,7 @@ class StringOutputParser(override val uid: String) extends Transformer
   * status ≠ 2xx get null output and the status in `errorCol`.
   */
 class SimpleHTTPTransformer(override val uid: String) extends Transformer
-    with HasInputCols with HasOutputCol {
+    with HasInputCols with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("SimpleHTTPTransformer"))
   setDefault(outputCol -> "parsed")
 
@@ -285,8 +292,10 @@ class SimpleHTTPTransformer(override val uid: String) extends Transformer
   setDefault(concurrency -> 8)
   def setConcurrency(v: Int): this.type = set(concurrency, v)
 
-  private var outputSchema: DataType = _
-  def setOutputDataType(dt: DataType): this.type = { outputSchema = dt; this }
+  final val outputSchemaParam = new Param[DataType](this, "outputSchemaParam",
+    "parsed output schema (persisted via Java serialization)")
+  private def outputSchema: DataType = get(outputSchemaParam).orNull
+  def setOutputDataType(dt: DataType): this.type = set(outputSchemaParam, dt)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     require(outputSchema != null, "setOutputDataType first")
@@ -309,8 +318,7 @@ class SimpleHTTPTransformer(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(StructField(getOutputCol, outputSchema),
       StructField($(errorCol), StringType)))
-  override def copy(extra: ParamMap): SimpleHTTPTransformer = {
-    val c = new SimpleHTTPTransformer(uid); c.outputSchema = outputSchema
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): SimpleHTTPTransformer = defaultCopy(extra)
 }
+object SimpleHTTPTransformer extends graft.core.GraftReadable[SimpleHTTPTransformer]
+

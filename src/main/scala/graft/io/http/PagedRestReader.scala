@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * reference's tolerant handler.
   */
 class PagedRestReader(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PagedRestReader"))
 
   final val urlTemplate = new Param[String](this, "urlTemplate",
@@ -108,3 +108,5 @@ class PagedRestReader(override val uid: String) extends Transformer
       StructField("item", StructType.fromDDL($(itemSchema)))))
   override def copy(extra: ParamMap): PagedRestReader = defaultCopy(extra)
 }
+object PagedRestReader extends graft.core.GraftReadable[PagedRestReader]
+

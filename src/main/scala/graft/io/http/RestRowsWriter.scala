@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * with executors and retry/backoff (5xx, 429 + Retry-After) comes from
   * the shared client, not a bespoke loop.
   */
-class RestRowsWriter(override val uid: String) extends Transformer {
+class RestRowsWriter(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("RestRowsWriter"))
 
   final val url = new Param[String](this, "url", "endpoint URL")
@@ -96,7 +96,7 @@ class RestRowsWriter(override val uid: String) extends Transformer {
 /** The reference's two entry points (PowerBIWriter.write / .stream),
   * re-expressed: eager batch upload that fails loudly on any failed
   * batch, and a `foreachBatch` streaming variant of the same. */
-object RestRowsWriter {
+object RestRowsWriter extends graft.core.GraftReadable[RestRowsWriter] {
   private def writer(url: String, options: Map[String, String]): RestRowsWriter = {
     val w = new RestRowsWriter().setUrl(url)
     options.get("batchSize").foreach(v => w.setBatchSize(v.toInt))

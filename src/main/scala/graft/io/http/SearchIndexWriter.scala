@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * scales with executors and one failing batch surfaces as a status row
   * instead of killing the job.
   */
-class SearchIndexWriter(override val uid: String) extends Transformer {
+class SearchIndexWriter(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("SearchIndexWriter"))
 
   final val serviceUrl = new Param[String](this, "serviceUrl",
@@ -119,3 +119,5 @@ class SearchIndexWriter(override val uid: String) extends Transformer {
       StructField("statusCode", IntegerType)))
   override def copy(extra: ParamMap): SearchIndexWriter = defaultCopy(extra)
 }
+object SearchIndexWriter extends graft.core.GraftReadable[SearchIndexWriter]
+

@@ -36,7 +36,7 @@ object ServiceValue {
   * `concurrency` per task and connection reuse is per-executor-JVM.
   */
 class ServiceTransformer(override val uid: String) extends Transformer
-    with HasOutputCol {
+    with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ServiceTransformer"))
   setDefault(outputCol -> "parsed")
 
@@ -50,26 +50,35 @@ class ServiceTransformer(override val uid: String) extends Transformer
   setDefault(method -> "POST")
   def setMethod(v: String): this.type = set(method, v)
 
-  private var urlValue: ServiceValue[String] = _
-  def setUrl(v: String): this.type = { urlValue = ServiceValue.lit_(v); this }
-  def setUrlCol(v: String): this.type = { urlValue = ServiceValue.col_(v); this }
+  // ServiceParam state rides GraftWritable's complex.bin (case classes
+  // and DataTypes are Java-serializable), so configured services persist
+  final val urlValueParam = new Param[ServiceValue[String]](
+    this, "urlValueParam", "service url, literal or column")
+  private def urlValue: ServiceValue[String] = get(urlValueParam).orNull
+  def setUrl(v: String): this.type = set(urlValueParam, ServiceValue.lit_(v))
+  def setUrlCol(v: String): this.type = set(urlValueParam, ServiceValue.col_[String](v))
 
   // body params: name -> scalar or column
-  private var bodyParams: Seq[(String, ServiceValue[Any])] = Seq.empty
-  def setBodyParam(name: String, value: Any): this.type = {
-    bodyParams :+= (name -> ServiceValue.lit_(value)); this
-  }
-  def setBodyParamCol(name: String, colName: String): this.type = {
-    bodyParams :+= (name -> ServiceValue.col_(colName)); this
-  }
+  final val bodyParamsParam = new Param[Seq[(String, ServiceValue[Any])]](
+    this, "bodyParamsParam", "body params, literal or column each")
+  setDefault(bodyParamsParam -> Seq.empty[(String, ServiceValue[Any])])
+  private def bodyParams: Seq[(String, ServiceValue[Any])] = $(bodyParamsParam)
+  def setBodyParam(name: String, value: Any): this.type =
+    set(bodyParamsParam, bodyParams :+ (name -> ServiceValue.lit_(value)))
+  def setBodyParamCol(name: String, colName: String): this.type =
+    set(bodyParamsParam, bodyParams :+ (name -> ServiceValue.col_[Any](colName)))
   // header params (e.g. api keys)
-  private var headerParams: Seq[(String, String)] = Seq.empty
-  def setHeader(name: String, value: String): this.type = {
-    headerParams :+= (name -> value); this
-  }
+  final val headerParamsParam = new Param[Seq[(String, String)]](
+    this, "headerParamsParam", "request headers")
+  setDefault(headerParamsParam -> Seq.empty[(String, String)])
+  private def headerParams: Seq[(String, String)] = $(headerParamsParam)
+  def setHeader(name: String, value: String): this.type =
+    set(headerParamsParam, headerParams :+ (name -> value))
 
-  private var outputSchema: DataType = _
-  def setOutputDataType(dt: DataType): this.type = { outputSchema = dt; this }
+  final val outputSchemaParam = new Param[DataType](this, "outputSchemaParam",
+    "parsed output schema")
+  private def outputSchema: DataType = get(outputSchemaParam).orNull
+  def setOutputDataType(dt: DataType): this.type = set(outputSchemaParam, dt)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     require(urlValue != null, "setUrl/setUrlCol first")
@@ -105,10 +114,7 @@ class ServiceTransformer(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(StructField(getOutputCol, outputSchema),
       StructField($(errorCol), StringType)))
-  override def copy(extra: ParamMap): ServiceTransformer = {
-    val c = new ServiceTransformer(uid)
-    c.urlValue = urlValue; c.bodyParams = bodyParams
-    c.headerParams = headerParams; c.outputSchema = outputSchema
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): ServiceTransformer = defaultCopy(extra)
 }
+object ServiceTransformer extends graft.core.GraftReadable[ServiceTransformer]
+

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * (SURVEY §2.13 / build plan hard-parts note).
   */
 class KNN(override val uid: String) extends Estimator[KNNModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("KNN"))
   setDefault(outputCol -> "matches")
 
@@ -62,6 +62,8 @@ class KNN(override val uid: String) extends Estimator[KNNModel]
     KNNModel.outputSchema(schema, getOutputCol)
   override def copy(extra: ParamMap): KNN = defaultCopy(extra)
 }
+object KNN extends graft.core.GraftReadable[KNN]
+
 
 class KNNModel(override val uid: String) extends Model[KNNModel]
     with HasInputCol with HasOutputCol

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * reference already uses exactly this plan; one shuffle on user).
   */
 class RankingAdapter(override val uid: String) extends Transformer
-    with HasRecoCols {
+    with HasRecoCols with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("RankingAdapter"))
 
   final val k = new IntParam(this, "k", "ground-truth depth",
@@ -41,6 +41,8 @@ class RankingAdapter(override val uid: String) extends Transformer
   }
   override def copy(extra: ParamMap): RankingAdapter = defaultCopy(extra)
 }
+object RankingAdapter extends graft.core.GraftReadable[RankingAdapter]
+
 
 /** Per-user ranking quality metrics, averaged with one typed Aggregator
   * (map-side partial means; nothing is collected to the driver) — the
@@ -103,7 +105,7 @@ object RankingMetricsAgg {
   * row. Input: a frame with `recCol` and `gtCol` array<string> columns
   * (cast item ids to string upstream for type uniformity).
   */
-class RankingEvaluator(override val uid: String) extends Transformer {
+class RankingEvaluator(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("RankingEvaluator"))
 
   final val recCol = new Param[String](this, "recCol", "recommendations col")
@@ -165,6 +167,8 @@ class RankingEvaluator(override val uid: String) extends Transformer {
         "mrr", "hit_rate").map(StructField(_, DoubleType)))
   override def copy(extra: ParamMap): RankingEvaluator = defaultCopy(extra)
 }
+object RankingEvaluator extends graft.core.GraftReadable[RankingEvaluator]
+
 
 private[reco] object ExpressionEncoderHelper {
   val seqString: Encoder[Seq[String]] =

@@ -46,7 +46,7 @@ trait HasRecoCols extends Params {
   * order cannot change the result.
   */
 class SAR(override val uid: String) extends Estimator[SARModel]
-    with HasRecoCols {
+    with HasRecoCols with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("SAR"))
 
   final val timeCol = new Param[String](this, "timeCol",
@@ -142,6 +142,8 @@ class SAR(override val uid: String) extends Estimator[SARModel]
       StructField("item", StringType), StructField("score", DoubleType)))
   override def copy(extra: ParamMap): SAR = defaultCopy(extra)
 }
+object SAR extends graft.core.GraftReadable[SAR]
+
 
 /** Fitted SAR model: score(u, j) = Σ_i affinity(u,i) · sim(i,j). */
 class SARModel(override val uid: String) extends Model[SARModel]

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   * identical across partitionings, retries, and engines.
   */
 class EmbeddingMeanPooler(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("EmbeddingMeanPooler"))
   setDefault(outputCol -> "pooled")
 
@@ -49,3 +49,5 @@ class EmbeddingMeanPooler(override val uid: String) extends Transformer
       StructField(getOutputCol, ArrayType(DoubleType)))
   override def copy(extra: ParamMap): EmbeddingMeanPooler = defaultCopy(extra)
 }
+object EmbeddingMeanPooler extends graft.core.GraftReadable[EmbeddingMeanPooler]
+

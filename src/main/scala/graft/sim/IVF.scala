@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   * nLists=4096, nProbe=64 each query touches ~1.6% of vectors.
   */
 class IVFNearestNeighbors(override val uid: String)
-    extends Estimator[IVFNearestNeighborsModel] with HasInputCol {
+    extends Estimator[IVFNearestNeighborsModel] with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("IVFNearestNeighbors"))
 
   final val idCol = new Param[String](this, "idCol", "corpus id column")
@@ -80,10 +80,25 @@ class IVFNearestNeighbors(override val uid: String)
     IVFNearestNeighborsModel.outputSchema
   override def copy(extra: ParamMap): IVFNearestNeighbors = defaultCopy(extra)
 }
+object IVFNearestNeighbors extends graft.core.GraftReadable[IVFNearestNeighbors]
+
 
 class IVFNearestNeighborsModel(override val uid: String)
-    extends Model[IVFNearestNeighborsModel] with HasInputCol {
+    extends Model[IVFNearestNeighborsModel] with HasInputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("IVFNearestNeighborsModel"))
+
+  // queriesDf is per-run input, not model state; only params + centroids
+  // persist, and the loader re-attaches queries via setQueries
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(IVFNearestNeighborsModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/centroids.bin",
+          centroids)
+      }
+    }
 
   final val idCol = new Param[String](this, "idCol", "corpus id column")
   final val k = new IntParam(this, "k", "neighbors per query")
@@ -161,7 +176,20 @@ class IVFNearestNeighborsModel(override val uid: String)
   }
 }
 
-object IVFNearestNeighborsModel {
+object IVFNearestNeighborsModel
+    extends org.apache.spark.ml.util.MLReadable[IVFNearestNeighborsModel] {
+  override def read: org.apache.spark.ml.util.MLReader[IVFNearestNeighborsModel] =
+    new org.apache.spark.ml.util.MLReader[IVFNearestNeighborsModel] {
+      override def load(path: String): IVFNearestNeighborsModel = {
+        val m = new IVFNearestNeighborsModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.centroids = graft.core.ModelIO
+          .readObject[Array[Array[Double]]](sparkSession, s"$path/centroids.bin")
+        m
+      }
+    }
+
   val outputSchema: StructType = StructType(Seq(
     StructField("query_id", LongType),
     StructField("neighbors", ArrayType(StructType(Seq(

@@ -72,7 +72,7 @@ class TopKAggregator(k: Int)
   * This is the exact baseline; `LSHNearestNeighbors` is the scale path.
   */
 class NearestNeighbors(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("NearestNeighbors"))
 
   final val idCol = new Param[String](this, "idCol", "corpus id column")
@@ -109,6 +109,8 @@ class NearestNeighbors(override val uid: String) extends Transformer
     copyValues(c, extra)
   }
 }
+object NearestNeighbors extends graft.core.GraftReadable[NearestNeighbors]
+
 
 /** LSH-bucketed approximate nearest neighbors: hyperplane signatures with
   * multiple band tables; queries (broadcast) probe only their buckets, so
@@ -116,7 +118,7 @@ class NearestNeighbors(override val uid: String) extends Transformer
   * (numPlanes, bands).
   */
 class LSHNearestNeighbors(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("LSHNearestNeighbors"))
 
   final val idCol = new Param[String](this, "idCol", "corpus id column")
@@ -179,3 +181,5 @@ class LSHNearestNeighbors(override val uid: String) extends Transformer
     copyValues(c, extra)
   }
 }
+object LSHNearestNeighbors extends graft.core.GraftReadable[LSHNearestNeighbors]
+

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * is always broadcast (as the reference does with `broadcast(weights)`).
   */
 class ClassBalancer(override val uid: String) extends Estimator[ClassBalancerModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ClassBalancer"))
   setDefault(outputCol -> "weight")
 
@@ -41,10 +41,24 @@ class ClassBalancer(override val uid: String) extends Estimator[ClassBalancerMod
     StructType(schema :+ StructField(getOutputCol, DoubleType, nullable = false))
   override def copy(extra: ParamMap): ClassBalancer = defaultCopy(extra)
 }
+object ClassBalancer extends graft.core.GraftReadable[ClassBalancer]
+
 
 class ClassBalancerModel(override val uid: String) extends Model[ClassBalancerModel]
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("ClassBalancerModel"))
+
+  // the weight table is a real (tiny) DataFrame — persist it as parquet
+  // so load works from any DFS, schema included
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(ClassBalancerModel.this))
+        weights.write.mode("overwrite").parquet(s"$path/weights.parquet")
+      }
+    }
 
   final val broadcastJoin = new BooleanParam(this, "broadcastJoin", "broadcast join")
   setDefault(broadcastJoin -> true)
@@ -62,4 +76,18 @@ class ClassBalancerModel(override val uid: String) extends Model[ClassBalancerMo
   override def copy(extra: ParamMap): ClassBalancerModel = {
     val c = new ClassBalancerModel(uid); c.weights = weights; copyValues(c, extra)
   }
+}
+
+object ClassBalancerModel
+    extends org.apache.spark.ml.util.MLReadable[ClassBalancerModel] {
+  override def read: org.apache.spark.ml.util.MLReader[ClassBalancerModel] =
+    new org.apache.spark.ml.util.MLReader[ClassBalancerModel] {
+      override def load(path: String): ClassBalancerModel = {
+        val m = new ClassBalancerModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.weights = sparkSession.read.parquet(s"$path/weights.parquet")
+        m
+      }
+    }
 }

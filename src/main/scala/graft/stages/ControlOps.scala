@@ -56,45 +56,52 @@ object Repartition extends DefaultParamsReadable[Repartition]
   * by a dry run on an empty frame when not given explicitly
   * (ref: core/.../stages/Lambda.scala:16-64). Essential composition glue.
   */
-class Lambda(override val uid: String) extends Transformer {
+class Lambda(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("Lambda"))
 
-  private var fn: DataFrame => DataFrame = identity
-  private var schemaFn: Option[StructType => StructType] = None
-  def setTransform(f: DataFrame => DataFrame): this.type = { fn = f; this }
-  def setSchemaTransform(f: StructType => StructType): this.type = {
-    schemaFn = Some(f); this
-  }
+  // function-valued params ride GraftWritable's complex.bin (Scala
+  // lambdas are Serializable), so a Lambda in a persisted Pipeline keeps
+  // its behavior across save/load like the reference's UDF params
+  final val fn = new Param[DataFrame => DataFrame](this, "fn",
+    "the transform function")
+  setDefault(fn -> identity[DataFrame] _)
+  final val schemaFn = new Param[StructType => StructType](this, "schemaFn",
+    "optional schema transform (otherwise inferred by an empty dry run)")
+  def setTransform(f: DataFrame => DataFrame): this.type = set(fn, f)
+  def setSchemaTransform(f: StructType => StructType): this.type =
+    set(schemaFn, f)
 
-  override def transform(ds: Dataset[_]): DataFrame = fn(ds.toDF())
+  override def transform(ds: Dataset[_]): DataFrame = $(fn)(ds.toDF())
   override def transformSchema(schema: StructType): StructType =
-    schemaFn.map(_(schema)).getOrElse {
+    get(schemaFn).map(_(schema)).getOrElse {
       // dry run on an empty local frame, as the reference does
       val spark = org.apache.spark.sql.SparkSession.active
-      fn(spark.createDataFrame(
+      $(fn)(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)).schema
     }
-  override def copy(extra: ParamMap): Lambda = {
-    val c = new Lambda(uid); c.fn = fn; c.schemaFn = schemaFn; c
-  }
+  override def copy(extra: ParamMap): Lambda = defaultCopy(extra)
 }
+object Lambda extends graft.core.GraftReadable[Lambda]
+
 
 /** Apply a Spark SQL `UserDefinedFunction` (or any Column expression) to
   * input columns (ref: core/.../stages/UDFTransformer.scala:91-108).
   * Prefer `setExpr` (native Column expressions, codegen'd) over `setUDF`.
   */
 class UDFTransformer(override val uid: String) extends Transformer
-    with HasInputCols with HasOutputCol {
+    with HasInputCols with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("UDFTransformer"))
 
-  private var udfOpt: Option[org.apache.spark.sql.expressions.UserDefinedFunction] = None
-  private var exprOpt: Option[Seq[Column] => Column] = None
-  def setUDF(u: org.apache.spark.sql.expressions.UserDefinedFunction): this.type = {
-    udfOpt = Some(u); this
-  }
-  def setExpr(f: Seq[Column] => Column): this.type = { exprOpt = Some(f); this }
+  final val udfParam =
+    new Param[org.apache.spark.sql.expressions.UserDefinedFunction](
+      this, "udfParam", "the UDF to apply")
+  final val exprParam = new Param[Seq[Column] => Column](this, "exprParam",
+    "native Column expression builder (preferred: codegen'd)")
+  def setUDF(u: org.apache.spark.sql.expressions.UserDefinedFunction): this.type =
+    set(udfParam, u)
+  def setExpr(f: Seq[Column] => Column): this.type = set(exprParam, f)
 
-  private def outCol(ins: Seq[Column]): Column = (exprOpt, udfOpt) match {
+  private def outCol(ins: Seq[Column]): Column = (get(exprParam), get(udfParam)) match {
     case (Some(f), _) => f(ins)
     case (_, Some(u)) => u(ins: _*)
     case _ => throw new IllegalStateException("UDFTransformer: no function set")
@@ -107,20 +114,21 @@ class UDFTransformer(override val uid: String) extends Transformer
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       .withColumn(getOutputCol, outCol(getInputCols.toIndexedSeq.map(col))).schema
   }
-  override def copy(extra: ParamMap): UDFTransformer = {
-    val c = new UDFTransformer(uid); c.udfOpt = udfOpt; c.exprOpt = exprOpt
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): UDFTransformer = defaultCopy(extra)
 }
+object UDFTransformer extends graft.core.GraftReadable[UDFTransformer]
+
 
 /** Times the wrapped stage's transform, logging elapsed wall time; optional
   * materialization via cache+count (ref: core/.../stages/Timer.scala:55-133).
   */
-class Timer(override val uid: String) extends Transformer {
+class Timer(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("Timer"))
 
-  private var stage: Transformer = _
-  def setStage(t: Transformer): this.type = { stage = t; this }
+  final val stageParam = new Param[Transformer](this, "stageParam",
+    "the wrapped stage to time")
+  private def stage: Transformer = $(stageParam)
+  def setStage(t: Transformer): this.type = set(stageParam, t)
   final val materialize = new BooleanParam(this, "materialize",
     "cache+count the output to force evaluation inside the timed span")
   setDefault(materialize -> false)
@@ -137,8 +145,7 @@ class Timer(override val uid: String) extends Transformer {
   }
   override def transformSchema(schema: StructType): StructType =
     stage.transformSchema(schema)
-  override def copy(extra: ParamMap): Timer = {
-    val c = new Timer(uid); c.stage = if (stage == null) null else stage.copy(extra)
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): Timer = defaultCopy(extra)
 }
+object Timer extends graft.core.GraftReadable[Timer]
+

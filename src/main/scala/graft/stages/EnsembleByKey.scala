@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * One shuffle on the keys; partial aggregation is map-side combinable for
   * the numeric means and for Summarizer's vector mean buffer.
   */
-class EnsembleByKey(override val uid: String) extends Transformer {
+class EnsembleByKey(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("EnsembleByKey"))
 
   final val keys = new StringArrayParam(this, "keys", "grouping key columns")
@@ -75,3 +75,5 @@ class EnsembleByKey(override val uid: String) extends Transformer {
   }
   override def copy(extra: ParamMap): EnsembleByKey = defaultCopy(extra)
 }
+object EnsembleByKey extends graft.core.GraftReadable[EnsembleByKey]
+

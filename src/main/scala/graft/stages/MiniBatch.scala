@@ -42,7 +42,7 @@ abstract class MiniBatchBase(override val uid: String) extends Transformer {
   * (ref: Batchers.scala:65-129).
   */
 class FixedMiniBatchTransformer(override val uid: String)
-    extends MiniBatchBase(uid) {
+    extends MiniBatchBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("FixedMiniBatch"))
 
   final val batchSize = new IntParam(this, "batchSize", "rows per batch",
@@ -72,6 +72,8 @@ class FixedMiniBatchTransformer(override val uid: String)
   }
   override def copy(extra: ParamMap): FixedMiniBatchTransformer = defaultCopy(extra)
 }
+object FixedMiniBatchTransformer extends graft.core.GraftReadable[FixedMiniBatchTransformer]
+
 
 /** Latency-adaptive batches: each batch is whatever the producer thread has
   * buffered when the consumer asks (ref: MiniBatchTransformer.scala:45-67,
@@ -79,7 +81,7 @@ class FixedMiniBatchTransformer(override val uid: String)
   * exactly the input rows.
   */
 class DynamicMiniBatchTransformer(override val uid: String)
-    extends MiniBatchBase(uid) {
+    extends MiniBatchBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("DynamicMiniBatch"))
 
   final val maxBatchSize = new IntParam(this, "maxBatchSize", "cap per batch")
@@ -119,12 +121,14 @@ class DynamicMiniBatchTransformer(override val uid: String)
     }
   override def copy(extra: ParamMap): DynamicMiniBatchTransformer = defaultCopy(extra)
 }
+object DynamicMiniBatchTransformer extends graft.core.GraftReadable[DynamicMiniBatchTransformer]
+
 
 /** Wall-clock-window batches (ref: MiniBatchTransformer.scala:69-100,
   * Batchers.scala:131-152).
   */
 class TimeIntervalMiniBatchTransformer(override val uid: String)
-    extends MiniBatchBase(uid) {
+    extends MiniBatchBase(uid) with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TimeIntervalMiniBatch"))
 
   final val millisToWait = new IntParam(this, "millisToWait",
@@ -148,13 +152,15 @@ class TimeIntervalMiniBatchTransformer(override val uid: String)
   override def copy(extra: ParamMap): TimeIntervalMiniBatchTransformer =
     defaultCopy(extra)
 }
+object TimeIntervalMiniBatchTransformer extends graft.core.GraftReadable[TimeIntervalMiniBatchTransformer]
+
 
 /** Inverse of minibatching: explode parallel array columns back to rows.
   * Implemented natively as `arrays_zip` + `explode` + field projection —
   * null-tolerant transpose (shorter arrays pad with null), fully codegen'd
   * (ref: MiniBatchTransformer.scala:179-228).
   */
-class FlattenBatch(override val uid: String) extends Transformer {
+class FlattenBatch(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("FlattenBatch"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -178,3 +184,5 @@ class FlattenBatch(override val uid: String) extends Transformer {
     })
   override def copy(extra: ParamMap): FlattenBatch = defaultCopy(extra)
 }
+object FlattenBatch extends graft.core.GraftReadable[FlattenBatch]
+

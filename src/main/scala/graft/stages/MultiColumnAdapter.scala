@@ -14,13 +14,16 @@ import org.apache.spark.sql.types.StructType
   * whole chain into one projection.
   */
 class MultiColumnAdapter(override val uid: String) extends Transformer
-    with HasInputCols with HasOutputCols {
+    with HasInputCols with HasOutputCols with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("MultiColumnAdapter"))
 
-  private var base: Transformer with HasInputCol with HasOutputCol = _
-  def setBaseStage(t: Transformer with HasInputCol with HasOutputCol): this.type = {
-    base = t; this
-  }
+  final val baseStage = new Param[Transformer](this, "baseStage",
+    "single-column stage replicated across the column pairs")
+  private def base: Transformer with HasInputCol with HasOutputCol =
+    get(baseStage).orNull
+      .asInstanceOf[Transformer with HasInputCol with HasOutputCol]
+  def setBaseStage(t: Transformer with HasInputCol with HasOutputCol): this.type =
+    set(baseStage, t: Transformer)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     require(base != null, "setBaseStage first")
@@ -41,8 +44,7 @@ class MultiColumnAdapter(override val uid: String) extends Transformer
           .asInstanceOf[Transformer with HasInputCol with HasOutputCol]
           .setInputCol(in).setOutputCol(out).transformSchema(s)
     }
-  override def copy(extra: ParamMap): MultiColumnAdapter = {
-    val c = new MultiColumnAdapter(uid); c.base = base
-    copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): MultiColumnAdapter = defaultCopy(extra)
 }
+object MultiColumnAdapter extends graft.core.GraftReadable[MultiColumnAdapter]
+

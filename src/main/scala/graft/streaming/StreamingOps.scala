@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * is a no-op, so the same stage serves both (one shuffle on
   * (window, keys)).
   */
-class EventTimeWindowAggregator(override val uid: String) extends Transformer {
+class EventTimeWindowAggregator(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("EventTimeWindowAgg"))
 
   final val timeCol = new Param[String](this, "timeCol", "event-time column")
@@ -75,6 +75,8 @@ class EventTimeWindowAggregator(override val uid: String) extends Transformer {
       StructField("n", LongType), StructField("sum_value", DoubleType)))
   override def copy(extra: ParamMap): EventTimeWindowAggregator = defaultCopy(extra)
 }
+object EventTimeWindowAggregator extends graft.core.GraftReadable[EventTimeWindowAggregator]
+
 
 /** Gap-based sessionization. Batch path: gaps-and-islands with one window
   * over (key, time) — a session starts where the gap from the previous
@@ -83,7 +85,7 @@ class EventTimeWindowAggregator(override val uid: String) extends Transformer {
   * `flatMapGroupsWithState` + processing-time timeout, emitting closed
   * sessions.
   */
-class Sessionize(override val uid: String) extends Transformer {
+class Sessionize(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("Sessionize"))
 
   final val keyCol = new Param[String](this, "keyCol", "session key")
@@ -117,6 +119,8 @@ class Sessionize(override val uid: String) extends Transformer {
     StructType(schema :+ StructField("session_id", IntegerType))
   override def copy(extra: ParamMap): Sessionize = defaultCopy(extra)
 }
+object Sessionize extends graft.core.GraftReadable[Sessionize]
+
 
 /** Streaming sessionization state machine. */
 object SessionizeStream {
@@ -180,7 +184,7 @@ object SessionizeStream {
   * document is 8 bytes + the engine's row overhead, not the document.
   */
 class StreamingDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("StreamingDeduplicator"))
 
   final val timeCol = new Param[String](this, "timeCol", "event-time column")
@@ -205,3 +209,5 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
 }
+object StreamingDeduplicator extends graft.core.GraftReadable[StreamingDeduplicator]
+

@@ -128,7 +128,7 @@ object TextFunctions {
   * fingerprint. Narrow op — no shuffle.
   */
 class DocumentAnalyzer(override val uid: String) extends Transformer
-    with HasInputCol {
+    with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("DocumentAnalyzer"))
 
   final val prefix = new Param[String](this, "prefix", "output column prefix")
@@ -164,6 +164,8 @@ class DocumentAnalyzer(override val uid: String) extends Transformer
   }
   override def copy(extra: ParamMap): DocumentAnalyzer = defaultCopy(extra)
 }
+object DocumentAnalyzer extends graft.core.GraftReadable[DocumentAnalyzer]
+
 
 /** Overlapping fixed-size token windows — the standard chunking step of a
   * pre-training / RAG data pipeline (each document becomes
@@ -175,7 +177,7 @@ class DocumentAnalyzer(override val uid: String) extends Transformer
   * (Beyond the reference's surface; standard public construction.)
   */
 class TokenChunker(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TokenChunker"))
   setDefault(outputCol -> "chunks")
 
@@ -207,3 +209,5 @@ class TokenChunker(override val uid: String) extends Transformer
       StructField(getOutputCol, ArrayType(StringType)))
   override def copy(extra: ParamMap): TokenChunker = defaultCopy(extra)
 }
+object TokenChunker extends graft.core.GraftReadable[TokenChunker]
+

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * per-document op fused into the scan instead of crossing a UDF boundary.
   */
 class UnicodeNormalize(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("UnicodeNormalize"))
 
   final val form = new Param[String](this, "form", "NFC|NFD|NFKC|NFKD",
@@ -33,6 +33,8 @@ class UnicodeNormalize(override val uid: String) extends Transformer
     StructType(schema :+ StructField(getOutputCol, StringType, true))
   override def copy(extra: ParamMap): UnicodeNormalize = defaultCopy(extra)
 }
+object UnicodeNormalize extends graft.core.GraftReadable[UnicodeNormalize]
+
 
 /** Trie-based multi-substring replacement: longest match wins, scanning
   * left-to-right, with a normalization function applied per char
@@ -40,7 +42,7 @@ class UnicodeNormalize(override val uid: String) extends Transformer
   * broadcast once per query; lookup is O(text length × max key length).
   */
 class TextPreprocessor(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TextPreprocessor"))
 
   final val normFunc = new Param[String](this, "normFunc",
@@ -48,8 +50,11 @@ class TextPreprocessor(override val uid: String) extends Transformer
   setDefault(normFunc -> "identity")
   def setNormFunc(v: String): this.type = set(normFunc, v)
 
-  private var map: Map[String, String] = Map.empty
-  def setMap(m: Map[String, String]): this.type = { map = m; this }
+  final val mapParam = new Param[Map[String, String]](this, "mapParam",
+    "substring -> replacement map")
+  setDefault(mapParam -> Map.empty[String, String])
+  private def map: Map[String, String] = $(mapParam)
+  def setMap(m: Map[String, String]): this.type = set(mapParam, m)
   def getMap: Map[String, String] = map
 
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -63,10 +68,10 @@ class TextPreprocessor(override val uid: String) extends Transformer
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField(getOutputCol, StringType, true))
-  override def copy(extra: ParamMap): TextPreprocessor = {
-    val c = new TextPreprocessor(uid); c.map = map; copyValues(c, extra)
-  }
+  override def copy(extra: ParamMap): TextPreprocessor = defaultCopy(extra)
 }
+object TextPreprocessor extends graft.core.GraftReadable[TextPreprocessor]
+
 
 /** Immutable trie for longest-match-wins multi-substring replace. */
 private[graft] case class Trie(children: Map[Char, Trie], value: Option[String]) {
@@ -113,7 +118,7 @@ private[graft] object Trie {
   * array<string>; rows stay on their partitions (narrow op).
   */
 class PageSplitter(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PageSplitter"))
 
   final val maximumPageLength = new IntParam(this, "maximumPageLength", "",
@@ -135,6 +140,8 @@ class PageSplitter(override val uid: String) extends Transformer
       StructField(getOutputCol, ArrayType(StringType, true), true))
   override def copy(extra: ParamMap): PageSplitter = defaultCopy(extra)
 }
+object PageSplitter extends graft.core.GraftReadable[PageSplitter]
+
 
 /** Concatenated n-grams for several n values
   * (ref: featurize/text/MultiNGram.scala:45-63). Built entirely from
@@ -142,7 +149,7 @@ class PageSplitter(override val uid: String) extends Transformer
   * higher-order functions instead of the reference's per-row map.
   */
 class MultiNGram(override val uid: String) extends Transformer
-    with HasInputCol with HasOutputCol {
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("MultiNGram"))
 
   final val lengths = new IntArrayParam(this, "lengths", "n-gram sizes")
@@ -165,3 +172,5 @@ class MultiNGram(override val uid: String) extends Transformer
       StructField(getOutputCol, ArrayType(StringType, true), true))
   override def copy(extra: ParamMap): MultiNGram = defaultCopy(extra)
 }
+object MultiNGram extends graft.core.GraftReadable[MultiNGram]
+

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * mllib evaluators (one pass + sort for AUC), emitted as a 1-row frame.
   */
 class ComputeModelStatistics(override val uid: String) extends Transformer
-    with HasLabelCol {
+    with HasLabelCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ComputeModelStatistics"))
 
   final val evaluationMetric = new Param[String](this, "evaluationMetric",
@@ -96,13 +96,15 @@ class ComputeModelStatistics(override val uid: String) extends Transformer
     }
   override def copy(extra: ParamMap): ComputeModelStatistics = defaultCopy(extra)
 }
+object ComputeModelStatistics extends graft.core.GraftReadable[ComputeModelStatistics]
+
 
 /** Per-row loss columns (ref: train/ComputePerInstanceStatistics.scala:1-114):
   * regression → per-row L1/L2 loss; classification → per-row log loss from
   * the probability vector. Pure column expressions — codegen'd.
   */
 class ComputePerInstanceStatistics(override val uid: String) extends Transformer
-    with HasLabelCol {
+    with HasLabelCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("ComputePerInstanceStatistics"))
 
   final val evaluationMetric = new Param[String](this, "evaluationMetric",
@@ -140,3 +142,5 @@ class ComputePerInstanceStatistics(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): ComputePerInstanceStatistics =
     defaultCopy(extra)
 }
+object ComputePerInstanceStatistics extends graft.core.GraftReadable[ComputePerInstanceStatistics]
+

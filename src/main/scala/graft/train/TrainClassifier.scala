@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * survey's build-or-buy call (SURVEY §2.13).
   */
 class TrainClassifier(override val uid: String)
-    extends Estimator[TrainedClassifierModel] with HasLabelCol {
+    extends Estimator[TrainedClassifierModel] with HasLabelCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TrainClassifier"))
 
   final val featureCols = new StringArrayParam(this, "featureCols",
@@ -73,6 +73,8 @@ class TrainClassifier(override val uid: String)
       StructField("predicted_label", StringType)))
   override def copy(extra: ParamMap): TrainClassifier = defaultCopy(extra)
 }
+object TrainClassifier extends graft.core.GraftReadable[TrainClassifier]
+
 
 class TrainedClassifierModel(override val uid: String)
     extends Model[TrainedClassifierModel]
@@ -142,7 +144,7 @@ object TrainedClassifierModel
 
 /** Auto-featurizing regression trainer (ref: train/TrainRegressor.scala). */
 class TrainRegressor(override val uid: String)
-    extends Estimator[TrainedRegressorModel] with HasLabelCol {
+    extends Estimator[TrainedRegressorModel] with HasLabelCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("TrainRegressor"))
 
   final val featureCols = new StringArrayParam(this, "featureCols", "")
@@ -181,6 +183,8 @@ class TrainRegressor(override val uid: String)
     StructType(schema :+ StructField("prediction", DoubleType))
   override def copy(extra: ParamMap): TrainRegressor = defaultCopy(extra)
 }
+object TrainRegressor extends graft.core.GraftReadable[TrainRegressor]
+
 
 class TrainedRegressorModel(override val uid: String)
     extends Model[TrainedRegressorModel]

@@ -109,6 +109,26 @@ class FuzzingSuite extends TestBase {
       s"stages with NO test coverage (add a spec): ${uncovered.mkString(", ")}")
   }
 
+  test("every stage is MLWritable with an MLReadable companion — no exemptions") {
+    // the reference makes every stage ComplexParamsWritable and fuzzes
+    // save/load across the board (Fuzzing.scala:222-298); mirror that:
+    // a stage that cannot sit in a persisted Pipeline is a bug, and this
+    // test is what stops a new stage shipping without persistence
+    import org.apache.spark.ml.util.{MLWritable, MLReadable}
+    val notWritable = stageClasses
+      .filterNot(classOf[MLWritable].isAssignableFrom)
+    assert(notWritable.isEmpty,
+      s"stages without save(): ${notWritable.map(_.getSimpleName).mkString(", ")}")
+    val noReader = stageClasses.filterNot { c =>
+      try {
+        val companion = Class.forName(c.getName + "$")
+        classOf[MLReadable[_]].isAssignableFrom(companion)
+      } catch { case _: Throwable => false }
+    }
+    assert(noReader.isEmpty,
+      s"stages without a load() companion: ${noReader.map(_.getSimpleName).mkString(", ")}")
+  }
+
   test("every MLWritable fitted model is loadable and round-trip tested") {
     // fitted models can't be fuzz-instantiated, but persistence is still
     // enforced mechanically: an MLWritable Model must have an MLReadable

@@ -167,6 +167,76 @@ class SerializationSuite extends TestBase {
       loaded.transform(df).select("id", "prediction", "predicted_label"))
   }
 
+  test("ClassBalancerModel save/load") {
+    val df = (0 until 100).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "label")
+    val m = new graft.stages.ClassBalancer().setInputCol("label").fit(df)
+    val p = tmp("cb"); m.write.overwrite().save(p)
+    val loaded = graft.stages.ClassBalancerModel.load(p)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("IVFNearestNeighborsModel save/load") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val m = new graft.sim.IVFNearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setNLists(4).fit(df)
+    m.setK(3).setNProbe(4)
+    val p = tmp("ivf"); m.write.overwrite().save(p)
+    val loaded = graft.sim.IVFNearestNeighborsModel.load(p)
+    assert(loaded.centroids.length == m.centroids.length)
+    assert(loaded.getOrDefault(loaded.k) == 3)
+    val queries = df.limit(5)
+    m.setQueries(queries, "vec_id", "embedding")
+    loaded.setQueries(queries, "vec_id", "embedding")
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("complex params survive save/load (fn / udf / nested stage / schema)") {
+    val df = Seq((1, "x"), (2, "y")).toDF("n", "s")
+
+    val lam = new graft.stages.Lambda()
+      .setTransform(d => d.filter(col("n") > 1))
+    val p1 = tmp("lam"); lam.write.overwrite().save(p1)
+    roundTrip(graft.stages.Lambda.load(p1).transform(df), lam.transform(df))
+
+    val udfT = new graft.stages.UDFTransformer()
+      .setInputCols(Seq("n")).setOutputCol("doubled")
+      .setExpr(cols => cols.head * 2)
+    val p2 = tmp("udf"); udfT.write.overwrite().save(p2)
+    roundTrip(graft.stages.UDFTransformer.load(p2).transform(df),
+      udfT.transform(df))
+
+    val pre = new graft.text.TextPreprocessor().setInputCol("s")
+      .setOutputCol("t").setMap(Map("x" -> "z"))
+    val p3 = tmp("pre"); pre.write.overwrite().save(p3)
+    val preLoaded = graft.text.TextPreprocessor.load(p3)
+    assert(preLoaded.getMap == Map("x" -> "z"))
+    roundTrip(preLoaded.transform(df), pre.transform(df))
+
+    val mca = new graft.stages.MultiColumnAdapter()
+      .setInputCols(Seq("s")).setOutputCols(Array("s2"))
+      .setBaseStage(new graft.text.UnicodeNormalize()
+        .setInputCol("in").setOutputCol("out"))
+    val p4 = tmp("mca"); mca.write.overwrite().save(p4)
+    roundTrip(graft.stages.MultiColumnAdapter.load(p4).transform(df),
+      mca.transform(df))
+
+    val jop = new graft.io.http.JSONOutputParser()
+      .setDataType(org.apache.spark.sql.types.StructType.fromDDL("a INT"))
+    val p5 = tmp("jop"); jop.write.overwrite().save(p5)
+    val jopLoaded = graft.io.http.JSONOutputParser.load(p5)
+    assert(jopLoaded.getOrDefault(jopLoaded.inputCol) == "response")
+
+    val exp = new graft.explain.TabularLIME()
+      .setInputCols(Seq("n")).setNumSamples(8)
+      .setScoringFn(d => d.withColumn("score", col("n") * 1.0))
+    val p6 = tmp("exp"); exp.write.overwrite().save(p6)
+    val expLoaded = graft.explain.TabularLIME.load(p6)
+    assert(expLoaded.get(expLoaded.scoringFn).nonEmpty)
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
