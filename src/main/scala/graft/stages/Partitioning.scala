@@ -33,7 +33,7 @@ import java.util.concurrent.LinkedBlockingQueue
   * expressed as a single hash partitioning).
   */
 class StratifiedRepartition(override val uid: String) extends Transformer
-    with HasLabelCol {
+    with HasLabelCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("StratifiedRepartition"))
 
   final val mode = new Param[String](this, "mode", "equal | original | mixed",
@@ -43,18 +43,64 @@ class StratifiedRepartition(override val uid: String) extends Transformer
   final val seed = new LongParam(this, "seed", "sampling seed")
   setDefault(seed -> 1234L)
   def setSeed(v: Long): this.type = set(seed, v)
+  // legacy path: RDD sampleByKeyExact + round-robin HashPartitioner.
+  // Exact per-label counts, but it de-codegens the pipeline (every row
+  // round-trips through Row) and pays sampleByKeyExact's count+sample
+  // double pass. The default path keeps whole-stage codegen: Bernoulli /
+  // Poisson per-label sampling and a random spread key, one Exchange.
+  final val exactCounts = new BooleanParam(this, "exactCounts",
+    "use RDD sampleByKeyExact for exact per-label sample sizes")
+  setDefault(exactCounts -> false)
+  def setExactCounts(v: Boolean): this.type = set(exactCounts, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val spark = df.sparkSession
-    val numPartitions = df.rdd.getNumPartitions
+    val numPartitions = df.queryExecution.toRdd.getNumPartitions
     val counts = df.groupBy(getLabelCol).count().collect()
       .map(r => r.get(0) -> r.getLong(1)).toMap
+    if ($(exactCounts)) transformExact(df, numPartitions, counts)
+    else transformNative(df, numPartitions, counts)
+  }
+
+  /** Codegen-preserving default: per-label fraction as a literal
+    * when-chain (label cardinality is small by definition of stratified),
+    * Bernoulli keep for fractions ≤ 1, floor+Bernoulli-remainder
+    * replication (Poisson-style) for fractions > 1, then one
+    * `repartition(n, randKey)` Exchange to spread every label across all
+    * partitions. No RDD conversion anywhere in the plan.
+    */
+  private def transformNative(df: DataFrame, numPartitions: Int,
+                              counts: Map[Any, Long]): DataFrame = {
+    val (withReplacement, fractions) = modeFractions(counts, numPartitions)
+    val sampled =
+      if ($(mode) == "original") df
+      else {
+        val fracCol = fractions.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
+          when(col(getLabelCol) === lit(k), lit(f)).otherwise(acc)
+        }
+        if (!withReplacement) df.where(rand($(seed)) < fracCol)
+        else {
+          val copies = (floor(fracCol) +
+            when(rand($(seed)) < fracCol - floor(fracCol), 1.0)
+              .otherwise(0.0)).cast("int")
+          df.withColumn("__copies", copies)
+            .where(col("__copies") > 0)
+            .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
+            .drop("__copies", "__dup")
+        }
+      }
+    sampled
+      .repartition(numPartitions,
+        (rand($(seed) + 1) * numPartitions).cast("int"))
+  }
+
+  private def modeFractions(counts: Map[Any, Long],
+                            numPartitions: Int): (Boolean, Map[Any, Double]) = {
     def equalFractions: Map[Any, Double] = {
       val target = math.max(counts.values.max, numPartitions.toLong).toDouble
       counts.map { case (k, c) => k -> target / c }
     }
-    val (withReplacement, fractions: Map[Any, Double]) = $(mode) match {
+    $(mode) match {
       case "original" => (false, counts.map { case (k, _) => k -> 1.0 })
       case "equal" => (true, equalFractions)
       case "mixed" =>
@@ -62,6 +108,12 @@ class StratifiedRepartition(override val uid: String) extends Transformer
         val mean = eq.values.sum / eq.size
         (true, eq.map { case (k, f) => k -> f / mean })
     }
+  }
+
+  private def transformExact(df: DataFrame, numPartitions: Int,
+                             counts: Map[Any, Long]): DataFrame = {
+    val spark = df.sparkSession
+    val (withReplacement, fractions) = modeFractions(counts, numPartitions)
     val keyed = df.rdd.map(r => r.getAs[Any](getLabelCol) -> r)
     val sampled = keyed.sampleByKeyExact(withReplacement, fractions, $(seed))
     // spread each label across all partitions: per-label running index
@@ -80,6 +132,8 @@ class StratifiedRepartition(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): StratifiedRepartition = defaultCopy(extra)
 }
+object StratifiedRepartition extends graft.core.GraftReadable[StratifiedRepartition]
+
 
 /** Per-JVM funnel state for [[PartitionConsolidator]]. Worker-count
   * protocol (ref: core/.../stages/PartitionConsolidator.scala:52-138):
@@ -109,7 +163,7 @@ private[stages] class ConsolidatorState {
   * each executor JVM funnels its own partitions through one task; rows
   * never cross JVMs (no shuffle).
   */
-class PartitionConsolidator(override val uid: String) extends Transformer {
+class PartitionConsolidator(override val uid: String) extends Transformer with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("PartitionConsolidator"))
 
   final val gracePeriodMs = new LongParam(this, "gracePeriodMs",
@@ -165,3 +219,5 @@ class PartitionConsolidator(override val uid: String) extends Transformer {
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): PartitionConsolidator = defaultCopy(extra)
 }
+object PartitionConsolidator extends graft.core.GraftReadable[PartitionConsolidator]
+

@@ -157,12 +157,42 @@ class StagesSuite extends TestBase {
   test("StratifiedRepartition mixed mode equalizes per-label contributions") {
     val skewed = spark.range(0, 90).toDF("id").withColumn("lab", lit("big"))
       .union(spark.range(90, 100).toDF("id").withColumn("lab", lit("small")))
+    // exact path: sampleByKeyExact honors the fractions to the row
     val out = new StratifiedRepartition().setLabelCol("lab").setMode("mixed")
-      .transform(skewed)
+      .setExactCounts(true).transform(skewed)
     val counts = out.groupBy("lab").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // fractions = equal-fractions / mean → each label yields ~target/mean rows
     assert(math.abs(counts("big") - counts("small")) <= 3)
+    // native path: Bernoulli/Poisson sampling has variance; assert the
+    // blend direction (small upsampled toward big), not exact counts
+    val nat = new StratifiedRepartition().setLabelCol("lab").setMode("mixed")
+      .transform(skewed)
+    val natCounts = nat.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natCounts("small") > 10 && natCounts("big") < 90,
+      s"mixed blend off: $natCounts")
+  }
+
+  test("StratifiedRepartition native path: codegen plan, rows preserved, labels spread") {
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("lab", when(col("id") % 10 === 0, "rare").otherwise("common"))
+      .repartition(4)
+    val st = new StratifiedRepartition().setLabelCol("lab").setMode("original")
+    val out = st.transform(df)
+    // no RDD round-trip in the plan: the whole thing stays in Catalyst
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD scan leaked into plan:\n$plan")
+    // original mode keeps the exact row multiset
+    assert(out.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("rare" -> 20L, "common" -> 180L))
+    // every label is spread across more than one partition
+    import org.apache.spark.sql.functions.spark_partition_id
+    val spread = out.withColumn("p", spark_partition_id())
+      .groupBy("lab").agg(countDistinct("p").as("nparts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spread.values.forall(_ > 1), s"labels not spread: $spread")
   }
 
   test("Cacher caches and Timer times") {
