@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   *     sum, one double divide) — bit-identical in Spark and DuckDB;
   *   - every computed column is aliased identically in Spark and oracle SQL.
   */
+/** Closed-vocabulary TF gate constants shared by the text_featurizer
+  * query and its oracle: 10 common stopwords, murmur bucket per term via
+  * the public HashingTF.indexOf, collision-freedom asserted at build time
+  * (so the gate cannot depend on fixture luck).
+  */
+private[graft] object TextFeaturizerGate {
+  val Terms: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
+  val NumFeatures: Int = 1 << 18
+  lazy val termIndices: Seq[(String, Int)] = {
+    val htf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(NumFeatures)
+    val idx = Terms.map(t => t -> htf.indexOf(t))
+    require(idx.map(_._2).distinct.size == Terms.size,
+      "closed-set bucket collision — pick different terms")
+    idx
+  }
+}
+
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -374,14 +393,31 @@ object SparkEntry {
           floor(col("f1") * 1e4 + 0.5).cast("long").as("f1_q4"))
     },
 
-    "text_featurizer" -> { (s, dir) => // rows-only: tf-idf vector stats
-      val m = new TextFeaturizer().setInputCol("text").setOutputCol("feats")
-        .setNumFeatures(1 << 12).fit(tbl(s, dir, "documents"))
-      m.transform(tbl(s, dir, "documents"))
-        .select(col("doc_id"),
-          size(org.apache.spark.sql.functions.filter(
-            org.apache.spark.ml.functions.vector_to_array(col("feats")),
-            x => x =!= 0.0)).as("nnz"))
+    // Exact TF gate: restrict the vocabulary to a CLOSED query-defined
+    // term set (so hash collisions are impossible by construction, not by
+    // fixture luck), featurize for real (RegexTokenizer -> HashingTF),
+    // and emit integer (doc_id, feat_idx, tf) long-form. The oracle
+    // re-counts tokens in SQL and maps term -> murmur bucket via
+    // constants computed from HashingTF.indexOf (closed-set pattern, as
+    // vw_featurizer). IDF's float product stays suite-gated
+    // (TrainSuite/BenchmarksSuite exercise the full tf-idf chain).
+    "text_featurizer" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("__closed", concat_ws(" ",
+          org.apache.spark.sql.functions.filter(
+            split(lower(col("text")), "\\s+"),
+            t => t.isInCollection(TextFeaturizerGate.Terms))))
+      val m = new TextFeaturizer().setInputCol("__closed")
+        .setOutputCol("feats").setUseIDF(false)
+        .setNumFeatures(TextFeaturizerGate.NumFeatures).fit(docs)
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("feats"))
+      val stackExpr = TextFeaturizerGate.termIndices
+        .map { case (_, i) => s"$i, CAST(__arr[$i] AS BIGINT)" }
+        .mkString(s"stack(${TextFeaturizerGate.Terms.size}, ", ", ",
+          ") AS (feat_idx, tf)")
+      m.transform(docs).withColumn("__arr", arr)
+        .selectExpr("doc_id", stackExpr)
+        .filter(col("tf") > 0)
     },
 
     "knn_lsh" -> { (s, dir) => // rows-only
@@ -732,13 +768,27 @@ object SparkEntry {
     },
 
     // ---- isolation forest (§2.13) -----------------------------------
-    "isolation_forest" -> { (s, dir) => // rows-only: anomaly scores
-      val ev = tbl(s, dir, "events").select("event_id", "value", "user_id")
+    // Planted-anomaly exact gate (dedup_simhash_exact pattern): plant
+    // unmistakable outliers (x100 + 5000 vs an inlier range of [0, 490]),
+    // fit a seeded forest, and assert the top-|planted| scored rows ARE
+    // the planted set — symmetric-difference count, constant-0 oracle.
+    // AnomalySuite's margin test keeps the fixture far from the
+    // decision boundary (score separation, not a tuned threshold).
+    "isolation_forest" -> { (s, dir) =>
+      val planted = pmod(col("event_id"), lit(997)) === 0
+      val ev = tbl(s, dir, "events").select(col("event_id"), col("value"))
+        .withColumn("v",
+          when(planted, col("value") * 100 + 5000.0).otherwise(col("value")))
       val m = new graft.anomaly.IsolationForest()
-        .setInputCols(Seq("value", "user_id"))
+        .setInputCols(Seq("v"))
         .setNumTrees(50).setSubsampleSize(128).fit(ev)
-      m.transform(ev).filter(col("anomaly_score") > 0.6)
-        .select(col("event_id"))
+      val nPlanted = ev.filter(planted).count().toInt
+      val detected = m.transform(ev)
+        .orderBy(col("anomaly_score").desc, col("event_id"))
+        .limit(nPlanted).select("event_id")
+      detected.union(ev.filter(planted).select("event_id"))
+        .groupBy("event_id").count().filter(col("count") =!= 2)
+        .agg(count(lit(1)).cast("long").as("mismatches"))
     },
 
     // ---- multimodal column plumbing (LLM-pipeline) ------------------
@@ -779,6 +829,26 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // closed-vocab TF long form; term -> bucket constants from
+    // HashingTF.indexOf (public murmur mapping), collision-checked
+    "text_featurizer" -> {
+      val inList = TextFeaturizerGate.Terms.map(t => s"'$t'").mkString(", ")
+      val cases = TextFeaturizerGate.termIndices
+        .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> t IN ($inList))) AS tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE tok $cases END AS INTEGER) AS feat_idx,
+         |  CAST(COUNT(*) AS BIGINT) AS tf
+         |FROM toks GROUP BY 1, 2""".stripMargin
+    },
+
+    // planted-anomaly symmetric difference is exactly empty
+    "isolation_forest" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -62,6 +62,27 @@ class MiscOpsSuite extends TestBase {
       s"outlier $outlier should top normal max $normalMax")
   }
 
+  test("IsolationForest planted-gate fixture keeps margin from the boundary") {
+    // the isolation_forest driver gate asserts top-|planted| == planted;
+    // this margin test mirrors its construction (x100 + 5000 outliers vs
+    // a bounded inlier range) and demands clear SCORE separation, so the
+    // gate can't be passing by a tie-break or a hair's width
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 1000).map { i =>
+      val planted = i % 97 == 0
+      val base = rnd.nextDouble() * 490
+      (i.toLong, if (planted) base * 100 + 5000.0 else base, planted)
+    }
+    val df = rows.toDF("id", "v", "planted")
+    val m = new IsolationForest().setInputCols(Seq("v"))
+      .setNumTrees(50).setSubsampleSize(128).fit(df)
+    val scored = m.transform(df).select("planted", "anomaly_score").collect()
+    val plantedMin = scored.filter(_.getBoolean(0)).map(_.getDouble(1)).min
+    val inlierMax = scored.filterNot(_.getBoolean(0)).map(_.getDouble(1)).max
+    assert(plantedMin - inlierMax > 0.05,
+      s"margin too thin: plantedMin=$plantedMin inlierMax=$inlierMax")
+  }
+
   test("image decode/resize/unroll pipeline") {
     // 4x2 PNG with known colors
     val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
