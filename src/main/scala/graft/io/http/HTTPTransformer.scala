@@ -4,7 +4,7 @@ import graft.core._
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -232,6 +232,64 @@ class JSONInputParser(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): JSONInputParser = defaultCopy(extra)
 }
 object JSONInputParser extends graft.core.GraftReadable[JSONInputParser]
+
+
+/** User-supplied input → request-struct mapping as a NAMED stage (ref:
+  * io/http/Parsers.scala:90-146 CustomInputParser — there a UDF from T to
+  * HTTPRequestData). Spark-first shape: the function builds a Column
+  * (native expressions stay codegen'd; a UDF-based function works too),
+  * and it persists through GraftWritable's complex.bin like Lambda's.
+  */
+class CustomInputParser(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("CustomInputParser"))
+  setDefault(outputCol -> "request")
+
+  final val requestFn = new Param[Column => Column](this, "requestFn",
+    "input column -> request-struct column")
+  def setUDF(f: Column => Column): this.type = set(requestFn, f)
+  /** Convenience: url-building function over the input column; the
+    * request is a bodyless GET to that url. */
+  def setUrlFn(f: Column => Column): this.type = set(requestFn,
+    (in: Column) => HTTPSchema.toRequest(f(in), lit("GET"),
+      lit(null).cast(BinaryType), array()))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(isSet(requestFn), "setUDF/setUrlFn first")
+    ds.toDF().withColumn(getOutputCol, $(requestFn)(col(getInputCol)))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol, HTTPSchema.requestType))
+  override def copy(extra: ParamMap): CustomInputParser = defaultCopy(extra)
+}
+object CustomInputParser extends graft.core.GraftReadable[CustomInputParser]
+
+
+/** User-supplied response → value mapping as a NAMED stage (ref:
+  * Parsers.scala:152-293 CustomOutputParser — a UDF from
+  * HTTPResponseData to T). The function receives the response-struct
+  * Column; use HTTPSchema.entityToString for the body text. */
+class CustomOutputParser(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("CustomOutputParser"))
+  setDefault(inputCol -> "response", outputCol -> "output")
+
+  final val responseFn = new Param[Column => Column](this, "responseFn",
+    "response-struct column -> output column")
+  def setUDF(f: Column => Column): this.type = set(responseFn, f)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require(isSet(responseFn), "setUDF first")
+    ds.toDF().withColumn(getOutputCol, $(responseFn)(col(getInputCol)))
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema).withColumn(getOutputCol, $(responseFn)(col(getInputCol))).schema
+  }
+  override def copy(extra: ParamMap): CustomOutputParser = defaultCopy(extra)
+}
+object CustomOutputParser extends graft.core.GraftReadable[CustomOutputParser]
 
 
 /** Response entity → typed struct via from_json(schema) (ref:

@@ -214,6 +214,30 @@ class HTTPSuite extends TestBase {
     assert(out(0).getString(2) == """{"length": 5}""")
   }
 
+  test("CustomInputParser and CustomOutputParser named stages") {
+    import org.apache.spark.sql.types._
+    val docs = Seq((1L, "hello"), (2L, "worlds!")).toDF("doc_id", "text")
+    val url = s"http://localhost:$port/len"
+    val req = new CustomInputParser().setInputCol("text")
+      .setOutputCol("request")
+      .setUDF(in => HTTPSchema.toRequest(
+        lit(url), lit("POST"),
+        to_json(struct(in.as("text"))).cast(BinaryType),
+        array(HTTPSchema.header("Content-Type", lit("application/json")))))
+      .transform(docs)
+    val resp = new HTTPTransformer().setInputCol("request")
+      .setOutputCol("response").transform(req)
+    val out = new CustomOutputParser().setInputCol("response")
+      .setOutputCol("custom")
+      .setUDF(r => struct(r.getField("statusCode").as("code"),
+        length(HTTPSchema.entityToString(r)).as("bodyLen")))
+      .transform(resp)
+      .select(col("doc_id"), col("custom.code"), col("custom.bodyLen"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getInt(1)).sameElements(Array(200, 200)))
+    assert(out.map(_.getInt(2)).forall(_ > 0))
+  }
+
   test("SimpleHTTPTransformer parses JSON service output") {
     val docs = (0 until 10).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
     val out = new SimpleHTTPTransformer()
