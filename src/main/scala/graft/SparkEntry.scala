@@ -361,11 +361,21 @@ object SparkEntry {
     },
 
     // ---- train / eval (§2.13) ---------------------------------------
-    "train_classifier" -> { (s, dir) => // rows-only: predictions
+    // Exactly-separable planted rule (model_statistics' rule-model idea,
+    // but through the REAL fit path): the label is a pure function of two
+    // binary features, so the tree reaches pure leaves and the trained
+    // model's predictions equal the rule row-for-row — which the oracle
+    // recomputes in SQL. Exercises the full chain: label indexing,
+    // feature assembly, fit, scoring, label mapped back to strings.
+    "train_classifier" -> { (s, dir) =>
       val events = tbl(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      val model = new graft.train.TrainClassifier().setLabelCol("event_type")
-        .setFeatureCols(Seq("value", "user_id")).setLearner("DecisionTree")
+        .select(col("event_id"),
+          when(col("value") > 250, 1.0).otherwise(0.0).as("f1"),
+          when(pmod(col("user_id"), lit(2)) === 0, 1.0).otherwise(0.0).as("f2"))
+        .withColumn("rule_label",
+          concat(lit("c"), (col("f1") * 2 + col("f2")).cast("int")))
+      val model = new graft.train.TrainClassifier().setLabelCol("rule_label")
+        .setFeatureCols(Seq("f1", "f2")).setLearner("DecisionTree")
         .fit(events)
       model.transform(events)
         .select(col("event_id"), col("predicted_label"))
@@ -671,15 +681,22 @@ object SparkEntry {
     },
 
     // ---- automl (§2.13) ---------------------------------------------
-    "tune_hyperparameters" -> { (s, dir) => // rows-only: CV result frame
+    // Separable-rule CV gate (train_classifier pattern): the label is an
+    // OR of two binary features (greedy-splittable, unlike XOR), every
+    // grid candidate reaches pure leaves, so WHICHEVER candidate wins
+    // cross-validation, the best model's predictions equal the rule the
+    // oracle recomputes. Exercises grid x fold fitting, the thread pool,
+    // winner selection, and best-model scoring end-to-end.
+    "tune_hyperparameters" -> { (s, dir) =>
       import org.apache.spark.ml.Pipeline
       import org.apache.spark.ml.classification.DecisionTreeClassifier
       import org.apache.spark.ml.feature.VectorAssembler
       val ev = tbl(s, dir, "events")
-        .withColumn("label",
-          when(col("event_type") === "purchase", 1.0).otherwise(0.0))
-        .select("value", "user_id", "label")
-      val va = new VectorAssembler().setInputCols(Array("value", "user_id"))
+        .select(col("event_id"),
+          when(col("value") > 250, 1.0).otherwise(0.0).as("f1"),
+          when(pmod(col("user_id"), lit(2)) === 0, 1.0).otherwise(0.0).as("f2"))
+        .withColumn("label", greatest(col("f1"), col("f2")))
+      val va = new VectorAssembler().setInputCols(Array("f1", "f2"))
         .setOutputCol("features")
       val dt = new DecisionTreeClassifier()
       val grid = new graft.automl.HyperparamBuilder()
@@ -689,7 +706,8 @@ object SparkEntry {
         Seq(("dt", new Pipeline().setStages(Array(va, dt)), grid)),
         graft.automl.Evaluators.accuracy("label", "prediction"),
         numFolds = 2, parallelism = 4).fit(ev)
-      tuned.results.select("estimator", "grid_index", "fold")
+      tuned.bestModel.transform(ev)
+        .select(col("event_id"), col("prediction"))
     },
 
     // ---- HTTP-on-Spark (§2.12) --------------------------------------
@@ -803,13 +821,26 @@ object SparkEntry {
     },
 
     // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
-    "sr_anomalies" -> { (s, dir) => // rows-only (FFT not SQL-expressible)
-      new graft.anomaly.SRAnomalyDetector().setInputCol("value")
-        .setOrderCol("event_id")
+    // Planted-spike exact gate (isolation_forest pattern): per-user
+    // closed-form series — flat base with unmistakable +1000 spikes every
+    // 37th point — run the real FFT saliency detector, assert detected ==
+    // planted by symmetric difference, constant-0 oracle. SRSuite's
+    // margin test keeps spike scores far above / base scores far below
+    // the threshold on this construction.
+    "sr_anomalies" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val planted = col("rk") === 29
+      val ev = tbl(s, dir, "events").select("event_id", "user_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("value", when(planted, 1100.0).otherwise(100.0))
+      val detected = new graft.anomaly.SRAnomalyDetector()
+        .setInputCol("value").setOrderCol("event_id")
         .setGroupCols(Array("user_id")).setThreshold(3.0)
-        .transform(tbl(s, dir, "events"))
-        .filter(col("is_anomaly"))
-        .select(col("user_id"), col("event_id"))
+        .transform(ev)
+        .filter(col("is_anomaly")).select("user_id", "event_id")
+      detected.union(ev.filter(planted).select("user_id", "event_id"))
+        .groupBy("user_id", "event_id").count().filter(col("count") =!= 2)
+        .agg(count(lit(1)).cast("long").as("mismatches"))
     },
 
     // ---- native ESD anomaly detection (§2.12 DetectAnomalies) -------
@@ -846,8 +877,24 @@ object SparkEntry {
          |FROM toks GROUP BY 1, 2""".stripMargin
     },
 
-    // planted-anomaly symmetric difference is exactly empty
+    // planted-anomaly symmetric differences are exactly empty
     "isolation_forest" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "sr_anomalies" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+
+    // CV best model trained on a separable OR-rule predicts the rule
+    "tune_hyperparameters" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN value > 250 OR user_id % 2 = 0
+        |    THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
+        |FROM events""".stripMargin,
+
+    // trained-on-separable-rule predictions == the rule itself
+    "train_classifier" ->
+      """SELECT event_id, 'c' || CAST(
+        |  (CASE WHEN value > 250 THEN 2 ELSE 0 END) +
+        |  (CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |  AS INTEGER) AS predicted_label
+        |FROM events""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

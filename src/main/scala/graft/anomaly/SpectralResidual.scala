@@ -105,11 +105,27 @@ class SRAnomalyDetector(override val uid: String) extends Transformer
   setDefault(threshold -> 3.0)
   def setThreshold(v: Double): this.type = set(threshold, v)
 
-  /** Saliency map of one series (already time-ordered). */
+  /** Saliency map of one series (already time-ordered). The series
+    * MEDIAN is subtracted before the FFT: the paper (Ren et al. §3.1)
+    * extends the series with estimated points specifically to avoid
+    * boundary artifacts; with power-of-2 zero-padding the equivalent
+    * guard is removing the series level, otherwise the level becomes a
+    * step at the padding boundary whose sinc leakage dominates the
+    * saliency map and buries genuine point anomalies. Median, not mean:
+    * the anomalies themselves must not shift the center (a handful of
+    * big spikes drags the mean off the base level, re-creating the very
+    * step being removed). */
   def saliency(xs: Array[Double]): Array[Double] = {
     val n = xs.length
     val m = FFT.nextPow2(n)
-    val re = java.util.Arrays.copyOf(xs, m)
+    val sorted = java.util.Arrays.copyOf(xs, n)
+    java.util.Arrays.sort(sorted)
+    val center = if (n == 0) 0.0
+      else if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    val re = new Array[Double](m)
+    var i0 = 0
+    while (i0 < n) { re(i0) = xs(i0) - center; i0 += 1 }
     val im = new Array[Double](m)
     FFT.transform(re, im, inverse = false)
     val amp = Array.tabulate(m)(i => math.sqrt(re(i) * re(i) + im(i) * im(i)))
@@ -162,8 +178,10 @@ class SRAnomalyDetector(override val uid: String) extends Transformer
           var s = 0.0; var k = lo
           while (k < t) { s += sal(k); k += 1 }
           val localMean = if (t == 0) sal(0) else s / (t - lo)
-          val score =
-            if (localMean < 1e-8) 0.0 else (sal(t) - localMean) / localMean
+          // eps-floored denominator: a sudden salient point after a
+          // silent stretch IS anomalous; returning 0 there hid spikes on
+          // quiet series (t == 0 still scores 0 via localMean = sal(0))
+          val score = (sal(t) - localMean) / math.max(localMean, 1e-8)
           val orig = rows(t)
           Row.fromSeq(orig.toSeq.slice(1, 1 + nOrig) ++
             Seq(sal(t), score, score > tau))

@@ -42,6 +42,25 @@ class SRSuite extends TestBase {
     assert(spikeRank <= 2, s"spike saliency rank $spikeRank")
   }
 
+  test("sr_anomalies gate construction keeps margin from the threshold") {
+    // mirrors the driver gate: flat base, one +1000 spike at position 29;
+    // median-centering silences the base exactly, so the spike's score
+    // must tower over the threshold and every base score must sit far
+    // below it — the gate can't be one fixture tweak away from flipping
+    val d = new SRAnomalyDetector().setInputCol("v")
+      .setOrderCol("t").setGroupCols(Array("series")).setThreshold(3.0)
+    for (n <- Seq(40, 80, 100)) {
+      val rows = (1 to n).map(t =>
+        ("s", t.toLong, if (t == 29) 1100.0 else 100.0))
+      val out = d.transform(rows.toDF("series", "t", "v"))
+        .select("t", "sr_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out(29L) > 30.0, s"n=$n spike score ${out(29L)} too close to 3")
+      val baseMax = out.removed(29L).values.max
+      assert(baseMax < 1.0, s"n=$n base score $baseMax too close to 3")
+    }
+  }
+
   test("detects the planted spike per series end-to-end") {
     val rows =
       (0 until 128).map(t => ("a", t.toLong,
