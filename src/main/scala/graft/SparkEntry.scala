@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
 private[graft] object TextFeaturizerGate {
   val Terms: Seq[String] =
     Seq("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")
-  val NumFeatures: Int = 1 << 18
+  // the gate's input text is restricted to the closed term set before
+  // featurizing, so the hash space only has to keep THESE 10 terms
+  // collision-free (asserted below) — and a small space keeps the
+  // vector_to_array in the gate query O(1k), not O(256k), per row
+  val NumFeatures: Int = 1 << 10
   lazy val termIndices: Seq[(String, Int)] = {
     val htf = new org.apache.spark.ml.feature.HashingTF()
       .setNumFeatures(NumFeatures)
