@@ -159,15 +159,48 @@ class FuzzingSuite extends TestBase {
 
   test("every MLWritable default-constructible transformer save/load round-trips") {
     import org.apache.spark.ml.util.{MLWritable, MLReadable}
+    import org.apache.spark.ml.param._
     spark.range(1).count() // ml save/load needs an active session
     // fitted Model shells have no state to save — SerializationSuite
-    // round-trips them post-fit; here we fuzz the params-only stages
+    // round-trips them post-fit; here we fuzz the params-only stages,
+    // SETTING a synthesized value on every unset simple param first so a
+    // writer that silently drops values cannot pass (the reference's
+    // SerializationFuzzing idea, Fuzzing.scala:222-298)
+    def fuzzParams(stage: PipelineStage): Seq[String] =
+      stage.params.toSeq.flatMap { p =>
+        if (stage.get(p).isDefined) Seq.empty
+        else {
+          // a candidate per type; validators (gt(0), inArray) may reject —
+          // that param is then simply left unset
+          val candidates: Seq[Any] = p match {
+            case _: IntParam => Seq(7)
+            case _: LongParam => Seq(7L)
+            case _: DoubleParam => Seq(0.5)
+            case _: BooleanParam => Seq(true)
+            case _: StringArrayParam => Seq(Array("fuzz_a", "fuzz_b"))
+            case _ => Seq("fuzz_value")
+          }
+          candidates.flatMap { v =>
+            try {
+              stage.set(p.asInstanceOf[Param[Any]], v)
+              // some validators only fire via hasParam/validate on set;
+              // double-check the value actually stuck
+              if (stage.get(p).contains(v)) Seq(p.name) else Seq.empty
+            } catch { case _: Throwable => Seq.empty }
+          }.headOption.toSeq
+        }
+      }
+    def norm(v: Any): Any = v match {
+      case a: Array[_] => a.toSeq
+      case x => x
+    }
     val candidates = stageClasses
       .filterNot(classOf[org.apache.spark.ml.Model[_]].isAssignableFrom)
     val failures = candidates.flatMap { c =>
       instantiate(c) match {
         case Some(stage: Transformer with MLWritable) =>
           try {
+            val fuzzed = fuzzParams(stage)
             val dir = java.nio.file.Files
               .createTempDirectory(s"fuzz-${c.getSimpleName}").toString + "/m"
             stage.write.overwrite().save(dir)
@@ -176,8 +209,16 @@ class FuzzingSuite extends TestBase {
             module match {
               case r: MLReadable[_] =>
                 val loaded = r.load(dir).asInstanceOf[PipelineStage]
+                val lost = fuzzed.filter { name =>
+                  val orig = stage.get(stage.getParam(name)).map(norm)
+                  val back = try loaded.get(loaded.getParam(name)).map(norm)
+                    catch { case _: Throwable => None }
+                  orig != back
+                }
                 if (loaded.uid != stage.uid)
                   Some(s"${c.getName}: uid lost in save/load")
+                else if (lost.nonEmpty)
+                  Some(s"${c.getName}: param values lost in save/load: ${lost.mkString(",")}")
                 else None
               case _ => None
             }
