@@ -417,9 +417,12 @@ object SparkEntry {
     // (TrainSuite/BenchmarksSuite exercise the full tf-idf chain).
     "text_featurizer" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
+        // explicit whitespace class, NOT \s: Java's \s includes
+        // (vertical tab) where DuckDB's RE2 \s does not — both sides of
+        // the gate must split on the identical character set
         .withColumn("__closed", concat_ws(" ",
           org.apache.spark.sql.functions.filter(
-            split(lower(col("text")), "\\s+"),
+            split(lower(col("text")), "[ \\t\\n\\r\\f]+"),
             t => t.isInCollection(TextFeaturizerGate.Terms))))
       val m = new TextFeaturizer().setInputCol("__closed")
         .setOutputCol("feats").setUseIDF(false)
@@ -872,7 +875,7 @@ object SparkEntry {
         .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(
-         |    regexp_split_to_array(lower(text), '\\s+'),
+         |    regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+'),
          |    t -> t IN ($inList))) AS tok
          |  FROM documents)
          |SELECT doc_id,

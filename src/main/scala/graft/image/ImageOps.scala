@@ -195,22 +195,23 @@ object UnrollImage extends graft.core.GraftReadable[UnrollImage]
   */
 object ImageFeatures {
   def decodeResizeGray(bytes: Array[Byte], height: Int,
-                       width: Int): Option[Array[Float]] =
-    try {
-      Option(bytes).flatMap(b => ImageSchemaUtils.decode("", b)).map { row =>
-        val raw = RawImage("", row.getInt(1), row.getInt(2), row.getInt(3),
-          row.getAs[Array[Byte]](5))
-        val gray = ImageKernels.bgr2gray(ImageKernels.resize(raw, height, width))
-        val out = new Array[Float](gray.data.length)
-        var i = 0
-        while (i < out.length) { out(i) = (gray.data(i) & 0xff) / 255f; i += 1 }
-        out
-      }
-    } catch {
-      // ImageIO plugins throw RuntimeExceptions on malformed payloads
-      // (CMMException, ArrayIndexOutOfBounds in PNG/GIF readers) — all
-      // undecodable inputs must take the stubbedFallback path, not fail
-      // the task.
-      case scala.util.control.NonFatal(_) => None
+                       width: Int): Option[Array[Float]] = {
+    // ImageIO plugins throw RuntimeExceptions on malformed payloads
+    // (CMMException, ArrayIndexOutOfBounds in PNG/GIF readers) — all
+    // undecodable inputs must take the stubbedFallback path, not fail the
+    // task. The catch covers ONLY the decode: a crash in our own
+    // resize/grayscale kernels is a bug that should fail loudly.
+    val decoded =
+      try Option(bytes).flatMap(b => ImageSchemaUtils.decode("", b))
+      catch { case scala.util.control.NonFatal(_) => None }
+    decoded.map { row =>
+      val raw = RawImage("", row.getInt(1), row.getInt(2), row.getInt(3),
+        row.getAs[Array[Byte]](5))
+      val gray = ImageKernels.bgr2gray(ImageKernels.resize(raw, height, width))
+      val out = new Array[Float](gray.data.length)
+      var i = 0
+      while (i < out.length) { out(i) = (gray.data(i) & 0xff) / 255f; i += 1 }
+      out
     }
+  }
 }

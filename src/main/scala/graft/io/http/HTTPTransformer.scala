@@ -252,7 +252,7 @@ class CustomInputParser(override val uid: String) extends Transformer
     * request is a bodyless GET to that url. */
   def setUrlFn(f: Column => Column): this.type = set(requestFn,
     (in: Column) => HTTPSchema.toRequest(f(in), lit("GET"),
-      lit(null).cast(BinaryType), array()))
+      lit(null).cast(BinaryType)))
 
   override def transform(ds: Dataset[_]): DataFrame = {
     require(isSet(requestFn), "setUDF/setUrlFn first")

@@ -145,7 +145,14 @@ class Timer(override val uid: String) extends Transformer with graft.core.GraftW
   }
   override def transformSchema(schema: StructType): StructType =
     stage.transformSchema(schema)
-  override def copy(extra: ParamMap): Timer = defaultCopy(extra)
+  override def copy(extra: ParamMap): Timer = {
+    // Spark ML convention for nested stages (Pipeline.copy): deep-copy
+    // the wrapped stage and propagate extra into it, so copies never
+    // share a mutable Transformer
+    val c = defaultCopy[Timer](extra)
+    if (c.isSet(c.stageParam)) c.set(c.stageParam, c.stage.copy(extra))
+    c
+  }
 }
 object Timer extends graft.core.GraftReadable[Timer]
 

@@ -71,23 +71,24 @@ class StratifiedRepartition(override val uid: String) extends Transformer
     */
   private def transformNative(df: DataFrame, numPartitions: Int,
                               counts: Map[Any, Long]): DataFrame = {
-    val (withReplacement, fractions) = modeFractions(counts, numPartitions)
+    val (_, fractions) = modeFractions(counts, numPartitions)
+    // 'original' keeps everything; 'equal'/'mixed' are both
+    // with-replacement, and floor+Bernoulli-remainder handles fractions
+    // below 1 too (floor 0, keep-with-probability via the __copies > 0
+    // filter), so one replicate path covers every sampling mode
     val sampled =
       if ($(mode) == "original") df
       else {
         val fracCol = fractions.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
           when(col(getLabelCol) === lit(k), lit(f)).otherwise(acc)
         }
-        if (!withReplacement) df.where(rand($(seed)) < fracCol)
-        else {
-          val copies = (floor(fracCol) +
-            when(rand($(seed)) < fracCol - floor(fracCol), 1.0)
-              .otherwise(0.0)).cast("int")
-          df.withColumn("__copies", copies)
-            .where(col("__copies") > 0)
-            .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
-            .drop("__copies", "__dup")
-        }
+        val copies = (floor(fracCol) +
+          when(rand($(seed)) < fracCol - floor(fracCol), 1.0)
+            .otherwise(0.0)).cast("int")
+        df.withColumn("__copies", copies)
+          .where(col("__copies") > 0)
+          .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
+          .drop("__copies", "__dup")
       }
     sampled
       .repartition(numPartitions,

@@ -236,6 +236,14 @@ class HTTPSuite extends TestBase {
       .collect().sortBy(_.getLong(0))
     assert(out.map(_.getInt(1)).sameElements(Array(200, 200)))
     assert(out.map(_.getInt(2)).forall(_ > 0))
+    // setUrlFn must produce a schema-conformant request struct (typed
+    // headers, not array<void>) so it unions/persists like any other
+    val urlReq = new CustomInputParser().setInputCol("text")
+      .setUrlFn(c => concat(lit(url + "?q="), c)).transform(docs)
+    val headersType = urlReq.schema("request").dataType
+      .asInstanceOf[StructType]("headers").dataType
+    assert(headersType == ArrayType(HTTPSchema.headerType),
+      s"headers type was $headersType")
   }
 
   test("SimpleHTTPTransformer parses JSON service output") {
