@@ -182,6 +182,10 @@ class FuzzingSuite extends TestBase {
             case _: DoubleParam => Seq(0.5)
             case _: BooleanParam => Seq(true)
             case _: StringArrayParam => Seq(Array("fuzz_a", "fuzz_b"))
+            // these two ride GraftWritable's complex.bin — fuzzing them
+            // exercises the Java-serialized path generically
+            case _: IntArrayParam => Seq(Array(7, 8))
+            case _: DoubleArrayParam => Seq(Array(0.5, 1.5))
             case _ => Seq.empty
           }
           candidates.flatMap { v =>
