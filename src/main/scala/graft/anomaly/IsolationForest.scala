@@ -118,6 +118,8 @@ class IsolationForestModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(IsolationForestModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(IsolationForestModel.this))
         graft.core.ModelIO.writeText(sparkSession, s"$path/subsample.txt",

@@ -28,6 +28,9 @@ private[graft] object ComplexIO {
 
 private[graft] class GraftWriter(stage: Params) extends MLWriter {
   override protected def saveImpl(path: String): Unit = {
+    // standard Spark metadata so Pipeline.load can dispatch this stage
+    org.apache.spark.ml.graftshims.PipelineMetadataShim
+      .save(stage, path, sparkSession)
     ModelIO.writeText(sparkSession, s"$path/metadata.json",
       s"""{"class":"${stage.getClass.getName}","uid":"${stage.uid}"}""")
     ModelIO.writeText(sparkSession, s"$path/params.json",

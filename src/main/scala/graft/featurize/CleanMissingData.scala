@@ -68,6 +68,8 @@ class CleanMissingDataModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(CleanMissingDataModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(CleanMissingDataModel.this))
         graft.core.ModelIO.writeObject(sparkSession, s"$path/fill.bin", fillValues)

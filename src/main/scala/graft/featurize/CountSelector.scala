@@ -65,6 +65,8 @@ class CountSelectorModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(CountSelectorModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(CountSelectorModel.this))
         graft.core.ModelIO.writeObject(sparkSession, s"$path/indices.bin", indices)

@@ -96,6 +96,8 @@ class FeaturizeModel(override val uid: String) extends Model[FeaturizeModel]
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(FeaturizeModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(FeaturizeModel.this))
         // Column itself is not Serializable; its Catalyst Expression is

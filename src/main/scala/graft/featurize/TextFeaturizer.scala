@@ -86,6 +86,8 @@ class TextFeaturizerModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(TextFeaturizerModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(TextFeaturizerModel.this))
         pipeline.write.overwrite().save(s"$path/pipeline")

@@ -65,6 +65,8 @@ class ValueIndexerModel(override val uid: String) extends Model[ValueIndexerMode
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(ValueIndexerModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(ValueIndexerModel.this))
         graft.core.ModelIO.writeObject(sparkSession, s"$path/levels.bin", levels)

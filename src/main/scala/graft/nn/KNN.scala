@@ -73,6 +73,8 @@ class KNNModel(override val uid: String) extends Model[KNNModel]
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(KNNModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(KNNModel.this))
         graft.core.ModelIO.writeObject(sparkSession, s"$path/tree.bin",

@@ -194,6 +194,8 @@ class SARModel(override val uid: String) extends Model[SARModel]
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(SARModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(SARModel.this))
         affinities.write.mode("overwrite").parquet(s"$path/affinities")

@@ -93,6 +93,8 @@ class IVFNearestNeighborsModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(IVFNearestNeighborsModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(IVFNearestNeighborsModel.this))
         graft.core.ModelIO.writeObject(sparkSession, s"$path/centroids.bin",

@@ -54,6 +54,8 @@ class ClassBalancerModel(override val uid: String) extends Model[ClassBalancerMo
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(ClassBalancerModel.this, path, sparkSession)
         graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
           graft.core.ModelIO.paramsJson(ClassBalancerModel.this))
         weights.write.mode("overwrite").parquet(s"$path/weights.parquet")

@@ -88,6 +88,8 @@ class TrainedClassifierModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(TrainedClassifierModel.this, path, sparkSession)
         indexer.write.overwrite().save(s"$path/indexer")
         featurizer.write.overwrite().save(s"$path/featurizer")
         inner.asInstanceOf[org.apache.spark.ml.util.MLWritable]
@@ -197,6 +199,8 @@ class TrainedRegressorModel(override val uid: String)
   override def write: org.apache.spark.ml.util.MLWriter =
     new org.apache.spark.ml.util.MLWriter {
       override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(TrainedRegressorModel.this, path, sparkSession)
         featurizer.write.overwrite().save(s"$path/featurizer")
         inner.asInstanceOf[org.apache.spark.ml.util.MLWritable]
           .write.overwrite().save(s"$path/inner")

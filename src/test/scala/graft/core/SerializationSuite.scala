@@ -237,6 +237,30 @@ class SerializationSuite extends TestBase {
     assert(expLoaded.get(expLoaded.scoringFn).nonEmpty)
   }
 
+  test("graft stages survive inside a persisted Spark Pipeline") {
+    // Pipeline.load dispatches each stage from $stagePath/metadata —
+    // the standard-format file our writers emit via PipelineMetadataShim;
+    // without it stages save standalone but can't sit in a Pipeline
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    val df = Seq(("the cat", "a"), ("a dog", "b"), ("the cat", "a"))
+      .toDF("text", "tag")
+    val pipe = new Pipeline().setStages(Array(
+      new graft.text.TextPreprocessor().setInputCol("text")
+        .setOutputCol("clean").setMap(Map("cat" -> "feline")),
+      new graft.featurize.ValueIndexer().setInputCol("tag")
+        .setOutputCol("tag_idx"),
+      new graft.stages.SelectColumns()
+        .setCols(Seq("clean", "tag_idx"))))
+    val fitted = pipe.fit(df)
+    val p = tmp("pipe"); fitted.write.overwrite().save(p)
+    val loaded = PipelineModel.load(p)
+    // GraftWritable transformer, ModelIO-backed fitted model, and a
+    // DefaultParamsWritable stage all reload and agree
+    roundTrip(fitted.transform(df), loaded.transform(df))
+    val pu = tmp("pipe_unfit"); pipe.write.overwrite().save(pu)
+    roundTrip(Pipeline.load(pu).fit(df).transform(df), fitted.transform(df))
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
