@@ -28,11 +28,10 @@ private[graft] object ComplexIO {
 
 private[graft] class GraftWriter(stage: Params) extends MLWriter {
   override protected def saveImpl(path: String): Unit = {
-    // standard Spark metadata so Pipeline.load can dispatch this stage
+    // ONE metadata format: the standard Spark file (class + uid + empty
+    // param maps), which both Pipeline.load and GraftReader read
     org.apache.spark.ml.graftshims.PipelineMetadataShim
       .save(stage, path, sparkSession)
-    ModelIO.writeText(sparkSession, s"$path/metadata.json",
-      s"""{"class":"${stage.getClass.getName}","uid":"${stage.uid}"}""")
     ModelIO.writeText(sparkSession, s"$path/params.json",
       ModelIO.paramsJson(stage))
     val complex: Map[String, Any] = stage.params.toSeq.flatMap { p =>
@@ -47,12 +46,17 @@ private[graft] class GraftWriter(stage: Params) extends MLWriter {
 }
 
 private[graft] class GraftReader[T <: Params] extends MLReader[T] {
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   override def load(path: String): T = {
-    val meta = ModelIO.readText(sparkSession, s"$path/metadata.json")
-    val ClassUid = """\{"class":"([^"]+)","uid":"([^"]+)"\}""".r
-    val (clsName, uid) = meta.trim match {
-      case ClassUid(c, u) => (c, u)
-      case other => sys.error(s"unreadable stage metadata: $other")
+    val meta = ModelIO.readText(sparkSession, s"$path/metadata/part-00000")
+    val Field = """"(class|uid)":"((?:[^"\\]|\\.)*)"""".r
+    val fields = Field.findAllMatchIn(meta)
+      .map(m => m.group(1) -> unesc(m.group(2))).toMap
+    val (clsName, uid) = (fields.get("class"), fields.get("uid")) match {
+      case (Some(c), Some(u)) => (c, u)
+      case _ => sys.error(s"unreadable stage metadata: $meta")
     }
     val stage = Class.forName(clsName).getConstructor(classOf[String])
       .newInstance(uid).asInstanceOf[T]

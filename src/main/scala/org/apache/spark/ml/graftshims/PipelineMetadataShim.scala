@@ -17,12 +17,18 @@ import org.apache.spark.sql.SparkSession
   * on purpose: graft readers restore params from their own files.
   */
 object PipelineMetadataShim {
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def save(stage: Params, path: String, spark: SparkSession): Unit = {
+    // uid is caller-supplied (public (uid: String) constructors) — escape
+    // it, or a quote in a uid writes malformed JSON that only explodes
+    // later inside Pipeline.load
     val json =
-      s"""{"class":"${stage.getClass.getName}",""" +
+      s"""{"class":"${esc(stage.getClass.getName)}",""" +
         s""""timestamp":${System.currentTimeMillis()},""" +
         s""""sparkVersion":"${spark.version}",""" +
-        s""""uid":"${stage.uid}",""" +
+        s""""uid":"${esc(stage.uid)}",""" +
         """"paramMap":{},"defaultParamMap":{}}"""
     graft.core.ModelIO.writeText(spark, s"$path/metadata/part-00000", json)
     graft.core.ModelIO.writeText(spark, s"$path/metadata/_SUCCESS", "")

@@ -206,12 +206,18 @@ class FuzzingSuite extends TestBase {
       .filterNot(classOf[org.apache.spark.ml.Model[_]].isAssignableFrom)
     val failures = candidates.flatMap { c =>
       instantiate(c) match {
-        case Some(stage: Transformer with MLWritable) =>
+        case Some(stage: MLWritable) =>
           try {
             val fuzzed = fuzzParams(stage)
             val dir = java.nio.file.Files
               .createTempDirectory(s"fuzz-${c.getSimpleName}").toString + "/m"
             stage.write.overwrite().save(dir)
+            // every save must emit Spark's standard metadata file, or the
+            // stage can't sit in a persisted Pipeline (Pipeline.load
+            // dispatches from $path/metadata) — mechanical gate so no
+            // future hand-written writer regresses this silently
+            require(new File(dir, "metadata").exists,
+              "save() did not write the standard Spark metadata dir")
             val companion = Class.forName(c.getName + "$")
             val module = companion.getField("MODULE$").get(null)
             module match {
