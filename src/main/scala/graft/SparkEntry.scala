@@ -800,13 +800,21 @@ object SparkEntry {
     // AnomalySuite's margin test keeps the fixture far from the
     // decision boundary (score separation, not a tuned threshold).
     "isolation_forest" -> { (s, dir) =>
-      val planted = pmod(col("event_id"), lit(997)) === 0
+      // Fixed-size input (access_anomaly's pattern) + ~1% planted + a
+      // 256-point subsample: a tree only ranks an extreme inlier below
+      // the planted set if its subsample contains a planted point (the
+      // split range must cover the gap); at this density P(no planted in
+      // a subsample) ~ 7%, so ~46 of 50 trees separate — scale-invariant
+      // and far from any path-length tie, unlike sampling 128 of the
+      // full corpus where planted density falls with sf.
+      val planted = pmod(col("event_id"), lit(97)) === 0
       val ev = tbl(s, dir, "events").select(col("event_id"), col("value"))
+        .filter(col("event_id") < 2000)
         .withColumn("v",
           when(planted, col("value") * 100 + 5000.0).otherwise(col("value")))
       val m = new graft.anomaly.IsolationForest()
         .setInputCols(Seq("v"))
-        .setNumTrees(50).setSubsampleSize(128).fit(ev)
+        .setNumTrees(50).setSubsampleSize(256).fit(ev)
       val nPlanted = ev.filter(planted).count().toInt
       val detected = m.transform(ev)
         .orderBy(col("anomaly_score").desc, col("event_id"))

@@ -68,14 +68,14 @@ class MiscOpsSuite extends TestBase {
     // a bounded inlier range) and demands clear SCORE separation, so the
     // gate can't be passing by a tie-break or a hair's width
     val rnd = new scala.util.Random(11)
-    val rows = (0 until 1000).map { i =>
+    val rows = (0 until 2000).map { i =>
       val planted = i % 97 == 0
       val base = rnd.nextDouble() * 490
       (i.toLong, if (planted) base * 100 + 5000.0 else base, planted)
     }
     val df = rows.toDF("id", "v", "planted")
     val m = new IsolationForest().setInputCols(Seq("v"))
-      .setNumTrees(50).setSubsampleSize(128).fit(df)
+      .setNumTrees(50).setSubsampleSize(256).fit(df)
     val scored = m.transform(df).select("planted", "anomaly_score").collect()
     val plantedMin = scored.filter(_.getBoolean(0)).map(_.getDouble(1)).min
     val inlierMax = scored.filterNot(_.getBoolean(0)).map(_.getDouble(1)).max
