@@ -44,6 +44,18 @@ class PagedRestReaderSuite extends TestBase {
         }
       }
     })
+    // echoes the raw query string back as the single item, for asserting
+    // exact URL construction
+    server.createContext("/echo", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val raw = ex.getRequestURI.getRawQuery
+        val resp = s"""{"value":[{"name":"$raw","contentUrl":"x"}]}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
   }
@@ -73,6 +85,20 @@ class PagedRestReaderSuite extends TestBase {
       .transform(Seq("tabby cat").toDF("query"))
       .select(col("item.name")).collect().map(_.getString(0))
     assert(out.length == 12 && out.forall(_.startsWith("tabby cat-")))
+  }
+
+  test("literal q/o/c segments between placeholders stay literal") {
+    // the old marker-split matched segment CONTENT, so a literal segment
+    // that was exactly "q"/"o"/"c" between two placeholders got
+    // substituted for a column; the placeholder-regex parse keeps it
+    // literal — asserted against the echoed raw URL
+    val out = new PagedRestReader().setInputCol("query")
+      .setUrlTemplate(s"http://localhost:$port/echo?a={offset}q{count}&b={count}o{offset}&q={query}")
+      .setItemSchema("name STRING, contentUrl STRING")
+      .setPageSize(12).setMaxPages(1)
+      .transform(Seq("cats").toDF("query"))
+      .select(col("item.name")).collect().map(_.getString(0))
+    assert(out.sameElements(Array("a=0q12&b=12o0&q=cats")), out.mkString)
   }
 
   test("a failing query's pages drop without failing the batch") {
