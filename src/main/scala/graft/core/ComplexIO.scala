@@ -46,14 +46,24 @@ private[graft] class GraftWriter(stage: Params) extends MLWriter {
 }
 
 private[graft] class GraftReader[T <: Params] extends MLReader[T] {
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
-
   override def load(path: String): T = {
-    val meta = ModelIO.readText(sparkSession, s"$path/metadata/part-00000")
+    // the shim writes metadata/part-00000; Spark's own writers use
+    // part-00000-<uuid>.txt — accept any part file so artifacts from
+    // either writer load, and fail with a diagnosable message otherwise
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/metadata")
+    val fs = metaDir.getFileSystem(sc.hadoopConfiguration)
+    val partFile =
+      if (fs.exists(metaDir))
+        fs.listStatus(metaDir).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+      else None
+    val metaPath = partFile.getOrElse(sys.error(
+      s"no stage metadata under $metaDir — not a graft-saved stage " +
+        "directory (or saved by a pre-metadata-unification version)"))
+    val meta = ModelIO.readText(sparkSession, metaPath.toString)
     val Field = """"(class|uid)":"((?:[^"\\]|\\.)*)"""".r
     val fields = Field.findAllMatchIn(meta)
-      .map(m => m.group(1) -> unesc(m.group(2))).toMap
+      .map(m => m.group(1) -> ModelIO.jsonUnescape(m.group(2))).toMap
     val (clsName, uid) = (fields.get("class"), fields.get("uid")) match {
       case (Some(c), Some(u)) => (c, u)
       case _ => sys.error(s"unreadable stage metadata: $meta")
@@ -63,7 +73,6 @@ private[graft] class GraftReader[T <: Params] extends MLReader[T] {
     ModelIO.setParamsFromJson(stage,
       ModelIO.readText(sparkSession, s"$path/params.json"))
     val cp = new org.apache.hadoop.fs.Path(s"$path/complex.bin")
-    val fs = cp.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(cp)) {
       val complex = ModelIO.readObject[Map[String, Any]](
         sparkSession, s"$path/complex.bin")

@@ -37,6 +37,40 @@ object ModelIO {
     try ois.readObject().asInstanceOf[T] finally ois.close()
   }
 
+  /** JSON string-escape / unescape pair (kept together so they cannot
+    * drift apart): quote, backslash, and ALL control chars — a newline
+    * in a caller-supplied uid must not emit malformed metadata JSON
+    * that only explodes later inside Pipeline.load. */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   // string arrays are encoded as unit-separator-joined values with a
   // sentinel prefix (our own format, only read back by this object)
   private val ArrayPrefix = "\u0000[]"

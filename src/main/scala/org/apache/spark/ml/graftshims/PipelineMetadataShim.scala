@@ -17,13 +17,13 @@ import org.apache.spark.sql.SparkSession
   * on purpose: graft readers restore params from their own files.
   */
 object PipelineMetadataShim {
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  // uid is caller-supplied (public (uid: String) constructors) — full
+  // JSON escaping (quotes, backslashes, control chars) or the metadata
+  // only explodes later inside Pipeline.load; paired with
+  // ModelIO.jsonUnescape on the read side
+  private def esc(s: String): String = graft.core.ModelIO.jsonEscape(s)
 
   def save(stage: Params, path: String, spark: SparkSession): Unit = {
-    // uid is caller-supplied (public (uid: String) constructors) — escape
-    // it, or a quote in a uid writes malformed JSON that only explodes
-    // later inside Pipeline.load
     val json =
       s"""{"class":"${esc(stage.getClass.getName)}",""" +
         s""""timestamp":${System.currentTimeMillis()},""" +

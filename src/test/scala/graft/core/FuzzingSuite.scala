@@ -157,7 +157,7 @@ class FuzzingSuite extends TestBase {
       s"MLWritable models missing a SerializationSuite round-trip: ${untested.mkString(", ")}")
   }
 
-  test("every MLWritable default-constructible transformer save/load round-trips") {
+  test("every MLWritable default-constructible stage save/load round-trips") {
     import org.apache.spark.ml.util.{MLWritable, MLReadable}
     import org.apache.spark.ml.param._
     spark.range(1).count() // ml save/load needs an active session
@@ -216,8 +216,12 @@ class FuzzingSuite extends TestBase {
             // stage can't sit in a persisted Pipeline (Pipeline.load
             // dispatches from $path/metadata) — mechanical gate so no
             // future hand-written writer regresses this silently
-            require(new File(dir, "metadata").exists,
-              "save() did not write the standard Spark metadata dir")
+            val metaDir = new File(dir, "metadata")
+            val hasPart = metaDir.isFile ||
+              Option(metaDir.listFiles()).exists(_.exists(f =>
+                f.isFile && f.getName.startsWith("part-")))
+            require(hasPart,
+              "save() did not write a readable standard Spark metadata file")
             val companion = Class.forName(c.getName + "$")
             val module = companion.getField("MODULE$").get(null)
             module match {

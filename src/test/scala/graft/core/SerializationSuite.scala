@@ -237,6 +237,18 @@ class SerializationSuite extends TestBase {
     assert(expLoaded.get(expLoaded.scoringFn).nonEmpty)
   }
 
+  test("hostile uids (quotes, backslashes, newlines) survive save/load") {
+    val weird = "u\"id\\with\nhostile\tchars"
+    assert(ModelIO.jsonUnescape(ModelIO.jsonEscape(weird)) == weird)
+    val stage = new graft.stages.SelectColumns(weird).setCols(Seq("x"))
+    // DefaultParamsWritable path handles its own escaping; pin ours too
+    val g = new graft.text.UnicodeNormalize(weird).setInputCol("a")
+    val p = tmp("weird"); g.write.overwrite().save(p)
+    val loaded = graft.text.UnicodeNormalize.load(p)
+    assert(loaded.uid == weird)
+    assert(stage.uid == weird) // ctor accepts it; nothing sanitizes uids
+  }
+
   test("graft stages survive inside a persisted Spark Pipeline") {
     // Pipeline.load dispatches each stage from $stagePath/metadata —
     // the standard-format file our writers emit via PipelineMetadataShim;
