@@ -273,6 +273,22 @@ class SerializationSuite extends TestBase {
     roundTrip(Pipeline.load(pu).fit(df).transform(df), fitted.transform(df))
   }
 
+  test("stateful fitted model loads from inside a persisted PipelineModel") {
+    // KNNModel carries real state (the broadcast ball tree) — the
+    // Pipeline dispatch must reach its ModelIO-backed reader
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    val df = (0 until 50)
+      .map(i => (i.toLong, Array(i.toDouble, (i * 3 % 7).toDouble)))
+      .toDF("id", "emb")
+    val fitted = new Pipeline().setStages(Array(
+      new KNN().setInputCol("emb").setIdCol("id").setK(3))).fit(df)
+    val p = tmp("pipe_knn"); fitted.write.overwrite().save(p)
+    val loaded = PipelineModel.load(p)
+    roundTrip(
+      fitted.transform(df).select(col("id"), col("matches.id").as("n")),
+      loaded.transform(df).select(col("id"), col("matches.id").as("n")))
+  }
+
   test("IsolationForestModel save/load") {
     val rnd = new scala.util.Random(3)
     val df = (0 until 100).map(_ => (rnd.nextGaussian(), rnd.nextGaussian()))
