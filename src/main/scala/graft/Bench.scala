@@ -17,6 +17,35 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Wall formatting for the compact contract line (ms resolution). */
+  def fmt(seconds: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, seconds)
+
+  def contractLine(total: String, qs: String, sfDir: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+  /** The driver captures a ~2048-byte stdout tail; anything past it is cut
+    * from the HEAD of the line, which made BENCH_r{7,8} unparseable. Keep a
+    * margin for capture-side framing. */
+  val MaxLineBytes = 1900
+
+  /** Render the contract line at 3-decimal walls, degrading to 2 then 1
+    * decimals only if the line would overflow the driver's tail capture.
+    * Fit is by construction, not by hoping walls stay small; millisecond
+    * resolution is already below the ±50% suite-position noise floor.
+    */
+  def renderLine(walls: Seq[(String, Double)], total: Double, sfDir: String): String = {
+    def at(dec: Int): String = {
+      val f = s"%.${dec}f"
+      def r(v: Double) = f.formatLocal(java.util.Locale.ROOT, v)
+      val qs = walls.map { case (k, w) => "\"" + k + "\":" + r(w) }
+        .mkString("{", ",", "}")
+      contractLine(r(total), qs, sfDir)
+    }
+    Iterator(3, 2, 1, 0).map(at)
+      .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxLineBytes)
+      .getOrElse(at(0))
+  }
+
   private final class Acc {
     val stages = new LongAdder; val tasks = new LongAdder
     val shuffleRead = new LongAdder; val shuffleWrite = new LongAdder
@@ -81,8 +110,6 @@ object Bench {
       current = null
       name -> ((wall, acc))
     }
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
     val detail = results.map { case (k, (w, a)) =>
       "\"" + k + "\":{\"wall\":" + w +
         ",\"stages\":" + a.stages.sum + ",\"tasks\":" + a.tasks.sum +
@@ -98,7 +125,7 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderLine(results.map { case (k, (w, _)) => k -> w }, total, sfDir))
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)

@@ -64,6 +64,15 @@ object ModelIO {
           case 'u' if i + 5 < s.length =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
+          // standard short escapes: json4s (Spark's DefaultParamsWriter)
+          // emits these, and GraftReader advertises reading Spark-written
+          // metadata — \n must decode to a newline, not the two chars '\n'
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '/' => sb.append('/'); i += 2
           case _ => sb.append(c); i += 1
         }
       } else { sb.append(c); i += 1 }
@@ -87,8 +96,11 @@ object ModelIO {
         case v: Array[String] => p.name -> (ArrayPrefix + v.mkString("\u001f"))
       }
     }
+    // jsonEscape (not a bare quote/backslash replace): the U+0000 array
+    // sentinel, U+001F separators, and any control char in a string param
+    // must leave params.json valid JSON
     entries.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
   }
 
@@ -97,7 +109,7 @@ object ModelIO {
   def setParamsFromJson(stage: Params, json: String): Unit =
     Entry.findAllMatchIn(json).foreach { m =>
       val name = m.group(1)
-      val raw = m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+      val raw = jsonUnescape(m.group(2))
       stage.params.find(_.name == name).foreach {
         case p: IntParam => stage.set(p, raw.toInt)
         case p: LongParam => stage.set(p, raw.toLong)

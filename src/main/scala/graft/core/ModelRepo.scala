@@ -30,23 +30,46 @@ class ModelRepo(spark: SparkSession, root: String) {
   case class ModelInfo(name: String, className: String, uid: String,
                        sizeBytes: Long, timestampMs: Long)
 
-  private def infoPath(name: String) = new Path(rootPath, s"$name/info.json")
-  private def modelPath(name: String) = new Path(rootPath, s"$name/model")
+  /** Every name-taking operation resolves `root/<name>` — a traversal name
+    * ('..') would address (or `delete` recursively destroy) paths OUTSIDE
+    * the repo root, so validate centrally, not just on publish. */
+  private def checkName(name: String): String = {
+    require(name.nonEmpty && name != "." && name != ".." &&
+      !name.contains("/") && !name.contains("\\"),
+      s"bad model name: '$name' (must be non-empty, no '/', '\\', '.', '..')")
+    name
+  }
 
+  private def infoPath(name: String) =
+    new Path(rootPath, s"${checkName(name)}/info.json")
+  private def modelPath(name: String) =
+    new Path(rootPath, s"${checkName(name)}/model")
+
+  /** Publish is atomic: stage dir + info.json are written to a temp
+    * sibling and renamed into place, so a concurrent list()/load() never
+    * observes a half-written model. */
   def publish(name: String, stage: PipelineStage with MLWritable): ModelInfo = {
-    require(name.nonEmpty && !name.contains("/"), s"bad model name: $name")
-    stage.write.overwrite().save(modelPath(name).toString)
-    val size = fs.getContentSummary(modelPath(name)).getLength
+    checkName(name)
+    val finalDir = new Path(rootPath, name)
+    val tmpDir = new Path(rootPath, s".tmp-$name-${System.nanoTime()}")
+    stage.write.overwrite().save(new Path(tmpDir, "model").toString)
+    val size = fs.getContentSummary(new Path(tmpDir, "model")).getLength
     val info = ModelInfo(name, stage.getClass.getName, stage.uid,
       size, System.currentTimeMillis())
-    ModelIO.writeText(spark, infoPath(name).toString, infoJson(info))
+    ModelIO.writeText(spark, new Path(tmpDir, "info.json").toString, infoJson(info))
+    if (fs.exists(finalDir)) fs.delete(finalDir, true)
+    if (!fs.rename(tmpDir, finalDir)) {
+      fs.delete(tmpDir, true)
+      sys.error(s"publish of $name failed: could not rename $tmpDir to $finalDir")
+    }
     info
   }
 
   def list(): Seq[ModelInfo] =
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filter(n => fs.exists(infoPath(n)))
+      .map(_.getPath.getName).filterNot(_.startsWith(".tmp-"))
+      .filter(n => fs.exists(infoPath(n)))
       .map(info).sortBy(_.name)
 
   def info(name: String): ModelInfo = {
@@ -84,7 +107,7 @@ class ModelRepo(spark: SparkSession, root: String) {
   }
 
   def delete(name: String): Unit =
-    fs.delete(new Path(rootPath, name), true)
+    fs.delete(new Path(rootPath, checkName(name)), true)
 
   private def infoJson(i: ModelInfo): String = {
     def e(s: String) = ModelIO.jsonEscape(s)

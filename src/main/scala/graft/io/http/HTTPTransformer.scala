@@ -283,6 +283,7 @@ class CustomOutputParser(override val uid: String) extends Transformer
     ds.toDF().withColumn(getOutputCol, $(responseFn)(col(getInputCol)))
   }
   override def transformSchema(schema: StructType): StructType = {
+    require(isSet(responseFn), "setUDF first")
     val spark = org.apache.spark.sql.SparkSession.active
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       schema).withColumn(getOutputCol, $(responseFn)(col(getInputCol))).schema

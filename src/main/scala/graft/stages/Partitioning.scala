@@ -48,8 +48,17 @@ class StratifiedRepartition(override val uid: String) extends Transformer
   // round-trips through Row) and pays sampleByKeyExact's count+sample
   // double pass. The default path keeps whole-stage codegen: Bernoulli /
   // Poisson per-label sampling and a random spread key, one Exchange.
+  //
+  // BEHAVIOR CHANGE vs pre-0.1 snapshots (and vs the reference, which
+  // always samples exactly): the DEFAULT is now the approximate native
+  // path, so 'equal'/'mixed' per-label counts carry Bernoulli/Poisson
+  // variance. Callers that require exact per-label counts must opt in
+  // with setExactCounts(true) — the 6-7x pipeline speedup of the codegen
+  // path is the documented reason for the new default (see README
+  // "Behavior notes").
   final val exactCounts = new BooleanParam(this, "exactCounts",
-    "use RDD sampleByKeyExact for exact per-label sample sizes")
+    "use RDD sampleByKeyExact for exact per-label sample sizes " +
+      "(default false: approximate codegen-preserving sampling)")
   setDefault(exactCounts -> false)
   def setExactCounts(v: Boolean): this.type = set(exactCounts, v)
 

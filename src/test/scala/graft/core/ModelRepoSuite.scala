@@ -59,4 +59,35 @@ class ModelRepoSuite extends TestBase {
     val e = intercept[RuntimeException](repo.info("nope"))
     assert(e.getMessage.contains("no model named"))
   }
+
+  test("traversal and malformed names are rejected on EVERY operation") {
+    val repo = tmpRepo("e")
+    val stage = new graft.stages.SelectColumns().setCols(Seq("x"))
+    for (bad <- Seq("..", ".", "", "a/b", "a\\b", "../escape")) {
+      intercept[IllegalArgumentException](repo.publish(bad, stage))
+      intercept[IllegalArgumentException](repo.info(bad))
+      intercept[IllegalArgumentException](repo.load(bad))
+      intercept[IllegalArgumentException](repo.delete(bad))
+      intercept[IllegalArgumentException](repo.copyTo(tmpRepo("e2"), bad))
+    }
+  }
+
+  test("publish is atomic: no half-written model visible, overwrite survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-repo-f")
+    val repo = new ModelRepo(spark, root.toString)
+    val stage = new graft.text.TextPreprocessor().setInputCol("t")
+      .setOutputCol("o").setMap(Map("cat" -> "dog"))
+    repo.publish("m", stage)
+    // republish over an existing name: reader sees old-or-new, never partial
+    val info2 = repo.publish("m",
+      new graft.text.TextPreprocessor().setInputCol("t").setOutputCol("o")
+        .setMap(Map("cat" -> "fox")))
+    assert(repo.list().map(_.name) == Seq("m"))
+    assert(repo.info("m").uid == info2.uid)
+    // no .tmp- debris left behind, and list() would hide it anyway
+    val leftovers = java.nio.file.Files.list(root).iterator()
+    var names = List.empty[String]
+    while (leftovers.hasNext) names ::= leftovers.next().getFileName.toString
+    assert(names == List("m"), s"unexpected repo-root entries: $names")
+  }
 }

@@ -249,6 +249,28 @@ class SerializationSuite extends TestBase {
     assert(stage.uid == weird) // ctor accepts it; nothing sanitizes uids
   }
 
+  test("jsonUnescape decodes json4s short escapes (Spark-written metadata)") {
+    // json4s emits \n \t \b \f \r \/ — GraftReader advertises reading
+    // DefaultParamsWriter metadata, so these must decode to the control
+    // chars, not to literal backslash pairs
+    assert(ModelIO.jsonUnescape("""a\nb\tc\bd\fe\rf\/g""") ==
+      "a\nb\tc\bd\fe\rf/g")
+    assert(ModelIO.jsonUnescape("""A\n""") == "A\n")
+  }
+
+  test("paramsJson emits valid JSON for control-char and array values") {
+    val stage = new graft.stages.SelectColumns()
+      .setCols(Seq("line1\nline2", "tab\there"))
+    val json = ModelIO.paramsJson(stage)
+    // the U+0000 array sentinel and U+001F separators must be \u-escaped
+    assert(!json.exists(_ < ' '), s"raw control char leaked into: $json")
+    assert(json.contains("\\u0000") && json.contains("\\u001f"))
+    // and the round-trip must restore the exact array
+    val copy = new graft.stages.SelectColumns()
+    ModelIO.setParamsFromJson(copy, json)
+    assert(copy.getCols.toSeq == Seq("line1\nline2", "tab\there"))
+  }
+
   test("graft stages survive inside a persisted Spark Pipeline") {
     // Pipeline.load dispatches each stage from $stagePath/metadata —
     // the standard-format file our writers emit via PipelineMetadataShim;
