@@ -86,6 +86,14 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("sum(length(text))").count()
+      // mllib ALS class-loading/Kryo/codegen is ~2 s on first use in a
+      // fresh JVM and was billed to whichever ALS query ran first
+      import spark.implicits._
+      val tiny = Seq((0, 0, 1f), (0, 1, 1f), (1, 1, 1f)).toDF("u", "i", "r")
+      new org.apache.spark.ml.recommendation.ALS().setUserCol("u")
+        .setItemCol("i").setRatingCol("r").setRank(2).setMaxIter(1)
+        .setImplicitPrefs(true).setNumUserBlocks(1).setNumItemBlocks(1)
+        .setSeed(1L).fit(tiny).itemFactors.count()
     } catch { case _: Throwable => () }
     // optional args = query-name subset, for isolating one query's cost
     // from suite-position effects (JIT/GC/scheduler backlog)

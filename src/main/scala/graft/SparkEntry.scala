@@ -679,12 +679,48 @@ object SparkEntry {
     },
 
     "access_anomaly" -> { (s, dir) => // rows-only: ALS scores
+      // gate-latency hygiene: rows-only output is iteration-invariant, so
+      // 3 iterations suffice here; exactness lives in the margin-tested
+      // access_anomaly_planted companion below (maxIter 5)
       new graft.cyber.AccessAnomaly().setTenantCol("event_type")
-        .setUserCol("user_id").setResCol("res").setRank(4).setMaxIter(5)
+        .setUserCol("user_id").setResCol("res").setRank(4).setMaxIter(3)
+        .setNumBlocks(2) // gate-scale: input capped at 2000 rows
         .transform(tbl(s, dir, "events")
           .filter(col("event_id") < 2000)
           .withColumn("res", pmod(col("value").cast("int"), lit(10))))
         .select(col("event_type"), col("user_id"), col("res"))
+    },
+
+    // Planted-access exact companion gate (isolation_forest pattern) for
+    // the rows-only ALS query above. Closed two-community access graph
+    // from a FIXED event_id range (ids 0..999 are identical at every sf):
+    // user = id%20 (communities 0-9 and 10-19), res = (id/20)%5 offset
+    // into the community's 5 home resources — every user hits each home
+    // resource 10x. Four single cross-community accesses are planted; the
+    // ALS embedding confines each community to its own factor subspace,
+    // so the planted pairs' predictions sit far below every intra pair
+    // (CyberSuite margin-tests the score gap). Gate = symmetric
+    // difference between the top-4 anomaly-scored pairs and the planted
+    // set, constant-0 oracle.
+    "access_anomaly_planted" -> { (s, dir) =>
+      import s.implicits._
+      val base = tbl(s, dir, "events").filter(col("event_id") < 1000)
+        .select(pmod(col("event_id"), lit(20)).cast("int").as("user"),
+          (pmod(floor(col("event_id") / 20), lit(5)) +
+            lit(5) * floor(pmod(col("event_id"), lit(20)) / 10))
+            .cast("int").as("res"))
+      val plantedPairs = Seq((0, 7), (3, 9), (12, 1), (17, 4))
+      val planted = plantedPairs.toDF("user", "res")
+      val scored = new graft.cyber.AccessAnomaly().setTenantCol("tenant")
+        .setUserCol("user").setResCol("res").setRank(4).setMaxIter(5)
+        .setNumBlocks(2)
+        .transform(base.union(planted).withColumn("tenant", lit(0)))
+      val top = scored
+        .orderBy(col("anomaly_score").desc, col("user"), col("res"))
+        .limit(plantedPairs.size).select("user", "res")
+      top.union(planted.select(col("user").cast("int"), col("res").cast("int")))
+        .groupBy("user", "res").count().filter(col("count") =!= 2)
+        .agg(count(lit(1)).cast("long").as("mismatches"))
     },
 
     // ---- automl (§2.13) ---------------------------------------------
@@ -894,6 +930,7 @@ object SparkEntry {
 
     // planted-anomaly symmetric differences are exactly empty
     "isolation_forest" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "access_anomaly_planted" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "sr_anomalies" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
 
     // CV best model trained on a separable OR-rule predicts the rule

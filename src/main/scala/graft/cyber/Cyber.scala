@@ -188,6 +188,14 @@ class AccessAnomaly(override val uid: String) extends Transformer
   final val maxIter = new IntParam(this, "maxIter", "ALS iterations")
   setDefault(maxIter -> 10)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
+  // ALS parallelism: blocks bound tasks-per-stage across the ~4/iteration
+  // shuffle stages. The wall on a SMALL (gate-scale) graph is pure task
+  // scheduling — 10 blocks × 57 stages of sub-ms work — so gates set 2;
+  // at cluster scale size it so one block's factors fit an executor core.
+  final val numBlocks = new IntParam(this, "numBlocks",
+    "ALS user/item block count (parallelism)", ParamValidators.gtEq(1))
+  setDefault(numBlocks -> 10)
+  def setNumBlocks(v: Int): this.type = set(numBlocks, v)
   final val outputCol = new Param[String](this, "outputCol", "score column")
   setDefault(outputCol -> "anomaly_score")
   def setOutputCol(v: String): this.type = set(outputCol, v)
@@ -213,14 +221,23 @@ class AccessAnomaly(override val uid: String) extends Transformer
       counts.select(col(getTenantCol), col($(userCol))).distinct(), "__uid")
     val rIdx = addIndex(
       counts.select(col(getTenantCol), col($(resCol))).distinct(), "__rid")
+    // Persisted because TWO actions consume it — the ALS fit and the
+    // caller's action over the scored output. Without it the whole
+    // pre-ALS lineage (groupBy, two sort+zipWithIndex id jobs, two
+    // joins) re-runs for the second action: ~15 extra stages that
+    // dominated gate-scale wall. Size is |distinct access pairs| —
+    // MEMORY_AND_DISK spills rather than OOMs at cluster scale; the fit
+    // materializes it, LRU eviction reclaims it.
     val encoded = counts
       .join(uIdx, Seq(getTenantCol, $(userCol)))
       .join(rIdx, Seq(getTenantCol, $(resCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val als = new org.apache.spark.ml.recommendation.ALS()
       .setUserCol("__uid").setItemCol("__rid").setRatingCol("__cnt")
       .setRank($(rank)).setSeed($(seed)).setImplicitPrefs(true)
       .setMaxIter($(maxIter)).setColdStartStrategy("nan")
-    val model = als.fit(encoded)
+      .setNumUserBlocks($(numBlocks)).setNumItemBlocks($(numBlocks))
+    val model = als.fit(encoded) // forces encoded's materialization
     val scored = model.transform(encoded)
       .withColumnRenamed("prediction", "__raw")
     // per-tenant z-score of the raw likelihood; anomaly = negated z

@@ -68,4 +68,34 @@ class CyberSuite extends TestBase {
     // in-community scores exist and are finite
     assert(scored.filter(col("anomaly_score").isNaN).count() == 0)
   }
+
+  test("planted-access fixture keeps margin from the top-4 gate boundary") {
+    // The EXACT construction of the access_anomaly_planted driver gate
+    // (ids 0..999 -> two 10-user communities × 5 home resources, 10
+    // accesses each; 4 single cross-community accesses planted). The
+    // gate takes top-4 by anomaly score; it is robust only if the lowest
+    // planted score clears the highest intra score by a real margin, not
+    // by ALS float luck — assert the gap.
+    val base = spark.range(0, 1000).toDF("id")
+      .select(pmod(col("id"), lit(20)).cast("int").as("user"),
+        (pmod(floor(col("id") / 20), lit(5)) +
+          lit(5) * floor(pmod(col("id"), lit(20)) / 10))
+          .cast("int").as("res"))
+    val plantedPairs = Set((0, 7), (3, 9), (12, 1), (17, 4))
+    val planted = plantedPairs.toSeq.toDF("user", "res")
+    val scored = new AccessAnomaly().setTenantCol("tenant")
+      .setUserCol("user").setResCol("res").setRank(4).setMaxIter(5)
+      .setNumBlocks(2)
+      .transform(base.union(planted).withColumn("tenant", lit(0)))
+      .select("user", "res", "anomaly_score").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+    val (plantedScores, intraScores) =
+      scored.partition { case (pair, _) => plantedPairs(pair) }
+    val lowestPlanted = plantedScores.map(_._2).min
+    val highestIntra = intraScores.map(_._2).max
+    assert(plantedScores.length == 4)
+    assert(lowestPlanted - highestIntra > 0.5,
+      s"gate margin too thin: lowest planted $lowestPlanted vs " +
+        s"highest intra $highestIntra")
+  }
 }
