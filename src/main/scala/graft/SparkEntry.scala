@@ -42,6 +42,37 @@ private[graft] object TextFeaturizerGate {
   }
 }
 
+/** Ranking train/validation-split gate fixture shared by the ranking_tvs
+  * query and RecoSuite's margin test. Constructed so JACCARD similarity
+  * strictly beats LIFT on held-out NDCG@5, deterministically:
+  *  - users 1-4 hold out item 1 (their rating-5 head); item 1 trains only
+  *    with users 5-8, so jaccard(1,2)=4/8 is strong while lift(1,·)
+  *    divides by item 2's popularity (occ 8) and collapses;
+  *  - decoy item 20 co-occurs once with items 3,4 via user 9 — lift's
+  *    popularity normalization ranks the rare decoy ABOVE ground-truth
+  *    item 1 for users 1-4 (1/7 vs sum 0.268/3-way), jaccard does not;
+  *  - all scores are exact count ratios decimal-summed, ties broken on
+  *    item id, so per-user NDCG is a closed-form constant (hand-derived
+  *    in the oracle: jaccard (8/log2(5)+0.5)/9 -> 4384, lift
+  *    (4/log2(6)+5/log2(5))/9 -> 4112 after floor(x*1e4+0.5)).
+  */
+private[graft] object RankingGateFixture {
+  // (user, item, rating): 4 items per user => holdout = top-1 by rating
+  val Rows: Seq[(Long, Int, Double)] =
+    (1L to 4L).flatMap(u =>
+      Seq((u, 1, 5.0), (u, 2, 3.0), (u, 3, 3.0), (u, 4, 3.0))) ++
+    (5L to 6L).flatMap(u =>
+      Seq((u, 3, 5.0), (u, 1, 3.0), (u, 2, 3.0), (u, 4, 3.0))) ++
+    (7L to 8L).flatMap(u =>
+      Seq((u, 4, 5.0), (u, 1, 3.0), (u, 2, 3.0), (u, 3, 3.0))) ++
+    Seq((9L, 2, 5.0), (9L, 3, 3.0), (9L, 4, 3.0), (9L, 20, 3.0))
+
+  def df(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Rows.toDF("user", "item", "rating")
+  }
+}
+
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -415,6 +446,25 @@ object SparkEntry {
     // constants computed from HashingTF.indexOf (closed-set pattern, as
     // vw_featurizer). IDF's float product stays suite-gated
     // (TrainSuite/BenchmarksSuite exercise the full tf-idf chain).
+    // Featurize's timestamp/date path as an exact long-form gate: the
+    // five assembled components (epoch seconds, year, month, dayofweek,
+    // day) are integers by construction, so vector_to_array slots cast
+    // exactly to BIGINT and DuckDB recomputes them with date parts
+    // (Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, +1).
+    "featurize_datetime" -> { (s, dir) =>
+      val orders = tbl(s, dir, "orders")
+      val m = new Featurize().setInputCols(Seq("o_orderdate"))
+        .setOutputCol("f").fit(orders)
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("f"))
+      m.transform(orders).withColumn("__arr", arr)
+        .select(col("o_orderkey"),
+          col("__arr")(0).cast("long").as("epoch_s"),
+          col("__arr")(1).cast("long").as("yr"),
+          col("__arr")(2).cast("long").as("mo"),
+          col("__arr")(3).cast("long").as("dow"),
+          col("__arr")(4).cast("long").as("dom"))
+    },
+
     "text_featurizer" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
         // explicit whitespace class, NOT \s: Java's \s includes
@@ -550,6 +600,23 @@ object SparkEntry {
         .fit(tbl(s, dir, "events"))
       model.recommendForAllUsers(3, removeSeen = false)
         .withColumn("rank", col("rank").cast("int"))
+    },
+
+    // Deterministic grid gate over RankingTrainValidationSplit: on the
+    // RankingGateFixture graph, jaccard strictly dominates lift on
+    // held-out NDCG@5 (see the fixture's Scaladoc for the closed-form
+    // derivation); gate both candidates' quantized NDCG plus the winner.
+    "ranking_tvs" -> { (s, dir) =>
+      val r = new graft.reco.RankingTrainValidationSplit()
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setK(5).setHoldoutFraction(0.25)
+        .setGrid(Seq(("jaccard", 30), ("lift", 30)))
+        .fit(RankingGateFixture.df(s))
+      val best = r.bestParams("similarityFunction").toString
+      r.results.select(col("similarity"),
+          col("half_life").cast("int").as("half_life"),
+          floor(col("ndcg_at_k") * 1e4 + 0.5).cast("long").as("ndcg_q"),
+          (col("similarity") === lit(best)).cast("int").as("is_best"))
     },
 
     "ranking_ground_truth" -> { (s, dir) =>
@@ -911,6 +978,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "featurize_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom
+        |FROM orders""".stripMargin,
+
     // closed-vocab TF long form; term -> bucket constants from
     // HashingTF.indexOf (public murmur mapping), collision-checked
     "text_featurizer" -> {
@@ -1355,6 +1431,18 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY "user" ORDER BY score DESC, item) AS rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    // closed-form NDCG constants from the RankingGateFixture derivation:
+    // jaccard mean = (8/log2(5) + 0.5)/9, lift mean = (4/log2(6) +
+    // (4+1)/log2(5))/9, quantized with the shared floor(x*1e4+0.5)
+    "ranking_tvs" ->
+      """SELECT 'jaccard' AS similarity, CAST(30 AS INTEGER) AS half_life,
+        |       CAST(floor((8/log2(5) + 0.5)/9 * 1e4 + 0.5) AS BIGINT) AS ndcg_q,
+        |       CAST(1 AS INTEGER) AS is_best
+        |UNION ALL
+        |SELECT 'lift', CAST(30 AS INTEGER),
+        |       CAST(floor((4/log2(6) + 5/log2(5))/9 * 1e4 + 0.5) AS BIGINT),
+        |       CAST(0 AS INTEGER)""".stripMargin,
 
     "ranking_ground_truth" ->
       """SELECT user_id AS "user", CAST(rn AS INTEGER) AS rn,

@@ -32,6 +32,16 @@ class KNN(override val uid: String) extends Estimator[KNNModel]
   final val labelCol = new Param[String](this, "labelCol", "conditioner labels")
   def setLabelCol(v: String): this.type = set(labelCol, v)
 
+  /** Exact KNN's contract collects the fitted corpus to the driver (the
+    * reference's own design); this bound makes that explicit instead of
+    * letting a 100x corpus growth surface as a driver OOM mid-collect.
+    * Default 5M rows ~ a few GB of doubles at typical dims (SCALING.md). */
+  final val maxCollectRows = new LongParam(this, "maxCollectRows",
+    "fail fit() when the corpus exceeds this many rows (driver-collected)",
+    ParamValidators.gt(0))
+  setDefault(maxCollectRows -> 5000000L)
+  def setMaxCollectRows(v: Long): this.type = set(maxCollectRows, v)
+
   private[nn] def extractVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
     r.get(i) match {
       case v: MLVector => v.toArray
@@ -45,6 +55,13 @@ class KNN(override val uid: String) extends Estimator[KNNModel]
 
   override def fit(ds: Dataset[_]): KNNModel = {
     val df = ds.toDF()
+    val n = df.count()
+    require(n <= $(maxCollectRows),
+      s"KNN.fit would collect $n corpus rows to the driver (bound: " +
+        s"${$(maxCollectRows)}; raise with setMaxCollectRows if the " +
+        "driver has headroom). Exact KNN is driver-bounded by design — " +
+        "for larger corpora use the distributed ANN operators " +
+        "(graft.sim.LSHNearestNeighbors / IVFNearestNeighbors).")
     val hasLabels = isSet(labelCol)
     val cols = Seq(col(getInputCol), col($(idCol)).cast("long")) ++
       (if (hasLabels) Seq(col($(labelCol)).cast("int")) else Nil)

@@ -49,6 +49,20 @@ class KNNSuite extends TestBase {
     }
   }
 
+  test("fit fails fast above maxCollectRows, naming the ANN scale path") {
+    val emb = sfTable("embeddings")
+    val e = intercept[IllegalArgumentException] {
+      new KNN().setInputCol("embedding").setIdCol("vec_id")
+        .setMaxCollectRows(10L).fit(emb)
+    }
+    assert(e.getMessage.contains("collect"))
+    assert(e.getMessage.contains("LSHNearestNeighbors"))
+    // at-bound corpus still fits
+    val m = new KNN().setInputCol("embedding").setIdCol("vec_id").setK(2)
+      .setMaxCollectRows(10L).fit(emb.limit(10))
+    assert(m.transform(emb.limit(3)).count() == 3)
+  }
+
   test("ConditionalKNN via labelCol + conditionerCol") {
     val emb = sfTable("embeddings")
     val model = new KNN().setInputCol("embedding").setIdCol("vec_id")

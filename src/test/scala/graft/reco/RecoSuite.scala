@@ -114,6 +114,29 @@ class RecoSuite extends TestBase {
       .count() > 0)
   }
 
+  test("ranking_tvs gate fixture keeps jaccard-over-lift margin") {
+    // The driver gate takes the grid winner on the RankingGateFixture
+    // graph; robust only if jaccard's NDCG clears lift's by a real
+    // margin AND both land on their closed-form constants (the oracle
+    // recomputes those independently in DuckDB).
+    val r = new RankingTrainValidationSplit()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setK(5).setHoldoutFraction(0.25)
+      .setGrid(Seq(("jaccard", 30), ("lift", 30)))
+      .fit(graft.RankingGateFixture.df(spark))
+    assert(r.bestParams("similarityFunction") == "jaccard")
+    val byFn = r.results.collect()
+      .map(x => x.getAs[String]("similarity") -> x.getAs[Double]("ndcg_at_k"))
+      .toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2)
+    val expJaccard = (8 / log2(5) + 0.5) / 9
+    val expLift = (4 / log2(6) + 5 / log2(5)) / 9
+    assert(math.abs(byFn("jaccard") - expJaccard) < 1e-9)
+    assert(math.abs(byFn("lift") - expLift) < 1e-9)
+    assert(byFn("jaccard") - byFn("lift") > 0.02,
+      s"gate margin too thin: $byFn")
+  }
+
   test("ranking metrics: perfect and imperfect recommendations") {
     import RankingMetricsAgg._
     val perfect = perUser(Seq("a", "b"), Seq("a", "b"), 2)
