@@ -150,7 +150,15 @@ class ExactDeduplicator(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val fp = DedupFunctions.canonical(col(getInputCol))
+    val canon = DedupFunctions.canonical(col(getInputCol))
+    // 128-bit fingerprint pair as the group key, NOT the canonical text:
+    // the full normalized document as a shuffle/hash-map key made the
+    // exact-dedup shuffle carry every byte twice (key + kept row) and
+    // measured super-linear in the x10->x100 sweep. Two independently
+    // seeded 64-bit hashes keep the any-collision probability negligible
+    // at corpus scale (~1e-20 per pair at 10^9 docs).
+    val fp1 = xxhash64(canon)
+    val fp2 = xxhash64(lit(0x9e3779b9L), canon)
     // min_by keeps the whole smallest-id row per fingerprint in ONE
     // map-side-combinable aggregation — no per-bucket sort, and the map
     // phase already collapses local duplicates before the shuffle (a
@@ -158,7 +166,7 @@ class ExactDeduplicator(override val uid: String) extends Transformer
     // and sorts each bucket)
     // null ids order last (min_by skips null ordering values entirely,
     // which would drop a group whose rows all have null ids)
-    df.groupBy(fp.as("__fp"))
+    df.groupBy(fp1.as("__fp"), fp2.as("__fp2"))
       .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
         coalesce(col($(idCol)).cast("long"), lit(Long.MaxValue))).as("__row"))
       .select(col("__row.*"))
