@@ -458,11 +458,34 @@ object SparkEntry {
       val arr = org.apache.spark.ml.functions.vector_to_array(col("f"))
       m.transform(orders).withColumn("__arr", arr)
         .select(col("o_orderkey"),
-          col("__arr")(0).cast("long").as("epoch_s"),
+          col("__arr")(0).cast("long").as("epoch_ms"),
           col("__arr")(1).cast("long").as("yr"),
-          col("__arr")(2).cast("long").as("mo"),
-          col("__arr")(3).cast("long").as("dow"),
+          col("__arr")(2).cast("long").as("dow"),
+          col("__arr")(3).cast("long").as("mo"),
           col("__arr")(4).cast("long").as("dom"))
+    },
+
+    // timestamp path: the reference's full 8-component layout
+    // [epochMs, year, isoDow, month, day, hour, minute, second]
+    "featurize_timestamp" -> { (s, dir) =>
+      // events.ts arrives as raw long nanos (nanosAsLong); Featurize takes
+      // typed timestamp columns, so convert first (micros truncation is
+      // invisible at the ms/sec component level)
+      val events = tbl(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val m = new Featurize().setInputCols(Seq("ts"))
+        .setOutputCol("f").fit(events)
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("f"))
+      m.transform(events).withColumn("__arr", arr)
+        .select(col("event_id"),
+          col("__arr")(0).cast("long").as("epoch_ms"),
+          col("__arr")(1).cast("long").as("yr"),
+          col("__arr")(2).cast("long").as("dow"),
+          col("__arr")(3).cast("long").as("mo"),
+          col("__arr")(4).cast("long").as("dom"),
+          col("__arr")(5).cast("long").as("hr"),
+          col("__arr")(6).cast("long").as("mi"),
+          col("__arr")(7).cast("long").as("sec"))
     },
 
     "text_featurizer" -> { (s, dir) =>
@@ -980,12 +1003,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "featurize_datetime" ->
       """SELECT o_orderkey,
-        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS epoch_ms,
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
-        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         |  CAST(day(o_orderdate) AS BIGINT) AS dom
         |FROM orders""".stripMargin,
+
+    "featurize_timestamp" ->
+      """SELECT event_id,
+        |  epoch_ms(ts) AS epoch_ms,
+        |  CAST(year(ts) AS BIGINT) AS yr,
+        |  CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(month(ts) AS BIGINT) AS mo,
+        |  CAST(day(ts) AS BIGINT) AS dom,
+        |  CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  CAST(second(ts) AS BIGINT) AS sec
+        |FROM events""".stripMargin,
 
     // closed-vocab TF long form; term -> bucket constants from
     // HashingTF.indexOf (public murmur mapping), collision-checked

@@ -14,9 +14,14 @@ import org.apache.spark.sql.types._
   *  - numeric → cast double + mean imputation;
   *  - string (low cardinality unknown) → tokenizer + HashingTF [+ IDF];
   *  - boolean → cast double;
-  *  - timestamp/date → [epoch, year, month, dayofweek, day, hour] vector,
-  *    built from native expressions (better than the reference's UDF —
-  *    SURVEY §2.8 note);
+  *  - date → [epochMs, year, isoDayofweek, month, day] vector;
+  *    timestamp → the same plus [hour, minute, second] — the exact
+  *    component set, order, epoch unit (milliseconds) and ISO Mon=1
+  *    day-of-week of the reference (featurize/Featurize.scala:188-213,
+  *    which uses ts.getTime + java.time getDayOfWeek.getValue), built
+  *    from native expressions instead of its UDF (SURVEY §2.8 note; the
+  *    featurize_datetime / featurize_timestamp driver gates check each
+  *    component against DuckDB date parts);
   *  - vector → passthrough.
   */
 class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
@@ -56,13 +61,25 @@ class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
             .setOutputCol(tmp + "_h").setNumFeatures($(numFeatures))
           assembled += tmp + "_h"
         case TimestampType | TimestampNTZType | DateType =>
-          preExprs += (tmp + "_epoch") -> unix_timestamp(col(c)).cast("double")
+          // epoch in ms (ref uses java.sql getTime, which floors sub-ms);
+          // floor(micros/1000) is exact for |micros| < 2^53 (~year 2255)
+          // since an exact-multiple quotient is itself representable.
+          // ISO dow: Spark dayofweek is Sun=1, the ref is Mon=1..Sun=7
+          preExprs += (tmp + "_epoch") ->
+            floor(unix_micros(col(c).cast("timestamp")) / lit(1000L)).cast("double")
           preExprs += (tmp + "_year") -> year(col(c)).cast("double")
+          preExprs += (tmp + "_dow") ->
+            (((dayofweek(col(c)) + lit(5)) % lit(7)) + lit(1)).cast("double")
           preExprs += (tmp + "_month") -> month(col(c)).cast("double")
-          preExprs += (tmp + "_dow") -> dayofweek(col(c)).cast("double")
           preExprs += (tmp + "_day") -> dayofmonth(col(c)).cast("double")
-          assembled ++= Seq(tmp + "_epoch", tmp + "_year", tmp + "_month",
-            tmp + "_dow", tmp + "_day")
+          assembled ++= Seq(tmp + "_epoch", tmp + "_year", tmp + "_dow",
+            tmp + "_month", tmp + "_day")
+          if (t != DateType) {
+            preExprs += (tmp + "_hour") -> hour(col(c)).cast("double")
+            preExprs += (tmp + "_min") -> minute(col(c)).cast("double")
+            preExprs += (tmp + "_sec") -> second(col(c)).cast("double")
+            assembled ++= Seq(tmp + "_hour", tmp + "_min", tmp + "_sec")
+          }
         case org.apache.spark.ml.linalg.SQLDataTypes.VectorType =>
           assembled += c
         case other => throw new IllegalArgumentException(

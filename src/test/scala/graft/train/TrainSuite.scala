@@ -68,8 +68,27 @@ class TrainSuite extends TestBase {
       .getAs[org.apache.spark.ml.linalg.Vector](0)
     // exact layout golden (the reference commits featurize-schema JSONs —
     // benchmark{BasicDataTypes,Date,String}.json — for the same purpose):
-    // 1 numeric slot + 64 hashed text slots + 5 date features
-    assert(v.size == 1 + 64 + 5, s"featurized layout changed: ${v.size}")
+    // 1 numeric slot + 64 hashed text slots + 8 timestamp features
+    assert(v.size == 1 + 64 + 8, s"featurized layout changed: ${v.size}")
+    // 2024-01-01 00:00:00 UTC: reference component order/units
+    // [epochMs, year, isoDow(Mon=1), month, day, hour, min, sec]
+    val ts = v.toArray.takeRight(8)
+    assert(ts.sameElements(
+      Array(1704067200000.0, 2024.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0)),
+      s"timestamp components changed: ${ts.mkString(",")}")
+  }
+
+  test("Featurize date column gets the 5-component reference layout") {
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-06-16")), // a Sunday: isoDow 7
+      (2L, java.sql.Date.valueOf("2024-06-15"))
+    ).toDF("id", "d")
+    val m = new Featurize().setInputCols(Seq("d")).setOutputCol("f").fit(df)
+    val v = m.transform(df).orderBy("id").select("f").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.toArray.sameElements(
+      Array(1718496000000.0, 2024.0, 7.0, 6.0, 16.0)),
+      s"date components changed: ${v.toArray.mkString(",")}")
   }
 
   test("TextFeaturizer TF-IDF end-to-end") {
