@@ -55,7 +55,12 @@ class Featurize(override val uid: String) extends Estimator[FeaturizeModel]
           preExprs += tmp -> col(c).cast("double")
           assembled += tmp
         case StringType =>
-          stages += new RegexTokenizer().setInputCol(c).setOutputCol(tmp + "_t")
+          // the reference null-fills strings before tokenizing
+          // (featurize/Featurize.scala:181 na.fill) — without it a null
+          // row poisons the assembled vector
+          preExprs += (tmp + "_nn") -> coalesce(col(c), lit(""))
+          stages += new RegexTokenizer().setInputCol(tmp + "_nn")
+            .setOutputCol(tmp + "_t")
             .setPattern("\\s+").setToLowercase(true)
           stages += new HashingTF().setInputCol(tmp + "_t")
             .setOutputCol(tmp + "_h").setNumFeatures($(numFeatures))

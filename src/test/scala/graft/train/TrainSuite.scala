@@ -78,6 +78,17 @@ class TrainSuite extends TestBase {
       s"timestamp components changed: ${ts.mkString(",")}")
   }
 
+  test("Featurize null-fills string columns like the reference") {
+    val df = Seq((1.0, "hello"), (2.0, null: String)).toDF("num", "txt")
+    val m = new Featurize().setInputCols(Seq("num", "txt"))
+      .setNumFeatures(16).fit(df)
+    val vs = m.transform(df).select("features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    assert(vs.forall(v => !v.toArray.exists(_.isNaN)),
+      "null string row produced NaN features")
+    assert(vs.forall(_.size == 1 + 16))
+  }
+
   test("Featurize date column gets the 5-component reference layout") {
     val df = Seq(
       (1L, java.sql.Date.valueOf("2024-06-16")), // a Sunday: isoDow 7
