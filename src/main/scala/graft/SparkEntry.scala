@@ -769,11 +769,12 @@ object SparkEntry {
     },
 
     "access_anomaly" -> { (s, dir) => // rows-only: ALS scores
-      // gate-latency hygiene: rows-only output is iteration-invariant, so
-      // 3 iterations suffice here; exactness lives in the margin-tested
+      // gate-latency hygiene: rows-only output is iteration-invariant
+      // (the driver records rows+schema only here), so a single ALS
+      // iteration suffices; score exactness lives in the margin-tested
       // access_anomaly_planted companion below (maxIter 5)
       new graft.cyber.AccessAnomaly().setTenantCol("event_type")
-        .setUserCol("user_id").setResCol("res").setRank(4).setMaxIter(3)
+        .setUserCol("user_id").setResCol("res").setRank(4).setMaxIter(1)
         .setNumBlocks(2) // gate-scale: input capped at 2000 rows
         .transform(tbl(s, dir, "events")
           .filter(col("event_id") < 2000)
