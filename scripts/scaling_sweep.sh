@@ -4,14 +4,24 @@
 # (graft.tools.ScaleGen), then print the per-query scaling report that
 # SCALING.md's "Measured" section is built from.
 #
-# Usage: scripts/scaling_sweep.sh [outDir]   (default target/scale)
+# Usage: scripts/scaling_sweep.sh [outDir [queryName ...]]
+#   outDir defaults to target/scale; extra args override the default
+#   query list. SCALE_CORPUS_DIR reuses corpora generated under another
+#   outDir (e.g. SCALE_CORPUS_DIR=target/scale for a second tranche).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 OUT="${1:-target/scale}"
-QUERIES=(q1_pricing_summary q3_shipping_priority q5_region_revenue
-         dedup_exact dedup_minhash dedup_embedding knn_ivf
-         sessionize window_agg_hourly)
+[ $# -gt 0 ] && shift
+if [ $# -gt 0 ]; then
+  QUERIES=("$@")
+else
+  QUERIES=(q1_pricing_summary q3_shipping_priority q5_region_revenue
+           dedup_exact dedup_minhash dedup_embedding knn_ivf
+           sessionize window_agg_hourly)
+fi
+CORPUS="${SCALE_CORPUS_DIR:-$OUT}"
+mkdir -p "$OUT"
 
 CP_FILE=/tmp/graft_cp.txt
 if [ ! -s "$CP_FILE" ]; then
@@ -30,14 +40,14 @@ JVM="$ADD_OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx24
 sbt -batch compile >/dev/null
 
 for f in 10 100; do
-  if [ ! -d "$OUT/x$f" ]; then
-    echo "== generating ${f}x corpus at $OUT/x$f"
-    java $JVM -cp "$CP" graft.tools.ScaleGen /root/testdata/sf0.1 "$OUT/x$f" "$f" \
+  if [ ! -d "$CORPUS/x$f" ]; then
+    echo "== generating ${f}x corpus at $CORPUS/x$f"
+    java $JVM -cp "$CP" graft.tools.ScaleGen /root/testdata/sf0.1 "$CORPUS/x$f" "$f" \
       2>/dev/null | tail -1
   fi
 done
 
-for dir in /root/testdata/sf0.1 "$OUT/x10" "$OUT/x100"; do
+for dir in /root/testdata/sf0.1 "$CORPUS/x10" "$CORPUS/x100"; do
   tag=$(basename "$dir")
   echo "== bench at $tag"
   SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 \

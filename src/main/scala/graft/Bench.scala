@@ -108,6 +108,11 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val acc = new Acc
+      // untimed gc barrier: without it, garbage from a heavy neighbor
+      // (a GB-shuffle query) gets collected DURING the next query's wall
+      // — the documented ±50% in-suite drift; total is a sum of walls,
+      // so the pause itself is never billed
+      System.gc()
       current = acc
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
