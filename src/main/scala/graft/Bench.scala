@@ -29,21 +29,25 @@ object Bench {
   val MaxLineBytes = 1900
 
   /** Render the contract line at 3-decimal walls, degrading to 2 then 1
-    * decimals only if the line would overflow the driver's tail capture.
-    * Fit is by construction, not by hoping walls stay small; millisecond
-    * resolution is already below the ±50% suite-position noise floor.
+    * then 0 decimals — and, as a last resort, shortening the sf path to
+    * its basename — only if the line would overflow the driver's tail
+    * capture. Fit is by construction, not by hoping walls stay small;
+    * millisecond resolution is already below the ±50% suite-position
+    * noise floor.
     */
   def renderLine(walls: Seq[(String, Double)], total: Double, sfDir: String): String = {
-    def at(dec: Int): String = {
+    def at(dec: Int, shortSf: Boolean): String = {
       val f = s"%.${dec}f"
       def r(v: Double) = f.formatLocal(java.util.Locale.ROOT, v)
       val qs = walls.map { case (k, w) => "\"" + k + "\":" + r(w) }
         .mkString("{", ",", "}")
-      contractLine(r(total), qs, sfDir)
+      val sf = if (shortSf) new java.io.File(sfDir).getName else sfDir
+      contractLine(r(total), qs, sf)
     }
-    Iterator(3, 2, 1, 0).map(at)
+    Iterator((3, false), (2, false), (1, false), (0, false), (0, true))
+      .map((at _).tupled)
       .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxLineBytes)
-      .getOrElse(at(0))
+      .getOrElse(at(0, shortSf = true))
   }
 
   private final class Acc {
@@ -138,7 +142,19 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(renderLine(results.map { case (k, (w, _)) => k -> w }, total, sfDir))
+    val line = renderLine(results.map { case (k, (w, _)) => k -> w }, total, sfDir)
+    println(line)
+    // BENCH_r{1..9} all recorded "parsed": null even when the stdout line
+    // was complete in the captured tail — plausibly the sbt framing
+    // ("[info] " prefix + "[success]" epilogue) defeats the driver's
+    // parser. Round-10 experiment (VERDICT r9 "What's wrong" #1, one try
+    // only): ALSO emit the line on stderr (unframed by sbt) and persist
+    // it to target/bench_contract.json. If r10 still records null, the
+    // residue is driver-side — close the item.
+    System.err.println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_contract.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)

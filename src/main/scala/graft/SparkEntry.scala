@@ -5,7 +5,7 @@ import graft.featurize._
 import graft.sim._
 import graft.stages._
 import graft.text._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,56 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic WAV fixture for the multimodal audio gate: canonical
+    * 44-byte RIFF/PCM header + a 4 kHz square wave (alternating ±8192 =
+    * ±0.25 full-scale) at 8 kHz mono 16-bit, `2000 * (1 + id % 4)` frames
+    * (0.25–1.0 s). Every field the decoder reports is closed-form:
+    * duration_ms = 250 * (1 + id % 4), rate 8000, mono, RMS exactly 0.25
+    * (|sample| is constant and 8192/32768 = 2^-2 is binary-exact). */
+  private[graft] def testWavBytes(id: Long): Array[Byte] = {
+    val frames = 2000 * (1 + (id % 4).toInt)
+    val dataLen = frames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(16000)         // sample rate, byte rate
+      .putShort(2).putShort(16)           // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      b.putShort(if (i % 2 == 0) 8192 else -8192)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Planted-region image fixture for the ImageLIME gate: 32×32 BGR,
+    * all black except one all-white 16×16 quadrant selected by
+    * `id % 4` in SLIC grid order (TL, TR, BL, BR) — with numSegments=4
+    * the quadrant is exactly one superpixel and its segment index equals
+    * the quadrant index. */
+  private[graft] def plantedImageBytes(id: Long): Array[Byte] = {
+    val w = 32
+    val q = (id % 4).toInt
+    val y0 = if (q >= 2) 16 else 0
+    val x0 = if (q % 2 == 1) 16 else 0
+    val out = new Array[Byte](32 * 32 * 3)
+    var y = y0
+    while (y < y0 + 16) {
+      var x = x0
+      while (x < x0 + 16) {
+        val base = (y * w + x) * 3
+        out(base) = -1; out(base + 1) = -1; out(base + 2) = -1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -738,6 +788,61 @@ object SparkEntry {
           (round(col("col"), 4) + lit(0.0)).as("phi"), col("base"))
     },
 
+    // Planted one-hot rule model for TextLIME: doc text is 8 fixed
+    // tokens with the literal "key" planted at position doc_id % 8; the
+    // black box is 1 iff the masked text still contains "key", so
+    // y == mask bit p EXACTLY and the surrogate recovers the one-hot
+    // coefficient vector (intercept 0) to solver tolerance. Margin-
+    // tested in ExplainersSuite (planted coef ≥ 1 vs 0 elsewhere).
+    "lime_text" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("text8", concat_ws(" ",
+          (0 until 8).map(i => when(col("doc_id") % 8 === i, lit("key"))
+            .otherwise(lit(s"tok$i"))): _*))
+      new graft.explain.TextLIME().setIdCol("doc_id").setTextCol("text8")
+        .setNumSamples(64)
+        .setScoringFn(df => df.withColumn("prediction",
+          when(col("text8").contains("key"), 1.0).otherwise(0.0)))
+        .transform(docs)
+        .select(col("doc_id"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"),
+          posexplode(col("token_importance")))
+        .select(col("doc_id"), col("intercept"),
+          col("pos").cast("int").as("dim"),
+          (round(col("col"), 4) + lit(0.0)).as("coef"))
+    },
+
+    // Planted one-hot region model for ImageLIME: 32x32 black image with
+    // ONE bright 16x16 quadrant (doc_id % 4). numSegments=4 puts the
+    // SLIC init grid exactly on the quadrants, and the 255-vs-0 color
+    // distance dwarfs the spatial term, so the bright quadrant is one
+    // superpixel whose index IS the quadrant — the rule model (any
+    // non-black pixel -> 1) makes y == mask bit q exactly, closed-form
+    // one-hot recovery like lime_text. Margin-tested in ExplainersSuite.
+    "lime_image" -> { (s, dir) =>
+      val data = udf((id: Long) => SparkEntry.plantedImageBytes(id))
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("image", struct(
+          lit("synth").as("origin"), lit(32).as("height"),
+          lit(32).as("width"), lit(3).as("nChannels"),
+          lit(graft.image.ImageSchemaUtils.ocvType8UC3).as("mode"),
+          data(col("doc_id")).as("data")))
+      val bright = udf((img: Row) =>
+        if (img.getAs[Array[Byte]](5).exists(_ != 0)) 1.0 else 0.0)
+      new graft.explain.ImageLIME().setIdCol("doc_id").setImageCol("image")
+        .setNumSamples(64).setNumSegments(4)
+        .setScoringFn(df => df.withColumn("prediction", bright(col("image"))))
+        .transform(docs)
+        .select(col("doc_id"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"),
+          posexplode(col("segment_importance")))
+        .select(col("doc_id"), col("intercept"),
+          col("pos").cast("int").as("dim"),
+          (round(col("col"), 4) + lit(0.0)).as("coef"))
+    },
+
     // ---- cyber (§2.4: per-tenant ops) -------------------------------
     "cyber_std_scaler" -> { (s, dir) =>
       new graft.cyber.PerTenantStandardScaler().setTenantCol("event_type")
@@ -889,6 +994,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_id"))
     },
 
+    // Same operator, same oracle as window_agg_hourly — but executed
+    // through the Structured Streaming ENGINE end-to-end: file source →
+    // watermarked event-time window agg → memory sink, one AvailableNow
+    // run. Complete output mode so the final windows (which an append-
+    // mode watermark would hold back at end-of-input) are emitted; the
+    // watermark column plumbing is still exercised. Closes the last
+    // driver-untested execution mode (VERDICT r9 "What's missing" #3).
+    "window_agg_hourly_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // FileStreamSource wants a DIRECTORY; the testdata tables are
+      // single files — expose the file through a temp-dir symlink
+      val tmp = java.nio.file.Files.createTempDirectory("wah_stream")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      val agg = new graft.streaming.EventTimeWindowAggregator()
+        .setTimeCol("ts").setWindowDuration("1 hour")
+        .setGroupCols(Seq("event_type")).setValueCol("value")
+        .setWatermark("1 hour")
+        .transform(stream)
+      val qname = s"wah_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    },
+
     "per_instance_stats" -> { (s, dir) =>
       // deterministic baseline predictor (decimal-exact global mean) so
       // the per-row losses are oracle-checkable
@@ -952,14 +1088,33 @@ object SparkEntry {
     },
 
     // ---- multimodal column plumbing (LLM-pipeline) ------------------
+    // Two modality passes over the same table. Image rows feed text bytes
+    // (not decodable → stub path, decoded=false, magic sniffed). Audio
+    // rows feed the deterministic WAV fixture through the REAL
+    // javax.sound decode ([[testWavBytes]]: every asserted field is
+    // closed-form — decoded=true, magic 'riff', duration from id). The
+    // float→ms rounding keeps the hash compare integer-exact.
     "multimodal_stub" -> { (s, dir) =>
-      new graft.io.binary.MultimodalFeaturizer().setInputCol("payload")
-        .setModality("image").setDim(8)
-        .transform(tbl(s, dir, "documents")
-          .withColumn("payload", col("text").cast("binary")))
+      val docs = tbl(s, dir, "documents")
+      val image = new graft.io.binary.MultimodalFeaturizer()
+        .setInputCol("payload").setModality("image").setDim(8)
+        .transform(docs.withColumn("payload", col("text").cast("binary")))
         .select(col("doc_id"), col("media_meta.modality").as("modality"),
           col("media_meta.size_bytes").as("size_bytes"),
-          col("media_meta.magic").as("magic"))
+          col("media_meta.magic").as("magic"),
+          col("media_meta.decoded").as("decoded"),
+          lit(0L).as("duration_ms"))
+      val wav = udf((id: Long) => SparkEntry.testWavBytes(id))
+      val audio = new graft.io.binary.MultimodalFeaturizer()
+        .setInputCol("payload").setModality("audio").setDim(6)
+        .transform(docs.withColumn("payload", wav(col("doc_id"))))
+        .select(col("doc_id"), col("media_meta.modality").as("modality"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.magic").as("magic"),
+          col("media_meta.decoded").as("decoded"),
+          round(element_at(col("media_features"), 1) * 1000)
+            .cast("long").as("duration_ms"))
+      image.unionAll(audio)
     },
 
     // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
@@ -1594,6 +1749,17 @@ object SparkEntry {
     // events.ts is TIMESTAMP(NANOS) parquet: epoch seconds = nanos DIV 1e9;
     // make_timestamp (not to_timestamp) so the oracle stays naive-UTC like
     // the parquet round trip of Spark's window bounds
+    // the streaming-engine run must agree with the batch oracle exactly
+    "window_agg_hourly_stream" ->
+      """SELECT
+        |  make_timestamp(CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
+        |  make_timestamp((CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) + 3600) * 1000000) AS window_end,
+        |  event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "window_agg_hourly" ->
       """SELECT
         |  make_timestamp(CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
@@ -1622,6 +1788,22 @@ object SparkEntry {
         |  CAST(((d % 4) + 1) * 0.25 AS DOUBLE) AS coef
         |FROM (SELECT vec_id, unnest(range(0, len(embedding))) AS d
         |      FROM embeddings WHERE vec_id < 20)""".stripMargin,
+
+    // planted one-hot rule models: coef 1 at the planted position/
+    // quadrant, 0 elsewhere, intercept 0 (see the query comments)
+    "lime_text" ->
+      """SELECT doc_id, CAST(0.0 AS DOUBLE) AS intercept, CAST(d AS INTEGER) AS dim,
+        |  CAST(CASE WHEN d = doc_id % 8 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+        |    AS coef
+        |FROM documents CROSS JOIN (SELECT unnest(range(8)) AS d)
+        |WHERE doc_id < 200""".stripMargin,
+
+    "lime_image" ->
+      """SELECT doc_id, CAST(0.0 AS DOUBLE) AS intercept, CAST(d AS INTEGER) AS dim,
+        |  CAST(CASE WHEN d = doc_id % 4 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+        |    AS coef
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS d)
+        |WHERE doc_id < 100""".stripMargin,
 
     // linear model => phi_d = c_d (x_d - mean_d) with decimal-exact
     // per-dimension background means over the same explained subset
@@ -1776,7 +1958,14 @@ object SparkEntry {
     "multimodal_stub" ->
       """SELECT doc_id, 'image' AS modality,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
-        |  'unknown' AS magic
+        |  'unknown' AS magic, FALSE AS decoded,
+        |  CAST(0 AS BIGINT) AS duration_ms
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'audio' AS modality,
+        |  CAST(44 + 2 * 2000 * (1 + doc_id % 4) AS BIGINT) AS size_bytes,
+        |  'riff' AS magic, TRUE AS decoded,
+        |  CAST(250 * (1 + doc_id % 4) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "sessionize" ->

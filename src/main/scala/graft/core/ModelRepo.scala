@@ -32,11 +32,16 @@ class ModelRepo(spark: SparkSession, root: String) {
 
   /** Every name-taking operation resolves `root/<name>` — a traversal name
     * ('..') would address (or `delete` recursively destroy) paths OUTSIDE
-    * the repo root, so validate centrally, not just on publish. */
+    * the repo root, so validate centrally, not just on publish. Leading
+    * '.' is rejected wholesale: it covers '.'/'..' and the reserved
+    * `.tmp-`/`.old-` staging namespaces (a model named '.tmp-x-1' would
+    * publish fine but be invisible to list() and live where publish
+    * cleanup deletes). */
   private def checkName(name: String): String = {
-    require(name.nonEmpty && name != "." && name != ".." &&
+    require(name.nonEmpty && !name.startsWith(".") &&
       !name.contains("/") && !name.contains("\\"),
-      s"bad model name: '$name' (must be non-empty, no '/', '\\', '.', '..')")
+      s"bad model name: '$name' (must be non-empty, not start with '.', " +
+        "and contain no '/' or '\\')")
     name
   }
 
@@ -45,30 +50,52 @@ class ModelRepo(spark: SparkSession, root: String) {
   private def modelPath(name: String) =
     new Path(rootPath, s"${checkName(name)}/model")
 
-  /** Publish is atomic: stage dir + info.json are written to a temp
-    * sibling and renamed into place, so a concurrent list()/load() never
-    * observes a half-written model. */
+  /** Publish is atomic for READERS: stage dir + info.json are staged in a
+    * temp sibling, the live dir (if any) is renamed ASIDE — never deleted
+    * first, so the name has no absent window — the temp dir is renamed
+    * into place, and only then is the old model deleted. A failed swap
+    * restores the old model. Writers are NOT coordinated: publishing the
+    * same name from two processes concurrently is undefined (single
+    * writer per name is the caller's contract); the nested-directory
+    * check below at least detects the HDFS-rename-into-existing-dir
+    * outcome of such a race and fails instead of leaving `.tmp-*` debris
+    * inside the live model. */
   def publish(name: String, stage: PipelineStage with MLWritable): ModelInfo = {
     checkName(name)
     val finalDir = new Path(rootPath, name)
-    val tmpDir = new Path(rootPath, s".tmp-$name-${System.nanoTime()}")
+    val stamp = System.nanoTime()
+    val tmpDir = new Path(rootPath, s".tmp-$name-$stamp")
     stage.write.overwrite().save(new Path(tmpDir, "model").toString)
     val size = fs.getContentSummary(new Path(tmpDir, "model")).getLength
     val info = ModelInfo(name, stage.getClass.getName, stage.uid,
       size, System.currentTimeMillis())
     ModelIO.writeText(spark, new Path(tmpDir, "info.json").toString, infoJson(info))
-    if (fs.exists(finalDir)) fs.delete(finalDir, true)
-    if (!fs.rename(tmpDir, finalDir)) {
+    val oldDir = new Path(rootPath, s".old-$name-$stamp")
+    val hadOld = fs.exists(finalDir)
+    if (hadOld && !fs.rename(finalDir, oldDir)) {
       fs.delete(tmpDir, true)
-      sys.error(s"publish of $name failed: could not rename $tmpDir to $finalDir")
+      sys.error(s"publish of $name failed: could not move the live model aside")
     }
+    // HDFS renames a source INTO an existing destination directory and
+    // returns true — so a racing publisher can recreate finalDir between
+    // our two renames and this rename would nest tmpDir inside it. Treat
+    // rename-returned-false OR a nested result as failure.
+    val renamed = fs.rename(tmpDir, finalDir)
+    val nested = new Path(finalDir, tmpDir.getName)
+    if (!renamed || fs.exists(nested)) {
+      if (fs.exists(nested)) fs.delete(nested, true) else fs.delete(tmpDir, true)
+      if (hadOld) fs.rename(oldDir, finalDir)
+      sys.error(s"publish of $name failed: could not rename $tmpDir to " +
+        s"$finalDir (concurrent publish?)")
+    }
+    if (hadOld) fs.delete(oldDir, true)
     info
   }
 
   def list(): Seq[ModelInfo] =
     if (!fs.exists(rootPath)) Seq.empty
     else fs.listStatus(rootPath).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(_.startsWith(".tmp-"))
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
       .filter(n => fs.exists(infoPath(n)))
       .map(info).sortBy(_.name)
 

@@ -168,6 +168,16 @@ object ComplementAccessTransformer extends graft.core.GraftReadable[ComplementAc
   * feedback ALS, score pairs by the factor dot product, and z-score the
   * result per tenant — low/negative scores flag accesses the embedding
   * considers unlikely.
+  *
+  * Cache lifecycle: transform() persists the encoded access frame because
+  * two actions consume it (the ALS fit here, and the caller's action over
+  * the scored output) — and it CANNOT be unpersisted before return, since
+  * the scored output's lineage still reads it. The block
+  * (MEMORY_AND_DISK, sized |distinct access triples|) is therefore left
+  * cached; memory-resident parts yield to LRU but disk-resident parts
+  * live until the session ends or the caller materializes the scored
+  * output and runs `spark.catalog.clearCache()`. Repeated transform()
+  * calls in one long-lived session accumulate one such block each.
   */
 class AccessAnomaly(override val uid: String) extends Transformer
     with HasTenantCol with graft.core.GraftWritable {

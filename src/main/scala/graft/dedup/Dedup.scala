@@ -5,7 +5,6 @@ import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -106,6 +105,49 @@ object DedupFunctions {
       org.apache.spark.sql.Encoders.product[CappedIds]
   }
 
+  /** Buffer of [[BoundedPrefixAggregator]]: the `cap` smallest `(df, key)`
+    * pairs seen so far for one document, sorted ascending. `cap` rides in
+    * the buffer because the PPJoin prefix length is per-document
+    * (`|sh| - ceil(t·|sh|) + 1`), not a constructor constant. */
+  case class PrefixBuf(cap: Int, dfs: Seq[Long], keys: Seq[Long])
+
+  /** Per-document PPJoin prefix selection as a map-side-combinable
+    * aggregate: keeps the `cap` smallest shingles under the global
+    * `(documentFrequency, shingleHash)` total order. Replaces a
+    * `Window.partitionBy(id).orderBy(df, key)` + `row_number` cap, which
+    * shipped EVERY (doc, shingle, df) row through an exchange and sorted
+    * O(total shingles) — here the map-side partial aggregation collapses
+    * each document to ≤ `cap` pairs before the shuffle, and nothing sorts
+    * more than one buffer. Input rows are `(cap, df, key)`.
+    */
+  class BoundedPrefixAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[(Int, Long, Long), PrefixBuf, Seq[Long]] {
+    private def insert(b: PrefixBuf, cap0: Int, df: Long, key: Long): PrefixBuf = {
+      val cap = math.max(b.cap, cap0)
+      val full = b.dfs.length >= cap
+      // fast reject: buffer full and the new pair is >= the current max
+      if (full && (df > b.dfs.last || (df == b.dfs.last && key >= b.keys.last)))
+        PrefixBuf(cap, b.dfs, b.keys)
+      else {
+        val merged = ((b.dfs zip b.keys) :+ (df, key)).sorted.take(cap)
+        PrefixBuf(cap, merged.map(_._1), merged.map(_._2))
+      }
+    }
+    override def zero: PrefixBuf = PrefixBuf(0, Vector.empty, Vector.empty)
+    override def reduce(b: PrefixBuf, in: (Int, Long, Long)): PrefixBuf =
+      insert(b, in._1, in._2, in._3)
+    override def merge(x: PrefixBuf, y: PrefixBuf): PrefixBuf = {
+      val cap = math.max(x.cap, y.cap)
+      val merged = ((x.dfs zip x.keys) ++ (y.dfs zip y.keys)).sorted.take(cap)
+      PrefixBuf(cap, merged.map(_._1), merged.map(_._2))
+    }
+    override def finish(b: PrefixBuf): Seq[Long] = b.keys
+    override def bufferEncoder: org.apache.spark.sql.Encoder[PrefixBuf] =
+      org.apache.spark.sql.Encoders.product[PrefixBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** All unordered in-bucket pairs of a sorted id array, as
     * `struct(l, r)` with `l < r` — generated inside the (already capped)
     * bucket, so no self-join and no second shuffle. */
@@ -135,11 +177,66 @@ object DedupFunctions {
       .filter(col("__id_l") < col("__id_r"))
       .distinct()
   }
+
+  /** Verification payload join, both shapes. `restrict = false` (the
+    * measured default): direct two-sided equi-join of the payload onto the
+    * pair frame — within one action Catalyst's ReuseExchange computes and
+    * shuffles the payload subplan once, and on a dup-dense corpus (where
+    * most documents ARE candidates) nothing better exists. `restrict =
+    * true`: the payload is first semi-joined down to candidate ids, so the
+    * wide payload of non-candidate rows never enters the l/r exchanges —
+    * the right shape when verified candidates are a SMALL fraction of the
+    * corpus and the id set broadcasts.
+    *
+    * Measured motivation for the default (SCALING.md round 10): on the
+    * dup-dense ScaleGen 100x corpus the candidate id set (30M) was too
+    * big to broadcast, the sort-merge semi became a THIRD full-payload
+    * shuffle, and walls went 35.6→49.4 s (minhash) / 41.5→71.6 s (ngram)
+    * with zero shuffle saved. Restriction only helps when it restricts.
+    *
+    * `payload` must have an `__id` column plus `payloadCol`; the result
+    * has the pair columns plus `<payloadCol>_l` / `<payloadCol>_r`.
+    */
+  private[graft] def joinCandidatePayload(pairs: DataFrame, payload: DataFrame,
+      payloadCol: String, restrict: Boolean): DataFrame = {
+    val side = if (restrict) {
+      // no distinct on the id set: left_semi dedups inherently, and a
+      // distinct would only add an exchange
+      val candIds = pairs.select(col("__id_l").as("__id"))
+        .union(pairs.select(col("__id_r").as("__id")))
+      payload.join(candIds, Seq("__id"), "left_semi")
+    } else payload
+    pairs
+      .join(side.select(col("__id").as("__id_l"),
+        col(payloadCol).as(s"${payloadCol}_l")), Seq("__id_l"))
+      .join(side.select(col("__id").as("__id_r"),
+        col(payloadCol).as(s"${payloadCol}_r")), Seq("__id_r"))
+  }
+
+  /** Shared LAZY tail of every near-dup transform: payload join (shape
+    * per `restrict`, see [[joinCandidatePayload]]), exact verification
+    * with `keep`, duplicate-id projection. Everything stays one
+    * declarative plan so the caller's single action lets Catalyst reuse
+    * the payload exchange across the l/r joins — an eager variant
+    * (persist pairs + materialize ids before returning) was measured 23%
+    * slower at 10x (tasks 26→346, exchange reuse lost; SCALING.md
+    * round 10) and was rejected.
+    */
+  private[graft] def dupIdsOf(pairs: DataFrame, payload: DataFrame,
+      payloadCol: String, keep: Column, restrict: Boolean): DataFrame =
+    joinCandidatePayload(pairs, payload, payloadCol, restrict)
+      .filter(keep)
+      .select(col("__id_r").as("__dup_id")).distinct()
 }
 
-/** Exact deduplication: keep one row (smallest id) per identical canonical
-  * text. One shuffle, on a 64-bit fingerprint+id — the full text rides
-  * along only once; at 100 TB the shuffled key is 16 bytes/row.
+/** Exact deduplication: keep one row (smallest id) per group of rows whose
+  * canonical texts share a 128-bit fingerprint pair (two independently
+  * seeded xxhash64 of the canonical text). One shuffle, keyed on the 16-byte
+  * pair — never the text itself. Exactness is therefore probabilistic: a
+  * full 128-bit collision silently merges two DISTINCT documents, with
+  * per-pair probability ~2^-128 (~1e-20 expected collisions across all
+  * pairs of a 10^9-document corpus) — traded deliberately for a shuffle
+  * key that carries no payload bytes at 100 TB.
   */
 class ExactDeduplicator(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable {
@@ -207,6 +304,12 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
     "per-bucket candidate cap (skew guard)")
   setDefault(maxBucketSize -> 1000)
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
+  final val restrictVerify = new BooleanParam(this, "restrictVerify",
+    "semi-join the shingle payload down to candidate ids before the " +
+      "verification joins — set true on SPARSE-dup corpora (candidates " +
+      "≪ documents); measured slower when most documents are candidates")
+  setDefault(restrictVerify -> false)
+  def setRestrictVerify(v: Boolean): this.type = set(restrictVerify, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
@@ -224,14 +327,12 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
       .select(id.cast("long").as("__id"),
         explode(bandHashes(col("__sig"), $(bands), r)).as("__key"))
     val pairs = candidatePairs(buckets, $(maxBucketSize), s"${uid}_dropped")
-    // exact-Jaccard verification: join shingle sets back by id (twice)
+    // exact-Jaccard verification: shingle sets joined back by id (shape
+    // per restrictVerify — see joinCandidatePayload)
     val sh = df.select(id.cast("long").as("__id"),
       hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
-    val dupIds = pairs
-      .join(sh.select(col("__id").as("__id_l"), col("__sh").as("__sh_l")), Seq("__id_l"))
-      .join(sh.select(col("__id").as("__id_r"), col("__sh").as("__sh_r")), Seq("__id_r"))
-      .filter(jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold))
-      .select(col("__id_r").as("__dup_id")).distinct()
+    val dupIds = dupIdsOf(pairs, sh, "__sh",
+      jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold), $(restrictVerify))
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -292,13 +393,11 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
     val keyed = withFp.select(id.cast("long").as("__id"),
       explode(array(keyCols: _*)).as("__key"))
     val pairs = candidatePairs(keyed, $(maxBucketSize), s"${uid}_dropped")
-    // verification joins the (tiny, 16-byte) fingerprints back by id
+    // verification joins the (tiny, 16-byte) fingerprints back by id —
+    // the payload is already narrow, restriction has nothing to save
     val fp = withFp.select(id.cast("long").as("__id"), col("__fp"))
-    val dupIds = pairs
-      .join(fp.select(col("__id").as("__id_l"), col("__fp").as("__fp_l")), Seq("__id_l"))
-      .join(fp.select(col("__id").as("__id_r"), col("__fp").as("__fp_r")), Seq("__id_r"))
-      .filter(hamming64(col("__fp_l"), col("__fp_r")) <= $(maxHamming))
-      .select(col("__id_r").as("__dup_id")).distinct()
+    val dupIds = dupIdsOf(pairs, fp, "__fp",
+      hamming64(col("__fp_l"), col("__fp_r")) <= $(maxHamming), restrict = false)
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -340,6 +439,12 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
     "per-shingle posting-list cap (guards boilerplate shingles shared by millions of docs)")
   setDefault(maxBucketSize -> 1000)
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
+  final val restrictVerify = new BooleanParam(this, "restrictVerify",
+    "semi-join the shingle payload down to candidate ids before the " +
+      "verification joins — set true on SPARSE-dup corpora (candidates " +
+      "≪ documents); measured slower when most documents are candidates")
+  setDefault(restrictVerify -> false)
+  def setRestrictVerify(v: Boolean): this.type = set(restrictVerify, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
@@ -347,8 +452,13 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
     val id = col($(idCol))
     // full (distinct, hash-sorted) shingle sets; reused by the DF count,
     // the prefix selection, and the verification join — persisted so the
-    // three consumers don't re-hash the corpus (LRU-evicted, spills not
-    // OOMs; size is O(total distinct shingles))
+    // three consumers don't re-hash the corpus (size is O(total distinct
+    // shingles)). Cache lifecycle: the block cannot be unpersisted before
+    // return (the result's lineage still reads it) and is left cached —
+    // memory yields to LRU, disk-resident parts live until session end or
+    // an explicit clearCache(); repeated transform() calls accumulate one
+    // block each. An eager materialize-then-unpersist variant was
+    // measured 23% slower (SCALING.md round 10) and rejected.
     val sh = df.select(id.cast("long").as("__id"),
         hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -361,17 +471,23 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
       .filter(col("__df") >= 2)
     val prefixLen = greatest(lit($(indexShingles)),
       (col("__n") - ceil(lit($(threshold)) * col("__n")) + lit(1)).cast("int"))
-    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__key"))
+    // prefix selection as a map-side-combinable bounded aggregate: each
+    // map task collapses a document to its <= prefixLen smallest (df, key)
+    // pairs BEFORE the shuffle — the former Window+row_number variant
+    // exchanged and sorted every (doc, shingle, df) row (O(total shingles))
+    val prefixAgg = udaf(new BoundedPrefixAggregator,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
     val inv = exploded.join(dfreq, "__key")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= prefixLen)
-      .select(col("__id"), col("__key"))
+      .groupBy("__id")
+      .agg(prefixAgg(prefixLen, col("__df"), col("__key")).as("__pfx"))
+      .select(col("__id"), explode(col("__pfx")).as("__key"))
     val pairs = candidatePairs(inv, $(maxBucketSize), s"${uid}_dropped")
-    val dupIds = pairs
-      .join(sh.select(col("__id").as("__id_l"), col("__sh").as("__sh_l")), Seq("__id_l"))
-      .join(sh.select(col("__id").as("__id_r"), col("__sh").as("__sh_r")), Seq("__id_r"))
-      .filter(jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold))
-      .select(col("__id_r").as("__dup_id")).distinct()
+    // exact-Jaccard verification (shape per restrictVerify)
+    val dupIds = dupIdsOf(pairs, sh, "__sh",
+      jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold), $(restrictVerify))
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -414,7 +530,7 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    import DedupFunctions.candidatePairs
+    import DedupFunctions.{candidatePairs, dupIdsOf}
     val df = ds.toDF()
     val id = col($(idCol))
     val dim = df.select(size(col(getInputCol))).head().getInt(0)
@@ -431,13 +547,10 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
     val keyed = df.select(id.cast("long").as("__id"),
       explode(array(bandCols: _*)).as("__key"))
     val pairs = candidatePairs(keyed, $(maxBucketSize), s"${uid}_dropped")
+    // exact-cosine verification, direct join (dup-dense default shape)
     val vecs = df.select(id.cast("long").as("__id"), col(getInputCol).as("__v"))
     val cos = graft.sim.SimilarityFunctions.cosine(col("__v_l"), col("__v_r"))
-    val dupIds = pairs
-      .join(vecs.select(col("__id").as("__id_l"), col("__v").as("__v_l")), Seq("__id_l"))
-      .join(vecs.select(col("__id").as("__id_r"), col("__v").as("__v_r")), Seq("__id_r"))
-      .filter(cos >= $(threshold))
-      .select(col("__id_r").as("__dup_id")).distinct()
+    val dupIds = dupIdsOf(pairs, vecs, "__v", cos >= $(threshold), restrict = false)
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema

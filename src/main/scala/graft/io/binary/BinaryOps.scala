@@ -93,13 +93,16 @@ object BinaryFileWriter {
   * batched "decode / feature-extract" over mapPartitions. The IMAGE
   * modality is REAL: payloads decode through the pure-JVM image stack
   * ([[graft.image.ImageFeatures]]: DecodeImage → bilinear resize →
-  * grayscale unroll) into `dim` [0,1] floats. Audio/video decode is
-  * STUBBED with a deterministic hash pseudo-embedding (media codecs are
-  * not in this container — SURVEY build plan §10 / prompt contract);
-  * `stubbedFallback` controls whether un-decodable payloads and stub
-  * modalities warn-and-fake (default, keeps pipelines flowing) or throw.
-  * The Spark-side contract — schema, batching, partitioning, null
-  * handling — is identical for all modalities.
+  * grayscale unroll) into `dim` [0,1] floats. The AUDIO modality is REAL:
+  * WAV/PCM payloads decode through the JDK-builtin `javax.sound.sampled`
+  * stack ([[AudioFeatures]]: duration/rate/channels/RMS + loudness
+  * envelope). Video decode is STUBBED with a deterministic hash
+  * pseudo-embedding (no video codec is in this container — SURVEY build
+  * plan §10 / prompt contract); `stubbedFallback` controls whether
+  * un-decodable payloads and stub modalities warn-and-fake (default,
+  * keeps pipelines flowing) or throw. The Spark-side contract — schema,
+  * batching, partitioning, null handling — is identical for all
+  * modalities.
   */
 class MultimodalFeaturizer(override val uid: String) extends Transformer
     with HasInputCol with HasOutputCol with graft.core.GraftWritable {
@@ -164,9 +167,11 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
     batch.map { bytes =>
       if (bytes == null) null
       else {
-        val real: Option[Array[Float]] =
-          if (mod == "image") graft.image.ImageFeatures.decodeResizeGray(bytes, gh, gw)
-          else None
+        val real: Option[Array[Float]] = mod match {
+          case "image" => graft.image.ImageFeatures.decodeResizeGray(bytes, gh, gw)
+          case "audio" => AudioFeatures.decodeWavFeatures(bytes, d)
+          case _ => None // video: no in-container codec
+        }
         real match {
           case Some(f) => (f, true)
           case None if allowStub =>
@@ -174,10 +179,9 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
             (stubFeatures(bytes, d), false)
           case None =>
             throw new IllegalArgumentException(
-              if (mod == "image") "payload did not decode as an image and " +
-                "stubbedFallback=false"
-              else s"no real decoder for modality '$mod' in this build and " +
-                "stubbedFallback=false")
+              if (mod == "video") "no real decoder for modality 'video' in " +
+                "this build and stubbedFallback=false"
+              else s"payload did not decode as $mod and stubbedFallback=false")
         }
       }
     }

@@ -55,17 +55,20 @@ class KNN(override val uid: String) extends Estimator[KNNModel]
 
   override def fit(ds: Dataset[_]): KNNModel = {
     val df = ds.toDF()
-    val n = df.count()
-    require(n <= $(maxCollectRows),
-      s"KNN.fit would collect $n corpus rows to the driver (bound: " +
-        s"${$(maxCollectRows)}; raise with setMaxCollectRows if the " +
-        "driver has headroom). Exact KNN is driver-bounded by design — " +
-        "for larger corpora use the distributed ANN operators " +
-        "(graft.sim.LSHNearestNeighbors / IVFNearestNeighbors).")
     val hasLabels = isSet(labelCol)
     val cols = Seq(col(getInputCol), col($(idCol)).cast("long")) ++
       (if (hasLabels) Seq(col($(labelCol)).cast("int")) else Nil)
-    val rows = df.select(cols: _*).collect()
+    // bound + collect in ONE pass: fetch at most bound+1 rows — a corpus
+    // over the bound is detected from the extra row without a separate
+    // count() that would execute the upstream lineage twice per fit
+    val bound = math.min($(maxCollectRows), Int.MaxValue - 1L).toInt
+    val rows = df.select(cols: _*).limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"KNN.fit would collect more than $bound corpus rows to the driver " +
+        "(raise with setMaxCollectRows if the driver has headroom). " +
+        "Exact KNN is driver-bounded by design — for larger corpora use " +
+        "the distributed ANN operators " +
+        "(graft.sim.LSHNearestNeighbors / IVFNearestNeighbors).")
     val points = rows.map(r => extractVec(r, 0))
     val ids = rows.map(_.getLong(1))
     val labels = if (hasLabels) rows.map(_.getInt(2)) else Array.empty[Int]

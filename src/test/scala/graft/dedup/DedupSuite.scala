@@ -33,6 +33,23 @@ class DedupSuite extends TestBase {
     assert(!ids.contains(2L)) // near dup gone at 0.6 threshold
   }
 
+  test("restrictVerify=true is result-identical to the direct-join default") {
+    // the sf0.01 documents table is the gate fixture; both verification
+    // shapes must keep exactly the same survivors
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def ids(restrict: Boolean, d: org.apache.spark.sql.DataFrame) = {
+      val mh = new MinHashDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setRestrictVerify(restrict).transform(d)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val ng = new NGramJaccardDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setThreshold(0.8).setRestrictVerify(restrict).transform(d)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      (mh, ng)
+    }
+    assert(ids(restrict = true, corpus) == ids(restrict = false, corpus))
+    assert(ids(restrict = true, docs) == ids(restrict = false, docs))
+  }
+
   test("SimHashDeduplicator removes near duplicates") {
     val out = new SimHashDeduplicator().setInputCol("text").setIdCol("doc_id")
       .setMaxHamming(3).transform(docs)

@@ -70,6 +70,78 @@ class ExplainSuite extends TestBase {
     assert(out(2L).forall(math.abs(_) < 1e-9)) // constant-zero scorer
   }
 
+  test("lime_text gate margin: planted one-hot recovery is far from the threshold") {
+    // mirror of the SparkEntry lime_text fixture: 8 tokens, "key" planted
+    // at position id % 8, rule model contains("key"). The gate rounds to
+    // 4 decimals — assert the solver lands ORDERS of magnitude inside
+    // that: planted coef within 1e-6 of 1, others within 1e-6 of 0.
+    val docs = (0L until 16L).toDF("doc_id")
+      .withColumn("text8", concat_ws(" ",
+        (0 until 8).map(i => when(col("doc_id") % 8 === i, lit("key"))
+          .otherwise(lit(s"tok$i"))): _*))
+    val out = new TextLIME().setIdCol("doc_id").setTextCol("text8")
+      .setNumSamples(64)
+      .setScoringFn(df => df.withColumn("prediction",
+        when(col("text8").contains("key"), 1.0).otherwise(0.0)))
+      .transform(docs)
+      .select("doc_id", "intercept", "token_importance").collect()
+    assert(out.length == 16)
+    out.foreach { r =>
+      val id = r.getLong(0); val b0 = r.getDouble(1)
+      val coefs = r.getSeq[Double](2)
+      assert(coefs.length == 8)
+      assert(math.abs(b0) < 1e-6, s"intercept $b0 off zero for doc $id")
+      coefs.zipWithIndex.foreach { case (c, i) =>
+        val want = if (i == (id % 8).toInt) 1.0 else 0.0
+        assert(math.abs(c - want) < 1e-6,
+          s"doc $id dim $i coef $c wanted $want")
+      }
+    }
+  }
+
+  test("lime_image gate margin: planted quadrant is one superpixel, one-hot recovered") {
+    val docs = (0L until 8L).toDF("doc_id")
+      .withColumn("image", struct(
+        lit("synth").as("origin"), lit(32).as("height"),
+        lit(32).as("width"), lit(3).as("nChannels"),
+        lit(graft.image.ImageSchemaUtils.ocvType8UC3).as("mode"),
+        udf((id: Long) => graft.SparkEntry.plantedImageBytes(id))
+          .apply(col("doc_id")).as("data")))
+    // structural precondition the gate's closed-form oracle rests on:
+    // the bright 16x16 quadrant is EXACTLY one SLIC segment whose index
+    // is the quadrant index
+    (0L until 4L).foreach { id =>
+      val data = graft.SparkEntry.plantedImageBytes(id)
+      val (labels, k) = graft.image.Superpixel.segment(32, 32, data, 4)
+      assert(k == 4)
+      val bright = labels.indices.filter(p => data(p * 3) != 0)
+      assert(bright.nonEmpty && bright.map(labels).distinct == Seq((id % 4).toInt),
+        s"bright quadrant of doc $id not exactly segment ${id % 4}")
+      assert(labels.indices.filterNot(p => data(p * 3) != 0)
+        .forall(p => labels(p) != (id % 4).toInt),
+        s"segment ${id % 4} leaks outside the bright quadrant for doc $id")
+    }
+    val bright = udf((img: org.apache.spark.sql.Row) =>
+      if (img.getAs[Array[Byte]](5).exists(_ != 0)) 1.0 else 0.0)
+    val out = new ImageLIME().setIdCol("doc_id").setImageCol("image")
+      .setNumSamples(64).setNumSegments(4)
+      .setScoringFn(df => df.withColumn("prediction", bright(col("image"))))
+      .transform(docs)
+      .select("doc_id", "intercept", "segment_importance").collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val id = r.getLong(0); val b0 = r.getDouble(1)
+      val coefs = r.getSeq[Double](2)
+      assert(coefs.length == 4)
+      assert(math.abs(b0) < 1e-6, s"intercept $b0 off zero for doc $id")
+      coefs.zipWithIndex.foreach { case (c, i) =>
+        val want = if (i == (id % 4).toInt) 1.0 else 0.0
+        assert(math.abs(c - want) < 1e-6,
+          s"doc $id segment $i coef $c wanted $want")
+      }
+    }
+  }
+
   test("TextSHAP pins the decisive token and satisfies additivity") {
     val docs = Seq(
       (1L, "the quick brown fox jumps spark"),

@@ -189,15 +189,90 @@ class MiscOpsSuite extends TestBase {
     assert(out(1L)._2 == direct.toSeq)
     // non-image payload: warned stub fallback, flagged not-decoded
     assert(!out(2L)._1 && out(2L)._2.length == 16)
-    // audio modality has no in-container codec: always stub-flagged
+    // audio modality on non-audio payloads: stub-flagged, not decoded
     val audio = new MultimodalFeaturizer().setInputCol("payload")
-      .setModality("audio").setDim(4).transform(df)
+      .setModality("audio").setDim(6).transform(df)
       .select("media_meta.decoded").collect()
     assert(audio.forall(!_.getBoolean(0)))
     // strict mode surfaces the failure instead of faking features
     intercept[org.apache.spark.SparkException] {
       new MultimodalFeaturizer().setInputCol("payload").setModality("image")
         .setStubbedFallback(false).transform(df).collect()
+    }
+  }
+
+  test("MultimodalFeaturizer audio modality decodes real WAV bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // independent WAV construction (AudioSystem.write, not the manual
+    // RIFF header the SparkEntry gate fixture uses)
+    def wav(fmt: AudioFormat, frames: Int, fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(frames * fmt.getFrameSize)
+        .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(buf)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(buf.array()), fmt, frames)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // golden 1: 8 kHz mono square wave ±8192 (= ±2^-2 full-scale), 4000
+    // frames: every feature is closed-form exact — duration 0.5 s, RMS
+    // and both envelope segments exactly 0.25
+    val mono = new AudioFormat(8000f, 16, 1, true, false)
+    val sq = wav(mono, 4000, b => (0 until 4000).foreach(i =>
+      b.putShort(if (i % 2 == 0) 8192 else -8192)))
+    val df = Seq((1L, sq)).toDF("id", "payload")
+    val out = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("audio").setDim(6).transform(df)
+      .select("media_meta.decoded", "media_meta.magic", "media_features")
+      .head
+    assert(out.getBoolean(0), "WAV payload must take the REAL decode path")
+    assert(out.getString(1) == "riff")
+    assert(out.getSeq[Float](2) == Seq(0.5f, 8000f, 1f, 0.25f, 0.25f, 0.25f))
+    // golden 2: stereo with L = -R cancels to silence when mono-mixed
+    val stereo = new AudioFormat(8000f, 16, 2, true, false)
+    val anti = wav(stereo, 2000, b => (0 until 2000).foreach { _ =>
+      b.putShort(8192); b.putShort(-8192)
+    })
+    val out2 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("audio").setDim(5)
+      .transform(Seq((1L, anti)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_features").head
+    assert(out2.getBoolean(0))
+    assert(out2.getSeq[Float](1) == Seq(0.25f, 8000f, 2f, 0f, 0f))
+    // golden 3: 8-bit unsigned PCM converts through the javax pipeline —
+    // constant 192 ≈ +0.5 full-scale. The header fields are exact; the
+    // amplitude gets a small JDK-converter-specific rounding offset
+    // ((192-128)·256+128 = 16512, not 16384), so RMS is tolerance-checked
+    val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val u8 = wav(fmt8, 1000, b => (0 until 1000).foreach(_ =>
+      b.put(192.toByte)))
+    val out3 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("audio").setDim(5)
+      .transform(Seq((1L, u8)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_features").head
+    assert(out3.getBoolean(0))
+    val f3 = out3.getSeq[Float](1)
+    assert(f3.take(3) == Seq(0.125f, 8000f, 1f))
+    assert(f3.drop(3).forall(v => math.abs(v - 0.5f) < 0.01f))
+    // gate-fixture parity: the hand-rolled RIFF header in SparkEntry
+    // decodes identically (id=3 -> 1.0 s, RMS 0.25)
+    val fix = graft.SparkEntry.testWavBytes(3L)
+    val out4 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("audio").setDim(6)
+      .transform(Seq((3L, fix)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_features").head
+    assert(out4.getBoolean(0))
+    assert(out4.getSeq[Float](1) == Seq(1.0f, 8000f, 1f, 0.25f, 0.25f, 0.25f))
+    // strict mode: a non-audio payload must throw, not fake
+    intercept[org.apache.spark.SparkException] {
+      new MultimodalFeaturizer().setInputCol("payload").setModality("audio")
+        .setStubbedFallback(false)
+        .transform(Seq((1L, "not audio".getBytes)).toDF("id", "payload"))
+        .collect()
     }
   }
 
