@@ -5,6 +5,7 @@ import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,49 +104,6 @@ object DedupFunctions {
       org.apache.spark.sql.Encoders.product[CappedIds]
     override def outputEncoder: org.apache.spark.sql.Encoder[CappedIds] =
       org.apache.spark.sql.Encoders.product[CappedIds]
-  }
-
-  /** Buffer of [[BoundedPrefixAggregator]]: the `cap` smallest `(df, key)`
-    * pairs seen so far for one document, sorted ascending. `cap` rides in
-    * the buffer because the PPJoin prefix length is per-document
-    * (`|sh| - ceil(t·|sh|) + 1`), not a constructor constant. */
-  case class PrefixBuf(cap: Int, dfs: Seq[Long], keys: Seq[Long])
-
-  /** Per-document PPJoin prefix selection as a map-side-combinable
-    * aggregate: keeps the `cap` smallest shingles under the global
-    * `(documentFrequency, shingleHash)` total order. Replaces a
-    * `Window.partitionBy(id).orderBy(df, key)` + `row_number` cap, which
-    * shipped EVERY (doc, shingle, df) row through an exchange and sorted
-    * O(total shingles) — here the map-side partial aggregation collapses
-    * each document to ≤ `cap` pairs before the shuffle, and nothing sorts
-    * more than one buffer. Input rows are `(cap, df, key)`.
-    */
-  class BoundedPrefixAggregator
-      extends org.apache.spark.sql.expressions.Aggregator[(Int, Long, Long), PrefixBuf, Seq[Long]] {
-    private def insert(b: PrefixBuf, cap0: Int, df: Long, key: Long): PrefixBuf = {
-      val cap = math.max(b.cap, cap0)
-      val full = b.dfs.length >= cap
-      // fast reject: buffer full and the new pair is >= the current max
-      if (full && (df > b.dfs.last || (df == b.dfs.last && key >= b.keys.last)))
-        PrefixBuf(cap, b.dfs, b.keys)
-      else {
-        val merged = ((b.dfs zip b.keys) :+ (df, key)).sorted.take(cap)
-        PrefixBuf(cap, merged.map(_._1), merged.map(_._2))
-      }
-    }
-    override def zero: PrefixBuf = PrefixBuf(0, Vector.empty, Vector.empty)
-    override def reduce(b: PrefixBuf, in: (Int, Long, Long)): PrefixBuf =
-      insert(b, in._1, in._2, in._3)
-    override def merge(x: PrefixBuf, y: PrefixBuf): PrefixBuf = {
-      val cap = math.max(x.cap, y.cap)
-      val merged = ((x.dfs zip x.keys) ++ (y.dfs zip y.keys)).sorted.take(cap)
-      PrefixBuf(cap, merged.map(_._1), merged.map(_._2))
-    }
-    override def finish(b: PrefixBuf): Seq[Long] = b.keys
-    override def bufferEncoder: org.apache.spark.sql.Encoder[PrefixBuf] =
-      org.apache.spark.sql.Encoders.product[PrefixBuf]
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** All unordered in-bucket pairs of a sorted id array, as
@@ -471,19 +429,17 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
       .filter(col("__df") >= 2)
     val prefixLen = greatest(lit($(indexShingles)),
       (col("__n") - ceil(lit($(threshold)) * col("__n")) + lit(1)).cast("int"))
-    // prefix selection as a map-side-combinable bounded aggregate: each
-    // map task collapses a document to its <= prefixLen smallest (df, key)
-    // pairs BEFORE the shuffle — the former Window+row_number variant
-    // exchanged and sorted every (doc, shingle, df) row (O(total shingles))
-    val prefixAgg = udaf(new BoundedPrefixAggregator,
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaInt,
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
+    // prefix selection via Window+row_number over (df, key). A map-side
+    // bounded smallest-(df,key) aggregator (r9 verdict #5) was built and
+    // A/B-measured warm at sf0.1/10x/100x: a wash everywhere (an apparent
+    // 2x integrated regression turned out to be page-cache drift — see
+    // SCALING.md round 10). Reverted to the simpler Window path: no
+    // measured benefit for an extra case class + UDAF + encoder surface.
+    val w = Window.partitionBy("__id").orderBy(col("__df"), col("__key"))
     val inv = exploded.join(dfreq, "__key")
-      .groupBy("__id")
-      .agg(prefixAgg(prefixLen, col("__df"), col("__key")).as("__pfx"))
-      .select(col("__id"), explode(col("__pfx")).as("__key"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("__id"), col("__key"))
     val pairs = candidatePairs(inv, $(maxBucketSize), s"${uid}_dropped")
     // exact-Jaccard verification (shape per restrictVerify)
     val dupIds = dupIdsOf(pairs, sh, "__sh",
