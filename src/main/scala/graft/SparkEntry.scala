@@ -104,6 +104,29 @@ object SparkEntry {
     b.array()
   }
 
+  /** Deterministic Y4M fixture for the multimodal video gate: 8×8
+    * C420jpeg at 8 fps, `2 * (1 + id % 4)` frames of constant luma
+    * `64 * (id % 4)`. Every field the decoder reports is closed-form:
+    * header is 38 bytes + 102 per frame (6-byte FRAME line + 64 luma +
+    * 32 chroma), so size = 38 + 204*(1+id%4); duration_ms =
+    * 250*(1+id%4) (frames/8 is binary-exact); mean luma × 255 =
+    * 64*(id%4) exactly (constant plane). */
+  private[graft] def testY4mBytes(id: Long): Array[Byte] = {
+    val frames = 2 * (1 + (id % 4).toInt)
+    val luma = (64 * (id % 4)).toByte
+    val baos = new java.io.ByteArrayOutputStream(38 + 102 * frames)
+    baos.write("YUV4MPEG2 W8 H8 F8:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      baos.write("FRAME\n".getBytes("US-ASCII"))
+      var i = 0
+      while (i < 64) { baos.write(luma); i += 1 }
+      baos.write(new Array[Byte](32)) // U + V planes (4×4 each)
+      f += 1
+    }
+    baos.toByteArray
+  }
+
   /** Planted-region image fixture for the ImageLIME gate: 32×32 BGR,
     * all black except one all-white 16×16 quadrant selected by
     * `id % 4` in SLIC grid order (TL, TR, BL, BR) — with numSegments=4
@@ -1088,12 +1111,15 @@ object SparkEntry {
     },
 
     // ---- multimodal column plumbing (LLM-pipeline) ------------------
-    // Two modality passes over the same table. Image rows feed text bytes
-    // (not decodable → stub path, decoded=false, magic sniffed). Audio
-    // rows feed the deterministic WAV fixture through the REAL
+    // Three modality passes over the same table. Image rows feed text
+    // bytes (not decodable → stub path, decoded=false, magic sniffed).
+    // Audio rows feed the deterministic WAV fixture through the REAL
     // javax.sound decode ([[testWavBytes]]: every asserted field is
-    // closed-form — decoded=true, magic 'riff', duration from id). The
-    // float→ms rounding keeps the hash compare integer-exact.
+    // closed-form — decoded=true, magic 'riff', duration from id).
+    // Video rows feed the deterministic Y4M fixture through the REAL
+    // y4m decode ([[testY4mBytes]]: decoded=true, magic 'y4m', duration
+    // AND decoded mean luma closed-form from id). The float→ms /
+    // float→255 roundings keep the hash compare integer-exact.
     "multimodal_stub" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val image = new graft.io.binary.MultimodalFeaturizer()
@@ -1103,7 +1129,7 @@ object SparkEntry {
           col("media_meta.size_bytes").as("size_bytes"),
           col("media_meta.magic").as("magic"),
           col("media_meta.decoded").as("decoded"),
-          lit(0L).as("duration_ms"))
+          lit(0L).as("duration_ms"), lit(0L).as("luma255"))
       val wav = udf((id: Long) => SparkEntry.testWavBytes(id))
       val audio = new graft.io.binary.MultimodalFeaturizer()
         .setInputCol("payload").setModality("audio").setDim(6)
@@ -1113,8 +1139,20 @@ object SparkEntry {
           col("media_meta.magic").as("magic"),
           col("media_meta.decoded").as("decoded"),
           round(element_at(col("media_features"), 1) * 1000)
-            .cast("long").as("duration_ms"))
-      image.unionAll(audio)
+            .cast("long").as("duration_ms"), lit(0L).as("luma255"))
+      val y4m = udf((id: Long) => SparkEntry.testY4mBytes(id))
+      val video = new graft.io.binary.MultimodalFeaturizer()
+        .setInputCol("payload").setModality("video").setDim(7)
+        .transform(docs.withColumn("payload", y4m(col("doc_id"))))
+        .select(col("doc_id"), col("media_meta.modality").as("modality"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.magic").as("magic"),
+          col("media_meta.decoded").as("decoded"),
+          round(element_at(col("media_features"), 1) * 1000)
+            .cast("long").as("duration_ms"),
+          round(element_at(col("media_features"), 6) * 255)
+            .cast("long").as("luma255"))
+      image.unionAll(audio).unionAll(video)
     },
 
     // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
@@ -1959,13 +1997,21 @@ object SparkEntry {
       """SELECT doc_id, 'image' AS modality,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
         |  'unknown' AS magic, FALSE AS decoded,
-        |  CAST(0 AS BIGINT) AS duration_ms
+        |  CAST(0 AS BIGINT) AS duration_ms, CAST(0 AS BIGINT) AS luma255
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 'audio' AS modality,
         |  CAST(44 + 2 * 2000 * (1 + doc_id % 4) AS BIGINT) AS size_bytes,
         |  'riff' AS magic, TRUE AS decoded,
-        |  CAST(250 * (1 + doc_id % 4) AS BIGINT) AS duration_ms
+        |  CAST(250 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+        |  CAST(0 AS BIGINT) AS luma255
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'video' AS modality,
+        |  CAST(38 + 204 * (1 + doc_id % 4) AS BIGINT) AS size_bytes,
+        |  'y4m' AS magic, TRUE AS decoded,
+        |  CAST(250 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+        |  CAST(64 * (doc_id % 4) AS BIGINT) AS luma255
         |FROM documents""".stripMargin,
 
     "sessionize" ->

@@ -96,9 +96,10 @@ object BinaryFileWriter {
   * grayscale unroll) into `dim` [0,1] floats. The AUDIO modality is REAL:
   * WAV/PCM payloads decode through the JDK-builtin `javax.sound.sampled`
   * stack ([[AudioFeatures]]: duration/rate/channels/RMS + loudness
-  * envelope). Video decode is STUBBED with a deterministic hash
-  * pseudo-embedding (no video codec is in this container — SURVEY build
-  * plan §10 / prompt contract); `stubbedFallback` controls whether
+  * envelope). The VIDEO modality is REAL for uncompressed YUV4MPEG2
+  * payloads ([[VideoFeatures]]: duration/fps/dims/frames + luma
+  * envelope); compressed video containers still stub — no codec ships
+  * in the JDK (SURVEY build plan §10). `stubbedFallback` controls whether
   * un-decodable payloads and stub modalities warn-and-fake (default,
   * keeps pipelines flowing) or throw. The Spark-side contract — schema,
   * batching, partitioning, null handling — is identical for all
@@ -132,9 +133,9 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
     StructField("magic", StringType),
     StructField("decoded", BooleanType)))
 
-  /** STUB decode for the modalities with no in-container codec: a
-    * deterministic pseudo-embedding from the payload hash, so tests and
-    * oracles stay stable until a real decoder replaces it. */
+  /** STUB decode for payloads no in-container codec can read (e.g.
+    * compressed video): a deterministic pseudo-embedding from the
+    * payload hash, so tests and oracles stay stable. */
   private def stubFeatures(bytes: Array[Byte], d: Int): Array[Float] = {
     var h = 0xCBF29CE484222325L
     var i = 0
@@ -170,7 +171,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
         val real: Option[Array[Float]] = mod match {
           case "image" => graft.image.ImageFeatures.decodeResizeGray(bytes, gh, gw)
           case "audio" => AudioFeatures.decodeWavFeatures(bytes, d)
-          case _ => None // video: no in-container codec
+          case _ => VideoFeatures.decodeY4mFeatures(bytes, d)
         }
         real match {
           case Some(f) => (f, true)
@@ -179,9 +180,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
             (stubFeatures(bytes, d), false)
           case None =>
             throw new IllegalArgumentException(
-              if (mod == "video") "no real decoder for modality 'video' in " +
-                "this build and stubbedFallback=false"
-              else s"payload did not decode as $mod and stubbedFallback=false")
+              s"payload did not decode as $mod and stubbedFallback=false")
         }
       }
     }
@@ -195,6 +194,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
       case (0x52, 0x49, 0x46, 0x46) => "riff" // wav/avi
       case (0x47, 0x49, 0x46, 0x38) => "gif"
       case (0x50, 0x4b, _, _) => "zip"
+      case (0x59, 0x55, 0x56, 0x34) => "y4m" // "YUV4"MPEG2
       case _ => "unknown"
     }
 

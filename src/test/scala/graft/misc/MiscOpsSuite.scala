@@ -276,6 +276,79 @@ class MiscOpsSuite extends TestBase {
     }
   }
 
+  test("MultimodalFeaturizer video modality decodes real Y4M bytes") {
+    // independent YUV4MPEG2 construction (per the public y4m layout:
+    // text header, then FRAME\n + planar YUV per frame)
+    def y4m(w: Int, h: Int, fps: String, chroma: String,
+            lumas: Seq[Int]): Array[Byte] = {
+      val halfW = (w + 1) / 2; val halfH = (h + 1) / 2
+      val cs =
+        if (chroma.startsWith("420")) 2 * halfW * halfH
+        else if (chroma.startsWith("422")) 2 * halfW * h
+        else if (chroma.startsWith("444")) 2 * w * h
+        else 0
+      val baos = new java.io.ByteArrayOutputStream()
+      baos.write(s"YUV4MPEG2 W$w H$h F$fps Ip A1:1 C$chroma\n".getBytes("US-ASCII"))
+      lumas.foreach { v =>
+        baos.write("FRAME\n".getBytes("US-ASCII"))
+        baos.write(Array.fill(w * h)(v.toByte))
+        baos.write(new Array[Byte](cs))
+      }
+      baos.toByteArray
+    }
+    // golden 1: 4x4 C420, 8 fps, alternating black/white frames — every
+    // feature binary-exact: duration 0.5 s, mean luma 0.5, envelope
+    // (one frame per segment) 0,1,0,1
+    val g1 = y4m(4, 4, "8:1", "420jpeg", Seq(0, 255, 0, 255))
+    val out = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("video").setDim(10)
+      .transform(Seq((1L, g1)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_meta.magic", "media_features")
+      .head
+    assert(out.getBoolean(0), "Y4M payload must take the REAL decode path")
+    assert(out.getString(1) == "y4m")
+    assert(out.getSeq[Float](2) ==
+      Seq(0.5f, 8f, 4f, 4f, 4f, 0.5f, 0f, 1f, 0f, 1f))
+    // golden 2: C444 plane sizes walk correctly; fractional fps 25:1
+    val g2 = y4m(2, 2, "25:1", "444", Seq(255, 0))
+    val f2 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("video").setDim(7)
+      .transform(Seq((1L, g2)).toDF("id", "payload"))
+      .select("media_features").head.getSeq[Float](0)
+    assert(f2 == Seq((2 / 25.0).toFloat, 25f, 2f, 2f, 2f, 0.5f, 0.5f))
+    // golden 3: Cmono (no chroma planes), odd width
+    val g3 = y4m(3, 1, "1:1", "mono", Seq(255))
+    val f3 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("video").setDim(7)
+      .transform(Seq((1L, g3)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_features").head
+    assert(f3.getBoolean(0))
+    assert(f3.getSeq[Float](1) == Seq(1f, 1f, 3f, 1f, 1f, 1f, 1f))
+    // truncated payload (frame promises more bytes than present) -> stub
+    val cut = g1.take(g1.length - 8)
+    val f4 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("video").setDim(7)
+      .transform(Seq((1L, cut)).toDF("id", "payload"))
+      .select("media_meta.decoded").head
+    assert(!f4.getBoolean(0), "truncated Y4M must not decode")
+    // gate-fixture parity (id=3 -> 1.0 s, 8 frames, luma 192)
+    val fix = graft.SparkEntry.testY4mBytes(3L)
+    val f5 = new MultimodalFeaturizer().setInputCol("payload")
+      .setModality("video").setDim(7)
+      .transform(Seq((3L, fix)).toDF("id", "payload"))
+      .select("media_meta.decoded", "media_features").head
+    assert(f5.getBoolean(0))
+    assert(f5.getSeq[Float](1) ==
+      Seq(1.0f, 8f, 8f, 8f, 8f, (192 / 255.0).toFloat, (192 / 255.0).toFloat))
+    // strict mode: compressed/unknown video must throw, not fake
+    intercept[org.apache.spark.SparkException] {
+      new MultimodalFeaturizer().setInputCol("payload").setModality("video")
+        .setStubbedFallback(false)
+        .transform(Seq((1L, "not video".getBytes)).toDF("id", "payload"))
+        .collect()
+    }
+  }
+
   test("MultiColumnAdapter clones a unary stage across columns") {
     val df = Seq(("Héllo", "Wörld")).toDF("a", "b")
     val out = new MultiColumnAdapter()
