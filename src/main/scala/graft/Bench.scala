@@ -25,8 +25,11 @@ object Bench {
 
   /** The driver captures a ~2048-byte stdout tail; anything past it is cut
     * from the HEAD of the line, which made BENCH_r{7,8} unparseable. Keep a
-    * margin for capture-side framing. */
-  val MaxLineBytes = 1900
+    * margin for capture-side framing: at 81 queries the name-dominated
+    * floor is 1925 B (measured: 2-decimal walls + basename sf, and also
+    * the absurd 1000-s-per-query worst case at 0 decimals), and 1925 +
+    * 7 B of sbt "[info] " framing still leaves ~115 B of tail slack. */
+  val MaxLineBytes = 1930
 
   /** Render the contract line at 3-decimal walls, degrading to 2 then 1
     * then 0 decimals — and, as a last resort, shortening the sf path to
@@ -44,7 +47,10 @@ object Bench {
       val sf = if (shortSf) new java.io.File(sfDir).getName else sfDir
       contractLine(r(total), qs, sf)
     }
-    Iterator((3, false), (2, false), (1, false), (0, false), (0, true))
+    // degrade decimals, trying the basename-sf variant at each rung —
+    // shortening sf is cheaper than losing a decimal of wall resolution
+    Iterator((3, false), (3, true), (2, false), (2, true),
+        (1, false), (1, true), (0, false), (0, true))
       .map((at _).tupled)
       .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxLineBytes)
       .getOrElse(at(0, shortSf = true))

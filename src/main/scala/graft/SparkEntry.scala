@@ -541,11 +541,18 @@ object SparkEntry {
     // timestamp path: the reference's full 8-component layout
     // [epochMs, year, isoDow, month, day, hour, minute, second]
     "featurize_timestamp" -> { (s, dir) =>
-      // events.ts arrives as raw long nanos (nanosAsLong); Featurize takes
-      // typed timestamp columns, so convert first (micros truncation is
-      // invisible at the ms/sec component level)
-      val events = tbl(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events.ts has shipped as raw long nanos (nanosAsLong), TIMESTAMP
+      // and TIMESTAMP_NTZ across testdata generations — normalize to a
+      // session-TZ (UTC) timestamp whatever arrives; Featurize takes
+      // typed timestamp columns
+      val ev0 = tbl(s, dir, "events")
+      val events = ev0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          ev0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          ev0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => ev0
+      }
       val m = new Featurize().setInputCols(Seq("ts"))
         .setOutputCol("f").fit(events)
       val arr = org.apache.spark.ml.functions.vector_to_array(col("f"))
@@ -1189,6 +1196,60 @@ object SparkEntry {
           .withColumn("__cents", round(col("value") * 100)))
         .filter(col("is_anomaly"))
         .select(col("user_id"), col("iter"), col("event_id"))
+    },
+
+    // ---- training-data-pipeline ops (LLM family, round 10) ----------
+    // benchmark decontamination: src0 plays the eval benchmark; every
+    // other doc is flagged iff it shares a 4-word-gram with it (n=4
+    // validated to give a nonzero, non-universal rate at all three sfs)
+    "decontaminate" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Decontamination.flag(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id")
+        .select(col("doc_id"),
+          col("is_contaminated").cast("int").as("is_contaminated"))
+    },
+
+    // PII redaction over deterministically synthesized PII (the corpus
+    // has none): email/phone/ip/ssn spans derived from doc_id are
+    // appended identically in the oracle SQL, then both engines redact —
+    // the gate checks the real regex chain byte-for-byte
+    "pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      val synth = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com or +1 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((id * 7) % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (id % 256).cast("string"),
+        lit("."), ((id * 3) % 256).cast("string"),
+        lit(" ssn "), lpad(((id % 900) + 100).cast("string"), 3, "0"),
+        lit("-"), lpad(((id % 90) + 10).cast("string"), 2, "0"),
+        lit("-"), lpad(((id * 13) % 10000).cast("string"), 4, "0"))
+      new PIIRedactor().setInputCol("__pii").setOutputCol("redacted")
+        .transform(tbl(s, dir, "documents").withColumn("__pii", synth))
+        .select(col("doc_id"), col("redacted"))
+    },
+
+    // Gopher-style repetition signals — all integer or q4-scaled outputs
+    "repetition_signals" -> { (s, dir) =>
+      new RepetitionProfiler().setInputCol("text")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("dup_word_q4"),
+          col("top_2gram_count"), col("top_2gram_q4"), col("dup_2gram_q4"))
+    },
+
+    // deterministic domain-mixture sampling: md5-hex-prefix thresholds
+    // per source (1.0/0.75/0.5/0.25/0.1, default 0.125) — the kept set is
+    // a pure function of (doc_id, salt), independent of partitioning
+    "domain_mixture" -> { (s, dir) =>
+      new DomainMixtureSampler().setIdCol("doc_id").setDomainCol("source")
+        .setWeights(Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+          "src3" -> 0.25, "src4" -> 0.1))
+        .setDefaultWeight(0.125).setSalt("mix")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -2090,6 +2151,97 @@ object SparkEntry {
         |  FROM tr GROUP BY user_id)
         |SELECT t.user_id, t.iter, t.event_id
         |FROM tr t JOIN last l USING (user_id)
-        |WHERE t.iter <= l.li""".stripMargin
+        |WHERE t.iter <= l.li""".stripMargin,
+
+    // 4-word-gram overlap with the src0 "benchmark"; docs with <4 words
+    // generate no grams on either side (range() is empty, matching the
+    // Spark-side sequence guard)
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(t, i, i+3), ' ') AS g
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(range(1, len(t)-2)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM grams
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench))
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_contaminated
+        |FROM documents d LEFT JOIN cont c USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin,
+
+    // identical synthesized-PII construction, identical ordered regex
+    // chain (email, ssn, phone, ipv4); patterns use only literal classes
+    // + bounded quantifiers so Java regex and RE2 agree
+    "pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or +1 555-'
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+        |    || ' ssn ' || lpad(CAST((doc_id % 900) + 100 AS VARCHAR), 3, '0')
+        |    || '-' || lpad(CAST((doc_id % 90) + 10 AS VARCHAR), 2, '0')
+        |    || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |      '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+        |    AS redacted
+        |FROM pii""".stripMargin,
+
+    // duplicate-occurrence counts via unnest+group (equivalent to the
+    // Spark side's sorted-array run-length scan: a gram with count c>1
+    // contributes c occurrences); fractions are q4-scaled from the same
+    // integers in the same operation order
+    "repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i+1), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |agg2 AS (
+        |  SELECT doc_id, max(c) AS topc, sum(c) AS n2,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, len(t) AS nw, len(list_distinct(t)) AS nd
+        |  FROM toks)
+        |SELECT w.doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(floor(CAST(nw - nd AS DOUBLE) / CAST(nw AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS dup_word_q4,
+        |  CAST(topc AS BIGINT) AS top_2gram_count,
+        |  CAST(floor(CAST(topc AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS top_2gram_q4,
+        |  CAST(floor(CAST(dup2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS dup_2gram_q4
+        |FROM w JOIN agg2 ON w.doc_id = agg2.doc_id""".stripMargin,
+
+    // md5-hex-prefix thresholds: floor(w * 16^8) as 8-hex lowercase;
+    // 'g' sorts above every hex digit => weight 1.0 keeps all
+    "domain_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+        |  CASE source
+        |    WHEN 'src0' THEN 'g'
+        |    WHEN 'src1' THEN 'c0000000'
+        |    WHEN 'src2' THEN '80000000'
+        |    WHEN 'src3' THEN '40000000'
+        |    WHEN 'src4' THEN '19999999'
+        |    ELSE '20000000' END""".stripMargin
   )
 }

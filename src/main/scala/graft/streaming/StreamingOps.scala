@@ -45,10 +45,14 @@ class EventTimeWindowAggregator(override val uid: String) extends Transformer wi
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df0 = ds.toDF()
-    // accept raw long nanos (testdata events) or native timestamps
+    // accept raw long nanos (testdata events), TIMESTAMP_NTZ (cast to the
+    // session-TZ timestamp — required: withWatermark rejects NTZ event
+    // time), or native timestamps
     val df = df0.schema($(timeCol)).dataType match {
       case LongType => df0.withColumn($(timeCol),
         timestamp_micros(expr(s"`${$(timeCol)}` DIV 1000")))
+      case TimestampNTZType => df0.withColumn($(timeCol),
+        col($(timeCol)).cast(TimestampType))
       case _ => df0
     }
     val marked =

@@ -1,0 +1,261 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators beyond the reference's surface (see
+  * builder brief): benchmark decontamination, PII redaction, Gopher-style
+  * repetition signals, and deterministic domain-mixture sampling. All four
+  * are narrow column expressions or broadcast-semi-joins — the shapes that
+  * survive a 100 TB corpus — and every fractional output is emitted as a
+  * scaled integer (floor(x*1e4+0.5)) computed in a fixed operation order
+  * so the DuckDB oracle reproduces it bit-exactly (doc_stats precedent).
+  */
+object PipelineFunctions {
+
+  /** Space-joined word n-grams of a token-array column. Docs shorter than
+    * n yield an empty array (guarded: Spark's `sequence(1, k)` with k < 1
+    * would generate a DESCENDING sequence, not an empty one).
+    */
+  def wordNGrams(words: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Scaled fraction: floor(num/den * 1e4 + 0.5) as BIGINT, 0 when den=0.
+    * Fixed operation order (divide, scale, shift, floor) — both engines
+    * produce the identical IEEE double, so the integer is hash-gate-safe.
+    */
+  def q4(num: Column, den: Column): Column =
+    when(den > 0,
+      floor(num.cast("double") / den.cast("double") * 10000.0 + 0.5)
+        .cast("long"))
+      .otherwise(lit(0L))
+}
+
+/** Benchmark decontamination: flag (or drop) corpus documents that share
+  * any word n-gram with a benchmark/eval set — the standard guard against
+  * test-set leakage into pre-training data (public practice, e.g. the
+  * GPT-3/PaLM appendix n-gram-overlap procedures).
+  *
+  * Scale shape: the benchmark side is distinct-hashed (64-bit xxhash per
+  * n-gram, 8 bytes each) and broadcast by default — eval benchmarks are
+  * MBs, corpora are TBs, so the exploded corpus grams never shuffle: each
+  * partition streams through a broadcast semi-join and only the matching
+  * doc ids (a tiny set) reach an exchange for the final distinct.
+  */
+object Decontamination {
+
+  private def grams(textCol: String, n: Int): Column =
+    PipelineFunctions.wordNGrams(split(trim(col(textCol)), "\\s+"), n)
+
+  /** Distinct ids of corpus docs sharing >=1 word n-gram with `benchmark`.
+    * Gram identity is by 64-bit hash: a collision can only add a false
+    * positive with probability ~|grams|^2/2^64 (the exact-dedup 128-bit
+    * argument, weaker need here since a flag — not a merge — is at stake).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 4,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bench0 = benchmark
+      .select(explode(grams(textCol, n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    corpus
+      .select(col(idCol), explode(grams(textCol, n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .join(bench, Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Corpus with an `is_contaminated` int column (1 = shares an n-gram).
+    * The contaminated-id side is corpus-dependent but small (ids only);
+    * AQE picks the join strategy at runtime.
+    */
+  def flag(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 4, broadcastBenchmark: Boolean = true): DataFrame = {
+    val ids = contaminatedIds(corpus, benchmark, textCol, idCol, n,
+      broadcastBenchmark).withColumn("__cont", lit(1))
+    corpus.join(ids, Seq(idCol), "left")
+      .withColumn("is_contaminated", coalesce(col("__cont"), lit(0)))
+      .drop("__cont")
+  }
+
+  /** Corpus minus contaminated docs (anti-join on the flagged ids). */
+  def clean(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 4, broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark, textCol, idCol, n, broadcastBenchmark),
+      Seq(idCol), "left_anti")
+}
+
+/** Regex PII redaction: rewrites emails, SSN-shaped, phone-shaped and
+  * IPv4-shaped spans to placeholder tokens. Patterns use only literal
+  * character classes and bounded greedy quantifiers — constructs whose
+  * match semantics agree between Java's regex (Spark codegen) and RE2
+  * (DuckDB/Go), so the oracle reproduces the output byte-for-byte.
+  * Application order is fixed (email, ssn, phone, ipv4): email first so
+  * its dotted host can't be half-eaten by the IPv4 rule, SSN's 3-2-4
+  * shape before phone's 3-3-4. The whole chain is consecutive
+  * `regexp_replace` calls — one codegen'd projection, no shuffle.
+  */
+class PIIRedactor(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("PIIRedactor"))
+  setDefault(outputCol -> "redacted")
+
+  final val kinds = new StringArrayParam(this, "kinds",
+    "ordered subset of builtin pattern names to apply",
+    (v: Array[String]) => v.forall(PIIRedactor.Builtin.contains))
+  setDefault(kinds -> PIIRedactor.Order.toArray)
+  def setKinds(v: Seq[String]): this.type = set(kinds, v.toArray)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val out = $(kinds).foldLeft(col(getInputCol)) { (c, k) =>
+      val (pattern, token) = PIIRedactor.Builtin(k)
+      regexp_replace(c, pattern, token)
+    }
+    ds.toDF().withColumn(getOutputCol, out)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField(getOutputCol, StringType, true))
+  override def copy(extra: ParamMap): PIIRedactor = defaultCopy(extra)
+}
+object PIIRedactor extends graft.core.GraftReadable[PIIRedactor] {
+  /** name -> (pattern, replacement token). */
+  val Builtin: Map[String, (String, String)] = Map(
+    "email" -> ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn" -> ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    "phone" -> ("[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
+    "ipv4" -> ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+  val Order: Seq[String] = Seq("email", "ssn", "phone", "ipv4")
+}
+
+/** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, public):
+  * duplicate-word fraction, duplicate-2-gram fraction, and the top
+  * 2-gram's count/fraction. Everything is computed per-row from native
+  * array expressions — the duplicate/top statistics come from ONE
+  * `aggregate` pass over the sorted 2-gram array (run-length scan,
+  * O(g log g) for the sort) — so the whole profile is a narrow projection:
+  * no explode, no groupBy, nothing leaves the partition. At 100 TB that is
+  * the difference between a map-only scan and a corpus-wide shuffle of
+  * every n-gram.
+  */
+class RepetitionProfiler(override val uid: String) extends Transformer
+    with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("RepetitionProfiler"))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val words = split(trim(col(getInputCol)), "\\s+")
+    val nW = size(words)
+    val g2 = array_sort(PipelineFunctions.wordNGrams(words, 2))
+    val n2 = size(g2)
+    // single-pass run-length scan of the sorted grams: `run` = current
+    // equal-run length, `dup` = occurrences closed out in runs of len>1,
+    // `top` = longest run seen. The finish step closes the last run.
+    def closed(acc: Column): Column =
+      acc.getField("dup") +
+        when(acc.getField("run") > 1, acc.getField("run")).otherwise(0)
+    val rep = when(n2 >= 2,
+      aggregate(
+        sequence(lit(2), n2),
+        struct(lit(1).as("run"), lit(0).as("dup"), lit(1).as("top")),
+        (acc, i) =>
+          when(element_at(g2, i) === element_at(g2, i - 1),
+            struct((acc.getField("run") + 1).as("run"),
+              acc.getField("dup").as("dup"),
+              greatest(acc.getField("top"), acc.getField("run") + 1).as("top")))
+            .otherwise(struct(lit(1).as("run"), closed(acc).as("dup"),
+              acc.getField("top").as("top"))),
+        acc => struct(closed(acc).as("dup"), acc.getField("top").as("top"))))
+      .otherwise(struct(lit(0).as("dup"), greatest(n2, lit(0)).as("top")))
+    ds.toDF()
+      .withColumn("__rep", rep)
+      .withColumn("n_words", nW.cast("long"))
+      .withColumn("dup_word_q4",
+        PipelineFunctions.q4(nW - size(array_distinct(words)), nW))
+      .withColumn("top_2gram_count", col("__rep").getField("top").cast("long"))
+      .withColumn("top_2gram_q4",
+        PipelineFunctions.q4(col("__rep").getField("top"), n2))
+      .withColumn("dup_2gram_q4",
+        PipelineFunctions.q4(col("__rep").getField("dup"), n2))
+      .drop("__rep")
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("n_words", LongType),
+      StructField("dup_word_q4", LongType),
+      StructField("top_2gram_count", LongType),
+      StructField("top_2gram_q4", LongType),
+      StructField("dup_2gram_q4", LongType)))
+  override def copy(extra: ParamMap): RepetitionProfiler = defaultCopy(extra)
+}
+object RepetitionProfiler extends graft.core.GraftReadable[RepetitionProfiler]
+
+/** Deterministic domain-mixture sampler: keeps each row iff the first 8
+  * hex chars of md5(id ":" salt) fall below the per-domain threshold
+  * floor(weight * 16^8), encoded as a lowercase hex string so the
+  * comparison is a plain string `<` — reproducible in ANY engine with md5
+  * (no engine-specific hash needed), stable across runs and partitionings
+  * (unlike `sample()`, whose output depends on the partition layout).
+  * Narrow filter — no shuffle, no state; this is how a 100 TB corpus gets
+  * re-weighted to a target domain mixture in one pass.
+  */
+class DomainMixtureSampler(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("DomainMixtureSampler"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val domainCol = new Param[String](this, "domainCol", "domain column")
+  setDefault(domainCol -> "source")
+  def setDomainCol(v: String): this.type = set(domainCol, v)
+  final val weights = new Param[Map[String, Double]](this, "weights",
+    "domain -> keep probability in [0,1]")
+  setDefault(weights -> Map.empty[String, Double])
+  def setWeights(m: Map[String, Double]): this.type = set(weights, m)
+  final val defaultWeight = new DoubleParam(this, "defaultWeight",
+    "keep probability for unlisted domains",
+    ParamValidators.inRange(0.0, 1.0))
+  setDefault(defaultWeight -> 1.0)
+  def setDefaultWeight(v: Double): this.type = set(defaultWeight, v)
+  final val salt = new Param[String](this, "salt",
+    "hash salt — vary to draw an independent sample")
+  setDefault(salt -> "mix")
+  def setSalt(v: String): this.type = set(salt, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val thrMap = $(weights).map { case (k, w) =>
+      k -> DomainMixtureSampler.hexThreshold(w)
+    }
+    val default = lit(DomainMixtureSampler.hexThreshold($(defaultWeight)))
+    val thr =
+      if (thrMap.isEmpty) default
+      else coalesce(element_at(typedLit(thrMap), col($(domainCol))), default)
+    val key = substring(
+      md5(concat(col($(idCol)).cast("string"), lit(":" + $(salt)))), 1, 8)
+    ds.toDF().filter(key < thr)
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): DomainMixtureSampler = defaultCopy(extra)
+}
+object DomainMixtureSampler
+    extends graft.core.GraftReadable[DomainMixtureSampler] {
+  /** weight -> 8-hex-lowercase threshold; "g" (> every hex char) keeps
+    * all rows at weight 1.0, "0" (shorter than every 8-char key) keeps
+    * none at weight 0.
+    */
+  def hexThreshold(w: Double): String =
+    if (w >= 1.0) "g"
+    else if (w <= 0.0) "0"
+    else f"${(w * 4294967296.0).toLong}%08x"
+}

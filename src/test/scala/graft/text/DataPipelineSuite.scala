@@ -1,0 +1,129 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class DataPipelineSuite extends TestBase {
+  import spark.implicits._
+
+  // ---- Decontamination --------------------------------------------------
+
+  test("Decontamination flags exactly the docs sharing a 4-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma delta"
+      (2L, "zeta eta theta iota kappa"),      // no overlap
+      (3L, "x alpha beta gamma delta"),       // shares (offset position)
+      (4L, "alpha beta gamma"))               // only 3 words — no 4-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val flagged = Decontamination
+      .flag(corpus, bench, "text", "doc_id")
+      .select("doc_id", "is_contaminated").as[(Long, Int)].collect().toMap
+    assert(flagged == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+    val survivors = Decontamination
+      .clean(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.sameElements(Array(2L, 4L)))
+  }
+
+  test("Decontamination broadcast and shuffle paths agree") {
+    val docs = sfTable("documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val a = Decontamination
+      .contaminatedIds(corpus, bench, "text", "doc_id", broadcastBenchmark = true)
+      .as[Long].collect().sorted
+    val b = Decontamination
+      .contaminatedIds(corpus, bench, "text", "doc_id", broadcastBenchmark = false)
+      .as[Long].collect().sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
+  // ---- PIIRedactor ------------------------------------------------------
+
+  test("PIIRedactor redacts all builtin kinds with fixed order") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "ssn 123-45-6789 phone 555-867-5309 also 555 867 5309",
+      "host 192.168.0.1 plain 1234-5678 none",
+      "no pii here").toDF("t")
+    val out = new PIIRedactor().setInputCol("t").setOutputCol("r")
+      .transform(df).select("r").as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "ssn <SSN> phone <PHONE> also <PHONE>")
+    assert(out(2) == "host <IP> plain 1234-5678 none")
+    assert(out(3) == "no pii here")
+  }
+
+  test("PIIRedactor kinds subset only applies selected patterns") {
+    val df = Seq("a@b.co and 10.0.0.1").toDF("t")
+    val out = new PIIRedactor().setInputCol("t").setOutputCol("r")
+      .setKinds(Seq("email")).transform(df).select("r").as[String].head()
+    assert(out == "<EMAIL> and 10.0.0.1")
+  }
+
+  // ---- RepetitionProfiler ----------------------------------------------
+
+  test("RepetitionProfiler hand-computed signals") {
+    // "a b a b a": words=5 distinct=2 -> dup_word=(5-2)/5=0.6 -> 6000
+    // 2-grams: [a b, b a, a b, b a] n2=4; counts {a b:2, b a:2}
+    //   top=2 -> top_q4=5000; dup occurrences=4 -> dup_q4=10000
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("id", "t")
+    val r = new RepetitionProfiler().setInputCol("t").transform(df)
+      .select("id", "n_words", "dup_word_q4", "top_2gram_count",
+        "top_2gram_q4", "dup_2gram_q4")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 5L, 6000L, 2L, 5000L, 10000L)))
+    // all-unique doc: no duplication anywhere
+    assert(r(1) == ((2L, 4L, 0L, 1L, 3333L, 0L)))
+  }
+
+  test("RepetitionProfiler single-word and two-word edges") {
+    val df = Seq((1L, "solo"), (2L, "pair pair")).toDF("id", "t")
+    val r = new RepetitionProfiler().setInputCol("t").transform(df)
+      .select("id", "n_words", "top_2gram_count", "dup_2gram_q4")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 0L, 0L)))  // no 2-grams at all
+    assert(r(1) == ((2L, 2L, 1L, 0L)))  // one 2-gram, trivially unique
+  }
+
+  // ---- DomainMixtureSampler --------------------------------------------
+
+  test("DomainMixtureSampler is deterministic and weight-monotonic") {
+    val docs = sfTable("documents")
+    def kept(w: Double): Set[Long] = new DomainMixtureSampler()
+      .setWeights(Map.empty).setDefaultWeight(w)
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    val k50a = kept(0.5); val k50b = kept(0.5)
+    assert(k50a == k50b, "same salt+weights must reproduce the same sample")
+    assert(kept(1.0).size == docs.count())
+    assert(kept(0.0).isEmpty)
+    assert(kept(0.25).subsetOf(k50a),
+      "lower weight must keep a subset (nested thresholds)")
+    // 500 docs at w=0.5: expect ~250, allow generous binomial slack
+    assert(math.abs(k50a.size - 250) < 75)
+  }
+
+  test("DomainMixtureSampler per-domain weights and salt independence") {
+    val docs = sfTable("documents")
+    val out = new DomainMixtureSampler()
+      .setWeights(Map("src0" -> 1.0, "src1" -> 0.0))
+      .setDefaultWeight(0.5)
+      .transform(docs).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(out("src0") == 25 && !out.contains("src1"))
+    val s1 = new DomainMixtureSampler().setDefaultWeight(0.5).setSalt("a")
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    val s2 = new DomainMixtureSampler().setDefaultWeight(0.5).setSalt("b")
+      .transform(docs).select("doc_id").as[Long].collect().toSet
+    assert(s1 != s2, "different salts must draw different samples")
+  }
+
+  test("hexThreshold encodes weights as ordered hex strings") {
+    assert(DomainMixtureSampler.hexThreshold(1.0) == "g")
+    assert(DomainMixtureSampler.hexThreshold(0.0) == "0")
+    assert(DomainMixtureSampler.hexThreshold(0.5) == "80000000")
+    assert(DomainMixtureSampler.hexThreshold(0.75) == "c0000000")
+    assert(DomainMixtureSampler.hexThreshold(0.1) == "19999999")
+  }
+}
