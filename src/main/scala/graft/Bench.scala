@@ -39,21 +39,29 @@ object Bench {
     * noise floor.
     */
   def renderLine(walls: Seq[(String, Double)], total: Double, sfDir: String): String = {
-    def at(dec: Int, shortSf: Boolean): String = {
+    def at(dec: Int, shortSf: Boolean, cap: Boolean = false): String = {
       val f = s"%.${dec}f"
-      def r(v: Double) = f.formatLocal(java.util.Locale.ROOT, v)
+      def r(v: Double) = {
+        val c = if (cap) math.min(v, 999.0) else v
+        f.formatLocal(java.util.Locale.ROOT, c)
+      }
       val qs = walls.map { case (k, w) => "\"" + k + "\":" + r(w) }
         .mkString("{", ",", "}")
       val sf = if (shortSf) new java.io.File(sfDir).getName else sfDir
-      contractLine(r(total), qs, sf)
+      contractLine(
+        f.formatLocal(java.util.Locale.ROOT, total), qs, sf)
     }
     // degrade decimals, trying the basename-sf variant at each rung —
-    // shortening sf is cheaper than losing a decimal of wall resolution
+    // shortening sf is cheaper than losing a decimal of wall resolution.
+    // The FINAL rung caps each displayed wall at 999 s (a >999 s sf0.1
+    // query is a catastrophic regression whose precise wall no longer
+    // matters), bounding every per-query entry at name+7 bytes — the
+    // line fits by construction at any wall magnitude.
     Iterator((3, false), (3, true), (2, false), (2, true),
         (1, false), (1, true), (0, false), (0, true))
-      .map((at _).tupled)
+      .map { case (d, s) => at(d, s) }
       .find(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxLineBytes)
-      .getOrElse(at(0, shortSf = true))
+      .getOrElse(at(0, shortSf = true, cap = true))
   }
 
   private final class Acc {

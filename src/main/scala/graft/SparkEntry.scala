@@ -443,6 +443,16 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // hash-gated vs an exact transitive closure: cluster_id = min doc id
+    // reachable through exact-Jaccard >= 0.8 edges, recomputed by the
+    // oracle as a recursive min-label propagation over the same pairs
+    "dedup_clusters" -> { (s, dir) =>
+      new DuplicateClusterer().setInputCol("text").setIdCol("doc_id")
+        .setThreshold(0.8)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("cluster_id"))
+    },
+
     "dedup_embedding" -> { (s, dir) => // hash-gated vs exact cosine
       new EmbeddingNearDupDeduplicator().setInputCol("embedding")
         .setIdCol("vec_id").setThreshold(0.95)
@@ -466,6 +476,47 @@ object SparkEntry {
         .setIdCol("vec_id").setK(5).fit(emb)
       model.transform(emb.filter(col("vec_id") < 100))
         .select(col("vec_id"), explode(col("matches.id")).as("neighbor_id"))
+    },
+
+    // co-located fact⋈fact join through bucketed tables: both sides are
+    // written bucketBy(32, orderkey).sortBy then joined + aggregated with
+    // ZERO exchanges after ingest (PlanSuite asserts the exchange-free
+    // plan; this gate hashes the result itself). 32 buckets = the session
+    // shuffle parallelism: bucket count bounds both write-task and scan
+    // parallelism, and the result is bucket-count-invariant
+    "bucketed_join" -> { (s, dir) =>
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_buckets").toString
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"))
+      val l = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      graft.io.Bucketing
+        .coLocatedJoin(l, "l_orderkey", o, "o_orderkey", 32, staging, "graft_bj")
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    },
+
+    // the corpus-stays-distributed exact path: per-partition ball trees +
+    // bounded top-k merge must equal the brute-force oracle exactly
+    "knn_partitioned" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      new graft.nn.PartitionedKNN().setInputCol("embedding")
+        .setIdCol("vec_id").setK(5)
+        .setQueries(emb.filter(col("vec_id") < 100), "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id").as("vec_id"),
+          explode(col("matches.id")).as("neighbor_id"))
+    },
+
+    // greedy first-fit token packing in id order within each source group;
+    // the oracle replays the same scan as a recursive running-sum CTE
+    "seq_pack" -> { (s, dir) =>
+      new SequencePacker().setInputCol("text").setIdCol("doc_id")
+        .setMaxTokens(256).setGroupCol("source")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("source"), col("doc_id"), col("seq_id"))
     },
 
     // ---- train / eval (§2.13) ---------------------------------------
@@ -1663,6 +1714,51 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
 
+    // exact transitive ground truth for near-dup clustering: edges = exact
+    // word-3-shingle Jaccard >= 0.8 pairs (the dedup_minhash tokenization,
+    // both directions), components by recursive min-label propagation —
+    // every doc collects the ids of all docs that reach it, MIN = the
+    // component minimum, singletons label themselves. The pair set is
+    // computed by inverted index (explode distinct shingles, count shared
+    // grams per pair) — identical math to pairwise list_intersect
+    // (|A∩B| over distinct sets) but only shingle-sharing pairs are ever
+    // scored; the naive O(n²) list_intersect form measured >55 min at
+    // sf0.1 vs 1.9 s for this one. Empty-shingle docs (union = 0) count
+    // as J=1, mirroring the operator's 0/0=1 merge semantics, via the
+    // explicit empty×empty edge branch. MATERIALIZED pins the edge CTE
+    // against per-iteration recomputation inside the recursion.
+    "dedup_clusters" ->
+      """WITH RECURSIVE c AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS MATERIALIZED (
+        |  SELECT p.src, p.dst FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz sa ON sa.doc_id = p.src
+        |  JOIN sz sb ON sb.doc_id = p.dst
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM sz a JOIN sz b
+        |    ON a.doc_id <> b.doc_id AND a.n = 0 AND b.n = 0),
+        |lab AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, lab.comp AS comp
+        |  FROM e JOIN lab ON e.src = lab.id)
+        |SELECT id AS doc_id, MIN(comp) AS cluster_id
+        |FROM lab GROUP BY id""".stripMargin,
+
     // exact cosine ground truth for the hyperplane-LSH near-dup path; the
     // fixture's closest pair sits ~0.44 below the 0.95 threshold, so no
     // float-boundary ambiguity exists
@@ -1955,6 +2051,47 @@ object SparkEntry {
         |ranked AS (SELECT qid, id, row_number() OVER (
         |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
         |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
+
+    // same exact ground truth as knn_balltree: the partitioned path must
+    // produce identical neighbor sets with the corpus never collected
+    "knn_partitioned" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (SELECT q.qid, e.vec_id AS id,
+        |    list_distance(q.qv, e.embedding) AS d
+        |  FROM q CROSS JOIN embeddings e),
+        |ranked AS (SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY d, id) AS rn FROM scored)
+        |SELECT qid AS vec_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // greedy first-fit packing replayed sequentially: docs in id order per
+    // source, a running token sum that resets past the budget, bin index +1
+    // on every reset — the recursive CTE walks rn -> rn+1 exactly like the
+    // operator's in-partition scan (budget 256; oversize doc = own bin)
+    "seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS tl,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, rn, doc_id, tl, CAST(tl AS BIGINT) AS acc,
+        |    CAST(0 AS BIGINT) AS bin
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.tl,
+        |    CASE WHEN p.acc + d.tl <= 256 THEN p.acc + d.tl
+        |         ELSE CAST(d.tl AS BIGINT) END,
+        |    CASE WHEN p.acc + d.tl <= 256 THEN p.bin ELSE p.bin + 1 END
+        |  FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, bin AS seq_id FROM pack""".stripMargin,
 
     // per-(group, dim) exact decimal mean over unnested embeddings
     "embedding_pool" ->

@@ -109,6 +109,54 @@ class PlanSuite extends TestBase {
     }
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    // big⋈big on the bucket key: bucketBy(n) carries the hash
+    // partitioning into the scan, the SMJ needs no Exchange on either
+    // side, and the co-partitioning propagates through the inner join so
+    // the groupBy on the join key aggregates exchange-free too. Broadcast
+    // is disabled so small-sf data can't hide a missing
+    // bucket-partitioning behind a BHJ. (Spark 3+ no longer claims sort
+    // order from bucketed scans — SQLConf.LEGACY_BUCKETED_TABLE_SCAN_
+    // OUTPUT_ORDERING defaults off — so SortExec nodes remain in the
+    // plan; with sortBy + one file per bucket they sort already-sorted
+    // runs, and the expensive property, zero exchanges, is what we pin.)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_bjtest").toString
+    import org.apache.spark.sql.functions.{col, sum}
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val joined = graft.io.Bucketing
+        .coLocatedJoin(l, "l_orderkey", o, "o_orderkey", 4, staging, "graft_bjt")
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val nodes = flatten(joined.queryExecution.executedPlan)
+      val exchanges = nodes.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.isEmpty,
+        s"bucketed join still exchanges: ${exchanges.map(_.outputPartitioning)}")
+      val smj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected a sort-merge join over bucketed scans")
+      // and the result is the plain join's result
+      val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      assertDFEq(joined, plain)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup candidate generation shuffles narrow payloads only") {
     // the minhash band explode must NOT carry the hashed-shingle array
     // through its shuffle: no shuffle in dedup_minhash's plan may carry

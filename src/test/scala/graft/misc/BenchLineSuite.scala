@@ -30,18 +30,26 @@ class BenchLineSuite extends AnyFunSuite {
       "first query's wall must survive the render")
   }
 
-  test("realistic walls keep at least 2-decimal resolution") {
-    // at 77 queries the 3-decimal render is ~1.95 kB, so the renderer
-    // degrades one step; 10 ms resolution is still far below the ±50%
-    // suite-position noise floor
+  test("realistic walls keep at least 1-decimal resolution") {
+    // at 85 queries the name mass alone (~1.26 kB) forces the renderer
+    // down to 1-decimal walls; 100 ms resolution is still below the ±50%
+    // suite-position noise floor, and target/bench_contract.json carries
+    // the full-precision walls regardless
     val line = Bench.renderLine(names.map(_ -> 1.23456789), 86.419,
       "/root/testdata/sf0.1")
     assert(line.getBytes("UTF-8").length <= Bench.MaxLineBytes)
-    assert(line.contains(":1.23"), "expected >= 2-decimal rendering")
-    // at 81 queries the renderer trades the sf prefix for the decimal —
-    // the basename keeps the line identifiable
+    assert(line.contains(":1.2"), "expected >= 1-decimal rendering")
+    // the renderer trades the sf prefix for the decimal — the basename
+    // keeps the line identifiable
     assert(line.endsWith("\"sf\":\"sf0.1\"}") ||
       line.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
+  }
+
+  test("the capped final rung bounds per-wall display at any magnitude") {
+    val line = Bench.renderLine(names.map(_ -> 1e9), 1e9 * names.size,
+      "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length <= Bench.MaxLineBytes)
+    assert(line.contains(":999"), "capped display expected")
   }
 
   test("fmt renders locale-stable 3-decimal seconds") {

@@ -63,6 +63,33 @@ class KNNSuite extends TestBase {
     assert(m.transform(emb.limit(3)).count() == 3)
   }
 
+  test("PartitionedKNN equals driver-collected ball-tree KNN exactly") {
+    val emb = sfTable("embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 25)
+    val collected = new KNN().setInputCol("embedding").setIdCol("vec_id")
+      .setK(5).fit(emb).transform(queries)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("matches"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).mkString(",")).toMap
+    // corpus spread over many partitions — per-partition trees + merge
+    val part = new PartitionedKNN().setInputCol("embedding").setIdCol("vec_id")
+      .setK(5).setQueries(queries, "vec_id", "embedding")
+      .transform(emb.repartition(11))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).mkString(",")).toMap
+    assert(part.keySet == collected.keySet)
+    collected.foreach { case (q, m) => assert(part(q) == m, s"query $q") }
+  }
+
+  test("PartitionedKNN bounds the query broadcast, naming the knob") {
+    val emb = sfTable("embeddings")
+    val e = intercept[IllegalArgumentException] {
+      new PartitionedKNN().setInputCol("embedding").setIdCol("vec_id")
+        .setMaxQueryRows(3L).setQueries(emb.limit(10), "vec_id", "embedding")
+        .transform(emb)
+    }
+    assert(e.getMessage.contains("MaxQueryRows"))
+  }
+
   test("ConditionalKNN via labelCol + conditionerCol") {
     val emb = sfTable("embeddings")
     val model = new KNN().setInputCol("embedding").setIdCol("vec_id")
