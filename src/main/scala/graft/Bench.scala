@@ -48,8 +48,10 @@ object Bench {
       val qs = walls.map { case (k, w) => "\"" + k + "\":" + r(w) }
         .mkString("{", ",", "}")
       val sf = if (shortSf) new java.io.File(sfDir).getName else sfDir
-      contractLine(
-        f.formatLocal(java.util.Locale.ROOT, total), qs, sf)
+      // the capped rung bounds the total's digit count too (7 digits —
+      // far above any real suite total, so only a clock-scale bug hits it)
+      val t = if (cap) math.min(total, 9999999.0) else total
+      contractLine(f.formatLocal(java.util.Locale.ROOT, t), qs, sf)
     }
     // degrade decimals, trying the basename-sf variant at each rung —
     // shortening sf is cheaper than losing a decimal of wall resolution.

@@ -485,8 +485,13 @@ object SparkEntry {
     // shuffle parallelism: bucket count bounds both write-task and scan
     // parallelism, and the result is bucket-count-invariant
     "bucketed_join" -> { (s, dir) =>
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft_buckets").toString
+      // FIXED staging path per sf dir: saveAsTable(overwrite) replaces the
+      // external files in place, so repeated runs re-use one staging copy
+      // instead of orphaning a fresh temp dir per invocation (DROP TABLE
+      // on an external table removes only metadata)
+      val staging = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_buckets_${new java.io.File(dir).getName}").toString
       val o = tbl(s, dir, "orders").select(col("o_orderkey"),
         col("o_orderpriority"))
       val l = tbl(s, dir, "lineitem").select(col("l_orderkey"),

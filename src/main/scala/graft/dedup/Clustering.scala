@@ -21,10 +21,12 @@ import org.apache.spark.storage.StorageLevel
   * Algorithm: alternating large-star/small-star min-label contraction
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
   * SoCC'14 — public literature). Converges in O(log n) rounds to a star
-  * forest (child → component-min edges). Each round is two shuffles
-  * (a per-node min reduce and a co-partitioned join), both on narrow
-  * (long, long) pairs; no step ever materializes a neighbor LIST, so a
-  * hub node of any degree streams through reduce/join without skew blowup.
+  * forest (child → component-min edges). Each round is three shuffles of
+  * the narrow (long, long) edge list (partition the undirected view,
+  * partition the half view, distinct the output); the min reduces and
+  * both joins are narrow on the pre-partitioned forms. No step ever
+  * materializes a neighbor LIST, so a hub node of any degree streams
+  * through reduce/join without skew blowup.
   *
   * The iteration runs on `RDD[(Long, Long)]` deliberately: iterative
   * self-derived plans need explicit lineage truncation (`localCheckpoint`)
@@ -76,15 +78,22 @@ object GraphFunctions {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // Three shuffles per round, all on narrow (long, long) pairs:
+      // partitionBy(und), partitionBy(half), distinct(next). The min
+      // reduces and both joins are narrow on the pre-partitioned forms
+      // (reduceByKey/join with the SAME partitioner), and each
+      // partitionBy's shuffle files serve both of its consumers — no
+      // recompute, no extra caching.
       // large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
       val und = e.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      val mins = und.reduceByKey(part, math.min(_: Long, _: Long)) // min over N(u); m = min(·, u)
-      val ls = und.filter { case (u, v) => v > u }
-        .join(mins) // co-partitioned with `mins` — no extra shuffle
+        .partitionBy(part)
+      val mins = und.reduceByKey(part, math.min(_: Long, _: Long)) // narrow
+      val ls = und.filter { case (u, v) => v > u } // partitioner preserved
+        .join(mins) // both sides on `part` — narrow
         .map { case (u, (v, mn)) => (v, math.min(mn, u)) }
       // small-star on (u, v<u): m(u) = min N(u); emit (v, m) ∀v∈N(u)∖{m}, + (u, m)
-      val half = canonical(ls)
-      val mins2 = half.reduceByKey(part, math.min(_: Long, _: Long))
+      val half = canonical(ls).partitionBy(part)
+      val mins2 = half.reduceByKey(part, math.min(_: Long, _: Long)) // narrow
       val ss = half.join(mins2).flatMap { case (u, (v, m)) =>
         if (v == m) Iterator((u, m)) else Iterator((v, m), (u, m))
       }
@@ -155,6 +164,12 @@ class DuplicateClusterer(override val uid: String) extends Transformer
     "connected-components round bound", ParamValidators.gt(0))
   setDefault(maxIter -> 25)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
+  final val restrictVerify = new BooleanParam(this, "restrictVerify",
+    "semi-join the shingle payload down to candidate ids before the " +
+      "verification joins — set true on SPARSE-dup corpora (candidates " +
+      "≪ documents); measured slower when most documents are candidates")
+  setDefault(restrictVerify -> false)
+  def setRestrictVerify(v: Boolean): this.type = set(restrictVerify, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
@@ -169,16 +184,21 @@ class DuplicateClusterer(override val uid: String) extends Transformer
     val pairs = candidatePairs(buckets, $(maxBucketSize), s"${uid}_dropped")
     val sh = df.select(id.cast("long").as("__id"),
       hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
-    val verified = joinCandidatePayload(pairs, sh, "__sh", restrict = false)
+    val verified = joinCandidatePayload(pairs, sh, "__sh", $(restrictVerify))
       .filter(jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold))
       .select(col("__id_l"), col("__id_r"))
+    // collision-proof label columns: the input frame may legitimately
+    // carry a column named `component` or `id`
+    val ccId = graft.core.DatasetExtensions.findUnusedColumnName("__cc_id", df)
+    val ccComp = graft.core.DatasetExtensions.findUnusedColumnName("__cc_comp", df)
     val labels = GraphFunctions
       .connectedComponents(verified, "__id_l", "__id_r", $(maxIter))
-      .withColumnRenamed("id", "__cc_id")
-    df.join(labels, id.cast("long") === col("__cc_id"), "left_outer")
+      .withColumnRenamed("id", ccId)
+      .withColumnRenamed("component", ccComp)
+    df.join(labels, id.cast("long") === col(ccId), "left_outer")
       .withColumn(getOutputCol,
-        coalesce(col("component"), id.cast("long")))
-      .drop("__cc_id", "component")
+        coalesce(col(ccComp), id.cast("long")))
+      .drop(ccId, ccComp)
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField(getOutputCol, LongType))

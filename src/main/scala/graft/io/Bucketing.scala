@@ -32,6 +32,11 @@ object Bucketing {
     * the catalog-backed frame (whose scans carry the bucket
     * partitioning). `buckets` must match on both sides of a co-located
     * join.
+    *
+    * File lifecycle: the table is EXTERNAL, so `DROP TABLE` removes only
+    * catalog metadata — the parquet files at `path` belong to the
+    * caller. Re-publishing to the SAME path overwrites in place; writing
+    * each run to a fresh temp path orphans the previous copy.
     */
   def bucketize(df: DataFrame, table: String, path: String, key: String,
       buckets: Int): DataFrame = {

@@ -93,7 +93,10 @@ class BallTree(
     def visit(nodePos: Int): Unit = {
       val node = nodes(nodePos)
       val dc = dist(q, node.center)
-      if (heap.size >= k && dc - node.radius >= heap.head._1) return
+      // strict inequality: a node at exactly the boundary distance may
+      // still hold an equal-distance SMALLER-id point that must win the
+      // (distance asc, id asc) tie-break below
+      if (heap.size >= k && dc - node.radius > heap.head._1) return
       if (node.left < 0) {
         var i = node.start
         while (i < node.end) {
@@ -101,7 +104,15 @@ class BallTree(
           if (allowed.isEmpty || (labels.nonEmpty && allowed.contains(labels(pi)))) {
             val d = dist(q, points(pi))
             if (heap.size < k) heap.enqueue((d, ids(pi)))
-            else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, ids(pi))) }
+            // replace on strictly smaller distance OR an equal-distance
+            // smaller id: the kept set is then exactly the k smallest
+            // under (distance asc, id asc) — deterministic regardless of
+            // traversal order, which per-partition distributed search
+            // (PartitionedKNN) relies on when merging tied candidates
+            else if (d < heap.head._1 ||
+                (d == heap.head._1 && ids(pi) < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((d, ids(pi)))
+            }
           }
           i += 1
         }

@@ -43,7 +43,11 @@ class PartitionedKNN(override val uid: String) extends Transformer
   def setLeafSize(v: Int): this.type = set(leafSize, v)
 
   /** The query side IS driver-collected (it rides a broadcast); this bound
-    * keeps that explicit. The corpus side has no bound — it never moves. */
+    * keeps that explicit. The corpus side has no bound — it never moves.
+    * Broadcast lifecycle: the query broadcast is referenced only by the
+    * returned frame's task closures, so Spark's ContextCleaner reclaims
+    * its blocks once the frame is garbage-collected — per-call broadcasts
+    * don't accumulate across repeated transform() calls. */
   final val maxQueryRows = new LongParam(this, "maxQueryRows",
     "fail transform() when the query set exceeds this many rows",
     ParamValidators.gt(0))

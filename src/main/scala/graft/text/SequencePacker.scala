@@ -60,6 +60,13 @@ class SequencePacker(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
+    // output columns must be fresh: a pre-existing seq_shard / outputCol
+    // would silently collide with withColumn's replace-in-place semantics
+    // and corrupt the positional scan below
+    require(!df.columns.contains("seq_shard") &&
+      !df.columns.contains(getOutputCol),
+      s"input already has a 'seq_shard' or '$getOutputCol' column — " +
+        "rename it (or setOutputCol) before packing")
     val lenExpr =
       if (isSet(lengthCol)) col($(lengthCol)).cast("long")
       else TextFunctions.tokenCount(col(getInputCol)).cast("long")
@@ -70,14 +77,18 @@ class SequencePacker(override val uid: String) extends Transformer
         pmod(xxhash64(col($(idCol)).cast("long")), lit($(numShards))).cast("int")
       else lit(0)
 
+    // internal scratch columns get collision-proof names; seq_shard is
+    // fresh by the require above
+    val grpCol = graft.core.DatasetExtensions.findUnusedColumnName("__grp", df)
+    val lenCol = graft.core.DatasetExtensions.findUnusedColumnName("__len", df)
     val withKeys = df
-      .withColumn("__grp", grpExpr)
+      .withColumn(grpCol, grpExpr)
       .withColumn("seq_shard", shardExpr)
-      .withColumn("__len", lenExpr)
+      .withColumn(lenCol, lenExpr)
     val n = withKeys.columns.length
-    val grpIdx = n - 3
-    val shardIdx = n - 2
-    val lenIdx = n - 1
+    val grpIdx = withKeys.columns.indexOf(grpCol)
+    val shardIdx = withKeys.columns.indexOf("seq_shard")
+    val lenIdx = withKeys.columns.indexOf(lenCol)
     val budget = $(maxTokens).toLong
 
     val outSchema = StructType(
@@ -89,8 +100,8 @@ class SequencePacker(override val uid: String) extends Transformer
     // one exchange on the cell key, in-partition sort by id, then a
     // single streaming pass: O(1) state per cell, any cell size streams
     withKeys
-      .repartition(col("__grp"), col("seq_shard"))
-      .sortWithinPartitions(col("__grp"), col("seq_shard"),
+      .repartition(col(grpCol), col("seq_shard"))
+      .sortWithinPartitions(col(grpCol), col("seq_shard"),
         col($(idCol)).cast("long"))
       .mapPartitions { it =>
         var curGrp: String = null

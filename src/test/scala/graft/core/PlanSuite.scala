@@ -120,8 +120,10 @@ class PlanSuite extends TestBase {
     // OUTPUT_ORDERING defaults off — so SortExec nodes remain in the
     // plan; with sortBy + one file per bucket they sort already-sorted
     // runs, and the expensive property, zero exchanges, is what we pin.)
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_bjtest").toString
+    // fixed path: overwrite replaces files in place across runs (a fresh
+    // temp dir per run would orphan the previous external-table files)
+    val staging = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_bjtest").toString
     import org.apache.spark.sql.functions.{col, sum}
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val o = spark.read.parquet(s"$sfDir/orders.parquet")

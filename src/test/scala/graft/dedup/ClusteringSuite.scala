@@ -85,6 +85,19 @@ class ClusteringSuite extends TestBase {
     assert(reps.sameElements(kept))
   }
 
+  test("DuplicateClusterer tolerates component/id columns in the input") {
+    val out = new DuplicateClusterer().setInputCol("text").setIdCol("doc_id")
+      .setShingleSize(2).setNumHashes(64).setBands(16).setThreshold(0.6)
+      .transform(docs.withColumn("component", lit("keepme"))
+        .withColumn("id", lit(-1L)))
+    assert(out.columns.count(_ == "component") == 1)
+    val got = out.select(col("doc_id"), col("cluster_id"), col("component"))
+      .as[(Long, Long, String)].collect()
+    assert(got.forall(_._3 == "keepme"))
+    assert(got.map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L, 3L -> 3L))
+  }
+
   test("DuplicateClusterer is partitioning-independent") {
     val a = new DuplicateClusterer().setInputCol("text").setIdCol("doc_id")
       .setShingleSize(2).setNumHashes(64).setBands(16).setThreshold(0.6)

@@ -80,6 +80,22 @@ class KNNSuite extends TestBase {
     collected.foreach { case (q, m) => assert(part(q) == m, s"query $q") }
   }
 
+  test("PartitionedKNN is deterministic under distance ties at the k boundary") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 30 identical vectors: the only correct top-3 under (distance asc,
+    // id asc) is ids 0,1,2 — regardless of partition layout or traversal
+    // order (exercises the BallTree equal-distance smaller-id tie-break)
+    val corpus = (0L until 30L).map(i => (i, Array(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val out = new PartitionedKNN().setInputCol("embedding").setIdCol("vec_id")
+      .setK(3).setQueries(q, "vec_id", "embedding")
+      .transform(corpus.repartition(7))
+      .select(col("matches.id")).as[Seq[Long]].collect().head
+    assert(out == Seq(0L, 1L, 2L))
+  }
+
   test("PartitionedKNN bounds the query broadcast, naming the knob") {
     val emb = sfTable("embeddings")
     val e = intercept[IllegalArgumentException] {

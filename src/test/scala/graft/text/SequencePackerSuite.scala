@@ -70,6 +70,25 @@ class SequencePackerSuite extends TestBase {
     assert(nSeq < corpus.count())
   }
 
+  test("rejects inputs that already carry the output columns") {
+    val e = intercept[IllegalArgumentException] {
+      new SequencePacker().setInputCol("text").setIdCol("doc_id")
+        .transform(docs.withColumn("seq_shard", lit(1)))
+    }
+    assert(e.getMessage.contains("seq_shard"))
+  }
+
+  test("scratch names dodge colliding input columns") {
+    // a __grp/__len column in the input must not corrupt the scan
+    val out = new SequencePacker().setInputCol("text").setIdCol("doc_id")
+      .setMaxTokens(10)
+      .transform(docs.withColumn("__grp", lit("decoy"))
+        .withColumn("__len", lit(9999L)))
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 5L -> 4L, 6L -> 5L))
+  }
+
   test("lengthCol overrides the computed token count") {
     val withLen = docs.withColumn("tl", lit(6L))
     val out = new SequencePacker().setInputCol("text").setIdCol("doc_id")
