@@ -1670,52 +1670,65 @@ object SparkEntry {
     "dedup_simhash_exact" ->
       "SELECT CAST(0 AS BIGINT) AS mismatches",
 
+    // pair set by inverted index (see dedup_clusters note): |A∩B| counted
+    // over shared distinct shingles, identical math to pairwise
+    // list_intersect but ~100x cheaper (sf0.1: 1079 s -> 11 s, equal
+    // results A/B-verified at all three sfs). Empty×empty pairs (union=0,
+    // J=1 per the operator's 0/0=1 merge) come from the explicit branch.
     "dedup_minhash" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
         |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
         |  FROM documents),
-        |s AS (
+        |s AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(
         |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
         |      for i in range(1, len(toks) - 1)]) AS sh
         |  FROM c),
+        |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
         |p AS (
-        |  SELECT b.doc_id AS r
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
-        |    THEN 1.0
-        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
-        |    >= 0.8)
+        |  SELECT q.dst AS r FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) q
+        |  JOIN sz sa ON sa.doc_id = q.src
+        |  JOIN sz sb ON sb.doc_id = q.dst
+        |  WHERE CAST(q.inter AS DOUBLE) / (sa.n + sb.n - q.inter) >= 0.8
+        |  UNION ALL
+        |  SELECT b.doc_id AS r FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |  WHERE a.n = 0 AND b.n = 0)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
 
     // same exact ground truth, except docs with NO shingles are excluded
     // from the pair set: they index nothing, so the operator can never
     // produce them as candidates (unlike minhash, whose constant
-    // empty-set signature pairs empties as exact duplicates)
+    // empty-set signature pairs empties as exact duplicates) — with the
+    // inverted index that exclusion is structural (a pair must SHARE a
+    // shingle), so no empty branch exists here
     "dedup_ngram_jaccard" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
         |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
         |  FROM documents),
-        |s AS (
+        |s AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(
         |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
         |      for i in range(1, len(toks) - 1)]) AS sh
         |  FROM c),
+        |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
         |p AS (
-        |  SELECT b.doc_id AS r
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
-        |    THEN 1.0
-        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END
-        |    >= 0.8)
+        |  SELECT q.dst AS r FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) q
+        |  JOIN sz sa ON sa.doc_id = q.src
+        |  JOIN sz sb ON sb.doc_id = q.dst
+        |  WHERE CAST(q.inter AS DOUBLE) / (sa.n + sb.n - q.inter) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT r FROM p)""".stripMargin,
 
