@@ -443,6 +443,18 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // priority-aware exact dedup: within each canonical-text group the
+    // preferred (lowest-priority-value) source's copy survives, ties by
+    // id — the "keep the curated copy, drop the crawl's" curation rule
+    "dedup_exact_priority" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("__prio", when(col("lang") === "en", 0).otherwise(1))
+      new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+        .setPriorityCol("__prio")
+        .transform(docs)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // hash-gated vs an exact transitive closure: cluster_id = min doc id
     // reachable through exact-Jaccard >= 0.8 edges, recomputed by the
     // oracle as a recursive min-label propagation over the same pairs
@@ -513,6 +525,25 @@ object SparkEntry {
         .transform(emb)
         .select(col("query_id").as("vec_id"),
           explode(col("matches.id")).as("neighbor_id"))
+    },
+
+    // corpus-level boilerplate detector: top-20 most frequent lowercase
+    // word 3-grams with counts, total-ordered (count desc, gram asc) so
+    // the limit is deterministic
+    "frequent_ngrams" -> { (s, dir) =>
+      new FrequentNGrams().setInputCol("text").setN(3).setTopK(20)
+        .transform(tbl(s, dir, "documents"))
+    },
+
+    // Gopher-style structural quality gate over integer/q4 signals —
+    // survivors only, recomputed by the oracle from the doc_stats
+    // expressions with the same thresholds
+    "quality_filter" -> { (s, dir) =>
+      new QualityFilter().setInputCol("text")
+        .setMinTokens(40).setMaxTokens(100000)
+        .setMinQualityQ4(4000L).setMinStopwordHits(1L)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"))
     },
 
     // greedy first-fit token packing in id order within each source group;
@@ -1655,6 +1686,62 @@ object SparkEntry {
         |    PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // same canonical-text partition as dedup_exact; the window order is
+    // (priority, id) instead of id
+    "dedup_exact_priority" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |    ORDER BY CASE WHEN lang = 'en' THEN 0 ELSE 1 END, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // every 3-gram occurrence counted (no dedup within a doc), total
+    // order (cnt desc, gram asc) makes the LIMIT deterministic
+    "frequent_ngrams" ->
+      """WITH g AS (
+        |  SELECT [array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)] AS grams
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(grams) AS gram FROM g)
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // doc_stats' integer/q4 signal expressions with the gate thresholds
+    "quality_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len_d,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, len_d, len(toks) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as','at','by','be','this','are'], t)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(ltoks) AS DOUBLE) AS n_ltoks_d
+        |  FROM base)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, n_tokens, n_stop,
+        |    CAST(floor(least(1.0,
+        |      CAST(n_alpha AS DOUBLE) / greatest(len_d, 1.0) * 0.4
+        |      + (1.0 - least(
+        |          CAST(n_punct AS DOUBLE) / greatest(len_d, 1.0) * 5, 1.0)) * 0.2
+        |      + CAST(n_stop AS DOUBLE) / greatest(n_ltoks_d, 1.0) * 2.0 * 0.2
+        |      + (CASE WHEN len_d / greatest(n_ltoks_d, 1.0)
+        |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+        |      * 10000.0 + 0.5) AS BIGINT) AS q4
+        |  FROM counted)
+        |WHERE n_tokens BETWEEN 40 AND 100000
+        |  AND q4 >= 4000 AND n_stop >= 1""".stripMargin,
 
     // Brute-force word-3-shingle Jaccard ground truth: a doc is dropped iff
     // a smaller-id doc reaches threshold. The LSH/posting-list candidate

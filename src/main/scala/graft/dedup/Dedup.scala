@@ -203,6 +203,15 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   final val idCol = new Param[String](this, "idCol", "unique row id column")
   def setIdCol(v: String): this.type = set(idCol, v)
 
+  /** Optional numeric preference: within a duplicate group the LOWEST
+    * priority value wins (ties break on smallest id) — the "prefer the
+    * curated source's copy over the crawl's" rule of corpus curation.
+    * Nulls rank last. Unset = smallest id wins (reference behavior).
+    */
+  final val priorityCol = new Param[String](this, "priorityCol",
+    "numeric column; lowest value kept per duplicate group")
+  def setPriorityCol(v: String): this.type = set(priorityCol, v)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val canon = DedupFunctions.canonical(col(getInputCol))
@@ -220,10 +229,18 @@ class ExactDeduplicator(override val uid: String) extends Transformer
     // window + row_number ships every duplicate row through the shuffle
     // and sorts each bucket)
     // null ids order last (min_by skips null ordering values entirely,
-    // which would drop a group whose rows all have null ids)
+    // which would drop a group whose rows all have null ids); with a
+    // priority column the min_by key is the (priority, id) struct —
+    // lexicographic, so priority decides and id breaks ties
+    val idOrd = coalesce(col($(idCol)).cast("long"), lit(Long.MaxValue))
+    val ord =
+      if (isSet(priorityCol))
+        struct(coalesce(col($(priorityCol)).cast("double"),
+          lit(Double.MaxValue)), idOrd)
+      else struct(idOrd)
     df.groupBy(fp1.as("__fp"), fp2.as("__fp2"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
-        coalesce(col($(idCol)).cast("long"), lit(Long.MaxValue))).as("__row"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), ord)
+        .as("__row"))
       .select(col("__row.*"))
   }
   override def transformSchema(schema: StructType): StructType = schema

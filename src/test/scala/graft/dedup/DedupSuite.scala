@@ -23,6 +23,23 @@ class DedupSuite extends TestBase {
     assert(ids.sameElements(Array(0L, 2L, 3L)))
   }
 
+  test("ExactDeduplicator keeps the preferred-priority copy") {
+    // {0,1,4} share canonical text; priority prefers doc 1
+    val prioritized = docs.withColumn("prio",
+      when(col("doc_id") === 1, 0).otherwise(1))
+    val out = new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setPriorityCol("prio").transform(prioritized)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+    // null priority ranks last: doc 0's null loses to doc 4's 1
+    val withNull = docs.withColumn("prio",
+      when(col("doc_id") === 0, lit(null)).otherwise(lit(1)))
+    val ids2 = new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setPriorityCol("prio").transform(withNull)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids2.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("MinHashDeduplicator removes near duplicates") {
     val out = new MinHashDeduplicator().setInputCol("text").setIdCol("doc_id")
       .setShingleSize(2).setNumHashes(64).setBands(16).setThreshold(0.6)

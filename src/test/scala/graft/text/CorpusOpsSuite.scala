@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSuite extends TestBase {
+  import spark.implicits._
+
+  test("FrequentNGrams counts every occurrence, ordered (cnt desc, gram)") {
+    val docs = Seq(
+      (0L, "a b c a b c a b c"), // "a b c" x3 (+ overlaps "b c a" x2, "c a b" x2)
+      (1L, "a b c d"),           // "a b c" again, "b c d"
+      (2L, "x y")                // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val out = new FrequentNGrams().setInputCol("text").setN(3).setTopK(3)
+      .transform(docs).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 4L), ("b c a", 2L), ("c a b", 2L)))
+  }
+
+  test("FrequentNGrams lowercases and is partitioning-independent") {
+    val docs = Seq((0L, "The Cat Sat"), (1L, "the cat sat here"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      new FrequentNGrams().setInputCol("text").setN(3).setTopK(5)
+        .transform(d).as[(String, Long)].collect().toSeq
+    val a = run(docs.repartition(5))
+    assert(a.head == (("the cat sat", 2L)))
+    assert(a == run(docs.coalesce(1)))
+  }
+
+  test("QualityFilter keeps structurally sound docs and drops the rest") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river bank where it rests in the shade of a tall tree for a while"
+    val tooShort = "tiny doc"
+    val punctSoup = Seq.fill(30)("!?.,;:").mkString(" ")
+    val noStopwords = Seq.fill(40)("zorp").mkString(" ")
+    val docs = Seq((0L, good), (1L, tooShort), (2L, punctSoup),
+      (3L, noStopwords)).toDF("doc_id", "text")
+    val kept = new QualityFilter().setInputCol("text")
+      .setMinTokens(20).setMaxTokens(1000)
+      .setMinQualityQ4(4000L).setMinStopwordHits(1L)
+      .transform(docs).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L))
+  }
+
+  test("QualityFilter thresholds mirror DocumentAnalyzer signals exactly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val kept = new QualityFilter().setInputCol("text")
+      .setMinTokens(40).setMinQualityQ4(4000L).setMinStopwordHits(1L)
+      .transform(corpus).select("doc_id").as[Long].collect().sorted
+    val expected = new DocumentAnalyzer().setInputCol("text")
+      .transform(corpus)
+      .filter(col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
+        col("quality_q4") >= 4000 && col("n_stop") >= 1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(expected) && kept.nonEmpty)
+  }
+}
