@@ -174,6 +174,11 @@ class DuplicateClusterer(override val uid: String) extends Transformer
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
     val df = ds.toDF()
+    // withColumn would silently overwrite a pre-existing column of this
+    // name (SequencePacker guards the analogous case); fail fast instead
+    require(!df.columns.contains(getOutputCol),
+      s"input already has a column named '$getOutputCol'; set outputCol " +
+        "to an unused name")
     val id = col($(idCol))
     val r = $(numHashes) / $(bands)
     val buckets = df

@@ -70,6 +70,8 @@ object Bucketing {
       leftKey, buckets)
     val rb = bucketize(right, s"${namePrefix}_r", s"$stagingDir/r",
       rightKey, buckets)
-    lb.join(rb, col(leftKey) === col(rightKey))
+    // frame-qualified: unqualified col(k) === col(k) is ambiguous when
+    // both sides share the key column name
+    lb.join(rb, lb(leftKey) === rb(rightKey))
   }
 }

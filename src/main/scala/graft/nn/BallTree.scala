@@ -85,8 +85,12 @@ class BallTree(
     implicit val heapOrd: Ordering[(Double, Long)] =
       new Ordering[(Double, Long)] {
         def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          // head must be the lexicographic (distance asc, id asc) MAXIMUM —
+          // i.e. among tied worst distances the LARGEST id — so the eviction
+          // rule below can replace it with an equal-distance smaller id and
+          // the kept k-set is deterministic regardless of traversal order
           val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
         }
       }
     val heap = mutable.PriorityQueue.empty[(Double, Long)]

@@ -6,49 +6,66 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the bench contract line's size. The driver captures only a
   * ~2048-byte stdout tail and truncates from the HEAD of the line; rounds
   * 7-8 lost the line (and with it all per-query walls) because
-  * full-precision doubles pushed it to ~2.2 kB. The renderer degrades
-  * decimal precision until the line fits; these tests pin that behavior at
-  * the CURRENT query count so growth can't silently re-overflow capture.
+  * full-precision doubles pushed it to ~2.2 kB, and round 10's all-names
+  * line outgrew the tail budget at 88 queries (name mass alone ~1.7 kB).
+  * The renderer now names only queries with wall ≥ 0.5 s and aggregates
+  * the rest into a "fast" summary; these tests pin that behavior at the
+  * CURRENT query count so growth can't silently re-overflow capture.
   */
 class BenchLineSuite extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keysIterator.toSeq.sorted
+  private def bytes(line: String) = line.getBytes("UTF-8").length
 
   test("worst-case contract line stays under the driver tail capture") {
-    // absurd worst case: every query at 999.999 s — the measured sf0.1
-    // TOTAL is ~80 s across all queries, so a 1000-s-per-query line is
-    // >100x anything real; beyond it the renderer still degrades
-    // (0 decimals, then sf basename) rather than overflowing
+    // absurd worst case: EVERY query at 999.999 s — the measured sf0.1
+    // TOTAL is well under 200 s across all queries, so a 1000-s-per-query
+    // line is >100x anything real; beyond it the renderer drops the
+    // smallest shown walls into an explicit "omitted" count rather than
+    // overflowing
     val line = Bench.renderLine(names.map(_ -> 999.999), 999.999 * names.size,
       "/root/testdata/sf0.1")
-    val bytes = line.getBytes("UTF-8").length
-    assert(bytes <= Bench.MaxLineBytes,
-      s"bench contract line would be $bytes bytes (${names.size} queries) — " +
-        "over the guard against the driver's ~2048-byte stdout tail; " +
-        "shorten query names or move data out of the line")
+    assert(bytes(line) <= Bench.MaxLineBytes,
+      s"bench contract line would be ${bytes(line)} bytes (${names.size} " +
+        "queries) — over the guard against the driver's ~2048-byte stdout " +
+        "tail")
+    // drop order is (wall desc, name asc): under all-tied walls the
+    // alphabetically-first query survives any shrink rung
     assert(line.contains("\"" + names.head + "\":"),
       "first query's wall must survive the render")
+    // anything dropped must be accounted, not silent
+    if (!line.contains("\"" + names.last + "\":"))
+      assert(line.contains("\"omitted\":"), "dropped walls must be counted")
   }
 
-  test("realistic walls keep at least 1-decimal resolution") {
-    // at 85 queries the name mass alone (~1.26 kB) forces the renderer
-    // down to 1-decimal walls; 100 ms resolution is still below the ±50%
-    // suite-position noise floor, and target/bench_contract.json carries
-    // the full-precision walls regardless
-    val line = Bench.renderLine(names.map(_ -> 1.23456789), 86.419,
+  test("realistic walls keep full 3-decimal resolution for slow queries") {
+    // realistic shape: ~30 multi-second queries, the rest sub-0.5 s.
+    // The slow walls must render at 3 decimals with room to spare, and
+    // the fast mass must be aggregated with its count and sum visible.
+    val (slow, fastQ) = names.splitAt(30)
+    val walls = slow.map(_ -> 1.23456789) ++ fastQ.map(_ -> 0.123)
+    val line = Bench.renderLine(walls, 40.617, "/root/testdata/sf0.1")
+    assert(bytes(line) <= Bench.MaxLineBytes)
+    assert(line.contains(":1.235"), "expected 3-decimal rendering")
+    assert(line.contains(s""""fast":{"n":${fastQ.size},"""),
+      "sub-threshold queries must be aggregated with their count")
+    assert(!line.contains("\"omitted\":"),
+      "no walls should be dropped in the realistic case")
+    assert(line.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
+  }
+
+  test("all-fast suite renders an empty queries map, nothing lost") {
+    val line = Bench.renderLine(names.map(_ -> 0.1), 0.1 * names.size,
       "/root/testdata/sf0.1")
-    assert(line.getBytes("UTF-8").length <= Bench.MaxLineBytes)
-    assert(line.contains(":1.2"), "expected >= 1-decimal rendering")
-    // the renderer trades the sf prefix for the decimal — the basename
-    // keeps the line identifiable
-    assert(line.endsWith("\"sf\":\"sf0.1\"}") ||
-      line.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
+    assert(bytes(line) <= Bench.MaxLineBytes)
+    assert(line.contains("\"queries\":{}"))
+    assert(line.contains(s""""fast":{"n":${names.size},"""))
   }
 
   test("the capped final rung bounds per-wall display at any magnitude") {
     val line = Bench.renderLine(names.map(_ -> 1e9), 1e9 * names.size,
       "/root/testdata/sf0.1")
-    assert(line.getBytes("UTF-8").length <= Bench.MaxLineBytes)
+    assert(bytes(line) <= Bench.MaxLineBytes)
     assert(line.contains(":999"), "capped display expected")
   }
 

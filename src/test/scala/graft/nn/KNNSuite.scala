@@ -89,11 +89,32 @@ class KNNSuite extends TestBase {
     val corpus = (0L until 30L).map(i => (i, Array(1.0, 2.0, 3.0)))
       .toDF("vec_id", "embedding")
     val q = Seq((100L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    // sortWithinPartitions DESC pins a descending encounter order — the
+    // exact case where a heap whose tied head is the SMALLEST id would
+    // keep the last-encountered ids instead of {0,1,2}
     val out = new PartitionedKNN().setInputCol("embedding").setIdCol("vec_id")
       .setK(3).setQueries(q, "vec_id", "embedding")
-      .transform(corpus.repartition(7))
+      .transform(corpus.repartition(7)
+        .sortWithinPartitions(col("vec_id").desc))
       .select(col("matches.id")).as[Seq[Long]].collect().head
     assert(out == Seq(0L, 1L, 2L))
+  }
+
+  test("BallTree keeps the (distance asc, id asc) k-set under any insertion order") {
+    // 12 identical points fed in DESCENDING id order: with the heap's tie
+    // ordering inverted (pre-round-11 bug) the kept set depends on
+    // traversal order and comes back wrong
+    val pts = Array.fill(12)(Array(1.0, 2.0))
+    val ids = (0L until 12L).reverse.toArray
+    val t = new BallTree(pts, ids, Array.empty, leafSize = 4)
+    assert(t.search(Array(1.0, 2.0), 3).map(_._2) == Seq(0L, 1L, 2L))
+    // mixed distances + ties at the k boundary: points at distance 1.0
+    // (ids 20,21,22) and 2.0 (ids 10,11), k=4 must keep 20,21,22,10
+    val pts2 = Array(Array(0.0, 1.0), Array(1.0, 0.0), Array(0.0, -1.0),
+      Array(0.0, 2.0), Array(2.0, 0.0))
+    val ids2 = Array(22L, 21L, 20L, 11L, 10L)
+    val t2 = new BallTree(pts2, ids2, Array.empty, leafSize = 2)
+    assert(t2.search(Array(0.0, 0.0), 4).map(_._2) == Seq(20L, 21L, 22L, 10L))
   }
 
   test("PartitionedKNN bounds the query broadcast, naming the knob") {
