@@ -465,6 +465,19 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"))
     },
 
+    // canonical-doc curation over the same clusters: keep the LONGEST
+    // member per cluster (smallest doc_id on ties) + the multiplicity —
+    // one partial-aggregating max_by, no window (skew note in Scaladoc)
+    "dedup_canonical" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val clustered = new DuplicateClusterer().setInputCol("text")
+        .setIdCol("doc_id").setThreshold(0.8).transform(docs)
+      new graft.dedup.CanonicalSelector().setClusterCol("cluster_id")
+        .setIdCol("doc_id").setScoreCol("__len")
+        .transform(clustered.withColumn("__len", length(col("text"))))
+        .select(col("cluster_id"), col("doc_id"), col("cluster_size"))
+    },
+
     "dedup_embedding" -> { (s, dir) => // hash-gated vs exact cosine
       new EmbeddingNearDupDeduplicator().setInputCol("embedding")
         .setIdCol("vec_id").setThreshold(0.95)
@@ -1353,6 +1366,31 @@ object SparkEntry {
           col("is_contaminated").cast("int").as("is_contaminated"))
     },
 
+    // graded contamination: distinct 4-grams, benchmark hits, and the
+    // q4 overlap fraction per doc — broadcast benchmark set, map-only
+    "decontaminate_frac" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Decontamination.overlapProfile(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("overlap_q4"))
+    },
+
+    // CCNet-style unigram-LM cross-entropy quality signal: fit counts
+    // the corpus (one hash agg), vocabSize=16 of the fixture's 31 types
+    // so the UNK path is exercised; transform is a broadcast-map narrow
+    // pass. Gated on exact integers (n_tokens, n_oov) + the q4-scaled
+    // cross-entropy (ln-ulp/summation drift is ~4 orders of magnitude
+    // inside the q4 rounding step — see UnigramLM Scaladoc)
+    "lm_perplexity" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      new graft.text.UnigramLM().setInputCol("text").setVocabSize(16)
+        .fit(docs).transform(docs)
+        .select(col("doc_id"), col("lm_n_tokens"), col("lm_n_oov"),
+          col("lm_ce_q4"))
+    },
+
     // PII redaction over deterministically synthesized PII (the corpus
     // has none): email/phone/ip/ssn spans derived from doc_id are
     // appended identically in the oracle SQL, then both engines redact —
@@ -1918,6 +1956,48 @@ object SparkEntry {
         |  FROM e JOIN lab ON e.src = lab.id)
         |SELECT id AS doc_id, MIN(comp) AS cluster_id
         |FROM lab GROUP BY id""".stripMargin,
+
+    // same recursive min-label clustering, then argmax by
+    // (length desc, doc_id asc) per cluster + the member count
+    "dedup_canonical" ->
+      """WITH RECURSIVE c AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS MATERIALIZED (
+        |  SELECT p.src, p.dst FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz sa ON sa.doc_id = p.src
+        |  JOIN sz sb ON sb.doc_id = p.dst
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM sz a JOIN sz b
+        |    ON a.doc_id <> b.doc_id AND a.n = 0 AND b.n = 0),
+        |lab AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, lab.comp AS comp
+        |  FROM e JOIN lab ON e.src = lab.id),
+        |cl AS (SELECT id AS doc_id, MIN(comp) AS cluster_id
+        |  FROM lab GROUP BY id),
+        |r AS (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY len(d.text) DESC, cl.doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+        |  FROM cl JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // exact cosine ground truth for the hyperplane-LSH near-dup path; the
     // fixture's closest pair sits ~0.44 below the 0.95 threshold, so no
@@ -2491,6 +2571,67 @@ object SparkEntry {
         |    AS is_contaminated
         |FROM documents d LEFT JOIN cont c USING (doc_id)
         |WHERE d.source <> 'src0'""".stripMargin,
+
+    // same gram construction; per-doc distinct grams vs the benchmark
+    // set, q4 arithmetic in the PipelineFunctions.q4 operation order
+    "decontaminate_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(t, i, i+3), ' ') AS g
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(range(1, len(t)-2)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+        |      AS n_hit
+        |  FROM dg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sc.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN COALESCE(sc.n_grams, 0) > 0 THEN
+        |      FLOOR(CAST(sc.n_hit AS DOUBLE) / CAST(sc.n_grams AS DOUBLE)
+        |        * 10000 + 0.5)
+        |    ELSE 0 END AS BIGINT) AS overlap_q4
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin,
+
+    // unigram LM replayed in SQL: same tokenization as the Spark side,
+    // top-16 vocab by (count desc, token asc), add-1.0 smoothing over
+    // V+1 types with OOV pooled into UNK; q4-scaled cross-entropy
+    "lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM cnt),
+        |vocab AS (SELECT t, c FROM (
+        |    SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn
+        |    FROM cnt) WHERE rn <= 16),
+        |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(c) AS BIGINT) AS cv FROM vocab),
+        |par AS (SELECT
+        |    CAST(tot.nb AS DOUBLE) + 1.0 * (vs.v + 1) AS denom,
+        |    CAST(tot.nb - vs.cv AS DOUBLE) + 1.0 AS unknum
+        |  FROM tot CROSS JOIN vs),
+        |sc AS (
+        |  SELECT tok.doc_id, COUNT(*) AS n_tok,
+        |    SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    SUM(-ln((CASE WHEN vocab.t IS NULL THEN par.unknum
+        |      ELSE CAST(vocab.c AS DOUBLE) + 1.0 END) / par.denom)) AS s
+        |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t CROSS JOIN par
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS lm_n_tokens,
+        |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS lm_n_oov,
+        |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
+        |    AS lm_ce_q4
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // identical synthesized-PII construction, identical ordered regex
     // chain (email, ssn, phone, ipv4); patterns use only literal classes

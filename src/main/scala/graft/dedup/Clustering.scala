@@ -210,3 +210,59 @@ class DuplicateClusterer(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): DuplicateClusterer = defaultCopy(extra)
 }
 object DuplicateClusterer extends graft.core.GraftReadable[DuplicateClusterer]
+
+/** Canonical-document selection: one row per cluster — the member with
+  * the LARGEST `scoreCol` (ties to the smallest id) plus a
+  * `cluster_size` count. Composed after [[DuplicateClusterer]] this is
+  * the standard near-dup curation step: keep the best copy (longest /
+  * highest-quality), drop the rest, and keep the multiplicity for
+  * dup-rate-weighted sampling.
+  *
+  * Scale shape: ONE hash aggregation (`max_by` over the full row struct,
+  * keyed by cluster) — partial-aggregating, so a giant duplicate
+  * cluster combines map-side and only one candidate row per (cluster,
+  * partition) reaches the exchange. Deliberately NOT a window: a
+  * row_number over the cluster key ships every member of the largest
+  * cluster to one task, which is exactly the skew a 100 TB dedup pass
+  * cannot afford.
+  */
+class CanonicalSelector(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("CanonicalSelector"))
+
+  final val clusterCol = new Param[String](this, "clusterCol",
+    "cluster label column")
+  setDefault(clusterCol -> "cluster_id")
+  def setClusterCol(v: String): this.type = set(clusterCol, v)
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val scoreCol = new Param[String](this, "scoreCol",
+    "numeric goodness column; the cluster member with the largest value " +
+      "(smallest id on ties) is kept")
+  def setScoreCol(v: String): this.type = set(scoreCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    require(!df.columns.contains("cluster_size"),
+      "input already has a column named 'cluster_size'")
+    // lexicographic (score, -id) max == argmax score with min-id ties;
+    // ids are required non-negative for the negation to order correctly
+    val ord = struct(col($(scoreCol)),
+      (col($(idCol)).cast("long") * -1L).as("__negid"))
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    val agg = df.groupBy(col($(clusterCol)))
+      .agg(max_by(all, ord).as("__best"), count(lit(1)).as("cluster_size"))
+    val rest = df.columns.filterNot(_ == $(clusterCol))
+    agg.select((col($(clusterCol)) +:
+      rest.map(f => col(s"__best.`$f`").as(f)).toSeq :+
+      col("cluster_size")): _*)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(
+      schema($(clusterCol)) +:
+      schema.filterNot(_.name == $(clusterCol)) :+
+      StructField("cluster_size", LongType, nullable = false))
+  override def copy(extra: ParamMap): CanonicalSelector = defaultCopy(extra)
+}
+object CanonicalSelector extends graft.core.GraftReadable[CanonicalSelector]

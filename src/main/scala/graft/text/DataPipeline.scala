@@ -95,6 +95,46 @@ object Decontamination {
     corpus.join(
       contaminatedIds(corpus, benchmark, textCol, idCol, n, broadcastBenchmark),
       Seq(idCol), "left_anti")
+
+  /** Per-document contamination PROFILE — where [[flag]] answers "does
+    * this doc share ANY n-gram with the benchmark", this grades HOW MUCH:
+    * distinct n-grams, distinct n-grams also in the benchmark, and the
+    * q4-scaled overlap fraction — the form needed to set a defensible
+    * drop threshold (the flag is the fraction > 0 special case).
+    *
+    * Scale shape: the benchmark's distinct grams are collected once
+    * (bounded by `maxBenchmarkGrams` — eval benchmarks are MBs; the
+    * bound fails fast with the knob named) and broadcast as a string
+    * set; the corpus side is then a single NARROW projection — each
+    * doc's distinct grams are counted against the broadcast set per
+    * partition. Nothing about the corpus enters an exchange: strictly
+    * cheaper than [[flag]]'s id-distinct at 100 TB.
+    */
+  def overlapProfile(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 4,
+      maxBenchmarkGrams: Long = 50L * 1000 * 1000): DataFrame = {
+    val benchRows = benchmark
+      .select(explode(grams(textCol, n)).as("__g")).distinct()
+    val cnt = benchRows.count()
+    require(cnt <= maxBenchmarkGrams,
+      s"benchmark has $cnt distinct $n-grams > maxBenchmarkGrams=" +
+        s"$maxBenchmarkGrams — raise the bound only if the driver and " +
+        "executors can hold the broadcast")
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      benchRows.collect().map(_.getString(0)).toSet)
+    val hits = udf { gs: Seq[String] =>
+      val set = bc.value
+      var hit = 0L
+      gs.foreach(g => if (set.contains(g)) hit += 1)
+      hit
+    }
+    val dg = array_distinct(grams(textCol, n))
+    corpus
+      .withColumn("n_grams", size(dg).cast("long"))
+      .withColumn("n_hit", hits(dg))
+      .withColumn("overlap_q4",
+        PipelineFunctions.q4(col("n_hit"), col("n_grams")))
+  }
 }
 
 /** Regex PII redaction: rewrites emails, SSN-shaped, phone-shaped and

@@ -29,6 +29,18 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("UnigramLMModel save/load") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val m = new graft.text.UnigramLM().setInputCol("text").setVocabSize(2)
+      .fit(df)
+    val p = tmp("ulm"); m.write.overwrite().save(p)
+    val loaded = graft.text.UnigramLMModel.load(p)
+    assert(loaded.vocab.sameElements(m.vocab) &&
+      loaded.totalTokens == m.totalTokens &&
+      loaded.getOrDefault(loaded.alpha) == m.getOrDefault(m.alpha))
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("CleanMissingDataModel save/load") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
     val m = new CleanMissingData().setInputCols(Seq("x")).fit(df)

@@ -98,6 +98,48 @@ class ClusteringSuite extends TestBase {
       Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L, 3L -> 3L))
   }
 
+  test("DuplicateClusterer refuses to overwrite an existing outputCol") {
+    val e = intercept[IllegalArgumentException] {
+      new DuplicateClusterer().setInputCol("text").setIdCol("doc_id")
+        .transform(docs.withColumn("cluster_id", lit(99L)))
+    }
+    assert(e.getMessage.contains("cluster_id"))
+  }
+
+  test("CanonicalSelector keeps the argmax (score desc, id asc) per cluster") {
+    val clustered = Seq(
+      (1L, 1L, "aaaaa"),   // len 5
+      (2L, 1L, "bbbbbbbbb"), // len 9 -- tied with id 3, smaller id wins
+      (3L, 1L, "ccccccccc"), // len 9
+      (10L, 10L, "z"))
+      .toDF("doc_id", "cluster_id", "text")
+      .withColumn("len", length(col("text")))
+    val got = new CanonicalSelector().setClusterCol("cluster_id")
+      .setIdCol("doc_id").setScoreCol("len")
+      .transform(clustered)
+      .select("cluster_id", "doc_id", "cluster_size", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 3L, "bbbbbbbbb")))
+    assert(got(10L) == ((10L, 10L, 1L, "z")))
+  }
+
+  test("CanonicalSelector is partitioning-independent and refuses cluster_size collisions") {
+    val base = Seq((1L, 1L, 3.0), (2L, 1L, 7.0), (3L, 2L, 1.0))
+      .toDF("doc_id", "cluster_id", "score")
+    val a = new CanonicalSelector().setScoreCol("score")
+      .transform(base.repartition(7))
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    val b = new CanonicalSelector().setScoreCol("score")
+      .transform(base.coalesce(1))
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b && a == Seq((1L, 2L), (2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      new CanonicalSelector().setScoreCol("score")
+        .transform(base.withColumn("cluster_size", lit(0L)))
+    }
+    assert(e.getMessage.contains("cluster_size"))
+  }
+
   test("DuplicateClusterer is partitioning-independent") {
     val a = new DuplicateClusterer().setInputCol("text").setIdCol("doc_id")
       .setShingleSize(2).setNumHashes(64).setBands(16).setThreshold(0.6)

@@ -26,6 +26,32 @@ class DataPipelineSuite extends TestBase {
     assert(survivors.sameElements(Array(2L, 4L)))
   }
 
+  test("Decontamination.overlapProfile grades overlap with q4 fractions") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 2 distinct 4-grams, 1 hit
+      (2L, "zeta eta theta iota kappa"),      // 2 distinct, 0 hits
+      (4L, "alpha beta gamma"))               // 3 words: no 4-gram at all
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Decontamination
+      .overlapProfile(corpus, bench, "text", "doc_id")
+      .select("doc_id", "n_grams", "n_hit", "overlap_q4")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 5000L)))
+    assert(got(2L) == ((2L, 2L, 0L, 0L)))
+    assert(got(4L) == ((4L, 0L, 0L, 0L)))
+  }
+
+  test("Decontamination.overlapProfile bounds the benchmark broadcast, naming the knob") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.overlapProfile(corpus, bench, "text", "doc_id",
+        maxBenchmarkGrams = 1L)
+    }
+    assert(e.getMessage.contains("maxBenchmarkGrams"))
+  }
+
   test("Decontamination broadcast and shuffle paths agree") {
     val docs = sfTable("documents")
     val corpus = docs.filter($"source" =!= "src0")
