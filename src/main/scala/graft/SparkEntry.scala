@@ -1391,6 +1391,33 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // ExactSubstr dedup (Lee et al. 2022): every 5-token span repeated
+    // anywhere in the corpus is removed from every doc; gated on the
+    // full span accounting AND the cleaned text byte-for-byte (the
+    // oracle replays with exact window text, so a 64-bit window-hash
+    // collision on the Spark side would be caught here)
+    "exact_substring" -> { (s, dir) =>
+      new graft.text.ExactSubstringDeduplicator().setInputCol("text")
+        .setMinMatchTokens(5)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("es_n_tokens"), col("es_n_windows"),
+          col("es_n_dup_windows"), col("es_n_spans"),
+          col("es_n_dup_tokens"), col("es_dup_frac_q4"), col("es_text"))
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): bigram LMs fitted on
+    // the src0 slice (target) and the full corpus (raw); per-doc log
+    // importance ratio q4-gated, selection at ratio >= 0
+    "dsir_score" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      new graft.text.DSIRScorer().setInputCol("text")
+        .setTargetPredicate("source = 'src0'").setVocabSize(16)
+        .fit(docs).transform(docs)
+        .select(col("doc_id"), col("dsir_n_tokens"),
+          col("dsir_logratio_q4"),
+          col("dsir_selected").cast("int").as("dsir_selected"))
+    },
+
     // PII redaction over deterministically synthesized PII (the corpus
     // has none): email/phone/ip/ssn spans derived from doc_id are
     // appended identically in the oracle SQL, then both engines redact —
@@ -2631,6 +2658,121 @@ object SparkEntry {
         |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS lm_n_oov,
         |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
         |    AS lm_ce_q4
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // ExactSubstr replayed with EXACT window text (no hashing): windows
+    // with corpus count >= 2 -> per-doc sorted match positions -> islands
+    // via lag() gaps-and-islands with the same "new span iff
+    // pos > prev_pos + k" rule -> covered length = max+k - min per island
+    // (gaps inside a merged chain are < k by construction, so the union
+    // is contiguous); cleaned text = tokens outside every island
+    "exact_substring" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(t, i, i + 4), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM tok)),
+        |dup AS (SELECT g FROM win GROUP BY g HAVING COUNT(*) >= 2),
+        |m AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (g)),
+        |isl0 AS (
+        |  SELECT doc_id, pos, CASE WHEN
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |isl1 AS (SELECT doc_id, pos,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl0),
+        |isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 5 AS e
+        |  FROM isl1 GROUP BY doc_id, island),
+        |st AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_toks
+        |  FROM isl GROUP BY doc_id),
+        |dw AS (SELECT doc_id, COUNT(*) AS n_dup FROM m GROUP BY doc_id),
+        |toki AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |  FROM tok),
+        |kept AS (
+        |  SELECT k.doc_id,
+        |    COALESCE(string_agg(k.t[k.i], ' ' ORDER BY k.i), '') AS txt
+        |  FROM toki k
+        |  WHERE NOT EXISTS (SELECT 1 FROM isl
+        |      WHERE isl.doc_id = k.doc_id
+        |        AND k.i - 1 >= isl.s AND k.i - 1 < isl.e)
+        |  GROUP BY k.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(tok.t) AS BIGINT) AS es_n_tokens,
+        |  CAST(greatest(len(tok.t) - 4, 0) AS BIGINT) AS es_n_windows,
+        |  CAST(COALESCE(dw.n_dup, 0) AS BIGINT) AS es_n_dup_windows,
+        |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS es_n_spans,
+        |  CAST(COALESCE(st.dup_toks, 0) AS BIGINT) AS es_n_dup_tokens,
+        |  CAST(CASE WHEN len(tok.t) > 0 THEN
+        |      FLOOR(CAST(COALESCE(st.dup_toks, 0) AS DOUBLE)
+        |        / CAST(len(tok.t) AS DOUBLE) * 10000 + 0.5)
+        |    ELSE 0 END AS BIGINT) AS es_dup_frac_q4,
+        |  COALESCE(kept.txt, '') AS es_text
+        |FROM documents d
+        |JOIN tok ON tok.doc_id = d.doc_id
+        |LEFT JOIN dw ON dw.doc_id = d.doc_id
+        |LEFT JOIN st ON st.doc_id = d.doc_id
+        |LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin,
+
+    // DSIR replayed in SQL: two add-1 bigram LMs (top-16 vocab each, UNK
+    // pooling) fitted on the src0 slice and the full corpus; per-doc
+    // logratio = sr/n - st/n in the Spark side's operation order
+    "dsir_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        |        FROM tok)),
+        |tc AS (SELECT g, COUNT(*) AS c FROM gr
+        |  WHERE source = 'src0' GROUP BY g),
+        |ttot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nb FROM tc),
+        |tv AS (SELECT g, c FROM (
+        |    SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM tc) WHERE rn <= 16),
+        |tvs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS cv FROM tv),
+        |tpar AS (SELECT
+        |    CAST(ttot.nb AS DOUBLE) + 1.0 * (tvs.v + 1) AS denom,
+        |    CAST(ttot.nb - tvs.cv AS DOUBLE) + 1.0 AS unknum
+        |  FROM ttot CROSS JOIN tvs),
+        |rc AS (SELECT g, COUNT(*) AS c FROM gr GROUP BY g),
+        |rtot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS nb FROM rc),
+        |rv AS (SELECT g, c FROM (
+        |    SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM rc) WHERE rn <= 16),
+        |rvs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS cv FROM rv),
+        |rpar AS (SELECT
+        |    CAST(rtot.nb AS DOUBLE) + 1.0 * (rvs.v + 1) AS denom,
+        |    CAST(rtot.nb - rvs.cv AS DOUBLE) + 1.0 AS unknum
+        |  FROM rtot CROSS JOIN rvs),
+        |sc AS (
+        |  SELECT gr.doc_id, COUNT(*) AS n,
+        |    SUM(-ln((CASE WHEN tv.g IS NULL THEN tpar.unknum
+        |      ELSE CAST(tv.c AS DOUBLE) + 1.0 END) / tpar.denom)) AS st,
+        |    SUM(-ln((CASE WHEN rv.g IS NULL THEN rpar.unknum
+        |      ELSE CAST(rv.c AS DOUBLE) + 1.0 END) / rpar.denom)) AS sr
+        |  FROM gr LEFT JOIN tv ON gr.g = tv.g
+        |    LEFT JOIN rv ON gr.g = rv.g
+        |    CROSS JOIN tpar CROSS JOIN rpar
+        |  GROUP BY gr.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n, 0) AS BIGINT) AS dsir_n_tokens,
+        |  CAST(COALESCE(
+        |      FLOOR((sc.sr / sc.n - sc.st / sc.n) * 10000 + 0.5), 0)
+        |    AS BIGINT) AS dsir_logratio_q4,
+        |  CAST(CASE WHEN COALESCE(
+        |      FLOOR((sc.sr / sc.n - sc.st / sc.n) * 10000 + 0.5), 0) >= 0
+        |    THEN 1 ELSE 0 END AS INTEGER) AS dsir_selected
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // identical synthesized-PII construction, identical ordered regex

@@ -53,9 +53,16 @@ class UnigramLM(override val uid: String) extends Estimator[UnigramLMModel]
   setDefault(alpha -> 1.0)
   def setAlpha(v: Double): this.type = set(alpha, v)
 
+  final val gramSize = new IntParam(this, "gramSize",
+    "model types are word n-grams of this size (1 = unigram; 2 gives " +
+      "the hashed-bigram feature space DSIR uses)", ParamValidators.gt(0))
+  setDefault(gramSize -> 1)
+  def setGramSize(v: Int): this.type = set(gramSize, v)
+
   override def fit(ds: Dataset[_]): UnigramLMModel = {
     val cnt = ds.toDF()
-      .select(explode(UnigramLM.tokens(col(getInputCol))).as("__t"))
+      .select(explode(UnigramLM.grams(col(getInputCol), $(gramSize)))
+        .as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
     // two bounded actions: a 1-row total and a V-row vocab collect
     val total = cnt.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
@@ -64,6 +71,7 @@ class UnigramLM(override val uid: String) extends Estimator[UnigramLMModel]
       .map(r => r.getString(0) -> r.getLong(1))
     val m = new UnigramLMModel(uid + "_model").setInputCol(getInputCol)
     m.setAlpha($(alpha))
+    m.setGramSize($(gramSize))
     m.vocab = vocab
     m.totalTokens = total
     m
@@ -79,6 +87,11 @@ object UnigramLM extends graft.core.GraftReadable[UnigramLM] {
     * one empty token). */
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Model types for a given gramSize: the corpus tokens themselves at
+    * n=1, space-joined word n-grams of them otherwise. */
+  def grams(c: Column, n: Int): Column =
+    if (n == 1) tokens(c) else PipelineFunctions.wordNGrams(tokens(c), n)
 
   private[text] def outputSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(
@@ -96,6 +109,11 @@ class UnigramLMModel(override val uid: String) extends Model[UnigramLMModel]
     "add-alpha smoothing mass per type", ParamValidators.gt(0.0))
   setDefault(alpha -> 1.0)
   def setAlpha(v: Double): this.type = set(alpha, v)
+
+  final val gramSize = new IntParam(this, "gramSize",
+    "model types are word n-grams of this size", ParamValidators.gt(0))
+  setDefault(gramSize -> 1)
+  def setGramSize(v: Int): this.type = set(gramSize, v)
 
   /** (token, corpus count), count desc / token asc; bounded by the
     * estimator's vocabSize. */
@@ -124,7 +142,8 @@ class UnigramLMModel(override val uid: String) extends Model[UnigramLMModel]
       val ce = if (n == 0) 0.0 else s / n
       (n, oov, ce, math.floor(ce * 10000.0 + 0.5).toLong)
     }
-    df.withColumn("__lm", score(UnigramLM.tokens(col(getInputCol))))
+    df.withColumn("__lm",
+        score(UnigramLM.grams(col(getInputCol), $(gramSize))))
       .withColumn("lm_n_tokens", col("__lm._1"))
       .withColumn("lm_n_oov", col("__lm._2"))
       .withColumn("lm_ce", col("__lm._3"))

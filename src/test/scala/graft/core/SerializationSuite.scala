@@ -41,6 +41,20 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("DSIRModel save/load (nested LM pair)") {
+    val df = Seq((1L, "a a b", "tgt"), (2L, "b c", "raw"),
+      (3L, "c c c", "raw")).toDF("doc_id", "text", "source")
+    val m = new graft.text.DSIRScorer().setInputCol("text")
+      .setTargetPredicate("source = 'tgt'").setVocabSize(2).setGramSize(1)
+      .setSelectThresholdQ4(-100L).fit(df)
+    val p = tmp("dsir"); m.write.overwrite().save(p)
+    val loaded = graft.text.DSIRModel.load(p)
+    assert(loaded.targetLM.vocab.sameElements(m.targetLM.vocab) &&
+      loaded.rawLM.totalTokens == m.rawLM.totalTokens &&
+      loaded.getOrDefault(loaded.selectThresholdQ4) == -100L)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("CleanMissingDataModel save/load") {
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
     val m = new CleanMissingData().setInputCols(Seq("x")).fit(df)
