@@ -799,6 +799,43 @@ object SparkEntry {
         .select(col("query_id"), col("hits"), lit(5L).as("k"))
     },
 
+    // IVF-PQ at an operating point (rows-only: kmeans codebooks are not
+    // SQL-replayable); the exactness companion is knn_ivfpq_recall
+    "knn_ivfpq" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      new graft.sim.IVFPQNearestNeighbors().setInputCol("embedding")
+        .setIdCol("vec_id").setNLists(8).setNumSub(8).setNBits(8).fit(emb)
+        .setK(5).setNProbe(6).setRerankK(100)
+        .setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"),
+          explode(col("neighbors.id")).as("neighbor_id"))
+    },
+
+    // IVF-PQ exactness gate: exhaustive probe + full re-rank must equal
+    // brute force (every candidate reaches the exact cosine re-rank, so
+    // the PQ approximation cannot change the answer) — the knn_ivf_recall
+    // pattern, hash-gated on constant per-query hit counts
+    "knn_ivfpq_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val queries = emb.filter(col("vec_id") < 20)
+      val pq = new graft.sim.IVFPQNearestNeighbors().setInputCol("embedding")
+        .setIdCol("vec_id").setNLists(8).setNumSub(8).setNBits(4).fit(emb)
+        .setK(5).setNProbe(8).setRerankK(n)
+        .setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      val bf = new NearestNeighbors().setInputCol("embedding")
+        .setIdCol("vec_id").setK(5).setQueries(queries, "vec_id", "embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      bf.join(pq, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(col("query_id"), col("hits"), lit(5L).as("k"))
+    },
+
     // ---- recommendation (§2.4, §2.13) -------------------------------
     "sar_item_similarity" -> { (s, dir) =>
       new graft.reco.SAR().setUserCol("user_id").setItemCol("event_type")
@@ -2305,6 +2342,11 @@ object SparkEntry {
     // exhaustive probing == brute force, deterministically (quantizer is
     // seeded and trained driver-side; ties break by id in the aggregator)
     "knn_ivf_recall" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
+        |  CAST(5 AS BIGINT) AS k
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "knn_ivfpq_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
         |FROM embeddings WHERE vec_id < 20""".stripMargin,

@@ -202,6 +202,24 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("IVFPQNearestNeighborsModel save/load") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val m = new graft.sim.IVFPQNearestNeighbors().setInputCol("embedding")
+      .setIdCol("vec_id").setNLists(4).setNumSub(4).setNBits(4).fit(df)
+    m.setK(3).setNProbe(4).setRerankK(200)
+    val p = tmp("ivfpq"); m.write.overwrite().save(p)
+    val loaded = graft.sim.IVFPQNearestNeighborsModel.load(p)
+    assert(loaded.coarse.length == m.coarse.length &&
+      loaded.codebooks.length == m.codebooks.length &&
+      loaded.getOrDefault(loaded.rerankK) == 200)
+    val queries = df.limit(5)
+    m.setQueries(queries, "vec_id", "embedding")
+    loaded.setQueries(queries, "vec_id", "embedding")
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("IVFNearestNeighborsModel save/load") {
     val rnd = new scala.util.Random(7)
     val df = (0 until 200).map(i =>
