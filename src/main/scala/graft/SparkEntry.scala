@@ -1455,6 +1455,31 @@ object SparkEntry {
           col("dsir_selected").cast("int").as("dsir_selected"))
     },
 
+    // CCNet-style line-level dedup over synthesized multi-line text (the
+    // corpus is single-line): each doc gains a shared boilerplate line
+    // (one of 3 variants -> corpus-repeated, removed) and a unique tail
+    // (kept); repeated original texts dedup too, identically in both
+    // engines. The oracle replays with exact line text, so Spark's
+    // 64-bit line-hash path is collision-checked by the gate
+    "line_dedup" -> { (s, dir) =>
+      val t2 = concat_ws("\n", col("text"),
+        concat(lit("boilerplate-"), (col("doc_id") % 3).cast("string")),
+        concat(lit("unique-"), col("doc_id").cast("string")))
+      new graft.text.LineDeduplicator().setInputCol("__t2")
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id"), col("ld_n_lines"), col("ld_n_dup_lines"),
+          col("ld_text"))
+    },
+
+    // deterministic global training-order shuffle: dense positions in
+    // md5(id || ':' || seed) order — the hash is the public contract, so
+    // the oracle reproduces the exact permutation
+    "corpus_shuffle" -> { (s, dir) =>
+      new graft.text.CorpusShuffler().setIdCol("doc_id")
+        .transform(tbl(s, dir, "documents").select("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+    },
+
     // PII redaction over deterministically synthesized PII (the corpus
     // has none): email/phone/ip/ssn spans derived from doc_id are
     // appended identically in the oracle SQL, then both engines redact —
@@ -2816,6 +2841,45 @@ object SparkEntry {
         |      FLOOR((sc.sr / sc.n - sc.st / sc.n) * 10000 + 0.5), 0) >= 0
         |    THEN 1 ELSE 0 END AS INTEGER) AS dsir_selected
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // line dedup replayed with exact line text: identical synthesized
+    // boilerplate/unique lines, trim+drop-empty tokenization, corpus-wide
+    // count >= 2, kept lines re-joined in position order
+    "line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text || chr(10) || 'boilerplate-' || (doc_id % 3)
+        |    || chr(10) || 'unique-' || doc_id AS t2
+        |  FROM documents),
+        |ln AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split(t2, chr(10)), x -> trim(x)), x -> x <> '') AS l
+        |  FROM base),
+        |ex AS (SELECT doc_id, i - 1 AS pos, l[i] AS line
+        |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM ln)),
+        |dup AS (SELECT line FROM ex GROUP BY line HAVING COUNT(*) >= 2),
+        |m AS (SELECT e.doc_id, e.pos FROM ex e JOIN dup USING (line)),
+        |dw AS (SELECT doc_id, COUNT(*) AS nd FROM m GROUP BY doc_id),
+        |kept AS (SELECT e.doc_id,
+        |    COALESCE(string_agg(e.line, chr(10) ORDER BY e.pos), '') AS txt
+        |  FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |      WHERE m.doc_id = e.doc_id AND m.pos = e.pos)
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(ln.l) AS BIGINT) AS ld_n_lines,
+        |  CAST(COALESCE(dw.nd, 0) AS BIGINT) AS ld_n_dup_lines,
+        |  COALESCE(kept.txt, '') AS ld_text
+        |FROM documents d
+        |JOIN ln ON ln.doc_id = d.doc_id
+        |LEFT JOIN dw ON dw.doc_id = d.doc_id
+        |LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin,
+
+    // the shuffle key is the contract: md5(id || ':42'), ties by id
+    "corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1
+        |  AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     // identical synthesized-PII construction, identical ordered regex
     // chain (email, ssn, phone, ipv4); patterns use only literal classes

@@ -1,0 +1,151 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Line-level deduplication (public practice: CCNet's paragraph dedup —
+  * Wenzek et al. 2020 §3.1 — and RefinedWeb's line-wise filtering,
+  * Penedo et al. 2023): lines whose TRIMMED text repeats
+  * `minOccurrences`-or-more times anywhere in the corpus are removed
+  * from every document — the standard kill for boilerplate (nav bars,
+  * cookie banners, footers) that survives document-level dedup because
+  * the surrounding page differs.
+  *
+  * Scale shape (the [[ExactSubstringDeduplicator]] skeleton at line
+  * granularity): lines exchange once as 64-bit hashes for the occurrence
+  * count (map-side combine, 8-byte keys), matched (doc, position) pairs
+  * shuffle back by the same key, and one per-doc group (bounded by lines
+  * per doc) rebuilds the cleaned text. Nothing is O(corpus^2); no driver
+  * state. A 64-bit hash collision can only FALSELY REMOVE a line
+  * (~W^2/2^64 expected over W corpus lines); the driver oracle replays
+  * with exact line text, so the gate catches any collision at test scale.
+  *
+  * Contract: lines are `delimiter`-split then trimmed; empty-after-trim
+  * lines are dropped; `ld_text` re-joins the kept trimmed lines with
+  * `delimiter` (whitespace-per-line normalized output, same convention
+  * as [[ExactSubstringDeduplicator]]'s). Outputs: `ld_n_lines`,
+  * `ld_n_dup_lines`, `ld_text`.
+  */
+class LineDeduplicator(override val uid: String)
+    extends Transformer with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("LineDeduplicator"))
+
+  final val idCol = new Param[String](this, "idCol",
+    "unique document id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+
+  final val delimiter = new Param[String](this, "delimiter",
+    "line separator (split regex and re-join literal)")
+  setDefault(delimiter -> "\n")
+  def setDelimiter(v: String): this.type = set(delimiter, v)
+
+  final val minOccurrences = new IntParam(this, "minOccurrences",
+    "corpus-wide occurrence threshold for a line to count as boilerplate",
+    ParamValidators.gt(1))
+  setDefault(minOccurrences -> 2)
+  def setMinOccurrences(v: Int): this.type = set(minOccurrences, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val id = $(idCol)
+    require(df.columns.contains(id), s"idCol '$id' not in input")
+    val lines = filter(
+      org.apache.spark.sql.functions.transform(
+        split(coalesce(col(getInputCol), lit("")), $(delimiter)),
+        l => trim(l)),
+      l => length(l) > 0)
+
+    val exploded = df
+      .select(col(id).as("__ld_id"), posexplode(lines))
+      .toDF("__ld_id", "__ld_pos", "__ld_line")
+      .select(col("__ld_id"), col("__ld_pos"),
+        xxhash64(col("__ld_line")).as("__ld_h"))
+    val dup = exploded.groupBy("__ld_h")
+      .agg(count(lit(1)).as("__ld_c"))
+      .where(col("__ld_c") >= $(minOccurrences))
+      .select("__ld_h")
+    val matches = exploded.join(dup, "__ld_h")
+      .groupBy("__ld_id")
+      .agg(collect_list(col("__ld_pos")).as("__ld_dup"))
+
+    df.join(matches, df(id) === matches("__ld_id"), "left")
+      .drop("__ld_id")
+      .withColumn("__ld_dup",
+        coalesce(col("__ld_dup"), array().cast(ArrayType(IntegerType))))
+      .withColumn("__ld_lines", lines)
+      .withColumn("ld_n_lines", size(col("__ld_lines")).cast(LongType))
+      .withColumn("ld_n_dup_lines", size(col("__ld_dup")).cast(LongType))
+      .withColumn("ld_text",
+        array_join(filter(col("__ld_lines"),
+          (_, i) => !array_contains(col("__ld_dup"), i)), $(delimiter)))
+      .drop("__ld_dup", "__ld_lines")
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("ld_n_lines", LongType),
+      StructField("ld_n_dup_lines", LongType),
+      StructField("ld_text", StringType)))
+  override def copy(extra: ParamMap): LineDeduplicator = defaultCopy(extra)
+}
+object LineDeduplicator extends graft.core.GraftReadable[LineDeduplicator]
+
+/** Deterministic global corpus shuffle — the training-order shuffle every
+  * pre-training pipeline runs last (public practice: fixed-seed document
+  * shuffles in the GPT/LLaMA data recipes): every row gets a dense
+  * 0-based `shuffle_pos` in the order of `md5(id || ':' || seed)`
+  * (ties broken by id), so the order is reproducible across runs,
+  * cluster sizes, and partitionings.
+  *
+  * Scale shape: ONE range exchange (the total sort on the 16-byte hash
+  * key) + Spark's zipWithIndex offset job (a per-partition count —
+  * O(partitions) driver state, the canonical global-index construction).
+  * md5 rather than xxhash64 because the shuffle key is part of the
+  * public contract: any engine (the DuckDB oracle included) can
+  * reproduce the exact order.
+  */
+class CorpusShuffler(override val uid: String)
+    extends Transformer with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("CorpusShuffler"))
+
+  final val idCol = new Param[String](this, "idCol",
+    "unique row id column (shuffle-key input + tie-break)")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+
+  final val seed = new Param[String](this, "seed",
+    "shuffle seed, appended to the id before hashing")
+  setDefault(seed -> "42")
+  def setSeed(v: String): this.type = set(seed, v)
+
+  final val outputCol = new Param[String](this, "outputCol",
+    "global position column")
+  setDefault(outputCol -> "shuffle_pos")
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    require(!df.columns.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
+    val sorted = df.orderBy(
+      md5(concat(col($(idCol)).cast(StringType), lit(":"), lit($(seed)))),
+      col($(idCol)))
+    val schema = StructType(sorted.schema :+
+      StructField($(outputCol), LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField($(outputCol), LongType, false))
+  override def copy(extra: ParamMap): CorpusShuffler = defaultCopy(extra)
+}
+object CorpusShuffler extends graft.core.GraftReadable[CorpusShuffler]

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class LineShuffleOpsSuite extends TestBase {
+  import spark.implicits._
+
+  test("LineDeduplicator removes corpus-repeated lines, keeps the rest") {
+    val docs = Seq(
+      (1L, "alpha body one\ncookie banner\nunique tail 1"),
+      (2L, "beta body two\ncookie banner\nunique tail 2"),
+      (3L, "gamma body three\n  cookie banner  \nunique tail 3"), // trims
+      (4L, "delta\ndelta\nunique tail 4"), // self-repeated line
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = new LineDeduplicator().setInputCol("text")
+      .transform(docs)
+      .select("doc_id", "ld_n_lines", "ld_n_dup_lines", "ld_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, "alpha body one\nunique tail 1")))
+    assert(got(2L) == ((2L, 3L, 1L, "beta body two\nunique tail 2")))
+    // trimmed matching: "  cookie banner  " is the same boilerplate
+    assert(got(3L) == ((3L, 3L, 1L, "gamma body three\nunique tail 3")))
+    // within-doc repetition counts toward the corpus threshold
+    assert(got(4L) == ((4L, 3L, 2L, "unique tail 4")))
+    assert(got(5L) == ((5L, 0L, 0L, "")))
+  }
+
+  test("LineDeduplicator is partitioning-independent") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"head $i\nshared-${i % 4}\ntail $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      new LineDeduplicator().setInputCol("text").transform(df)
+        .select("doc_id", "ld_n_dup_lines", "ld_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+
+  test("CorpusShuffler assigns a dense deterministic permutation") {
+    val df = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = new CorpusShuffler().setIdCol("doc_id").transform(df)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // dense 0..n-1, every id present
+    assert(a.values.toSeq.sorted == (0L until 100L))
+    assert(a.keySet == (0L until 100L).toSet)
+    // deterministic across partitionings
+    val b = new CorpusShuffler().setIdCol("doc_id")
+      .transform(df.repartition(13))
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // a different seed gives a different permutation
+    val c = new CorpusShuffler().setIdCol("doc_id").setSeed("7")
+      .transform(df)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a != c)
+    // and the order is exactly md5(id || ':' || seed) asc
+    val want = (0L until 100L).sortBy { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }.zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(a == want)
+  }
+}
