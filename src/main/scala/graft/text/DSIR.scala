@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   * bag-of-bigrams; here the two LMs are [[UnigramLM]] instances with
   * `gramSize = 2` by default (set 1 for plain unigram).
   *
-  * Scale shape: both fits are one vocabulary-keyed hash aggregation +
-  * a vocabSize-bounded driver collect each ([[UnigramLM.fit]]); scoring
-  * broadcasts the two (gram -> count) maps and runs as a single narrow
-  * pass — no shuffle, no per-row state, the same 100 TB contract as
-  * `lm_perplexity`. Selection is a pure threshold on the scaled-integer
+  * Scale shape: BOTH LMs fit from one corpus explode — a single hash
+  * aggregation keyed by gram carrying (raw count, target count), then
+  * three bounded actions over the persisted vocabulary-sized count frame
+  * (equivalent to two independent [[UnigramLM]] fits, minus three of the
+  * four corpus passes); scoring broadcasts the two (gram -> count) maps
+  * and runs as a single narrow pass — no shuffle, no per-row state, the
+  * same 100 TB contract as `lm_perplexity`. Selection is a pure
+  * threshold on the scaled-integer
   * score, so it is deterministic and partitioning-independent (the
   * paper's Gumbel top-k sampling trades that determinism for variance
   * reduction; a threshold on the ratio is its deterministic analogue).
@@ -65,14 +68,45 @@ class DSIRScorer(override val uid: String)
   def setSelectThresholdQ4(v: Long): this.type = set(selectThresholdQ4, v)
 
   override def fit(ds: Dataset[_]): DSIRModel = {
-    def lm() = new UnigramLM().setInputCol(getInputCol)
-      .setVocabSize($(vocabSize)).setAlpha($(alpha))
-      .setGramSize($(gramSize))
-    val target = ds.toDF().where(expr($(targetPredicate)))
-    val m = new DSIRModel(uid + "_model").setInputCol(getInputCol)
-    m.setSelectThresholdQ4($(selectThresholdQ4))
-    m.targetLM = lm().fit(target)
-    m.rawLM = lm().fit(ds)
+    val df = ds.toDF()
+    // ONE corpus explode serves BOTH language models: per-gram
+    // (raw count, target count) in a single hash aggregation, then three
+    // bounded actions over the persisted vocabulary-sized frame. This is
+    // exactly equivalent to two independent UnigramLM fits (grams absent
+    // from the target have __ct = 0 and are filtered, matching the
+    // separate fit's count frame; tie-breaks are identical) but replaces
+    // four explode-the-corpus passes with one — at corpus scale the
+    // explode IS the fit cost.
+    val cnt = df
+      .select(expr($(targetPredicate)).cast(BooleanType).as("__is_t"),
+        explode(UnigramLM.grams(col(getInputCol), $(gramSize))).as("__g"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    cnt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = try {
+      val tot = cnt.agg(coalesce(sum("__c"), lit(0L)),
+        coalesce(sum("__ct"), lit(0L))).head()
+      val (totalRaw, totalTgt) = (tot.getLong(0), tot.getLong(1))
+      val rawVocab = cnt.orderBy(col("__c").desc, col("__g").asc)
+        .limit($(vocabSize)).select(col("__g"), col("__c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val tgtVocab = cnt.where(col("__ct") > 0)
+        .orderBy(col("__ct").desc, col("__g").asc)
+        .limit($(vocabSize)).select(col("__g"), col("__ct")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      def mk(suffix: String, vocab: Array[(String, Long)], total: Long) = {
+        val lm = new UnigramLMModel(uid + suffix).setInputCol(getInputCol)
+        lm.setAlpha($(alpha)); lm.setGramSize($(gramSize))
+        lm.vocab = vocab; lm.totalTokens = total
+        lm
+      }
+      val model = new DSIRModel(uid + "_model").setInputCol(getInputCol)
+      model.setSelectThresholdQ4($(selectThresholdQ4))
+      model.targetLM = mk("_tgt", tgtVocab, totalTgt)
+      model.rawLM = mk("_raw", rawVocab, totalRaw)
+      model
+    } finally cnt.unpersist(blocking = false)
     m
   }
   override def transformSchema(schema: StructType): StructType =

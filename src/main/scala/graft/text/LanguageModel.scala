@@ -64,11 +64,17 @@ class UnigramLM(override val uid: String) extends Estimator[UnigramLMModel]
       .select(explode(UnigramLM.grams(col(getInputCol), $(gramSize)))
         .as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
-    // two bounded actions: a 1-row total and a V-row vocab collect
-    val total = cnt.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
-    val vocab = cnt.orderBy(col("__c").desc, col("__t").asc)
-      .limit($(vocabSize)).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+    // persist the (gram -> count) frame so the corpus explode runs ONCE
+    // for the two bounded actions below (a 1-row total and a V-row vocab
+    // collect) — the frame is vocabulary-sized, not corpus-sized
+    cnt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab) = try {
+      val t = cnt.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
+      val v = cnt.orderBy(col("__c").desc, col("__t").asc)
+        .limit($(vocabSize)).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      (t, v)
+    } finally cnt.unpersist(blocking = false)
     val m = new UnigramLMModel(uid + "_model").setInputCol(getInputCol)
     m.setAlpha($(alpha))
     m.setGramSize($(gramSize))
