@@ -97,7 +97,11 @@ class IVFPQNearestNeighbors(override val uid: String)
     val books = Array.tabulate(m) { sub =>
       val (lo, hi) = IVFPQ.subRange(dim, m, sub)
       val subData = residuals.map(_.slice(lo, hi))
-      IVF.lloyd(subData, codes, $(maxIter), $(seed) + 1000 + sub)
+      // single k-means run per codebook (the FAISS PQ training budget):
+      // 2^nBits centroids x numSub books x restarts is the fit's cost
+      // center, and restarts buy balance the 256-way codebooks don't need
+      IVF.lloyd(subData, codes, $(maxIter), $(seed) + 1000 + sub,
+        restarts = 1)
     }
     val model = new IVFPQNearestNeighborsModel(uid + "_model")
     model.set(model.inputCol, getInputCol).set(model.idCol, $(idCol))
