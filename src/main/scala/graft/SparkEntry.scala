@@ -485,6 +485,30 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // SemDeDup at its real operating point (rows-only: the k-means
+    // partition is not SQL-replayable); exactness companion below
+    "semdedup" -> { (s, dir) =>
+      new graft.dedup.SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+        .setNClusters(8).setThreshold(0.465).setKeepRule("centroidFar")
+        .transform(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"))
+    },
+
+    // SemDeDup exactness gate: nClusters=1 is the exhaustive setting —
+    // every pair is compared, so the result IS exact pairwise cosine
+    // dedup and the oracle replays it all-pairs (the knn_ivf_recall
+    // pattern). 0.465 sits in a wide gap of the sf0.01 cosine spectrum
+    // (nearest pairs 0.4666 / 0.4597), so cross-engine float drift at
+    // the cutoff cannot flip a pair — and unlike the 0.95 embedding
+    // gate, pairs DO exist above it, so the keep rule is exercised.
+    "semdedup_exact" -> { (s, dir) =>
+      new graft.dedup.SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+        .setNClusters(1).setThreshold(0.465).setKeepRule("minId")
+        .setMaxClusterSize(4096)
+        .transform(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"))
+    },
+
     // ---- similarity search (LLM-pipeline) ---------------------------
     "knn_bruteforce" -> { (s, dir) => // rows-only (float-sum ordering)
       val emb = tbl(s, dir, "embeddings")
@@ -2098,6 +2122,14 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT r FROM p WHERE cs >= 0.95)""".stripMargin,
+
+    "semdedup_exact" ->
+      """WITH p AS (
+        |  SELECT b.vec_id AS r,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT r FROM p WHERE cs >= 0.465)""".stripMargin,
 
     "sar_item_similarity" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),

@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication", arXiv:2303.09540 — public
+  * literature): semantic near-duplicate removal over an embedding column.
+  * K-means clusters the embedding space, pairwise cosine similarity is
+  * computed only WITHIN each cluster, and of every pair above `threshold`
+  * the paper's keep rule retains the point with the LOWEST cosine
+  * similarity to its cluster centroid (the cluster-atypical copy carries
+  * the most marginal information; the centroid-hugging copies are the
+  * semantic redundancy being removed).
+  *
+  * This complements the other near-dup operators: MinHash/SimHash/n-gram
+  * Jaccard catch lexical overlap, the hyperplane-LSH
+  * [[EmbeddingNearDupDeduplicator]] catches cosine near-dups regardless of
+  * structure — SemDeDup is the clustered formulation from the paper, whose
+  * cluster partition doubles as the candidate generator.
+  *
+  * Scale shape (the 100 TB story):
+  *  - the quantizer trains DRIVER-SIDE on a bounded hash-ordered sample
+  *    (the measured IVF path — `trainSample` caps the one collect;
+  *    spherical k-means++ best-of-5 restarts, [[graft.sim.IVF.lloyd]]);
+  *    cluster count is a param, NOT derived from corpus size, so driver
+  *    state is O(nClusters·dim) at any scale;
+  *  - assignment is one narrow pass over the broadcast centroid matrix
+  *    (argmax cosine == argmin L2 on the unit sphere) that also emits the
+  *    centroid similarity the keep rule needs — no mllib lineage, no
+  *    second pass;
+  *  - candidate pairs reuse the shared capped-bucket machinery
+  *    ([[DedupFunctions.candidatePairs]]): ONE shuffle of narrow
+  *    (cluster, id) rows, per-cluster cap `maxClusterSize` with an
+  *    observable dropped-candidate metric — a degenerate cluster (all of
+  *    the web's boilerplate embedding to one point) costs each map task at
+  *    most `maxClusterSize` ids instead of an O(c^2) pair explosion;
+  *  - verification joins embeddings back by id and keeps one exact-cosine
+  *    filter; the embedding payload never rides the clustering shuffle.
+  *
+  * `nClusters = 1` degenerates to exhaustive exact pairwise dedup — the
+  * driver gate's SQL-replayable companion (the `knn_ivf_recall` pattern:
+  * the exhaustive setting of the approximate operator equals the exact
+  * oracle).
+  */
+class SemDeDup(override val uid: String) extends Transformer
+    with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("SemDeDup"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val threshold = new DoubleParam(this, "threshold",
+    "cosine cutoff epsilon: within-cluster pairs at or above it are " +
+      "duplicates", ParamValidators.inRange(-1.0, 1.0))
+  setDefault(threshold -> 0.95)
+  def setThreshold(v: Double): this.type = set(threshold, v)
+  final val nClusters = new IntParam(this, "nClusters",
+    "k-means cluster count (1 = exhaustive exact pairwise)",
+    ParamValidators.gt(0))
+  setDefault(nClusters -> 64)
+  def setNClusters(v: Int): this.type = set(nClusters, v)
+  final val seed = new LongParam(this, "seed", "k-means seed")
+  setDefault(seed -> 42L)
+  def setSeed(v: Long): this.type = set(seed, v)
+  final val maxIter = new IntParam(this, "maxIter",
+    "k-means iteration cap", ParamValidators.gt(0))
+  setDefault(maxIter -> 10)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  final val trainSample = new IntParam(this, "trainSample",
+    "max vectors sampled for quantizer training", ParamValidators.gt(0))
+  setDefault(trainSample -> 65536)
+  def setTrainSample(v: Int): this.type = set(trainSample, v)
+  final val maxClusterSize = new IntParam(this, "maxClusterSize",
+    "per-cluster candidate cap (skew guard; overflow is counted in the " +
+      "<uid>_dropped observation)", ParamValidators.gt(1))
+  setDefault(maxClusterSize -> 2048)
+  def setMaxClusterSize(v: Int): this.type = set(maxClusterSize, v)
+  final val keepRule = new Param[String](this, "keepRule",
+    "which endpoint of a duplicate pair survives: 'centroidFar' (the " +
+      "paper's rule — keep the copy least similar to its cluster " +
+      "centroid; ties keep the smaller id) or 'minId' (keep the smaller " +
+      "id, the convention of the lexical dedup family)",
+    ParamValidators.inArray(Array("centroidFar", "minId")))
+  setDefault(keepRule -> "centroidFar")
+  def setKeepRule(v: String): this.type = set(keepRule, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    import DedupFunctions.{candidatePairs, joinCandidatePayload}
+    val df = ds.toDF()
+    val id = col($(idCol))
+    // bounded hash-ordered sample -> driver-side spherical k-means
+    // (TakeOrderedAndProject, no global sort; deterministic for a given
+    // corpus + seed)
+    val sample: Array[Array[Double]] = df
+      .select(id.cast("long").as("__id"),
+        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")))
+      .limit($(trainSample))
+      .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
+    val centroids = graft.sim.IVF.lloyd(sample, $(nClusters), $(maxIter), $(seed))
+    val ctr = df.sparkSession.sparkContext.broadcast(centroids)
+    // one narrow pass: cluster assignment + centroid cosine for the keep
+    // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine)
+    val assignUdf = udf((v: Seq[Double]) => {
+      val cs = ctr.value
+      val va = graft.sim.IVF.normalize(v.toArray)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        val cc = cs(c)
+        while (i < va.length && i < cc.length) {
+          val d = va(i) - cc(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      (best, 1.0 - bestD / 2.0)
+    })
+    val assigned = df
+      .select(id.cast("long").as("__id"),
+        assignUdf(col(getInputCol).cast(ArrayType(DoubleType))).as("__a"))
+      .select(col("__id"), col("__a._1").as("__cell"), col("__a._2").as("__csim"))
+    val keyed = assigned.select(col("__cell").as("__key"), col("__id"))
+    val pairs = candidatePairs(keyed, $(maxClusterSize), s"${uid}_dropped")
+    val vecs = df.select(id.cast("long").as("__id"), col(getInputCol).as("__v"))
+    val cos = graft.sim.SimilarityFunctions.cosine(col("__v_l"), col("__v_r"))
+    val verified = joinCandidatePayload(pairs, vecs, "__v", restrict = false)
+      .filter(cos >= $(threshold))
+      .select(col("__id_l"), col("__id_r"))
+    val dupIds = $(keepRule) match {
+      case "minId" =>
+        verified.select(col("__id_r").as("__dup_id")).distinct()
+      case "centroidFar" =>
+        // paper rule: of a duplicate pair, drop the endpoint MORE similar
+        // to its centroid (ties: pair ids ascend, so dropping __id_r keeps
+        // the smaller id — the family convention)
+        val sims = assigned.select(col("__id"), col("__csim"))
+        verified
+          .join(sims.select(col("__id").as("__id_l"),
+            col("__csim").as("__csim_l")), Seq("__id_l"))
+          .join(sims.select(col("__id").as("__id_r"),
+            col("__csim").as("__csim_r")), Seq("__id_r"))
+          .select(when(col("__csim_l") > col("__csim_r"), col("__id_l"))
+            .otherwise(col("__id_r")).as("__dup_id"))
+          .distinct()
+    }
+    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): SemDeDup = defaultCopy(extra)
+}
+object SemDeDup extends graft.core.GraftReadable[SemDeDup]

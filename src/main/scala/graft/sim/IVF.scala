@@ -198,7 +198,7 @@ object IVFNearestNeighborsModel
       StructField("score", DoubleType), StructField("id", LongType)))))))
 }
 
-private[sim] object IVF {
+private[graft] object IVF {
   /** Unit-normalize (no-op for the zero vector). */
   def normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0

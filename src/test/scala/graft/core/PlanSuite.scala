@@ -90,7 +90,7 @@ class PlanSuite extends TestBase {
     // broadcast query sets of the similarity operators and the one-row
     // global-stats cross joins
     val allowedBnl = Set("knn_bruteforce", "knn_lsh", "knn_ivf",
-      "knn_lsh_recall", "knn_ivf_recall", // brute-force reference sides
+      "knn_lsh_recall", "knn_ivf_recall", "knn_ivfpq_recall", // brute-force reference sides
       "dedup_simhash_exact", // O(n²) Hamming ground truth is the point
       "sr_anomalies", "per_instance_stats", "clean_missing_data")
     for ((name, fn) <- SparkEntry.queries) {
