@@ -1452,6 +1452,22 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // Stupid-backoff trigram LM (Brants et al. 2007) at deliberately
+    // tiny budgets (vocab 16 / 32 grams per order) so BOTH the pruning
+    // rule and the full backoff chain are exercised; the oracle replays
+    // table construction, pruning, and the 0.4-per-skip chain in SQL.
+    // Per-order hit counts are exact integers; the cross-entropy gates
+    // in its q4 form (count-ratio scores are exact doubles, ln/sum drift
+    // sits ~8 orders below the rounding step — lm_perplexity precedent)
+    "sb_perplexity" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      new graft.text.StupidBackoffLM().setInputCol("text").setMaxOrder(3)
+        .setVocabSize(16).setGramBudget(32)
+        .fit(docs).transform(docs)
+        .select(col("doc_id"), col("sb_n_tokens"), col("sb_hits_1"),
+          col("sb_hits_2"), col("sb_hits_3"), col("sb_ce_q4"))
+    },
+
     // ExactSubstr dedup (Lee et al. 2022): every 5-token span repeated
     // anywhere in the corpus is removed from every doc; gated on the
     // full span accounting AND the cleaned text byte-for-byte (the
@@ -2758,6 +2774,92 @@ object SparkEntry {
         |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
         |    AS lm_ce_q4
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // Stupid-backoff replay: per-order count tables with the same
+    // (count desc, gram asc) pruning, then per-position the same
+    // highest-surviving-order rule with CAST(0.4 AS DOUBLE) factors
+    // (a bare 0.4 literal is DECIMAL in DuckDB — 0.4*0.4 would be exact
+    // 0.16, not the IEEE product the Scala side computes)
+    "sb_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |ucnt AS (SELECT g, COUNT(*) AS c FROM (
+        |    SELECT unnest(t) AS g FROM tok) GROUP BY g),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM ucnt),
+        |vocab AS (SELECT g, c FROM (
+        |    SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM ucnt) WHERE rn <= 16),
+        |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(c) AS BIGINT) AS cv FROM vocab),
+        |par AS (SELECT
+        |    CAST(tot.nb AS DOUBLE) + 1.0 * (vs.v + 1) AS denom,
+        |    CAST(tot.nb - vs.cv AS DOUBLE) + 1.0 AS unknum
+        |  FROM tot CROSS JOIN vs),
+        |bcnt AS (SELECT g, COUNT(*) AS c FROM (
+        |    SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS g
+        |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok))
+        |  GROUP BY g),
+        |btab AS (SELECT g, c FROM (
+        |    SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM bcnt) WHERE rn <= 32),
+        |tcnt AS (SELECT g, COUNT(*) AS c FROM (
+        |    SELECT array_to_string(list_slice(t, i, i + 2), ' ') AS g
+        |    FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tok))
+        |  GROUP BY g),
+        |ttab AS (SELECT g, c FROM (
+        |    SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn
+        |    FROM tcnt) WHERE rn <= 32),
+        |pos AS (SELECT doc_id, i, t[i] AS w,
+        |    CASE WHEN i >= 2
+        |      THEN array_to_string(list_slice(t, i - 1, i), ' ') END AS g2,
+        |    CASE WHEN i >= 2 THEN t[i - 1] END AS x2,
+        |    CASE WHEN i >= 3
+        |      THEN array_to_string(list_slice(t, i - 2, i), ' ') END AS g3,
+        |    CASE WHEN i >= 3
+        |      THEN array_to_string(list_slice(t, i - 2, i - 1), ' ') END AS x3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tok)),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN t3.c IS NOT NULL AND b3.c IS NOT NULL THEN 3
+        |         WHEN b2.c IS NOT NULL AND v2.c IS NOT NULL THEN 2
+        |         ELSE 1 END AS ord,
+        |    CASE WHEN t3.c IS NOT NULL AND b3.c IS NOT NULL
+        |        THEN CAST(t3.c AS DOUBLE) / b3.c
+        |      WHEN b2.c IS NOT NULL AND v2.c IS NOT NULL
+        |        THEN (CASE WHEN p.i >= 3 THEN CAST(0.4 AS DOUBLE)
+        |              ELSE CAST(1.0 AS DOUBLE) END)
+        |          * (CAST(b2.c AS DOUBLE) / v2.c)
+        |      ELSE (CASE WHEN p.i >= 3
+        |              THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |            WHEN p.i = 2 THEN CAST(0.4 AS DOUBLE)
+        |            ELSE CAST(1.0 AS DOUBLE) END)
+        |          * ((CASE WHEN vw.c IS NOT NULL
+        |               THEN CAST(vw.c AS DOUBLE) + 1.0
+        |               ELSE par.unknum END) / par.denom)
+        |    END AS s
+        |  FROM pos p
+        |  LEFT JOIN ttab t3 ON p.g3 = t3.g
+        |  LEFT JOIN btab b3 ON p.x3 = b3.g
+        |  LEFT JOIN btab b2 ON p.g2 = b2.g
+        |  LEFT JOIN vocab v2 ON p.x2 = v2.g
+        |  LEFT JOIN vocab vw ON p.w = vw.g
+        |  CROSS JOIN par),
+        |agg AS (SELECT doc_id, COUNT(*) AS n,
+        |    SUM(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS h1,
+        |    SUM(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS h2,
+        |    SUM(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS h3,
+        |    SUM(-ln(s)) AS sce
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS sb_n_tokens,
+        |  CAST(COALESCE(agg.h1, 0) AS BIGINT) AS sb_hits_1,
+        |  CAST(COALESCE(agg.h2, 0) AS BIGINT) AS sb_hits_2,
+        |  CAST(COALESCE(agg.h3, 0) AS BIGINT) AS sb_hits_3,
+        |  CAST(COALESCE(FLOOR(agg.sce / agg.n * 10000 + 0.5), 0) AS BIGINT)
+        |    AS sb_ce_q4
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // ExactSubstr replayed with EXACT window text (no hashing): windows
     // with corpus count >= 2 -> per-doc sorted match positions -> islands
