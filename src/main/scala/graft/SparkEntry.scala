@@ -485,6 +485,24 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // Incremental snapshot-delta dedup: the fixture has no natural
+    // cross-split duplicates at sf0.01, so the gate PLANTS them —
+    // the batch is the doc_id%4==0 docs plus exact copies (shifted ids)
+    // of corpus docs (%8==1, must all drop) and of batch docs (%8==4,
+    // must collapse to the original) — all SQL-replayable unions
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      new graft.dedup.IncrementalDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setCorpus(corpus).transform(batch)
+        .select(col("doc_id"))
+    },
+
     // SemDeDup at its real operating point (rows-only: the k-means
     // partition is not SQL-replayable); exactness companion below
     "semdedup" -> { (s, dir) =>
@@ -2138,6 +2156,22 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT r FROM p WHERE cs >= 0.95)""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT ct FROM canon WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, ct FROM canon WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ct FROM canon WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ct FROM canon WHERE doc_id % 8 = 4),
+        |kept AS (SELECT ct, MIN(doc_id) AS doc_id FROM batch GROUP BY ct)
+        |SELECT doc_id FROM kept
+        |WHERE ct NOT IN (SELECT ct FROM corpus)""".stripMargin,
 
     "semdedup_exact" ->
       """WITH p AS (
