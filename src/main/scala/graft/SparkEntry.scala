@@ -1470,6 +1470,21 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // BPE tokenizer losslessness gate: decode(encode(text)) must equal
+    // the canonical (lowercased, space-normalized) text byte-for-byte —
+    // the merges themselves are not SQL-replayable, but the round trip
+    // drives the full trained encode path over every document and any
+    // segmentation bug that drops/duplicates/reorders a symbol breaks
+    // reconstruction. BPESuite separately pins the learned merges on
+    // the Sennrich worked example.
+    "bpe_roundtrip" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val model = new graft.text.BPETokenizer().setInputCol("text")
+        .setNumMerges(200).setMaxWordTypes(4096).fit(docs)
+      model.transform(docs)
+        .select(col("doc_id"), model.decode(col("bpe_tokens")).as("rt"))
+    },
+
     // Stupid-backoff trigram LM (Brants et al. 2007) at deliberately
     // tiny budgets (vocab 16 / 32 grams per order) so BOTH the pruning
     // rule and the full backoff chain are exercised; the oracle replays
@@ -2808,6 +2823,12 @@ object SparkEntry {
         |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
         |    AS lm_ce_q4
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "bpe_roundtrip" ->
+      """SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+        |  ' ') AS rt
+        |FROM documents""".stripMargin,
 
     // Stupid-backoff replay: per-order count tables with the same
     // (count desc, gram asc) pruning, then per-position the same

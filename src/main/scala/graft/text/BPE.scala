@@ -1,0 +1,229 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding subword tokenizer, trained the way Sennrich et al.
+  * 2016 ("Neural Machine Translation of Rare Words with Subword Units")
+  * actually trains it: on a WORD-FREQUENCY DICTIONARY, not the running
+  * corpus. That construction is what makes BPE learnable at 100 TB —
+  * the corpus contributes exactly ONE map-side-combined word-count
+  * aggregation with a bounded top-K collect (`maxWordTypes` by
+  * (count desc, word asc) — deterministic), and the greedy merge loop
+  * then runs driver-side over at most that many word types, costing
+  * O(types · word length) per merge regardless of corpus size.
+  *
+  * Words are canonical corpus tokens ([[UnigramLM.tokens]]: lowercase,
+  * whitespace split) decomposed into code points plus a terminal
+  * end-of-word symbol; each merge joins the globally most frequent
+  * adjacent symbol pair (count desc, pair asc on ties — deterministic)
+  * and stops early when no pair repeats. Encoding applies merges by
+  * rank (lowest rank first — the standard apply rule, which reproduces
+  * the training segmentation); a bounded per-executor memo makes the
+  * common-word path a map lookup. Decoding concatenates symbols and
+  * turns end-of-word markers back into spaces, so
+  * `decode(encode(text))` reconstructs the canonical text EXACTLY —
+  * the tokenizer's losslessness contract and its driver gate.
+  */
+class BPETokenizer(override val uid: String)
+    extends Estimator[BPETokenizerModel] with HasInputCol
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("BPETokenizer"))
+
+  final val numMerges = new IntParam(this, "numMerges",
+    "maximum merge operations to learn", ParamValidators.gt(0))
+  setDefault(numMerges -> 8192)
+  def setNumMerges(v: Int): this.type = set(numMerges, v)
+  final val maxWordTypes = new IntParam(this, "maxWordTypes",
+    "top-K word types (count desc, word asc) the merge loop sees; rare " +
+      "tail types fall back to merge-rank encoding", ParamValidators.gt(0))
+  setDefault(maxWordTypes -> 65536)
+  def setMaxWordTypes(v: Int): this.type = set(maxWordTypes, v)
+
+  override def fit(ds: Dataset[_]): BPETokenizerModel = {
+    import BPE._
+    val dict: Array[(String, Long)] = ds.toDF()
+      .select(explode(UnigramLM.tokens(col(getInputCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit($(maxWordTypes)).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (symbols(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < $(numMerges)) {
+      // weighted adjacent-pair counts over the dict
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          o => Some(o.getOrElse(0L) + c))
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // a pair occurring once buys nothing: merging it cannot shorten
+        // any future encoding that matters — the classic stop rule
+        if (best._2 < 2) continue = false
+        else {
+          merges += best._1
+          words = words.map { case (syms, c) =>
+            (mergePair(syms, best._1._1, best._1._2), c)
+          }
+        }
+      }
+    }
+    val m = new BPETokenizerModel(uid + "_model").setInputCol(getInputCol)
+    m.merges = merges.toArray
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    BPE.outputSchema(schema)
+  override def copy(extra: ParamMap): BPETokenizer = defaultCopy(extra)
+}
+object BPETokenizer extends graft.core.GraftReadable[BPETokenizer]
+
+object BPE {
+  /** End-of-word marker symbol (Sennrich's `</w>`). Documents containing
+    * the literal marker would decode with an extra space — the standard
+    * construction's known limitation, inherited knowingly. */
+  val EOW = "</w>"
+
+  /** Code-point symbols of a word plus the terminal marker (code points,
+    * not UTF-16 units, so astral-plane characters stay whole). */
+  def symbols(w: String): Array[String] = {
+    val cps = w.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) {
+      out(i) = new String(Character.toChars(cps(i))); i += 1
+    }
+    out(cps.length) = EOW
+    out
+  }
+
+  /** One merge pass: every adjacent (a, b) occurrence becomes a+b,
+    * left-to-right (matching the training scan). */
+  def mergePair(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Standard rank-greedy apply: repeatedly merge the present pair with
+    * the lowest training rank until none remains. Reproduces the
+    * training segmentation for dictionary words. */
+  def applyMerges(word: String, rank: Map[(String, String), Int]): Array[String] = {
+    var syms = symbols(word)
+    var continue = true
+    while (continue && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))) match {
+          case Some(r) if r < bestRank => bestRank = r; bestAt = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (bestAt < 0) continue = false
+      else {
+        val (a, b) = (syms(bestAt), syms(bestAt + 1))
+        syms = mergePair(syms, a, b)
+      }
+    }
+    syms
+  }
+
+  private[text] def outputSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("bpe_tokens", ArrayType(StringType)),
+      StructField("bpe_n_tokens", LongType)))
+}
+
+class BPETokenizerModel(override val uid: String)
+    extends Model[BPETokenizerModel] with HasInputCol
+    with org.apache.spark.ml.util.MLWritable {
+  def this() = this(Identifiable.randomUID("BPETokenizerModel"))
+
+  /** Learned merge operations in training order (rank = index). */
+  var merges: Array[(String, String)] = Array.empty
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val bcRank = df.sparkSession.sparkContext
+      .broadcast(merges.iterator.zipWithIndex
+        .map { case (p, i) => p -> i }.toMap)
+    // bounded per-executor memo: common words dominate any natural
+    // corpus, so the segmentation is usually one lookup; the cap keeps
+    // executor memory flat on adversarial vocabulary
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val enc = udf { toks: Seq[String] =>
+      val rank = bcRank.value
+      toks.flatMap { w =>
+        val cached = memo.get(w)
+        if (cached != null) cached
+        else {
+          val s = BPE.applyMerges(w, rank)
+          if (memo.size < 262144) memo.put(w, s)
+          s
+        }
+      }
+    }
+    df.withColumn("bpe_tokens", enc(UnigramLM.tokens(col(getInputCol))))
+      .withColumn("bpe_n_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
+  /** Inverse of the encoding: concatenate symbols, end-of-word markers
+    * become spaces — reconstructs the canonical (lowercased,
+    * space-normalized) text exactly. */
+  def decode(tokens: Column): Column =
+    trim(array_join(org.apache.spark.sql.functions.transform(tokens,
+      (t: Column) =>
+        regexp_replace(t, java.util.regex.Pattern.quote(BPE.EOW), " ")),
+      ""))
+
+  override def transformSchema(schema: StructType): StructType =
+    BPE.outputSchema(schema)
+  override def copy(extra: ParamMap): BPETokenizerModel = {
+    val c = new BPETokenizerModel(uid)
+    c.merges = merges
+    copyValues(c, extra)
+  }
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(BPETokenizerModel.this, path, sparkSession)
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(BPETokenizerModel.this))
+        graft.core.ModelIO.writeObject(sparkSession, s"$path/merges.bin", merges)
+      }
+    }
+}
+
+object BPETokenizerModel
+    extends org.apache.spark.ml.util.MLReadable[BPETokenizerModel] {
+  override def read: org.apache.spark.ml.util.MLReader[BPETokenizerModel] =
+    new org.apache.spark.ml.util.MLReader[BPETokenizerModel] {
+      override def load(path: String): BPETokenizerModel = {
+        val m = new BPETokenizerModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.merges = graft.core.ModelIO
+          .readObject[Array[(String, String)]](sparkSession, s"$path/merges.bin")
+        m
+      }
+    }
+}

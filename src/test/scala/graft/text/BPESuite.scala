@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class BPESuite extends TestBase {
+  import spark.implicits._
+
+  // word counts low:3 lower:1 lowest:1 — the Sennrich worked example
+  lazy val corpus = Seq((0L, "low low low lower lowest")).toDF("doc_id", "text")
+
+  test("learns merges greedily with deterministic tie-breaks, stops dry") {
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .fit(corpus)
+    // (l,o) ties (o,w) at 5 -> pair-asc; then (lo,w)=5, (low,</w>)=3,
+    // (low,e)=2; every remaining pair is unique -> early stop
+    assert(m.merges.toSeq == Seq(("l", "o"), ("lo", "w"),
+      ("low", BPE.EOW), ("low", "e")))
+  }
+
+  test("encodes dictionary and unseen words by merge rank") {
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .fit(corpus)
+    val out = m.transform(Seq((1L, "low lowest xyz")).toDF("doc_id", "text"))
+      .select("bpe_tokens", "bpe_n_tokens").head()
+    assert(out.getSeq[String](0) == Seq("low" + BPE.EOW,
+      "lowe", "s", "t", BPE.EOW, "x", "y", "z", BPE.EOW))
+    assert(out.getLong(1) == 9L)
+  }
+
+  test("decode(encode(text)) reconstructs the canonical text") {
+    val docs = sfTable("documents").select("doc_id", "text")
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(200)
+      .setMaxWordTypes(4096).fit(docs)
+    val enc = m.transform(docs)
+    val mismatches = enc.select(col("doc_id"),
+        m.decode(col("bpe_tokens")).as("rt"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("want"))
+      .filter(col("rt") =!= col("want")).count()
+    assert(mismatches == 0)
+    // and tokenization actually compresses: fewer symbols than characters
+    val stats = enc.agg(sum(col("bpe_n_tokens")),
+      sum(length(col("text"))).cast("long")).head()
+    assert(stats.getLong(0) < stats.getLong(1))
+  }
+
+  test("astral-plane code points survive the round trip whole") {
+    val emoji = Seq((0L, "a 😀b 😀b c")).toDF("doc_id", "text")
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(10).fit(emoji)
+    val rt = m.transform(emoji)
+      .select(m.decode(col("bpe_tokens"))).as[String].head()
+    assert(rt == "a 😀b 😀b c")
+  }
+
+  test("model save/load round-trips merges and segmentation") {
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .fit(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/m"
+    m.write.overwrite().save(dir)
+    val loaded = BPETokenizerModel.load(dir)
+    assert(loaded.merges.toSeq == m.merges.toSeq)
+    val probe = Seq((1L, "lower low")).toDF("doc_id", "text")
+    assertDFEq(m.transform(probe), loaded.transform(probe))
+  }
+}
