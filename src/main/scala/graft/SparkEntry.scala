@@ -1592,6 +1592,23 @@ object SparkEntry {
         .setDefaultWeight(0.125).setSalt("mix")
         .transform(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("source"))
+    },
+
+    // Temperature-scaled mixture over SKEWED derived domains (the
+    // fixture's source column is uniform, which would degenerate to
+    // plain fraction sampling): d0/d1/d2 get one doc_id%16 class each,
+    // d3 the other thirteen — so the gate exercises both the n^tau
+    // flattening and the rate-1 cap, and the oracle recomputes the
+    // histogram, the normalization, and the hex thresholds generically
+    "temperature_mixture" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").withColumn("dom",
+        concat(lit("d"), least(pmod(col("doc_id"), lit(16)), lit(3))
+          .cast("string")))
+      new graft.text.TemperatureSampler().setIdCol("doc_id")
+        .setDomainCol("dom").setTemperature(0.5).setTargetFraction(0.5)
+        .setSalt("tmix")
+        .transform(docs)
+        .select(col("doc_id"))
     }
   )
 
@@ -3137,6 +3154,30 @@ object SparkEntry {
         |    WHEN 'src2' THEN '80000000'
         |    WHEN 'src3' THEN '40000000'
         |    WHEN 'src4' THEN '19999999'
-        |    ELSE '20000000' END""".stripMargin
+        |    ELSE '20000000' END""".stripMargin,
+
+    // replays the temperature rule with the SAME operation order as the
+    // Scala side: r = ((f * N) * (n^tau / z)) / n, threshold =
+    // floor(r * 2^32) as 8-hex (floor == Long truncation for r >= 0)
+    "temperature_mixture" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(LEAST(doc_id % 16, 3) AS VARCHAR) AS dom
+        |  FROM documents),
+        |cnt AS (SELECT dom, COUNT(*) AS n FROM base GROUP BY dom),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cnt),
+        |pw AS (SELECT dom, n,
+        |    POWER(CAST(n AS DOUBLE), 0.5) AS p FROM cnt),
+        |z AS (SELECT SUM(p) AS z FROM pw),
+        |thr AS (SELECT dom,
+        |    CASE WHEN 0.5 * tot.nn * (pw.p / z.z) / CAST(pw.n AS DOUBLE)
+        |           >= 1.0 THEN 'g'
+        |    ELSE printf('%08x', CAST(FLOOR(
+        |      0.5 * tot.nn * (pw.p / z.z) / CAST(pw.n AS DOUBLE)
+        |        * 4294967296.0) AS BIGINT)) END AS t
+        |  FROM pw CROSS JOIN z CROSS JOIN tot)
+        |SELECT b.doc_id FROM base b JOIN thr ON b.dom = thr.dom
+        |WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || ':tmix'), 1, 8)
+        |  < thr.t""".stripMargin
   )
 }

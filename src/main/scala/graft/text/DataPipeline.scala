@@ -288,6 +288,81 @@ class DomainMixtureSampler(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): DomainMixtureSampler = defaultCopy(extra)
 }
+/** Temperature-scaled domain mixture (the multilingual-pretraining
+  * standard: Arivazhagan et al. 2019 §4; mT5/XLM-R use the same rule):
+  * sample domain d with probability p_d ∝ n_d^τ — τ < 1 flattens the
+  * natural distribution, upweighting low-resource domains — realized as
+  * per-domain keep rates r_d = min(1, f·N·p_d / n_d) so the expected
+  * output is fraction `f` of the corpus with the temperature mixture.
+  *
+  * Fit-free composition over [[DomainMixtureSampler]]: one
+  * map-side-combined domain count (bounded driver collect, guarded by
+  * `maxDomains`), a closed-form rate per domain, then the same
+  * deterministic md5-threshold filter — partitioning-independent,
+  * narrow, and SQL-replayable end to end (the rate arithmetic is a
+  * fixed operation order over exact counts).
+  */
+class TemperatureSampler(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("TemperatureSampler"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val domainCol = new Param[String](this, "domainCol", "domain column")
+  setDefault(domainCol -> "source")
+  def setDomainCol(v: String): this.type = set(domainCol, v)
+  final val temperature = new DoubleParam(this, "temperature",
+    "mixture temperature tau: p_d proportional to n_d^tau (1 = natural, " +
+      "0 = uniform)", ParamValidators.inRange(0.0, 1.0))
+  setDefault(temperature -> 0.7)
+  def setTemperature(v: Double): this.type = set(temperature, v)
+  final val targetFraction = new DoubleParam(this, "targetFraction",
+    "expected kept fraction of the corpus", ParamValidators.inRange(0.0, 1.0))
+  setDefault(targetFraction -> 0.5)
+  def setTargetFraction(v: Double): this.type = set(targetFraction, v)
+  final val salt = new Param[String](this, "salt",
+    "hash salt — vary to draw an independent sample")
+  setDefault(salt -> "tmix")
+  def setSalt(v: String): this.type = set(salt, v)
+  final val maxDomains = new IntParam(this, "maxDomains",
+    "fail-fast cap on the domain-count collect", ParamValidators.gt(0))
+  setDefault(maxDomains -> 100000)
+  def setMaxDomains(v: Int): this.type = set(maxDomains, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    // domain histogram: map-side-combined, key space = #domains; the
+    // collect is bounded by the fail-fast cap (limit cap+1, not count(),
+    // so the guard costs no extra action)
+    val counts = df.groupBy(col($(domainCol)).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__d"))
+      .limit($(maxDomains) + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= $(maxDomains),
+      s"more than ${$(maxDomains)} distinct domains; raise maxDomains " +
+        "only if the driver can hold the histogram")
+    val tau = $(temperature)
+    val f = $(targetFraction)
+    val nTotal = counts.iterator.map(_._2).sum.toDouble
+    // fixed summation order (domain asc, from the sorted collect) so the
+    // oracle reproduces z bit-for-bit
+    val powers = counts.map { case (_, n) => math.pow(n.toDouble, tau) }
+    val z = powers.sum
+    val rates = counts.iterator.zipWithIndex.map { case ((d, n), i) =>
+      d -> math.min(1.0, f * nTotal * (powers(i) / z) / n.toDouble)
+    }.toMap
+    new DomainMixtureSampler().setIdCol($(idCol)).setDomainCol($(domainCol))
+      .setWeights(rates).setDefaultWeight(0.0).setSalt($(salt))
+      .transform(df)
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): TemperatureSampler = defaultCopy(extra)
+}
+object TemperatureSampler
+    extends graft.core.GraftReadable[TemperatureSampler]
+
 object DomainMixtureSampler
     extends graft.core.GraftReadable[DomainMixtureSampler] {
   /** weight -> 8-hex-lowercase threshold; "g" (> every hex char) keeps

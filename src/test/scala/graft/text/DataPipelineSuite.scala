@@ -152,4 +152,47 @@ class DataPipelineSuite extends TestBase {
     assert(DomainMixtureSampler.hexThreshold(0.75) == "c0000000")
     assert(DomainMixtureSampler.hexThreshold(0.1) == "19999999")
   }
+
+  // ---- TemperatureSampler ----------------------------------------------
+
+  // skewed fixture: a×8, b×4, c×2 docs
+  private lazy val skewed = ((0 until 8).map(i => (i.toLong, "a")) ++
+    (8 until 12).map(i => (i.toLong, "b")) ++
+    (12 until 14).map(i => (i.toLong, "c"))).toDF("doc_id", "dom")
+
+  test("TemperatureSampler at tau=1 equals plain fraction sampling") {
+    // p_d = n_d/N  =>  every rate is exactly targetFraction
+    val t = new TemperatureSampler().setDomainCol("dom").setTemperature(1.0)
+      .setTargetFraction(0.5).setSalt("s").transform(skewed)
+    val plain = new DomainMixtureSampler().setDomainCol("dom")
+      .setWeights(Map.empty).setDefaultWeight(0.5).setSalt("s")
+      .transform(skewed)
+    assertDFEq(t, plain)
+  }
+
+  test("TemperatureSampler flattens toward small domains, caps at 1") {
+    // tau=0: p_d = 1/3 each; rates = min(1, 0.5*14*(1/3)/n_d) —
+    // a: 7/24, b: 7/12, c: capped 1.0 (all kept)
+    val out = new TemperatureSampler().setDomainCol("dom").setTemperature(0.0)
+      .setTargetFraction(0.5).setSalt("s").transform(skewed)
+    val c = out.filter(col("dom") === "c").count()
+    assert(c == 2L, "rate-1 cap must keep every doc of the tiny domain")
+    // exact replay through DomainMixtureSampler with the closed-form rates
+    val n = 14.0; val z = 3.0
+    val rates = Map(
+      "a" -> math.min(1.0, 0.5 * n * (1.0 / z) / 8.0),
+      "b" -> math.min(1.0, 0.5 * n * (1.0 / z) / 4.0),
+      "c" -> math.min(1.0, 0.5 * n * (1.0 / z) / 2.0))
+    val manual = new DomainMixtureSampler().setDomainCol("dom")
+      .setWeights(rates).setDefaultWeight(0.0).setSalt("s")
+      .transform(skewed)
+    assertDFEq(out, manual)
+  }
+
+  test("TemperatureSampler fails fast past the domain cap") {
+    intercept[IllegalArgumentException] {
+      new TemperatureSampler().setDomainCol("dom").setMaxDomains(2)
+        .transform(skewed)
+    }
+  }
 }
