@@ -1470,6 +1470,18 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // concat-and-chunk window assembly: deterministic shuffle order,
+    // global running token offsets, fixed 128-token windows crossing doc
+    // boundaries — every output is exact integer arithmetic, replayed in
+    // SQL as a cumulative sum + integer division
+    "concat_chunk" -> { (s, dir) =>
+      new graft.text.ConcatChunker().setInputCol("text").setIdCol("doc_id")
+        .setContextLen(128).setSeed("42")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("tok_offset"), col("chunk_id"),
+          col("tok_start"), col("tok_end"))
+    },
+
     // BPE tokenizer losslessness gate: decode(encode(text)) must equal
     // the canonical (lowercased, space-normalized) text byte-for-byte —
     // the merges themselves are not SQL-replayable, but the round trip
@@ -2840,6 +2852,27 @@ object SparkEntry {
         |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
         |    AS lm_ce_q4
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "concat_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS h,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |off AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS o
+        |  FROM tok),
+        |pieces AS (
+        |  SELECT doc_id, o AS tok_offset, n,
+        |    unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS chunk_id
+        |  FROM off WHERE n > 0)
+        |SELECT doc_id, tok_offset, chunk_id,
+        |  GREATEST(0, chunk_id * 128 - tok_offset) AS tok_start,
+        |  LEAST(n, (chunk_id + 1) * 128 - tok_offset) AS tok_end
+        |FROM pieces""".stripMargin,
 
     "bpe_roundtrip" ->
       """SELECT doc_id, array_to_string(list_filter(
