@@ -1470,6 +1470,21 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // fastText-style quality classifier gated on EXACT recovery of a
+    // planted separable rule: curated-side docs (odd ids) carry a marker
+    // token, the hashed-bigram LR must reproduce the labels perfectly —
+    // the oracle is the planted rule itself. quality_prob margins are
+    // suite-asserted; the gate hashes the integer predictions.
+    "quality_classifier" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("label", (col("doc_id") % 2 === 1).cast("double"))
+        .withColumn("text", when(col("label") === 1.0,
+          concat(col("text"), lit(" curatedtok"))).otherwise(col("text")))
+      val m = new graft.text.QualityClassifier().setInputCol("text")
+        .setLabelCol("label").setNumBits(18).fit(docs)
+      m.transform(docs).select(col("doc_id"), col("quality_pred"))
+    },
+
     // concat-and-chunk window assembly: deterministic shuffle order,
     // global running token offsets, fixed 128-token windows crossing doc
     // boundaries — every output is exact integer arithmetic, replayed in
@@ -2852,6 +2867,10 @@ object SparkEntry {
         |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
         |    AS lm_ce_q4
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "quality_classifier" ->
+      """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
+        |FROM documents""".stripMargin,
 
     "concat_chunk" ->
       """WITH tok AS (
