@@ -1,0 +1,72 @@
+package graft.dedup
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class IncrementalMinHashSuite extends TestBase {
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "completely different content about database engines and query planners"),
+    (2L, "a third curated document that is entirely unique in every way")
+  ).toDF("doc_id", "text")
+
+  // 10: near-dup of corpus 0 (one word changed, Jaccard ~0.71 at k=2);
+  // 11+12: in-batch near-dup pair; 13: fresh
+  lazy val batch = Seq(
+    (10L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (11L, "a brand new page from this snapshot with plenty of words to shingle"),
+    (12L, "a brand new page from this snapshot with plenty of words to mingle"),
+    (13L, "another genuinely fresh document with nothing shared at all")
+  ).toDF("doc_id", "text")
+
+  private def op(mode: String) = new IncrementalMinHashDeduplicator()
+    .setInputCol("text").setIdCol("doc_id").setShingleSize(2)
+    .setNumHashes(128).setBands(32).setThreshold(0.6).setVerifyMode(mode)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("exact mode: corpus near-dups drop, in-batch pair collapses") {
+    val out = op("exact").setCorpus(corpus).transform(batch)
+    assert(ids(out) == Seq(11L, 13L))
+  }
+
+  test("signature mode from the index alone agrees on clear margins") {
+    val idx = IncrementalMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 2, 128)
+    val out = op("signature").setCorpusIndex(idx).transform(batch)
+    assert(ids(out) == Seq(11L, 13L))
+  }
+
+  test("signature mode from raw corpus equals index path") {
+    val viaRaw = op("signature").setCorpus(corpus).transform(batch)
+    val idx = IncrementalMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 2, 128)
+    val viaIdx = op("signature").setCorpusIndex(idx).transform(batch)
+    assertDFEq(viaRaw, viaIdx)
+  }
+
+  test("a clean batch passes through untouched") {
+    val clean = Seq(
+      (20L, "some words that exist nowhere else in any corpus fixture"),
+      (21L, "yet another disjoint sentence carrying no shared shingles"))
+      .toDF("doc_id", "text")
+    assert(ids(op("exact").setCorpus(corpus).transform(clean)) ==
+      Seq(20L, 21L))
+    assert(ids(op("signature").setCorpus(corpus).transform(clean)) ==
+      Seq(20L, 21L))
+  }
+
+  test("matches a from-scratch MinHashDeduplicator over the union") {
+    // corpus already near-deduped with smaller ids: a full rebuild's
+    // batch-side survivors must equal the incremental (exact-mode) result
+    val full = new MinHashDeduplicator().setInputCol("text")
+      .setIdCol("doc_id").setShingleSize(2).setNumHashes(128).setBands(32)
+      .setThreshold(0.6).transform(corpus.unionByName(batch))
+    val fullBatch = ids(full.filter(col("doc_id") >= 10))
+    val inc = op("exact").setCorpus(corpus).transform(batch)
+    assert(ids(inc) == fullBatch)
+  }
+}
