@@ -36,9 +36,10 @@ class FrequentNGrams(override val uid: String) extends Transformer
   def setTopK(v: Int): this.type = set(topK, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val toks = split(lower(trim(col(getInputCol))), "\\s+")
     ds.toDF()
-      .select(explode(PipelineFunctions.wordNGrams(toks, $(n))).as("gram"))
+      .select(split(lower(trim(col(getInputCol))), "\\s+").as("__toks"))
+      .select(explode(PipelineFunctions.wordNGrams(col("__toks"), $(n)))
+        .as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit($(topK))

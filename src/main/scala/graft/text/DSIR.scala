@@ -79,7 +79,10 @@ class DSIRScorer(override val uid: String)
     // explode IS the fit cost.
     val cnt = df
       .select(expr($(targetPredicate)).cast(BooleanType).as("__is_t"),
-        explode(UnigramLM.grams(col(getInputCol), $(gramSize))).as("__g"))
+        UnigramLM.tokens(col(getInputCol)).as("__toks"))
+      .select(col("__is_t"),
+        explode(UnigramLM.gramsOfTokens(col("__toks"), $(gramSize)))
+          .as("__g"))
       .groupBy("__g")
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))

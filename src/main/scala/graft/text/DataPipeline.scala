@@ -21,6 +21,14 @@ object PipelineFunctions {
   /** Space-joined word n-grams of a token-array column. Docs shorter than
     * n yield an empty array (guarded: Spark's `sequence(1, k)` with k < 1
     * would generate a DESCENDING sequence, not an empty one).
+    *
+    * PERFORMANCE CONTRACT: `words` must be a MATERIALIZED column (an
+    * attribute reference — `withColumn` the token array first), not the
+    * tokenizer expression itself. The per-position lambda embeds any
+    * outer non-attribute expression and re-evaluates it per n-gram, so a
+    * `split(...)` argument re-tokenizes the whole document once per
+    * position — measured O(len²): a 10x corpus cost sb_perplexity 113 s
+    * until every call site was materialized (round 11).
     */
   def wordNGrams(words: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
@@ -54,8 +62,14 @@ object PipelineFunctions {
   */
 object Decontamination {
 
-  private def grams(textCol: String, n: Int): Column =
-    PipelineFunctions.wordNGrams(split(trim(col(textCol)), "\\s+"), n)
+  /** n-gram column added over a MATERIALIZED token column (wordNGrams
+    * performance contract: an expression argument re-tokenizes per gram
+    * position). */
+  private def withGrams(df: DataFrame, textCol: String, n: Int,
+      out: String): DataFrame =
+    df.withColumn("__dc_toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn(out, PipelineFunctions.wordNGrams(col("__dc_toks"), n))
+      .drop("__dc_toks")
 
   /** Distinct ids of corpus docs sharing >=1 word n-gram with `benchmark`.
     * Gram identity is by 64-bit hash: a collision can only add a false
@@ -65,12 +79,12 @@ object Decontamination {
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 4,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    val bench0 = benchmark
-      .select(explode(grams(textCol, n)).as("__g"))
+    val bench0 = withGrams(benchmark, textCol, n, "__gs")
+      .select(explode(col("__gs")).as("__g"))
       .select(xxhash64(col("__g")).as("__gh")).distinct()
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
-    corpus
-      .select(col(idCol), explode(grams(textCol, n)).as("__g"))
+    withGrams(corpus, textCol, n, "__gs")
+      .select(col(idCol), explode(col("__gs")).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__gh"))
       .join(bench, Seq("__gh"), "left_semi")
       .select(idCol).distinct()
@@ -113,8 +127,8 @@ object Decontamination {
   def overlapProfile(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 4,
       maxBenchmarkGrams: Long = 50L * 1000 * 1000): DataFrame = {
-    val benchRows = benchmark
-      .select(explode(grams(textCol, n)).as("__g")).distinct()
+    val benchRows = withGrams(benchmark, textCol, n, "__gs")
+      .select(explode(col("__gs")).as("__g")).distinct()
     val cnt = benchRows.count()
     require(cnt <= maxBenchmarkGrams,
       s"benchmark has $cnt distinct $n-grams > maxBenchmarkGrams=" +
@@ -128,12 +142,13 @@ object Decontamination {
       gs.foreach(g => if (set.contains(g)) hit += 1)
       hit
     }
-    val dg = array_distinct(grams(textCol, n))
-    corpus
-      .withColumn("n_grams", size(dg).cast("long"))
-      .withColumn("n_hit", hits(dg))
+    withGrams(corpus, textCol, n, "__gs")
+      .withColumn("__dg", array_distinct(col("__gs")))
+      .withColumn("n_grams", size(col("__dg")).cast("long"))
+      .withColumn("n_hit", hits(col("__dg")))
       .withColumn("overlap_q4",
         PipelineFunctions.q4(col("n_hit"), col("n_grams")))
+      .drop("__gs", "__dg")
   }
 }
 
@@ -194,9 +209,16 @@ class RepetitionProfiler(override val uid: String) extends Transformer
   def this() = this(Identifiable.randomUID("RepetitionProfiler"))
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val words = split(trim(col(getInputCol)), "\\s+")
+    // words/g2 MATERIALIZED before the scan: g2 is referenced inside the
+    // aggregate lambda (element_at per step) — as a raw expression the
+    // whole sort-the-ngrams subtree would re-run per step, O(len³)
+    val prepped = ds.toDF()
+      .withColumn("__words", split(trim(col(getInputCol)), "\\s+"))
+      .withColumn("__g2",
+        array_sort(PipelineFunctions.wordNGrams(col("__words"), 2)))
+    val words = col("__words")
     val nW = size(words)
-    val g2 = array_sort(PipelineFunctions.wordNGrams(words, 2))
+    val g2 = col("__g2")
     val n2 = size(g2)
     // single-pass run-length scan of the sorted grams: `run` = current
     // equal-run length, `dup` = occurrences closed out in runs of len>1,
@@ -217,7 +239,7 @@ class RepetitionProfiler(override val uid: String) extends Transformer
               acc.getField("top").as("top"))),
         acc => struct(closed(acc).as("dup"), acc.getField("top").as("top"))))
       .otherwise(struct(lit(0).as("dup"), greatest(n2, lit(0)).as("top")))
-    ds.toDF()
+    prepped
       .withColumn("__rep", rep)
       .withColumn("n_words", nW.cast("long"))
       .withColumn("dup_word_q4",
@@ -227,7 +249,7 @@ class RepetitionProfiler(override val uid: String) extends Transformer
         PipelineFunctions.q4(col("__rep").getField("top"), n2))
       .withColumn("dup_2gram_q4",
         PipelineFunctions.q4(col("__rep").getField("dup"), n2))
-      .drop("__rep")
+      .drop("__rep", "__words", "__g2")
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(

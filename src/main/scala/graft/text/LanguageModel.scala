@@ -61,7 +61,8 @@ class UnigramLM(override val uid: String) extends Estimator[UnigramLMModel]
 
   override def fit(ds: Dataset[_]): UnigramLMModel = {
     val cnt = ds.toDF()
-      .select(explode(UnigramLM.grams(col(getInputCol), $(gramSize)))
+      .select(UnigramLM.tokens(col(getInputCol)).as("__toks"))
+      .select(explode(UnigramLM.gramsOfTokens(col("__toks"), $(gramSize)))
         .as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
     // persist the (gram -> count) frame so the corpus explode runs ONCE
@@ -94,10 +95,13 @@ object UnigramLM extends graft.core.GraftReadable[UnigramLM] {
   def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
-  /** Model types for a given gramSize: the corpus tokens themselves at
-    * n=1, space-joined word n-grams of them otherwise. */
-  def grams(c: Column, n: Int): Column =
-    if (n == 1) tokens(c) else PipelineFunctions.wordNGrams(tokens(c), n)
+  /** Model types over a MATERIALIZED token-array column: the tokens
+    * themselves at n=1, space-joined word n-grams otherwise. Callers
+    * must `withColumn` the [[tokens]] expression first — see the
+    * [[PipelineFunctions.wordNGrams]] performance contract (an
+    * expression argument re-tokenizes per gram position, O(len²)). */
+  def gramsOfTokens(toksCol: Column, n: Int): Column =
+    if (n == 1) toksCol else PipelineFunctions.wordNGrams(toksCol, n)
 
   private[text] def outputSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(
@@ -148,13 +152,14 @@ class UnigramLMModel(override val uid: String) extends Model[UnigramLMModel]
       val ce = if (n == 0) 0.0 else s / n
       (n, oov, ce, math.floor(ce * 10000.0 + 0.5).toLong)
     }
-    df.withColumn("__lm",
-        score(UnigramLM.grams(col(getInputCol), $(gramSize))))
+    df.withColumn("__lm_toks", UnigramLM.tokens(col(getInputCol)))
+      .withColumn("__lm",
+        score(UnigramLM.gramsOfTokens(col("__lm_toks"), $(gramSize))))
       .withColumn("lm_n_tokens", col("__lm._1"))
       .withColumn("lm_n_oov", col("__lm._2"))
       .withColumn("lm_ce", col("__lm._3"))
       .withColumn("lm_ce_q4", col("__lm._4"))
-      .drop("__lm")
+      .drop("__lm", "__lm_toks")
   }
   override def transformSchema(schema: StructType): StructType =
     UnigramLM.outputSchema(schema)

@@ -70,13 +70,14 @@ class StupidBackoffLM(override val uid: String)
   def setBackoff(v: Double): this.type = set(backoff, v)
 
   override def fit(ds: Dataset[_]): StupidBackoffLMModel = {
-    val toks = UnigramLM.tokens(col(getInputCol))
-    // one corpus pass: every order's grams, tagged, in a single explode
+    // one corpus pass: every order's grams, tagged, in a single explode —
+    // over a MATERIALIZED token column (wordNGrams performance contract)
     val tagged = (1 to $(maxOrder)).map { n =>
-      transform(PipelineFunctions.wordNGrams(toks, n),
+      transform(PipelineFunctions.wordNGrams(col("__toks"), n),
         g => struct(lit(n).as("o"), g.as("g")))
     }
     val cnt = ds.toDF()
+      .select(UnigramLM.tokens(col(getInputCol)).as("__toks"))
       .select(explode(concat(tagged: _*)).as("__og"))
       .select(col("__og.o").as("__o"), col("__og.g").as("__g"))
       .groupBy("__o", "__g").agg(count(lit(1)).as("__c"))
