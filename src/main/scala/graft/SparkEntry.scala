@@ -524,10 +524,14 @@ object SparkEntry {
     },
 
     // SemDeDup at its real operating point (rows-only: the k-means
-    // partition is not SQL-replayable); exactness companion below
+    // partition is not SQL-replayable); exactness companion below.
+    // AUTO cluster count (corpus/targetClusterSize) — the scale knob the
+    // paper uses, so the benched operating point is the one that holds
+    // at 10x/100x instead of saturating the per-cluster cap
     "semdedup" -> { (s, dir) =>
       new graft.dedup.SemDeDup().setInputCol("embedding").setIdCol("vec_id")
-        .setNClusters(8).setThreshold(0.465).setKeepRule("centroidFar")
+        .setThreshold(0.465).setKeepRule("centroidFar")
+        .setTargetClusterSize(256)
         .transform(tbl(s, dir, "embeddings"))
         .select(col("vec_id"))
     },

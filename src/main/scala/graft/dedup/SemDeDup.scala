@@ -28,8 +28,13 @@ import org.apache.spark.sql.types._
   *  - the quantizer trains DRIVER-SIDE on a bounded hash-ordered sample
   *    (the measured IVF path — `trainSample` caps the one collect;
   *    spherical k-means++ best-of-5 restarts, [[graft.sim.IVF.lloyd]]);
-  *    cluster count is a param, NOT derived from corpus size, so driver
-  *    state is O(nClusters·dim) at any scale;
+  *  - cluster count defaults to AUTO: k = corpusSize/targetClusterSize
+  *    (the paper's protocol — cluster count grows with the corpus so
+  *    within-cluster pair work stays O(corpus · targetClusterSize),
+  *    linear), capped by `maxAutoClusters` where driver-side k-means
+  *    stops being the right tool (a fixed k instead saturates
+  *    `maxClusterSize` caps as the corpus grows — candidates are then
+  *    silently dropped, visible in the drop metric);
   *  - assignment is one narrow pass over the broadcast centroid matrix
   *    (argmax cosine == argmin L2 on the unit sphere) that also emits the
   *    centroid similarity the keep rule needs — no mllib lineage, no
@@ -60,10 +65,26 @@ class SemDeDup(override val uid: String) extends Transformer
   setDefault(threshold -> 0.95)
   def setThreshold(v: Double): this.type = set(threshold, v)
   final val nClusters = new IntParam(this, "nClusters",
-    "k-means cluster count (1 = exhaustive exact pairwise)",
-    ParamValidators.gt(0))
-  setDefault(nClusters -> 64)
+    "k-means cluster count (1 = exhaustive exact pairwise; 0 = auto — " +
+      "ceil(corpusSize / targetClusterSize), capped at maxAutoClusters)",
+    ParamValidators.gtEq(0))
+  setDefault(nClusters -> 0)
   def setNClusters(v: Int): this.type = set(nClusters, v)
+  final val targetClusterSize = new IntParam(this, "targetClusterSize",
+    "auto mode: intended average cluster population — the paper's scale " +
+      "knob is cluster COUNT proportional to corpus size, i.e. fixed " +
+      "cluster size; within-cluster pair work is then " +
+      "O(corpus * targetClusterSize), linear in the corpus",
+    ParamValidators.gt(1))
+  setDefault(targetClusterSize -> 256)
+  def setTargetClusterSize(v: Int): this.type = set(targetClusterSize, v)
+  final val maxAutoClusters = new IntParam(this, "maxAutoClusters",
+    "auto mode cap on k: driver-side quantizer training is " +
+      "O(sample * k * dim * iters) flops — past this, a hierarchical " +
+      "(IVF-PQ-style two-level) quantizer is the right tool",
+    ParamValidators.gt(0))
+  setDefault(maxAutoClusters -> 512)
+  def setMaxAutoClusters(v: Int): this.type = set(maxAutoClusters, v)
   final val seed = new LongParam(this, "seed", "k-means seed")
   setDefault(seed -> 42L)
   def setSeed(v: Long): this.type = set(seed, v)
@@ -93,6 +114,20 @@ class SemDeDup(override val uid: String) extends Transformer
     import DedupFunctions.{candidatePairs, joinCandidatePayload}
     val df = ds.toDF()
     val id = col($(idCol))
+    // auto k: cluster count grows with the corpus (fixed target cluster
+    // SIZE — the paper's protocol), capped where driver-side training
+    // stops being the right tool; the FAISS ~64 samples/cell guideline
+    // then bounds the training collect so quantizer flops stay ~O(k²·dim)
+    val k =
+      if ($(nClusters) > 0) $(nClusters)
+      else {
+        val n = df.count()
+        math.max(1, math.min($(maxAutoClusters).toLong,
+          (n + $(targetClusterSize) - 1) / $(targetClusterSize))).toInt
+      }
+    val sampleCap =
+      if ($(nClusters) > 0) $(trainSample)
+      else math.min($(trainSample), math.max(4096, 64 * k))
     // bounded hash-ordered sample -> driver-side spherical k-means
     // (TakeOrderedAndProject, no global sort; deterministic for a given
     // corpus + seed)
@@ -101,9 +136,9 @@ class SemDeDup(override val uid: String) extends Transformer
         col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
       .where(col("__v").isNotNull)
       .orderBy(xxhash64(col("__id")))
-      .limit($(trainSample))
+      .limit(sampleCap)
       .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
-    val centroids = graft.sim.IVF.lloyd(sample, $(nClusters), $(maxIter), $(seed))
+    val centroids = graft.sim.IVF.lloyd(sample, k, $(maxIter), $(seed))
     val ctr = df.sparkSession.sparkContext.broadcast(centroids)
     // one narrow pass: cluster assignment + centroid cosine for the keep
     // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine)

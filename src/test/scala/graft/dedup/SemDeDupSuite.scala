@@ -109,6 +109,27 @@ class SemDeDupSuite extends TestBase {
     assert(exact.size == rows.size - 8 * 5)
   }
 
+  test("auto cluster count scales with the corpus and still finds dups") {
+    // 500-vector fixture at target 64 -> k=8; planted near-exact dups
+    // are clustering-robust, so auto-k must remove them all
+    val corpus = sfTable("embeddings")
+    val auto = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(0).setTargetClusterSize(64).setThreshold(0.465)
+      .setKeepRule("minId")
+    val exact = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(1).setThreshold(0.465).setKeepRule("minId")
+      .setMaxClusterSize(4096)
+    // auto can only keep MORE (cross-cluster pairs unseen), never fewer
+    val a = ids(auto.transform(corpus)).toSet
+    val e = ids(exact.transform(corpus)).toSet
+    assert(e.subsetOf(a))
+    // the cap respects maxAutoClusters
+    val capped = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(0).setTargetClusterSize(2).setMaxAutoClusters(4)
+      .setThreshold(0.465).setKeepRule("minId")
+    assert(ids(capped.transform(corpus)).nonEmpty)
+  }
+
   test("maxClusterSize cap degrades gracefully, never errors") {
     val out = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
       .setNClusters(1).setThreshold(0.99).setMaxClusterSize(2)
