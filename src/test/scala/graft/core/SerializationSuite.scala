@@ -41,6 +41,40 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("StupidBackoffLMModel save/load") {
+    val df = Seq((1L, "a b c a b"), (2L, "a b d")).toDF("doc_id", "text")
+    val m = new graft.text.StupidBackoffLM().setInputCol("text")
+      .setMaxOrder(3).setVocabSize(8).setGramBudget(4).fit(df)
+    val p = tmp("sblm"); m.write.overwrite().save(p)
+    val loaded = graft.text.StupidBackoffLMModel.load(p)
+    assert(loaded.totalTokens == m.totalTokens &&
+      loaded.tables.map(_.toSeq).toSeq == m.tables.map(_.toSeq).toSeq)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("BPETokenizerModel save/load") {
+    val df = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val m = new graft.text.BPETokenizer().setInputCol("text")
+      .setNumMerges(16).fit(df)
+    val p = tmp("bpe"); m.write.overwrite().save(p)
+    val loaded = graft.text.BPETokenizerModel.load(p)
+    assert(loaded.merges.toSeq == m.merges.toSeq)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
+  test("QualityClassifierModel save/load (nested LR)") {
+    val df = Seq((1L, "good words here", 1.0), (2L, "bad stuff there", 0.0),
+      (3L, "good words again", 1.0), (4L, "bad stuff repeated", 0.0))
+      .toDF("doc_id", "text", "label")
+    val m = new graft.text.QualityClassifier().setInputCol("text")
+      .setLabelCol("label").setNumBits(12).setMaxIter(10).fit(df)
+    val p = tmp("qc"); m.write.overwrite().save(p)
+    val loaded = graft.text.QualityClassifierModel.load(p)
+    assert(loaded.lrModel.coefficients == m.lrModel.coefficients)
+    roundTrip(m.transform(df).select("doc_id", "quality_pred"),
+      loaded.transform(df).select("doc_id", "quality_pred"))
+  }
+
   test("DSIRModel save/load (nested LM pair)") {
     val df = Seq((1L, "a a b", "tgt"), (2L, "b c", "raw"),
       (3L, "c c c", "raw")).toDF("doc_id", "text", "source")
