@@ -1494,6 +1494,16 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // top-fraction quality pruning, exact mode (deterministic global
+    // rank with (score desc, id asc) ties) — the SQL-replayable path;
+    // the approx quantile-sketch mode is the 100 TB path, suite-covered
+    "score_select" -> { (s, dir) =>
+      new graft.text.ScoreSelector().setScoreCol("n_chars")
+        .setIdCol("doc_id").setFraction(0.25).setMode("exact")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+    },
+
     // fastText-style quality classifier gated on EXACT recovery of a
     // planted separable rule: curated-side docs (odd ids) carry a marker
     // token, the hashed-bigram LR must reproduce the labels perfectly —
@@ -2952,6 +2962,14 @@ object SparkEntry {
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
         |FROM documents""".stripMargin,
+
+    "score_select" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents)
+        |WHERE rn <= CEIL(0.25 * n)""".stripMargin,
 
     "concat_chunk" ->
       """WITH tok AS (

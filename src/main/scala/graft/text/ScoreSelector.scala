@@ -1,0 +1,78 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Top-fraction selection by a per-document score — the "keep the best
+  * f of the corpus by LM perplexity / classifier probability / quality
+  * signal" pruning stage every data recipe ends with.
+  *
+  * Two modes, one semantics knob apart:
+  *  - `approx` (default, the 100 TB path): the keep threshold is the
+  *    (1-f) quantile from `approxQuantile` (Greenwald-Khanna sketch, one
+  *    pass, driver state bounded by 1/approxError); the filter is then a
+  *    NARROW pass. Kept mass is f ± approxError by construction; no
+  *    sort, no shuffle, no per-row state.
+  *  - `exact`: ties broken (score desc, id asc) through a global
+  *    row_number — exactly ceil(f·n) rows survive, deterministically.
+  *    The global window is a single-partition sort: correct at any size
+  *    but serialized — this mode exists for verification and modest
+  *    corpora, and is the driver gate's SQL-replayable path. (A
+  *    distributed exact selection would range-partition on score and
+  *    binary-search the boundary partition; approx-with-small-error
+  *    makes that machinery pointless in practice.)
+  */
+class ScoreSelector(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("ScoreSelector"))
+
+  final val scoreCol = new Param[String](this, "scoreCol",
+    "numeric score column; higher is better")
+  def setScoreCol(v: String): this.type = set(scoreCol, v)
+  final val idCol = new Param[String](this, "idCol",
+    "unique id column (exact-mode tie-break)")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val fraction = new DoubleParam(this, "fraction",
+    "target kept fraction", ParamValidators.inRange(0.0, 1.0))
+  setDefault(fraction -> 0.5)
+  def setFraction(v: Double): this.type = set(fraction, v)
+  final val mode = new Param[String](this, "mode",
+    "'approx' (quantile sketch threshold, narrow) or 'exact' " +
+      "(deterministic global rank)",
+    ParamValidators.inArray(Array("approx", "exact")))
+  setDefault(mode -> "approx")
+  def setMode(v: String): this.type = set(mode, v)
+  final val approxError = new DoubleParam(this, "approxError",
+    "approx mode: quantile sketch relative error",
+    ParamValidators.inRange(0.0, 1.0))
+  setDefault(approxError -> 0.001)
+  def setApproxError(v: Double): this.type = set(approxError, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    $(mode) match {
+      case "approx" =>
+        val q = 1.0 - $(fraction)
+        val thr = df.stat.approxQuantile($(scoreCol),
+          Array(math.min(math.max(q, 0.0), 1.0)), $(approxError))(0)
+        df.filter(col($(scoreCol)).cast("double") >= thr)
+      case "exact" =>
+        val n = df.count()
+        val k = math.ceil($(fraction) * n).toLong
+        val w = Window.orderBy(col($(scoreCol)).desc, col($(idCol)).asc)
+        df.withColumn("__sel_rn", row_number().over(w))
+          .filter(col("__sel_rn") <= k)
+          .drop("__sel_rn")
+    }
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): ScoreSelector = defaultCopy(extra)
+}
+object ScoreSelector extends graft.core.GraftReadable[ScoreSelector]
