@@ -1494,6 +1494,12 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // one-row dataset-card report, every column an exact integer
+    "corpus_report" -> { (s, dir) =>
+      new graft.text.CorpusReport().setInputCol("text")
+        .transform(tbl(s, dir, "documents"))
+    },
+
     // top-fraction quality pruning, exact mode (deterministic global
     // rank with (score desc, id asc) ties) — the SQL-replayable path;
     // the approx quantile-sketch mode is the 100 TB path, suite-covered
@@ -2962,6 +2968,27 @@ object SparkEntry {
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
         |FROM documents""".stripMargin,
+
+    "corpus_report" ->
+      """WITH b AS (
+        |  SELECT length(text) AS chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS ntok,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct,
+        |    lang, source
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(DISTINCT ct) AS BIGINT) AS n_unique_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_domains,
+        |  CAST(COALESCE(MIN(ntok), 0) AS BIGINT) AS min_tokens,
+        |  CAST(COALESCE(MAX(ntok), 0) AS BIGINT) AS max_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_empty_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_exact_dups
+        |FROM b""".stripMargin,
 
     "score_select" ->
       """SELECT doc_id, n_chars FROM (
