@@ -199,19 +199,46 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
   setDefault(watermarkDelay -> "1 hour")
   def setWatermarkDelay(v: String): this.type = set(watermarkDelay, v)
 
+  /** Optional static corpus fingerprint index
+    * ([[StreamingDeduplicator.fingerprintIndex]]): documents whose
+    * fingerprint is already in the curated corpus are filtered BEFORE
+    * the in-stream dedup — the streaming face of
+    * [[graft.dedup.IncrementalDeduplicator]]. Realized as a
+    * stream-static left-outer join + null filter (supported in every
+    * output mode); the static side is a plain 8-byte-per-doc frame the
+    * engine re-scans per micro-batch, so park it in a broadcast-friendly
+    * store (parquet, cached) sized accordingly. */
+  private var corpusIndex: DataFrame = _
+  def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val fp = xxhash64(graft.dedup.DedupFunctions.canonical(col(getInputCol)))
     val withFp = df.withColumn("__fp", fp)
+    val cleared =
+      if (corpusIndex == null) withFp
+      else withFp.join(
+          corpusIndex.select(col("__fp")).distinct()
+            .withColumn("__hit", lit(1)),
+          Seq("__fp"), "left_outer")
+        .filter(col("__hit").isNull).drop("__hit")
     val deduped =
       if (df.isStreaming)
-        withFp.withWatermark($(timeCol), $(watermarkDelay))
+        cleared.withWatermark($(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp")
-      else withFp.dropDuplicates("__fp")
+      else cleared.dropDuplicates("__fp")
     deduped.drop("__fp")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
 }
-object StreamingDeduplicator extends graft.core.GraftReadable[StreamingDeduplicator]
+object StreamingDeduplicator
+    extends graft.core.GraftReadable[StreamingDeduplicator] {
+  /** Distinct 64-bit fingerprint frame `(__fp)` of a document frame —
+    * the static side for [[StreamingDeduplicator.setCorpusIndex]]. */
+  def fingerprintIndex(df: DataFrame, inputCol: String): DataFrame =
+    df.select(xxhash64(
+        graft.dedup.DedupFunctions.canonical(col(inputCol))).as("__fp"))
+      .distinct()
+}
 

@@ -65,6 +65,30 @@ class StreamingSuite extends TestBase {
     } finally q.stop()
   }
 
+  test("StreamingDeduplicator filters the static corpus index first") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("known corpus doc", "another curated one")
+      .toDF("text")
+    val idx = StreamingDeduplicator.fingerprintIndex(corpus, "text")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = new StreamingDeduplicator().setInputCol("text")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .setCorpusIndex(idx)
+      .transform(mem.toDF().toDF("ts", "text"))
+    val q = dedup.writeStream.format("memory").queryName("streamincdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "KNOWN corpus  doc"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "fresh doc"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "fresh  DOC"))
+      q.processAllAvailable()
+      val texts = spark.table("streamincdedup").collect().map(_.getString(1))
+      // corpus copy filtered by the index; in-stream dup collapsed
+      assert(texts.length == 1 && texts.head.toLowerCase.contains("fresh"))
+    } finally q.stop()
+  }
+
   test("StreamingDeduplicator is a plain fingerprint dedup on batch") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x y"),
