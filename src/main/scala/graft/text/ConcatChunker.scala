@@ -20,15 +20,19 @@ import org.apache.spark.sql.types._
   *
   * The global order is the [[CorpusShuffler]] convention (md5(id:seed),
   * id) so the "shuffle then pack into contexts" pipeline stage is one
-  * operator. The only data movement is that ONE range exchange; the
-  * global running token offset is computed the way zipWithIndex
-  * computes indices — one tiny job collecting per-partition token
-  * totals (O(partitions) driver state), then a per-partition streaming
-  * scan with the partition's start offset. The shuffle map outputs are
-  * reused between the two jobs, so the sort runs once. Everything
-  * downstream is exact integer arithmetic — window membership is
-  * `floor(offset / contextLen)` — which is what makes the operator
-  * hash-gate replayable in SQL (cumulative sum + integer division).
+  * operator. Only NARROW (id, tokenCount) rows ride the global range
+  * sort — the document payload never enters it (an earlier draft sorted
+  * full rows; at 100 TB that ships every text byte through a range
+  * exchange whose sort buys nothing the id column doesn't). The global
+  * running token offset is computed the way zipWithIndex computes
+  * indices — one tiny job collecting per-partition token totals
+  * (O(partitions) driver state), then a per-partition streaming scan
+  * with the partition's start offset (shuffle map outputs reused, so
+  * the narrow sort runs once) — and the resulting (id, offset, count)
+  * rows hash-join back onto the input. Everything downstream is exact
+  * integer arithmetic — window membership is `floor(offset /
+  * contextLen)` — which is what makes the operator hash-gate replayable
+  * in SQL (cumulative sum + integer division).
   */
 class ConcatChunker(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable {
@@ -49,34 +53,42 @@ class ConcatChunker(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    for (c <- Seq("tok_offset", "chunk_id", "tok_start", "tok_end"))
+    for (c <- Seq("tok_offset", "chunk_id", "tok_start", "tok_end", "__n"))
       require(!df.columns.contains(c), s"input already has a column named '$c'")
-    val counted = df.withColumn("__n",
-      size(UnigramLM.tokens(col(getInputCol))).cast("long"))
-    val sorted = counted.orderBy(
-      md5(concat(col($(idCol)).cast(StringType), lit(":"), lit($(seed)))),
-      col($(idCol)))
-    val nIdx = sorted.schema.fieldIndex("__n")
+    // narrow ordering pass: (id, tokenCount) only — 16-byte rows through
+    // the global range sort, never the document payload
+    val sorted = df
+      .select(col($(idCol)).cast("long").as("__cc_id"),
+        size(UnigramLM.tokens(col(getInputCol))).cast("long").as("__n"))
+      .orderBy(
+        md5(concat(col("__cc_id").cast(StringType), lit(":"), lit($(seed)))),
+        col("__cc_id"))
     val rdd = sorted.rdd
     // job 1: per-partition token totals -> exclusive prefix offsets
     val partSums = rdd.mapPartitionsWithIndex { (p, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(nIdx))
+      it.foreach(r => s += r.getLong(1))
       Iterator((p, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     // job 2 (map outputs reused): streaming per-partition running offset
-    val schema = StructType(sorted.schema :+
-      StructField("tok_offset", LongType, nullable = false))
-    val withOffset = df.sparkSession.createDataFrame(
+    val offSchema = StructType(Seq(
+      StructField("__cc_id", LongType, nullable = false),
+      StructField("__n", LongType, nullable = false),
+      StructField("tok_offset", LongType, nullable = false)))
+    val offFrame = df.sparkSession.createDataFrame(
       rdd.mapPartitionsWithIndex { (p, it) =>
         var cum = offsets(p)
         it.map { r =>
           val start = cum
-          cum += r.getLong(nIdx)
-          Row.fromSeq(r.toSeq :+ start)
+          cum += r.getLong(1)
+          Row(r.getLong(0), r.getLong(1), start)
         }
-      }, schema)
+      }, offSchema)
+    // payload joins the narrow (id, n, offset) frame by id — one hash
+    // exchange of the corpus instead of a range sort of it
+    val withOffset = df.join(offFrame,
+      col($(idCol)).cast("long") === col("__cc_id")).drop("__cc_id")
     // window overlap: pure integer arithmetic, narrow
     val c = lit($(contextLen).toLong)
     // `div` is exact integer division (a double divide would lose
