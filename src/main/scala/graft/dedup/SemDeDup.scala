@@ -79,11 +79,13 @@ class SemDeDup(override val uid: String) extends Transformer
   setDefault(targetClusterSize -> 256)
   def setTargetClusterSize(v: Int): this.type = set(targetClusterSize, v)
   final val maxAutoClusters = new IntParam(this, "maxAutoClusters",
-    "auto mode cap on k: driver-side quantizer training is " +
-      "O(sample * k * dim * iters) flops — past this, a hierarchical " +
-      "(IVF-PQ-style two-level) quantizer is the right tool",
-    ParamValidators.gt(0))
-  setDefault(maxAutoClusters -> 512)
+    "auto mode cap on k. Above SemDeDup.TwoLevelAbove the quantizer is " +
+      "two-level (coarse x sub), so train/assign cost grows with sqrt(k) " +
+      "and the cap can sit in the thousands; a SATURATED cap means " +
+      "clusters outgrow targetClusterSize and pair work turns " +
+      "super-linear (the round-11 x100 sweep measured alpha 1.5 at the " +
+      "old flat-k cap of 512)", ParamValidators.gt(0))
+  setDefault(maxAutoClusters -> 4096)
   def setMaxAutoClusters(v: Int): this.type = set(maxAutoClusters, v)
   final val seed = new LongParam(this, "seed", "k-means seed")
   setDefault(seed -> 42L)
@@ -138,25 +140,71 @@ class SemDeDup(override val uid: String) extends Transformer
       .orderBy(xxhash64(col("__id")))
       .limit(sampleCap)
       .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
-    val centroids = graft.sim.IVF.lloyd(sample, k, $(maxIter), $(seed))
-    val ctr = df.sparkSession.sparkContext.broadcast(centroids)
-    // one narrow pass: cluster assignment + centroid cosine for the keep
-    // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine)
-    val assignUdf = udf((v: Seq[Double]) => {
-      val cs = ctr.value
-      val va = graft.sim.IVF.normalize(v.toArray)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var i = 0
-        val cc = cs(c)
-        while (i < va.length && i < cc.length) {
-          val d = va(i) - cc(i); s += d * d; i += 1
+    // Flat driver k-means is O(sample·k·dim·iters) per restart and flat
+    // assignment is O(k·dim) per ROW — both melt past a few hundred
+    // cells (k=512 cost ~1/3 of the x100 wall before this split). Above
+    // TwoLevelAbove cells the quantizer goes hierarchical (the FAISS
+    // IMI / residual-tree idea): √k coarse cells, then sub-cells within
+    // each coarse cell's sample members — training AND per-row
+    // assignment drop to O(√k·dim).
+    val twoLevel = k > SemDeDup.TwoLevelAbove
+    val (coarse, subs, base) =
+      if (!twoLevel) {
+        val cs = graft.sim.IVF.lloyd(sample, k, $(maxIter), $(seed))
+        (cs, cs.map(Array(_)), cs.indices.toArray)
+      } else {
+        val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+        val k2 = math.max(1, (k + k1 - 1) / k1)
+        val cs = graft.sim.IVF.lloyd(sample, k1, $(maxIter), $(seed))
+        val members = Array.fill(cs.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var i = 0
+            val cc = cs(c)
+            while (i < v.length && i < cc.length) {
+              val d = v(i) - cc(i); s += d * d; i += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          members(best) += v
         }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
+        val sub = cs.indices.toArray.map { c =>
+          if (members(c).isEmpty) Array(cs(c))
+          else graft.sim.IVF.lloyd(members(c).toArray, k2, $(maxIter),
+            $(seed) + c + 1, restarts = 2)
+        }
+        val b = sub.scanLeft(0)(_ + _.length).dropRight(1)
+        (cs, sub, b)
       }
-      (best, 1.0 - bestD / 2.0)
+    val ctr = df.sparkSession.sparkContext.broadcast((coarse, subs, base))
+    // one narrow pass: cluster assignment + centroid cosine for the keep
+    // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine);
+    // csim is against the FINEST centroid — the one whose neighborhood
+    // the paper's keep rule reasons about
+    val assignUdf = udf((v: Seq[Double]) => {
+      val (cs, sub, b) = ctr.value
+      val va = graft.sim.IVF.normalize(v.toArray)
+      def argmin(arr: Array[Array[Double]]): (Int, Double) = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < arr.length) {
+          var s = 0.0; var i = 0
+          val cc = arr(c)
+          while (i < va.length && i < cc.length) {
+            val d = va(i) - cc(i); s += d * d; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        (best, bestD)
+      }
+      val (c1, _) = argmin(cs)
+      val (c2, d2) = argmin(sub(c1))
+      (b(c1) + c2, 1.0 - d2 / 2.0)
     })
     val assigned = df
       .select(id.cast("long").as("__id"),
@@ -191,4 +239,9 @@ class SemDeDup(override val uid: String) extends Transformer
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): SemDeDup = defaultCopy(extra)
 }
-object SemDeDup extends graft.core.GraftReadable[SemDeDup]
+object SemDeDup extends graft.core.GraftReadable[SemDeDup] {
+  /** Cluster counts above this train/assign through the two-level
+    * (coarse × sub) quantizer; below it a flat k-means is cheaper and
+    * slightly better-balanced. */
+  val TwoLevelAbove = 64
+}

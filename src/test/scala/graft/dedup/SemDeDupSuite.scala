@@ -130,6 +130,23 @@ class SemDeDupSuite extends TestBase {
     assert(ids(capped.transform(corpus)).nonEmpty)
   }
 
+  test("two-level quantizer path (k > 64) finds the same planted dups") {
+    // target 4 on 500 vectors -> k=125 > TwoLevelAbove -> hierarchical
+    // training/assignment; near-exact dups co-assign under ANY quantizer,
+    // so the exhaustive survivor set must still be a subset
+    val corpus = sfTable("embeddings")
+    val two = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(0).setTargetClusterSize(4).setThreshold(0.465)
+      .setKeepRule("minId")
+    val a = ids(two.transform(corpus))
+    val b = ids(two.transform(corpus.repartition(5)))
+    assert(a == b, "two-level path must stay deterministic")
+    val exact = ids(new SemDeDup().setInputCol("embedding")
+      .setIdCol("vec_id").setNClusters(1).setThreshold(0.465)
+      .setKeepRule("minId").setMaxClusterSize(4096).transform(corpus))
+    assert(exact.toSet.subsetOf(a.toSet))
+  }
+
   test("maxClusterSize cap degrades gracefully, never errors") {
     val out = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
       .setNClusters(1).setThreshold(0.99).setMaxClusterSize(2)
