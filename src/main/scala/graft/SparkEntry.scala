@@ -1494,6 +1494,18 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // within-doc repeated-line removal on synthesized pages (each doc
+    // becomes line+line+tail+line); the oracle replays first-occurrence
+    // order-preserving distinct with an indexed list_filter
+    "line_dedup_within" -> { (s, dir) =>
+      val pages = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), col("text"), lit("tail"), col("text"))
+          .as("page"))
+      new graft.text.WithinDocLineDeduplicator().setInputCol("page")
+        .setOutputCol("dedup_text").transform(pages)
+        .select(col("doc_id"), col("dedup_text"))
+    },
+
     // one-row dataset-card report, every column an exact integer
     "corpus_report" -> { (s, dir) =>
       new graft.text.CorpusReport().setInputCol("text")
@@ -2968,6 +2980,17 @@ object SparkEntry {
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
         |FROM documents""".stripMargin,
+
+    "line_dedup_within" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(
+        |    text || chr(10) || text || chr(10) || 'tail' || chr(10) || text,
+        |    chr(10)) AS ls
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(
+        |  list_filter(ls, (x, i) -> list_position(ls, x) = i),
+        |  chr(10)) AS dedup_text
+        |FROM b""".stripMargin,
 
     "corpus_report" ->
       """WITH b AS (

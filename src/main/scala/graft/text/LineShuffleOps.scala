@@ -96,6 +96,43 @@ class LineDeduplicator(override val uid: String)
 }
 object LineDeduplicator extends graft.core.GraftReadable[LineDeduplicator]
 
+/** WITHIN-document repeated-line removal: each document keeps only the
+  * first occurrence of every line (exact match, order preserved) — the
+  * cheap in-page half of line-level boilerplate cleanup
+  * ([[LineDeduplicator]] handles the corpus-wide half), catching menu
+  * blocks and footers a scraper pasted repeatedly into one page.
+  *
+  * Pure narrow projection: `array_distinct` over the split lines is
+  * order-preserving (first occurrence wins) and codegen'd — no shuffle,
+  * no state, embarrassingly parallel at any corpus size.
+  */
+class WithinDocLineDeduplicator(override val uid: String)
+    extends Transformer with HasInputCol with HasOutputCol
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("WithinDocLineDedup"))
+  setDefault(outputCol -> "dedup_text")
+
+  final val delimiter = new Param[String](this, "delimiter",
+    "line separator (literal)")
+  setDefault(delimiter -> "\n")
+  def setDelimiter(v: String): this.type = set(delimiter, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    require(!df.columns.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
+    val d = java.util.regex.Pattern.quote($(delimiter))
+    df.withColumn($(outputCol),
+      array_join(array_distinct(split(col(getInputCol), d)), $(delimiter)))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField($(outputCol), StringType))
+  override def copy(extra: ParamMap): WithinDocLineDeduplicator =
+    defaultCopy(extra)
+}
+object WithinDocLineDeduplicator
+    extends graft.core.GraftReadable[WithinDocLineDeduplicator]
+
 /** Deterministic global corpus shuffle — the training-order shuffle every
   * pre-training pipeline runs last (public practice: fixed-seed document
   * shuffles in the GPT/LLaMA data recipes): every row gets a dense

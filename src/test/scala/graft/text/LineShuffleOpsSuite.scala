@@ -1,4 +1,5 @@
 package graft.text
+// (WithinDocLineDeduplicator tests live at the bottom of this suite)
 
 import graft.TestBase
 import org.apache.spark.sql.functions._
@@ -61,5 +62,31 @@ class LineShuffleOpsSuite extends TestBase {
       d.map("%02x".format(_)).mkString
     }.zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
     assert(a == want)
+  }
+
+  test("WithinDocLineDeduplicator keeps first occurrences in order") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
+      (2L, "only\nunique\nlines"),
+      (3L, "")
+    ).toDF("doc_id", "page")
+    val out = new WithinDocLineDeduplicator().setInputCol("page")
+      .setOutputCol("clean").transform(df)
+      .select("doc_id", "clean").as[(Long, String)].collect().toMap
+    assert(out(1L) == "nav\nbody one\nbody two\nfooter")
+    assert(out(2L) == "only\nunique\nlines")
+    assert(out(3L) == "")
+  }
+
+  test("WithinDocLineDeduplicator custom delimiter and collision guard") {
+    val df = Seq((1L, "a|b|a|c")).toDF("doc_id", "page")
+    val out = new WithinDocLineDeduplicator().setInputCol("page")
+      .setOutputCol("clean").setDelimiter("|").transform(df)
+      .select("clean").as[String].head()
+    assert(out == "a|b|c")
+    intercept[IllegalArgumentException] {
+      new WithinDocLineDeduplicator().setInputCol("page")
+        .setOutputCol("page").transform(df)
+    }
   }
 }
