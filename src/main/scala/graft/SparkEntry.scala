@@ -1522,6 +1522,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     },
 
+    // stratified (per-domain) top-fraction pruning — the window
+    // partitions by source, so each domain keeps ceil(0.25 * n_domain)
+    "score_select_domain" -> { (s, dir) =>
+      new graft.text.ScoreSelector().setScoreCol("n_chars")
+        .setIdCol("doc_id").setFraction(0.25).setMode("exact")
+        .setPartitionCol("source")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // fastText-style quality classifier gated on EXACT recovery of a
     // planted separable rule: curated-side docs (odd ids) carry a marker
     // token, the hashed-bigram LR must reproduce the labels perfectly —
@@ -3012,6 +3022,15 @@ object SparkEntry {
         |    AS BIGINT) AS n_empty_docs,
         |  CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_exact_dups
         |FROM b""".stripMargin,
+
+    "score_select_domain" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rn <= CEIL(0.25 * n)""".stripMargin,
 
     "score_select" ->
       """SELECT doc_id, n_chars FROM (

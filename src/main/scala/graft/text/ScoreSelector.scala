@@ -54,22 +54,43 @@ class ScoreSelector(override val uid: String) extends Transformer
     ParamValidators.inRange(0.0, 1.0))
   setDefault(approxError -> 0.001)
   def setApproxError(v: Double): this.type = set(approxError, v)
+  /** Optional stratification: the fraction is kept PER GROUP of this
+    * column (per-domain / per-language pruning). Exact mode's window
+    * then partitions by it — parallel across groups, so the
+    * single-partition-sort caveat applies per group, not globally;
+    * approx mode computes one sketch threshold per group (hash agg) and
+    * joins it back. */
+  final val partitionCol = new Param[String](this, "partitionCol",
+    "keep the fraction per group of this column")
+  def setPartitionCol(v: String): this.type = set(partitionCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     $(mode) match {
+      case "approx" if isSet(partitionCol) =>
+        val acc = math.max(100L,
+          math.ceil(1.0 / $(approxError)).toLong)
+        val thr = df.groupBy(col($(partitionCol)))
+          .agg(percentile_approx(col($(scoreCol)).cast("double"),
+            lit(1.0 - $(fraction)), lit(acc)).as("__sel_thr"))
+        df.join(broadcast(thr), Seq($(partitionCol)))
+          .filter(col($(scoreCol)).cast("double") >= col("__sel_thr"))
+          .drop("__sel_thr")
       case "approx" =>
         val q = 1.0 - $(fraction)
         val thr = df.stat.approxQuantile($(scoreCol),
           Array(math.min(math.max(q, 0.0), 1.0)), $(approxError))(0)
         df.filter(col($(scoreCol)).cast("double") >= thr)
       case "exact" =>
-        val n = df.count()
-        val k = math.ceil($(fraction) * n).toLong
-        val w = Window.orderBy(col($(scoreCol)).desc, col($(idCol)).asc)
+        val parts =
+          if (isSet(partitionCol)) Seq(col($(partitionCol))) else Seq.empty
+        val w = Window.partitionBy(parts: _*)
+          .orderBy(col($(scoreCol)).desc, col($(idCol)).asc)
+        val cw = Window.partitionBy(parts: _*)
         df.withColumn("__sel_rn", row_number().over(w))
-          .filter(col("__sel_rn") <= k)
-          .drop("__sel_rn")
+          .withColumn("__sel_n", count(lit(1)).over(cw))
+          .filter(col("__sel_rn") <= ceil(lit($(fraction)) * col("__sel_n")))
+          .drop("__sel_rn", "__sel_n")
     }
   }
   override def transformSchema(schema: StructType): StructType = schema

@@ -39,6 +39,32 @@ class ScoreSelectorSuite extends TestBase {
     assert(!plan.contains("Sort "), "approx mode must not sort")
   }
 
+  test("per-domain exact selection keeps ceil(f*n) within every group") {
+    val withDom = sfTable("documents").select("doc_id", "n_chars", "source")
+    val out = new ScoreSelector().setScoreCol("n_chars").setIdCol("doc_id")
+      .setFraction(0.25).setMode("exact").setPartitionCol("source")
+      .transform(withDom)
+    val perDomain = withDom.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val kept = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    perDomain.foreach { case (d, n) =>
+      assert(kept.getOrElse(d, 0L) == math.ceil(0.25 * n).toLong,
+        s"domain $d: kept ${kept.getOrElse(d, 0L)} of $n")
+    }
+  }
+
+  test("per-domain approx thresholds are computed per group") {
+    val withDom = sfTable("documents").select("doc_id", "n_chars", "source")
+    val out = new ScoreSelector().setScoreCol("n_chars")
+      .setFraction(0.5).setMode("approx").setApproxError(0.01)
+      .setPartitionCol("source").transform(withDom)
+    val kept = out.groupBy("source").count().as[(String, Long)].collect()
+    // every domain keeps a nonzero share near half its docs
+    assert(kept.nonEmpty)
+    kept.foreach { case (d, n) => assert(n > 0, s"domain $d kept nothing") }
+  }
+
   test("approx and exact agree away from the threshold") {
     val exact = new ScoreSelector().setScoreCol("n_chars").setIdCol("doc_id")
       .setFraction(0.25).setMode("exact").transform(docs)
