@@ -1494,6 +1494,25 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // WebDataset-style tar shard sink: every document's text is written
+    // into byte-capped tar shards executor-side and read back through
+    // the shard reader — the oracle is the identity, so any lost,
+    // duplicated, truncated, or misnamed entry breaks the hash
+    "tar_roundtrip" -> { (s, dir) =>
+      val staging = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_tar_${new java.io.File(dir).getName}").toString
+      val docs = tbl(s, dir, "documents")
+        .select(concat(col("doc_id").cast("string"), lit(".txt")).as("path"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      graft.io.binary.TarShards.write(docs, staging,
+        maxShardBytes = 1L << 20)
+      graft.io.binary.TarShards.read(s, staging)
+        .select(regexp_replace(col("name"), "\\.txt$", "")
+          .cast("long").as("doc_id"),
+          decode(col("bytes"), "UTF-8").as("text"))
+    },
+
     // within-doc repeated-line removal on synthesized pages (each doc
     // becomes line+line+tail+line); the oracle replays first-occurrence
     // order-preserving distinct with an indexed list_filter
@@ -2990,6 +3009,9 @@ object SparkEntry {
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
         |FROM documents""".stripMargin,
+
+    "tar_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
 
     "line_dedup_within" ->
       """WITH b AS (

@@ -140,6 +140,25 @@ class MiscOpsSuite extends TestBase {
     assert(back == Map("one.bin" -> "alpha", "two.bin" -> "beta"))
   }
 
+  test("TarShards round-trips and rolls byte-capped shards") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tar").toString
+    val rows = (0 until 20).map(i => (f"doc$i%02d.txt", s"payload $i".getBytes))
+    val df = rows.toDF("path", "bytes").repartition(3)
+    // tiny cap forces every partition to roll multiple shards
+    graft.io.binary.TarShards.write(df, outDir, maxShardBytes = 16L)
+    val back = graft.io.binary.TarShards.read(spark, outDir)
+    val entries = back.collect()
+      .map(r => r.getString(1) -> new String(r.getAs[Array[Byte]](2))).toMap
+    assert(entries == rows.map { case (n, b) => n -> new String(b) }.toMap)
+    val shards = back.select("shard").distinct().count()
+    assert(shards > 3, s"expected rolled shards, got $shards")
+    // overwrite semantics: rewriting with ONE partition leaves no stale
+    // shards from the 3-partition layout behind
+    graft.io.binary.TarShards.write(rows.take(2).toDF("path", "bytes")
+      .coalesce(1), outDir)
+    assert(graft.io.binary.TarShards.read(spark, outDir).count() == 2)
+  }
+
   test("MultimodalFeaturizer batches, sniffs magic, emits stable features") {
     val png = {
       val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
