@@ -1562,7 +1562,7 @@ object SparkEntry {
         .withColumn("text", when(col("label") === 1.0,
           concat(col("text"), lit(" curatedtok"))).otherwise(col("text")))
       val m = new graft.text.QualityClassifier().setInputCol("text")
-        .setLabelCol("label").setNumBits(18).fit(docs)
+        .setLabelCol("label").setNumBits(18).setMaxIter(25).fit(docs)
       m.transform(docs).select(col("doc_id"), col("quality_pred"))
     },
 
