@@ -886,7 +886,7 @@ object SparkEntry {
     "knn_ivfpq_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val n = emb.count().toInt
-      val queries = emb.filter(col("vec_id") < 20)
+      val queries = emb.filter(col("vec_id") < 10)
       val pq = new graft.sim.IVFPQNearestNeighbors().setInputCol("embedding")
         .setIdCol("vec_id").setNLists(8).setNumSub(8).setNBits(4).fit(emb)
         .setK(5).setNProbe(8).setRerankK(n)
@@ -2641,19 +2641,19 @@ object SparkEntry {
     "knn_lsh_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // exhaustive probing == brute force, deterministically (quantizer is
     // seeded and trained driver-side; ties break by id in the aggregator)
     "knn_ivf_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "knn_ivfpq_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
-        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "knn_balltree" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
