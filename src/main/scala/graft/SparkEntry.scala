@@ -2641,14 +2641,14 @@ object SparkEntry {
     "knn_lsh_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
-        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // exhaustive probing == brute force, deterministically (quantizer is
     // seeded and trained driver-side; ties break by id in the aggregator)
     "knn_ivf_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
-        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "knn_ivfpq_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
