@@ -1275,6 +1275,41 @@ object SparkEntry {
       s.table(qname)
     },
 
+    // Streaming dedup executed through the Structured Streaming ENGINE:
+    // file source → watermarked dropDuplicatesWithinWatermark on the
+    // canonical-text fingerprint → memory sink. WHICH copy of a
+    // duplicate group survives a micro-batch is engine-arbitrary, so
+    // the gate hashes the survivor set's CANONICAL TEXTS — identical
+    // within a group by definition — which the oracle replays as a
+    // plain DISTINCT. (The fixture has natural exact dups at sf0.1, so
+    // the sweep exercises real collapses.)
+    "dedup_exact_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val tmp = java.nio.file.Files.createTempDirectory("dedup_stream")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+      // synthetic event times sit well past the epoch: Spark's INITIAL
+      // watermark is 1970-01-01T00:00:00Z, and a row whose event time
+      // equals it (doc_id 0 under a bare from_unixtime) is dropped as
+      // late before the dedup ever sees it
+      val stream = s.readStream.schema(schema).parquet(tmp.toString)
+        .withColumn("ts",
+          to_timestamp(from_unixtime(col("doc_id") + lit(1700000000L))))
+      val dedup = new graft.streaming.StreamingDeduplicator()
+        .setInputCol("text").setTimeCol("ts").setWatermarkDelay("3650 days")
+        .transform(stream)
+      val qname = s"dedup_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(graft.dedup.DedupFunctions.canonical(col("text")).as("ct"))
+    },
+
     // Stateful sessionization executed through the Structured Streaming
     // ENGINE: file source → flatMapGroupsWithState (NoTimeout: timeouts
     // spin perpetual empty micro-batches, incompatible with a bounded
@@ -3012,6 +3047,11 @@ object SparkEntry {
 
     "tar_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "dedup_exact_stream" ->
+      """SELECT DISTINCT
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
+        |FROM documents""".stripMargin,
 
     "line_dedup_within" ->
       """WITH b AS (
