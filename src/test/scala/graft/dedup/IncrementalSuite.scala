@@ -57,6 +57,24 @@ class IncrementalSuite extends TestBase {
     assert(ids(out) == Seq(12L, 13L))
   }
 
+  test("equivalence with full rebuild holds on a real corpus slice") {
+    // the driver-gate shape at suite scale: corpus/batch split of the
+    // sf0.001 documents plus planted copies; incremental must equal the
+    // rebuild's batch side (corpus ids all smaller than batch ids after
+    // the shift, so min-id keeps corpus copies)
+    val docs = sfTable("documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+    val inc = ids(new IncrementalDeduplicator().setInputCol("text")
+      .setIdCol("doc_id").setCorpus(corpus).transform(batch))
+    val full = new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .transform(corpus.unionByName(batch))
+    assert(inc == ids(full.filter(col("doc_id") >= 10000)))
+  }
+
   test("surviving batch + old index reproduces next snapshot's index") {
     // steady state: index(t+1) = index(t) ∪ index(survivors). Running the
     // SAME batch against the updated index must drop everything.

@@ -52,6 +52,25 @@ class BPESuite extends TestBase {
     assert(rt == "a 😀b 😀b c")
   }
 
+  test("adversarial text survives the round trip") {
+    // mixed scripts, combining marks, punctuation runs, digits — the
+    // losslessness contract must hold for anything whitespace-splittable
+    val nasty = Seq(
+      (0L, "héllo wörld ñ"),
+      (1L, "日本語 テキスト 漢字"),
+      (2L, "a+b=c x*y/z (q) [r] {s}"),
+      (3L, "é combining ä marks"),
+      (4L, "mix3d d1g1ts 42 0x1f"),
+      (5L, "𝕞𝕒𝕥𝕙 𝒮𝒸𝓇𝒾𝓅𝓉 😀😀😀")
+    ).toDF("doc_id", "text")
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(50).fit(nasty)
+    val bad = m.transform(nasty)
+      .select(col("doc_id"), m.decode(col("bpe_tokens")).as("rt"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("want"))
+      .filter(col("rt") =!= col("want")).count()
+    assert(bad == 0)
+  }
+
   test("model save/load round-trips merges and segmentation") {
     val m = new BPETokenizer().setInputCol("text").setNumMerges(100)
       .fit(corpus)

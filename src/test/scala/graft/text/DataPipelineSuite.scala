@@ -189,6 +189,19 @@ class DataPipelineSuite extends TestBase {
     assertDFEq(out, manual)
   }
 
+  test("TemperatureSampler keeps the md5-threshold nesting property") {
+    // for a FIXED domain, a smaller target fraction must keep a subset
+    // (same salt, same hash keys, lower threshold) — the property that
+    // makes repeated downsampling monotone instead of re-rolling
+    def kept(f: Double): Set[Long] = new TemperatureSampler()
+      .setDomainCol("dom").setTemperature(0.5).setTargetFraction(f)
+      .setSalt("s").transform(skewed)
+      .select("doc_id").as[Long].collect().toSet
+    val k25 = kept(0.25); val k50 = kept(0.5)
+    assert(k25.subsetOf(k50),
+      "lower fraction must keep a nested subset per domain")
+  }
+
   test("TemperatureSampler fails fast past the domain cap") {
     intercept[IllegalArgumentException] {
       new TemperatureSampler().setDomainCol("dom").setMaxDomains(2)
