@@ -543,6 +543,32 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // Incremental NEAR-dup dedup in SIGNATURE mode — the steady-state
+    // 100 TB path: corpus-side decisions come from the persistent
+    // signature INDEX alone (setCorpusIndex; corpus text never reread),
+    // similarity = the MinHash agreement estimate. The oracle replays
+    // with exact Jaccard, which is sound because 0.85 sits in a wide gap
+    // of BOTH spectra on this fixture (SigModeProbe, all three sf dirs:
+    // nearest exact below/above = 0.8000/0.8889, nearest estimate =
+    // 0.7969/0.8984 — every candidate pair ≥0.035 from the threshold on
+    // both measures, zero estimate-vs-exact flips; the semdedup_exact
+    // margin convention)
+    "dedup_incremental_minhash_sig" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val index = graft.dedup.IncrementalMinHashDeduplicator
+        .signatureIndex(corpus, "doc_id", "text", 3, 128)
+      new graft.dedup.IncrementalMinHashDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setThreshold(0.85)
+        .setCorpusIndex(index).transform(batch)
+        .select(col("doc_id"))
+    },
+
     // SemDeDup at its real operating point (rows-only: the k-means
     // partition is not SQL-replayable); exactness companion below.
     // AUTO cluster count (corpus/targetClusterSize) — the scale knob the
@@ -2389,6 +2415,61 @@ object SparkEntry {
         |  JOIN ssz sa ON sa.doc_id = q.src
         |  JOIN ssz sb ON sb.doc_id = q.dst
         |  WHERE CAST(q.inter AS DOUBLE) / (sa.n + sb.n - q.inter) >= 0.8
+        |  UNION ALL
+        |  SELECT b.doc_id FROM ssz a JOIN ssz b ON a.doc_id < b.doc_id
+        |  WHERE a.n = 0 AND b.n = 0)
+        |SELECT doc_id FROM surv
+        |WHERE doc_id NOT IN (SELECT r FROM wd)""".stripMargin,
+
+    // signature-mode gate: same exact-Jaccard replay at 0.85 — sound
+    // because the threshold sits in a measured gap of both the exact
+    // and the estimate spectra (see the queries() comment)
+    "dedup_incremental_minhash_sig" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 4 <> 0),
+        |bat AS (
+        |  SELECT doc_id, sh FROM s WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, sh FROM s WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, sh FROM s WHERE doc_id % 8 = 4),
+        |bsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM bat),
+        |csz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM corp),
+        |bex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM bat),
+        |cex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM corp),
+        |cd AS (
+        |  SELECT q.bid AS r FROM (
+        |    SELECT b.doc_id AS bid, cx.doc_id AS cid, count(*) AS inter
+        |    FROM bex b JOIN cex cx ON b.g = cx.g GROUP BY 1, 2) q
+        |  JOIN bsz ON bsz.doc_id = q.bid
+        |  JOIN csz ON csz.doc_id = q.cid
+        |  WHERE CAST(q.inter AS DOUBLE) / (bsz.n + csz.n - q.inter) >= 0.85
+        |  UNION ALL
+        |  SELECT b.doc_id FROM bsz b
+        |  WHERE b.n = 0 AND EXISTS (SELECT 1 FROM csz WHERE n = 0)),
+        |surv AS (SELECT doc_id FROM bat
+        |  WHERE doc_id NOT IN (SELECT r FROM cd)),
+        |sex AS (SELECT doc_id, g FROM bex
+        |  WHERE doc_id IN (SELECT doc_id FROM surv)),
+        |ssz AS (SELECT doc_id, n FROM bsz
+        |  WHERE doc_id IN (SELECT doc_id FROM surv)),
+        |wd AS (
+        |  SELECT q.dst AS r FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+        |    FROM sex a JOIN sex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) q
+        |  JOIN ssz sa ON sa.doc_id = q.src
+        |  JOIN ssz sb ON sb.doc_id = q.dst
+        |  WHERE CAST(q.inter AS DOUBLE) / (sa.n + sb.n - q.inter) >= 0.85
         |  UNION ALL
         |  SELECT b.doc_id FROM ssz a JOIN ssz b ON a.doc_id < b.doc_id
         |  WHERE a.n = 0 AND b.n = 0)

@@ -78,6 +78,14 @@ class SemDeDup(override val uid: String) extends Transformer
     ParamValidators.gt(1))
   setDefault(targetClusterSize -> 256)
   def setTargetClusterSize(v: Int): this.type = set(targetClusterSize, v)
+  final val corpusSizeHint = new LongParam(this, "corpusSizeHint",
+    "auto mode: approximate corpus row count, if the caller knows it " +
+      "(a curation pipeline always does — the previous stage's row " +
+      "count). 0 = compute it with a count() pass; any positive value " +
+      "skips that pass — k only needs the right order of magnitude, so " +
+      "a stale or rounded hint is fine", ParamValidators.gtEq(0))
+  setDefault(corpusSizeHint -> 0L)
+  def setCorpusSizeHint(v: Long): this.type = set(corpusSizeHint, v)
   final val maxAutoClusters = new IntParam(this, "maxAutoClusters",
     "auto mode cap on k. Above SemDeDup.TwoLevelAbove the quantizer is " +
       "two-level (coarse x sub), so train/assign cost grows with sqrt(k) " +
@@ -119,27 +127,49 @@ class SemDeDup(override val uid: String) extends Transformer
     // auto k: cluster count grows with the corpus (fixed target cluster
     // SIZE — the paper's protocol), capped where driver-side training
     // stops being the right tool; the FAISS ~64 samples/cell guideline
-    // then bounds the training collect so quantizer flops stay ~O(k²·dim)
-    val k =
-      if ($(nClusters) > 0) $(nClusters)
-      else {
-        val n = df.count()
-        math.max(1, math.min($(maxAutoClusters).toLong,
-          (n + $(targetClusterSize) - 1) / $(targetClusterSize))).toInt
-      }
-    val sampleCap =
+    // then bounds the training collect so quantizer flops stay ~O(k²·dim).
+    // The corpus size comes from (cheapest first): the caller's
+    // corpusSizeHint; else an Observation riding the sample job below
+    // (TakeOrderedAndProject scans every row anyway, so the count is
+    // free — no dedicated corpus pass for one scalar). The observed
+    // count is of NON-NULL vectors — the clusterable population, which
+    // is what cluster count should track.
+    def autoK(n: Long): Int =
+      math.max(1, math.min($(maxAutoClusters).toLong,
+        (n + $(targetClusterSize) - 1) / $(targetClusterSize))).toInt
+    val needObs = $(nClusters) == 0 && $(corpusSizeHint) == 0L
+    val obs = if (needObs) Some(org.apache.spark.sql.Observation()) else None
+    // collect cap BEFORE n is known: with a hint (or explicit k) the
+    // exact 64·k bound applies; in observed-auto mode the cap is
+    // trainSample and the array is sliced to 64·k after — the
+    // hash-ordered limit is a deterministic total order, so a prefix of
+    // the larger sample IS the smaller sample
+    val preCap =
       if ($(nClusters) > 0) $(trainSample)
-      else math.min($(trainSample), math.max(4096, 64 * k))
+      else if ($(corpusSizeHint) > 0L)
+        math.min($(trainSample), math.max(4096, 64 * autoK($(corpusSizeHint))))
+      else $(trainSample)
     // bounded hash-ordered sample -> driver-side spherical k-means
     // (TakeOrderedAndProject, no global sort; deterministic for a given
     // corpus + seed)
-    val sample: Array[Array[Double]] = df
+    val baseSel = df
       .select(id.cast("long").as("__id"),
         col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
       .where(col("__v").isNotNull)
+    val observed = obs.map(o => baseSel.observe(o, count(lit(1)).as("n")))
+      .getOrElse(baseSel)
+    val sampleFull: Array[Array[Double]] = observed
       .orderBy(xxhash64(col("__id")))
-      .limit(sampleCap)
+      .limit(preCap)
       .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
+    val k =
+      if ($(nClusters) > 0) $(nClusters)
+      else if ($(corpusSizeHint) > 0L) autoK($(corpusSizeHint))
+      else autoK(obs.get.get("n").asInstanceOf[Long])
+    val sampleCap =
+      if ($(nClusters) > 0) $(trainSample)
+      else math.min($(trainSample), math.max(4096, 64 * k))
+    val sample = sampleFull.take(sampleCap)
     // Flat driver k-means is O(sample·k·dim·iters) per restart and flat
     // assignment is O(k·dim) per ROW — both melt past a few hundred
     // cells (k=512 cost ~1/3 of the x100 wall before this split). Above

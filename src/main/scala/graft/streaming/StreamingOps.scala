@@ -183,9 +183,10 @@ object SessionizeStream {
   * forever at constant memory). On batch the same stage is a plain
   * fingerprint dedup.
   *
-  * The dedup key is the 64-bit fingerprint of the canonical text (same
-  * canonicalization as the batch deduplicator), so state per retained
-  * document is 8 bytes + the engine's row overhead, not the document.
+  * The dedup key is the [[graft.dedup.ExactDeduplicator]] 128-bit
+  * fingerprint pair of the canonical text (same canonicalization and
+  * collision posture as the batch deduplicators), so state per retained
+  * document is 16 bytes + the engine's row overhead, not the document.
   */
 class StreamingDeduplicator(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable {
@@ -203,42 +204,46 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
     * ([[StreamingDeduplicator.fingerprintIndex]]): documents whose
     * fingerprint is already in the curated corpus are filtered BEFORE
     * the in-stream dedup — the streaming face of
-    * [[graft.dedup.IncrementalDeduplicator]]. Realized as a
-    * stream-static left-outer join + null filter (supported in every
-    * output mode); the static side is a plain 8-byte-per-doc frame the
-    * engine re-scans per micro-batch, so park it in a broadcast-friendly
-    * store (parquet, cached) sized accordingly. */
+    * [[graft.dedup.IncrementalDeduplicator]], keyed on the SAME
+    * `(__fp, __fp2)` 128-bit pair (identical canonicalization and
+    * collision posture, so one persisted index serves both the batch
+    * and the streaming path). Realized as a stream-static left-outer
+    * join + null filter (supported in every output mode); the static
+    * side is a plain 16-byte-per-doc frame the engine re-scans per
+    * micro-batch, so park it in a broadcast-friendly store (parquet,
+    * cached) sized accordingly. */
   private var corpusIndex: DataFrame = _
   def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val fp = xxhash64(graft.dedup.DedupFunctions.canonical(col(getInputCol)))
-    val withFp = df.withColumn("__fp", fp)
+    val canon = graft.dedup.DedupFunctions.canonical(col(getInputCol))
+    val withFp = df.withColumn("__fp", xxhash64(canon))
+      .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), canon))
     val cleared =
       if (corpusIndex == null) withFp
       else withFp.join(
-          corpusIndex.select(col("__fp")).distinct()
+          corpusIndex.select(col("__fp"), col("__fp2")).distinct()
             .withColumn("__hit", lit(1)),
-          Seq("__fp"), "left_outer")
+          Seq("__fp", "__fp2"), "left_outer")
         .filter(col("__hit").isNull).drop("__hit")
     val deduped =
       if (df.isStreaming)
         cleared.withWatermark($(timeCol), $(watermarkDelay))
-          .dropDuplicatesWithinWatermark("__fp")
-      else cleared.dropDuplicates("__fp")
-    deduped.drop("__fp")
+          .dropDuplicatesWithinWatermark("__fp", "__fp2")
+      else cleared.dropDuplicates("__fp", "__fp2")
+    deduped.drop("__fp", "__fp2")
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
 }
 object StreamingDeduplicator
     extends graft.core.GraftReadable[StreamingDeduplicator] {
-  /** Distinct 64-bit fingerprint frame `(__fp)` of a document frame —
-    * the static side for [[StreamingDeduplicator.setCorpusIndex]]. */
+  /** Distinct 128-bit fingerprint frame `(__fp, __fp2)` — delegates to
+    * [[graft.dedup.IncrementalDeduplicator.fingerprintIndex]], so a
+    * corpus index persisted by the batch incremental path IS the static
+    * side for [[StreamingDeduplicator.setCorpusIndex]]. */
   def fingerprintIndex(df: DataFrame, inputCol: String): DataFrame =
-    df.select(xxhash64(
-        graft.dedup.DedupFunctions.canonical(col(inputCol))).as("__fp"))
-      .distinct()
+    graft.dedup.IncrementalDeduplicator.fingerprintIndex(df, inputCol)
 }
 

@@ -53,29 +53,90 @@ class BPETokenizer(override val uid: String)
       .orderBy(col("__c").desc, col("__w").asc)
       .limit($(maxWordTypes)).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    var words: Array[(Array[String], Long)] =
+    // Incremental trainer (the standard learn_bpe optimization): pair
+    // counts and a pair->word-index occurrence index are built once;
+    // each merge re-counts ONLY the words containing the merged pair, so
+    // a merge costs O(affected words · word length), not
+    // O(types · word length). Selection rides a lazy-deletion max-heap
+    // — every count change pushes a fresh (count, pair) entry, stale
+    // entries are discarded on pop — preserving the exact deterministic
+    // order of the full-rescan formulation: count desc, pair asc.
+    val words: Array[(Array[String], Long)] =
       dict.map { case (w, c) => (symbols(w), c) }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // max under this ordering = highest count, then lexicographically
+    // smallest pair — the old minBy((-c, a, b)) selection
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty(heapOrd)
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val n = counts.getOrElse(p, 0L) + delta
+      if (n <= 0L) counts.remove(p) else counts(p) = n
+      if (delta > 0 && wordIdx >= 0)
+        where.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += wordIdx
+      if (n > 0L) heap.enqueue((n, p._1, p._2))
+    }
+    for (i <- words.indices) {
+      val (syms, c) = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        bump((syms(j), syms(j + 1)), c, i); j += 1
+      }
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
     while (continue && merges.length < $(numMerges)) {
-      // weighted adjacent-pair counts over the dict
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      for ((syms, c) <- words; i <- 0 until syms.length - 1)
-        counts.updateWith((syms(i), syms(i + 1)))(
-          o => Some(o.getOrElse(0L) + c))
-      if (counts.isEmpty) continue = false
+      // pop to the first LIVE entry (count matches the current map)
+      var best: (String, String) = null
+      var bestC = 0L
+      while (best == null && heap.nonEmpty) {
+        val (cnt, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == cnt) { best = (a, b); bestC = cnt }
+      }
+      // a pair occurring once buys nothing: merging it cannot shorten
+      // any future encoding that matters — the classic stop rule
+      if (best == null || bestC < 2) continue = false
       else {
-        val best = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        // a pair occurring once buys nothing: merging it cannot shorten
-        // any future encoding that matters — the classic stop rule
-        if (best._2 < 2) continue = false
-        else {
-          merges += best._1
-          words = words.map { case (syms, c) =>
-            (mergePair(syms, best._1._1, best._1._2), c)
+        merges += best
+        val (a, b) = best
+        // the occurrence index may hold stale word ids (pairs vanish
+        // when a neighbor merges); containment is re-checked per word
+        val idxs = where.getOrElse(best, scala.collection.mutable.HashSet
+          .empty[Int]).toArray.sorted
+        for (i <- idxs) {
+          val (syms, c) = words(i)
+          var has = false
+          var j = 0
+          while (!has && j < syms.length - 1) {
+            has = syms(j) == a && syms(j + 1) == b; j += 1
+          }
+          if (has) {
+            j = 0
+            while (j < syms.length - 1) {
+              bump((syms(j), syms(j + 1)), -c, -1); j += 1
+            }
+            val ns = mergePair(syms, a, b)
+            words(i) = (ns, c)
+            j = 0
+            while (j < ns.length - 1) {
+              bump((ns(j), ns(j + 1)), c, i); j += 1
+            }
           }
         }
+        counts.remove(best)
+        where.remove(best)
       }
     }
     val m = new BPETokenizerModel(uid + "_model").setInputCol(getInputCol)
@@ -165,18 +226,22 @@ class BPETokenizerModel(override val uid: String)
     val bcRank = df.sparkSession.sparkContext
       .broadcast(merges.iterator.zipWithIndex
         .map { case (p, i) => p -> i }.toMap)
-    // bounded per-executor memo: common words dominate any natural
-    // corpus, so the segmentation is usually one lookup; the cap keeps
-    // executor memory flat on adversarial vocabulary
-    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    // per-executor memo (companion-object static, so every task in the
+    // executor JVM shares it — a closure-captured map would deserialize
+    // per task); keyed by the rank table's broadcast id so distinct
+    // models never cross-contaminate
+    val bid = bcRank.id
     val enc = udf { toks: Seq[String] =>
+      val memo = BPETokenizerModel.encodeMemo
       val rank = bcRank.value
       toks.flatMap { w =>
-        val cached = memo.get(w)
+        val key = (bid, w)
+        val cached = memo.get(key)
         if (cached != null) cached
         else {
           val s = BPE.applyMerges(w, rank)
-          if (memo.size < 262144) memo.put(w, s)
+          if (memo.size >= BPETokenizerModel.MemoCap) memo.clear()
+          memo.put(key, s)
           s
         }
       }
@@ -215,6 +280,14 @@ class BPETokenizerModel(override val uid: String)
 
 object BPETokenizerModel
     extends org.apache.spark.ml.util.MLReadable[BPETokenizerModel] {
+  /** Executor-wide encode cache: common words dominate any natural
+    * corpus, so the segmentation is usually one map lookup. Bounded by
+    * [[MemoCap]] total entries across all live models (clear-on-full:
+    * a refill costs one [[BPE.applyMerges]] per word type — cheap
+    * relative to unbounded growth on adversarial vocabulary). */
+  private[text] val MemoCap = 262144
+  private[text] val encodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
   override def read: org.apache.spark.ml.util.MLReader[BPETokenizerModel] =
     new org.apache.spark.ml.util.MLReader[BPETokenizerModel] {
       override def load(path: String): BPETokenizerModel = {

@@ -50,6 +50,14 @@ class ConcatChunker(override val uid: String) extends Transformer
     "tokens per training window", ParamValidators.gt(0))
   setDefault(contextLen -> 2048)
   def setContextLen(v: Int): this.type = set(contextLen, v)
+  /** Optional precomputed token-count column (the [[SequencePacker]]
+    * convention): real training windows are counted in TOKENIZER units,
+    * so feed [[BPETokenizerModel]]'s `bpe_n_tokens` here and the recipe
+    * composes end-to-end — BPE-encode once, chunk in BPE units. When
+    * unset, the whitespace token count of `inputCol` is used. */
+  final val lengthCol = new Param[String](this, "lengthCol",
+    "numeric token-count column (computed from inputCol when unset)")
+  def setLengthCol(v: String): this.type = set(lengthCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
@@ -57,9 +65,12 @@ class ConcatChunker(override val uid: String) extends Transformer
       require(!df.columns.contains(c), s"input already has a column named '$c'")
     // narrow ordering pass: (id, tokenCount) only — 16-byte rows through
     // the global range sort, never the document payload
+    val lenExpr =
+      if (isSet(lengthCol)) col($(lengthCol)).cast("long")
+      else size(UnigramLM.tokens(col(getInputCol))).cast("long")
     val sorted = df
       .select(col($(idCol)).cast("long").as("__cc_id"),
-        size(UnigramLM.tokens(col(getInputCol))).cast("long").as("__n"))
+        lenExpr.as("__n"))
       .orderBy(
         md5(concat(col("__cc_id").cast(StringType), lit(":"), lit($(seed)))),
         col("__cc_id"))

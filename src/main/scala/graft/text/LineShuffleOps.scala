@@ -140,12 +140,17 @@ object WithinDocLineDeduplicator
   * (ties broken by id), so the order is reproducible across runs,
   * cluster sizes, and partitionings.
   *
-  * Scale shape: ONE range exchange (the total sort on the 16-byte hash
-  * key) + Spark's zipWithIndex offset job (a per-partition count —
-  * O(partitions) driver state, the canonical global-index construction).
-  * md5 rather than xxhash64 because the shuffle key is part of the
-  * public contract: any engine (the DuckDB oracle included) can
-  * reproduce the exact order.
+  * Scale shape (the [[ConcatChunker]] narrow-sort pattern): only
+  * (hashKey, id) rows ride the global range sort — the document payload
+  * never enters it (an earlier draft sorted full rows; at 100 TB that
+  * ships every text byte through a range exchange whose sort buys
+  * nothing the id column doesn't). Spark's zipWithIndex offset job (a
+  * per-partition count — O(partitions) driver state, the canonical
+  * global-index construction) assigns the dense position on the narrow
+  * frame, and the payload hash-joins `outputCol` back by id — one hash
+  * exchange of the corpus with no sort buffers. md5 rather than
+  * xxhash64 because the shuffle key is part of the public contract: any
+  * engine (the DuckDB oracle included) can reproduce the exact order.
   */
 class CorpusShuffler(override val uid: String)
     extends Transformer with graft.core.GraftWritable {
@@ -170,15 +175,22 @@ class CorpusShuffler(override val uid: String)
     val df = ds.toDF()
     require(!df.columns.contains($(outputCol)),
       s"input already has a column named '${$(outputCol)}'")
-    val sorted = df.orderBy(
-      md5(concat(col($(idCol)).cast(StringType), lit(":"), lit($(seed)))),
-      col($(idCol)))
-    val schema = StructType(sorted.schema :+
-      StructField($(outputCol), LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(indexed, schema)
+    // narrow ordering pass: (id) only — the 16-byte hash key plus the id
+    // through the range sort, never the row payload
+    val sorted = df
+      .select(col($(idCol)).as("__cs_id"))
+      .orderBy(
+        md5(concat(col("__cs_id").cast(StringType), lit(":"), lit($(seed)))),
+        col("__cs_id"))
+    val posSchema = StructType(Seq(
+      sorted.schema.head.copy(name = "__cs_id"),
+      StructField($(outputCol), LongType, nullable = false)))
+    val posFrame = df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
+      posSchema)
+    // payload picks up its position through one hash exchange by id
+    df.join(posFrame, df($(idCol)) === posFrame("__cs_id"))
+      .drop("__cs_id")
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -76,8 +76,10 @@ object QualityClassifier extends graft.core.GraftReadable[QualityClassifier] {
       salt: String): Column = {
     val u = conv(substring(md5(concat(idCol.cast(StringType),
       lit(":" + salt))), 1, 8), 16, 10).cast("double") / 4294967296.0
-    // u=0 -> draw = infinity: pow handles it (0^negative = Infinity),
-    // which correctly always keeps
+    // Lomax inverse CDF on 1-u: u=0 -> draw = 0, the distribution's
+    // minimum (a doc whose md5 prefix is 00000000 survives only on
+    // score > 1); the draw grows without bound as u -> 1, but u <=
+    // 0xffffffff/2^32 < 1 by construction, so infinity never arises
     pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0) > lit(1.0) - scoreCol
   }
 }

@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   *  - `approx` (default, the 100 TB path): the keep threshold is the
   *    (1-f) quantile from `approxQuantile` (Greenwald-Khanna sketch, one
   *    pass, driver state bounded by 1/approxError); the filter is then a
-  *    NARROW pass. Kept mass is f ± approxError by construction; no
-  *    sort, no shuffle, no per-row state.
+  *    NARROW pass. Kept mass is f ± approxError for near-continuous
+  *    scores; HEAVILY TIED discrete scores (e.g. integer lengths) keep
+  *    every row tied at the threshold, so the kept mass can exceed f by
+  *    the tied mass — use exact mode when ties matter. fraction = 0.0
+  *    short-circuits to an empty result (matching exact mode's ceil(0·n)
+  *    = 0 rows; the quantile of the empty request would otherwise be the
+  *    max score, whose >= filter keeps all max-tied rows).
   *  - `exact`: ties broken (score desc, id asc) through a global
   *    row_number — exactly ceil(f·n) rows survive, deterministically.
   *    The global window is a single-partition sort: correct at any size
@@ -67,6 +72,9 @@ class ScoreSelector(override val uid: String) extends Transformer
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     $(mode) match {
+      // exact mode keeps ceil(0·n) = 0 rows; approx's >=-threshold
+      // filter cannot express "none", so short-circuit
+      case "approx" if $(fraction) == 0.0 => df.limit(0)
       case "approx" if isSet(partitionCol) =>
         val acc = math.max(100L,
           math.ceil(1.0 / $(approxError)).toLong)

@@ -144,14 +144,20 @@ class MiscOpsSuite extends TestBase {
     val outDir = java.nio.file.Files.createTempDirectory("graft-tar").toString
     val rows = (0 until 20).map(i => (f"doc$i%02d.txt", s"payload $i".getBytes))
     val df = rows.toDF("path", "bytes").repartition(3)
-    // tiny cap forces every partition to roll multiple shards
-    graft.io.binary.TarShards.write(df, outDir, maxShardBytes = 16L)
+    // cap sized for ~2 framed entries per shard forces every partition
+    // to roll; the cap counts tar framing, so on-disk sizes obey it
+    graft.io.binary.TarShards.write(df, outDir, maxShardBytes = 4096L)
     val back = graft.io.binary.TarShards.read(spark, outDir)
     val entries = back.collect()
       .map(r => r.getString(1) -> new String(r.getAs[Array[Byte]](2))).toMap
     assert(entries == rows.map { case (n, b) => n -> new String(b) }.toMap)
     val shards = back.select("shard").distinct().count()
     assert(shards > 3, s"expected rolled shards, got $shards")
+    val oversize = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".tar")).filter(_.length > 4096L)
+    assert(oversize.isEmpty,
+      s"framed shard cap exceeded: ${oversize.map(f =>
+        s"${f.getName}=${f.length}").mkString(", ")}")
     // overwrite semantics: rewriting with ONE partition leaves no stale
     // shards from the 3-partition layout behind
     graft.io.binary.TarShards.write(rows.take(2).toDF("path", "bytes")

@@ -71,6 +71,61 @@ class BPESuite extends TestBase {
     assert(bad == 0)
   }
 
+  test("incremental trainer matches the full-rescan reference exactly") {
+    // the committed trainer re-counts only affected words through a
+    // lazy-deletion heap; this re-derives the merges with the naive
+    // formulation (full pair recount + minBy((-c, a, b)) each round)
+    // on real corpus text and demands an identical sequence
+    val docs = sfTable("documents").select("doc_id", "text").limit(200)
+    val numMerges = 150
+    val maxTypes = 2048
+    val m = new BPETokenizer().setInputCol("text").setNumMerges(numMerges)
+      .setMaxWordTypes(maxTypes).fit(docs)
+    val dict = docs
+      .select(explode(UnigramLM.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxTypes)
+      .as[(String, Long)].collect()
+    var words = dict.map { case (w, c) => (BPE.symbols(w), c) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (go && expect.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(o => Some(o.getOrElse(0L) + c))
+      if (counts.isEmpty) go = false
+      else {
+        val best = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (best._2 < 2) go = false
+        else {
+          expect += best._1
+          words = words.map { case (s, c) =>
+            (BPE.mergePair(s, best._1._1, best._1._2), c)
+          }
+        }
+      }
+    }
+    assert(m.merges.toSeq == expect.toSeq)
+  }
+
+  test("executor-wide encode memo never crosses models") {
+    // two models with conflicting merge tables encode the same word —
+    // the shared companion-object cache must keep them apart
+    val mA = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .fit(corpus) // learns low-ish merges
+    val mB = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .fit(Seq((0L, "ow ow lo lo lo w w")).toDF("doc_id", "text"))
+    val probe = Seq((1L, "low")).toDF("doc_id", "text")
+    val a1 = mA.transform(probe).select("bpe_tokens").as[Seq[String]].head()
+    val b1 = mB.transform(probe).select("bpe_tokens").as[Seq[String]].head()
+    assert(a1 != b1, "fixture models must segment 'low' differently")
+    // repeat (cache now warm for both) — answers must be unchanged
+    assert(mA.transform(probe).select("bpe_tokens")
+      .as[Seq[String]].head() == a1)
+    assert(mB.transform(probe).select("bpe_tokens")
+      .as[Seq[String]].head() == b1)
+  }
+
   test("model save/load round-trips merges and segmentation") {
     val m = new BPETokenizer().setInputCol("text").setNumMerges(100)
       .fit(corpus)

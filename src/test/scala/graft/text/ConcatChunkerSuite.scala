@@ -67,6 +67,49 @@ class ConcatChunkerSuite extends TestBase {
     assert(s1.exceptAll(s2).count() > 0, "different seeds, different order")
   }
 
+  test("lengthCol chunks in BPE units — the recipe composes end-to-end") {
+    val bpe = new BPETokenizer().setInputCol("text").setNumMerges(100)
+      .setMaxWordTypes(1024).fit(docs)
+    val enc = bpe.transform(docs)
+    val out = new ConcatChunker().setInputCol("text").setIdCol("doc_id")
+      .setContextLen(64).setLengthCol("bpe_n_tokens").transform(enc).cache()
+    try {
+      // windows tile the BPE token stream, not the whitespace one
+      val totalBpe = enc.select(sum("bpe_n_tokens")).head().getLong(0)
+      val covered = out.select(sum(col("tok_end") - col("tok_start")))
+        .head().getLong(0)
+      assert(covered == totalBpe)
+      val windows = out.groupBy("chunk_id")
+        .agg(sum(col("tok_end") - col("tok_start")).as("w"))
+        .orderBy("chunk_id").collect()
+      windows.dropRight(1).foreach(r => assert(r.getLong(1) == 64L))
+      // per-doc coverage equals the doc's OWN bpe count
+      val bad = out.groupBy("doc_id")
+        .agg(sum(col("tok_end") - col("tok_start")).as("got"))
+        .join(enc.select(col("doc_id"), col("bpe_n_tokens")), "doc_id")
+        .filter(col("got") =!= col("bpe_n_tokens")).count()
+      assert(bad == 0)
+      // exact replay: offsets are the cumulative bpe counts in
+      // md5(id:seed) order — independently recomputed here
+      val counts = enc.select(col("doc_id"), col("bpe_n_tokens"),
+          md5(concat(col("doc_id").cast("string"), lit(":42"))).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .select("doc_id", "bpe_n_tokens").as[(Long, Long)].collect()
+      val want = counts.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+        (id, n, cum + n)
+      }.drop(1).map { case (id, n, cumEnd) => id -> (cumEnd - n) }.toMap
+      val gotOffsets = out.select("doc_id", "tok_offset").distinct()
+        .as[(Long, Long)].collect().toMap
+      assert(gotOffsets == want.filter { case (id, _) =>
+        gotOffsets.contains(id) })
+      // only empty docs may be absent from the chunk output
+      val absent = want.keySet -- gotOffsets.keySet
+      val emptyIds = enc.filter(col("bpe_n_tokens") === 0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(absent.subsetOf(emptyIds))
+    } finally out.unpersist()
+  }
+
   test("a long document spans multiple whole windows") {
     val one = Seq((7L, Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "text")
     val out = chunked(one, 3).orderBy("chunk_id")

@@ -65,6 +65,19 @@ class ScoreSelectorSuite extends TestBase {
     kept.foreach { case (d, n) => assert(n > 0, s"domain $d kept nothing") }
   }
 
+  test("fraction 0.0 keeps nothing in every mode") {
+    for (mode <- Seq("exact", "approx")) {
+      val n = new ScoreSelector().setScoreCol("n_chars").setIdCol("doc_id")
+        .setFraction(0.0).setMode(mode).transform(docs).count()
+      assert(n == 0, s"mode $mode kept $n rows at fraction 0")
+    }
+    // and per-group approx: the short-circuit fires before grouping
+    val n = new ScoreSelector().setScoreCol("n_chars").setIdCol("doc_id")
+      .setFraction(0.0).setMode("approx").setPartitionCol("lang")
+      .transform(docs.withColumn("lang", lit("en"))).count()
+    assert(n == 0)
+  }
+
   test("approx and exact agree away from the threshold") {
     val exact = new ScoreSelector().setScoreCol("n_chars").setIdCol("doc_id")
       .setFraction(0.25).setMode("exact").transform(docs)
