@@ -189,7 +189,20 @@ object Bench {
       System.gc()
       current = acc
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-sink write, NOT count(): under count() Catalyst prunes every
+      // column and eliminates count-preserving subtrees — per-doc
+      // annotation queries (project/left-join shapes like
+      // exact_substring, line_dedup, pii_redact) collapsed to a bare
+      // corpus scan and recorded overhead, not work (caught round 12:
+      // exact_substring @100x "ran" in 0.34 s / 787 shuffle BYTES). The
+      // noop datasource consumes every output row with zero driver
+      // transfer, so the wall covers exactly what a real sink would pay.
+      var err: Option[String] = None
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        err = Some(e.getClass.getSimpleName)
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       // stage-completed events deliver async; drain before re-attributing
       org.apache.spark.graftshims.ListenerBridge
@@ -205,11 +218,12 @@ object Bench {
           java.nio.file.Files.deleteIfExists(bjIngestPath)
           v.toDoubleOption
         } else None
-      name -> ((wall, acc, ingest))
+      name -> ((wall, acc, ingest, err))
     }
-    val detail = results.map { case (k, (w, a, ingest)) =>
+    val detail = results.map { case (k, (w, a, ingest, err)) =>
       "\"" + k + "\":{\"wall\":" + w +
         ingest.map(i => ",\"ingest_wall\":" + i).getOrElse("") +
+        err.map(e => ",\"err\":\"" + e + "\"").getOrElse("") +
         ",\"stages\":" + a.stages.sum + ",\"tasks\":" + a.tasks.sum +
         ",\"shuffle_read\":" + a.shuffleRead.sum +
         ",\"shuffle_write\":" + a.shuffleWrite.sum +
@@ -223,7 +237,7 @@ object Bench {
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val namedWalls = results.map { case (k, (w, _, _)) => k -> w }
+    val namedWalls = results.map { case (k, (w, _, _, _)) => k -> w }
     val line = renderLine(namedWalls, total, sfDir)
     println(line)
     // the stderr copy + file exist because rounds 1-10 all recorded

@@ -53,14 +53,35 @@ class BPETokenizer(override val uid: String)
       .orderBy(col("__c").desc, col("__w").asc)
       .limit($(maxWordTypes)).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // Incremental trainer (the standard learn_bpe optimization): pair
-    // counts and a pair->word-index occurrence index are built once;
-    // each merge re-counts ONLY the words containing the merged pair, so
-    // a merge costs O(affected words · word length), not
-    // O(types · word length). Selection rides a lazy-deletion max-heap
-    // — every count change pushes a fresh (count, pair) entry, stale
-    // entries are discarded on pop — preserving the exact deterministic
-    // order of the full-rescan formulation: count desc, pair asc.
+    val m = new BPETokenizerModel(uid + "_model").setInputCol(getInputCol)
+    m.merges = learnMerges(dict, $(numMerges))
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    BPE.outputSchema(schema)
+  override def copy(extra: ParamMap): BPETokenizer = defaultCopy(extra)
+}
+object BPETokenizer extends graft.core.GraftReadable[BPETokenizer]
+
+object BPE {
+  /** End-of-word marker symbol (Sennrich's `</w>`). Documents containing
+    * the literal marker would decode with an extra space — the standard
+    * construction's known limitation, inherited knowingly. */
+  val EOW = "</w>"
+
+  /** Greedy merge learning over a word-frequency dictionary.
+    *
+    * Incremental trainer (the standard learn_bpe optimization): pair
+    * counts and a pair->word-index occurrence index are built once;
+    * each merge re-counts ONLY the words containing the merged pair, so
+    * a merge costs O(affected words · word length), not
+    * O(types · word length). Selection rides a lazy-deletion max-heap
+    * — every count change pushes a fresh (count, pair) entry, stale
+    * entries are discarded on pop — preserving the exact deterministic
+    * order of the full-rescan formulation: count desc, pair asc.
+    */
+  def learnMerges(dict: Array[(String, Long)],
+      numMerges: Int): Array[(String, String)] = {
     val words: Array[(Array[String], Long)] =
       dict.map { case (w, c) => (symbols(w), c) }
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -97,7 +118,7 @@ class BPETokenizer(override val uid: String)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
-    while (continue && merges.length < $(numMerges)) {
+    while (continue && merges.length < numMerges) {
       // pop to the first LIVE entry (count matches the current map)
       var best: (String, String) = null
       var bestC = 0L
@@ -139,21 +160,8 @@ class BPETokenizer(override val uid: String)
         where.remove(best)
       }
     }
-    val m = new BPETokenizerModel(uid + "_model").setInputCol(getInputCol)
-    m.merges = merges.toArray
-    m
+    merges.toArray
   }
-  override def transformSchema(schema: StructType): StructType =
-    BPE.outputSchema(schema)
-  override def copy(extra: ParamMap): BPETokenizer = defaultCopy(extra)
-}
-object BPETokenizer extends graft.core.GraftReadable[BPETokenizer]
-
-object BPE {
-  /** End-of-word marker symbol (Sennrich's `</w>`). Documents containing
-    * the literal marker would decode with an extra space — the standard
-    * construction's known limitation, inherited knowingly. */
-  val EOW = "</w>"
 
   /** Code-point symbols of a word plus the terminal marker (code points,
     * not UTF-16 units, so astral-plane characters stay whole). */

@@ -87,12 +87,20 @@ class ExactSubstringDeduplicator(override val uid: String)
     val id = $(idCol)
     require(df.columns.contains(id), s"idCol '$id' not in input")
 
-    val toks = ExactSubstringDeduplicator.tokens(col(getInputCol))
+    // materialize the token array FIRST: an attribute reference inside
+    // the per-window lambda is an O(1) field read, while the split
+    // EXPRESSION would re-tokenize the whole document once per window
+    // (the round-11 wordNGrams lesson — O(len²) per doc)
+    val tokCol = graft.core.DatasetExtensions.findUnusedColumnName("__esd_toks", df)
+    val toks = col(tokCol)
+    val dfT = df.withColumn(tokCol,
+      ExactSubstringDeduplicator.tokens(col(getInputCol)))
     // (id, window start 0-based, 64-bit window hash); docs shorter than
     // k emit nothing (sequence() would count DOWN for a negative span —
     // guard with `when`, the wordNGrams precedent)
-    val wins = df
-      .select(col(id).as("__esd_id"),
+    val wins = dfT
+      .select(col(id).as("__esd_id"), toks)
+      .select(col("__esd_id"),
         posexplode(when(size(toks) >= k,
           org.apache.spark.sql.functions.transform(
             sequence(lit(1), size(toks) - (k - 1)),
@@ -110,11 +118,12 @@ class ExactSubstringDeduplicator(override val uid: String)
       .agg(sort_array(collect_list(col("__esd_pos"))).as("__esd_starts"))
 
     val finish = ExactSubstringDeduplicator.finishUdf(k)
-    df.join(matches, df(id) === matches("__esd_id"), "left")
+    dfT.join(matches, dfT(id) === matches("__esd_id"), "left")
       .drop("__esd_id")
       .withColumn("__esd", finish(toks,
         coalesce(col("__esd_starts"), array().cast(ArrayType(IntegerType)))))
       .drop("__esd_starts")
+      .drop(tokCol)
       .withColumn("es_n_tokens", col("__esd._1"))
       .withColumn("es_n_windows", col("__esd._2"))
       .withColumn("es_n_dup_windows", col("__esd._3"))

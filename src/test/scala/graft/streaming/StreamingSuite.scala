@@ -89,6 +89,30 @@ class StreamingSuite extends TestBase {
     } finally q.stop()
   }
 
+  test("batch-persisted incremental index drives the streaming dedup") {
+    // the 128-bit (__fp, __fp2) index written by the BATCH incremental
+    // path must be directly usable as the streaming static side — one
+    // persisted index, both engines
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("known corpus doc", "another curated one").toDF("text")
+    val idx = graft.dedup.IncrementalDeduplicator.fingerprintIndex(corpus, "text")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = new StreamingDeduplicator().setInputCol("text")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .setCorpusIndex(idx)
+      .transform(mem.toDF().toDF("ts", "text"))
+    val q = dedup.writeStream.format("memory").queryName("streambatchidx")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "Another CURATED one"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "novel doc"))
+      q.processAllAvailable()
+      val texts = spark.table("streambatchidx").collect().map(_.getString(1))
+      assert(texts.toSeq == Seq("novel doc"))
+    } finally q.stop()
+  }
+
   test("StreamingDeduplicator is a plain fingerprint dedup on batch") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x y"),

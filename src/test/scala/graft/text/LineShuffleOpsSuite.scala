@@ -64,6 +64,24 @@ class LineShuffleOpsSuite extends TestBase {
     assert(a == want)
   }
 
+  test("CorpusShuffler keeps schema order and non-numeric ids") {
+    // the narrow-sort retrofit joins the position back by id — column
+    // order, id typing, and payload fidelity must survive the join
+    val df = Seq(("idB", "x", 1), ("idA", "y", 2), ("idC", "z", 3))
+      .toDF("doc_id", "text", "k")
+    val out = new CorpusShuffler().setIdCol("doc_id").transform(df)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "k", "shuffle_pos"))
+    val got = out.select("doc_id", "text", "k", "shuffle_pos")
+      .as[(String, String, Int, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("idA", "y", 2), ("idB", "x", 1), ("idC", "z", 3)))
+    val want = Seq("idA", "idB", "idC").sortBy { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(got.map(r => r._1 -> r._4).toMap == want)
+  }
+
   test("WithinDocLineDeduplicator keeps first occurrences in order") {
     val df = Seq(
       (1L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
