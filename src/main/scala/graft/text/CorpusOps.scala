@@ -36,10 +36,11 @@ class FrequentNGrams(override val uid: String) extends Transformer
   def setTopK(v: Int): this.type = set(topK, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    ds.toDF()
-      .select(split(lower(trim(col(getInputCol))), "\\s+").as("__toks"))
-      .select(explode(PipelineFunctions.wordNGrams(col("__toks"), $(n)))
-        .as("gram"))
+    PipelineFunctions.explodeNGrams(
+        ds.toDF()
+          .select(split(lower(trim(col(getInputCol))), "\\s+").as("__toks")),
+        col("__toks"), $(n), "gram")
+      .select("gram")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit($(topK))

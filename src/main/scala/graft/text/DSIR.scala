@@ -77,12 +77,11 @@ class DSIRScorer(override val uid: String)
     // separate fit's count frame; tie-breaks are identical) but replaces
     // four explode-the-corpus passes with one — at corpus scale the
     // explode IS the fit cost.
-    val cnt = df
-      .select(expr($(targetPredicate)).cast(BooleanType).as("__is_t"),
-        UnigramLM.tokens(col(getInputCol)).as("__toks"))
-      .select(col("__is_t"),
-        explode(UnigramLM.gramsOfTokens(col("__toks"), $(gramSize)))
-          .as("__g"))
+    val cnt = PipelineFunctions.explodeNGrams(
+        df.select(expr($(targetPredicate)).cast(BooleanType).as("__is_t"),
+          UnigramLM.tokens(col(getInputCol)).as("__toks")),
+        col("__toks"), $(gramSize), "__g")
+      .select("__is_t", "__g")
       .groupBy("__g")
       .agg(count(lit(1)).as("__c"),
         sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))

@@ -38,6 +38,33 @@ object PipelineFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** One row per word n-gram of a MATERIALIZED token column, via INDEX
+    * explode: the generator child is the window-index `sequence`, never
+    * the gram array. Why it matters: `InferFiltersFromGenerate`
+    * synthesizes a `size(child) > 0` filter below every explode, and
+    * predicate pushdown rewrites it through the projections — for a
+    * gram-array child that filter arrives at the scan with the token
+    * SPLIT inlined back inside the per-window lambda, re-running the
+    * O(len²) transform once per row purely to test non-emptiness (found
+    * round 12: the decontaminate gate spent 6 of its 7 s inside that
+    * inferred filter; every explode-a-[[wordNGrams]]-column site paid
+    * it). With the index sequence as the child, the inferred filter
+    * costs O(len) and the gram strings are built once, post-explode,
+    * from attribute references. Appends `out`; other columns pass
+    * through unchanged.
+    */
+  def explodeNGrams(df: DataFrame, toks: Column, n: Int, out: String): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val pos = graft.core.DatasetExtensions.findUnusedColumnName("__png_i", df)
+    val idx = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    df.withColumn(pos, explode(idx))
+      .withColumn(out,
+        if (n == 1) element_at(toks, col(pos))
+        else array_join(slice(toks, col(pos), lit(n)), " "))
+      .drop(pos)
+  }
+
   /** Scaled fraction: floor(num/den * 1e4 + 0.5) as BIGINT, 0 when den=0.
     * Fixed operation order (divide, scale, shift, floor) — both engines
     * produce the identical IEEE double, so the integer is hash-gate-safe.
@@ -71,6 +98,17 @@ object Decontamination {
       .withColumn(out, PipelineFunctions.wordNGrams(col("__dc_toks"), n))
       .drop("__dc_toks")
 
+  /** Exploded 64-bit gram hashes (`__gh`) plus `keep` columns — the
+    * [[PipelineFunctions.explodeNGrams]] index-explode shape, so the
+    * optimizer's inferred generator filter never re-runs the gram
+    * transform at the scan. */
+  private def explodedGramHashes(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[String]): DataFrame =
+    PipelineFunctions.explodeNGrams(
+        df.withColumn("__dc_toks", split(trim(col(textCol)), "\\s+")),
+        col("__dc_toks"), n, "__dc_g")
+      .select(keep.map(col) :+ xxhash64(col("__dc_g")).as("__gh"): _*)
+
   /** Distinct ids of corpus docs sharing >=1 word n-gram with `benchmark`.
     * Gram identity is by 64-bit hash: a collision can only add a false
     * positive with probability ~|grams|^2/2^64 (the exact-dedup 128-bit
@@ -79,13 +117,9 @@ object Decontamination {
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 4,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    val bench0 = withGrams(benchmark, textCol, n, "__gs")
-      .select(explode(col("__gs")).as("__g"))
-      .select(xxhash64(col("__g")).as("__gh")).distinct()
+    val bench0 = explodedGramHashes(benchmark, textCol, n, Nil).distinct()
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
-    withGrams(corpus, textCol, n, "__gs")
-      .select(col(idCol), explode(col("__gs")).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    explodedGramHashes(corpus, textCol, n, Seq(idCol))
       .join(bench, Seq("__gh"), "left_semi")
       .select(idCol).distinct()
   }
@@ -127,8 +161,10 @@ object Decontamination {
   def overlapProfile(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 4,
       maxBenchmarkGrams: Long = 50L * 1000 * 1000): DataFrame = {
-    val benchRows = withGrams(benchmark, textCol, n, "__gs")
-      .select(explode(col("__gs")).as("__g")).distinct()
+    val benchRows = PipelineFunctions.explodeNGrams(
+        benchmark.withColumn("__dc_toks", split(trim(col(textCol)), "\\s+")),
+        col("__dc_toks"), n, "__g")
+      .select(col("__g")).distinct()
     val cnt = benchRows.count()
     require(cnt <= maxBenchmarkGrams,
       s"benchmark has $cnt distinct $n-grams > maxBenchmarkGrams=" +

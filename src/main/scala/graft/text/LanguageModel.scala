@@ -60,10 +60,10 @@ class UnigramLM(override val uid: String) extends Estimator[UnigramLMModel]
   def setGramSize(v: Int): this.type = set(gramSize, v)
 
   override def fit(ds: Dataset[_]): UnigramLMModel = {
-    val cnt = ds.toDF()
-      .select(UnigramLM.tokens(col(getInputCol)).as("__toks"))
-      .select(explode(UnigramLM.gramsOfTokens(col("__toks"), $(gramSize)))
-        .as("__t"))
+    val cnt = PipelineFunctions.explodeNGrams(
+        ds.toDF().select(UnigramLM.tokens(col(getInputCol)).as("__toks")),
+        col("__toks"), $(gramSize), "__t")
+      .select("__t")
       .groupBy("__t").agg(count(lit(1)).as("__c"))
     // persist the (gram -> count) frame so the corpus explode runs ONCE
     // for the two bounded actions below (a 1-row total and a V-row vocab

@@ -70,15 +70,30 @@ class StupidBackoffLM(override val uid: String)
   def setBackoff(v: Double): this.type = set(backoff, v)
 
   override def fit(ds: Dataset[_]): StupidBackoffLMModel = {
-    // one corpus pass: every order's grams, tagged, in a single explode —
-    // over a MATERIALIZED token column (wordNGrams performance contract)
-    val tagged = (1 to $(maxOrder)).map { n =>
-      transform(PipelineFunctions.wordNGrams(col("__toks"), n),
-        g => struct(lit(n).as("o"), g.as("g")))
-    }
-    val cnt = ds.toDF()
+    // one corpus pass: every order's grams, tagged. Two chained INDEX
+    // explodes — positions, then the ≤maxOrder windows starting at each
+    // position — so no generator child is ever a gram-array expression
+    // (the explodeNGrams rationale: the optimizer's inferred generator
+    // filter would re-run the whole tagged-gram transform at the scan,
+    // with the token split inlined per position — O(len²) per doc)
+    val toks = col("__toks")
+    val withPos = ds.toDF()
       .select(UnigramLM.tokens(col(getInputCol)).as("__toks"))
-      .select(explode(concat(tagged: _*)).as("__og"))
+      .withColumn("__i", explode(
+        when(size(toks) >= 1, sequence(lit(1), size(toks)))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+    // grams of every order starting at position __i that fit; the
+    // second generator's child references only attributes, so its
+    // inferred filter is O(maxOrder)
+    val perPos = org.apache.spark.sql.functions.filter(
+      array((1 to $(maxOrder)).map { n =>
+        when(col("__i") + (n - 1) <= size(toks),
+          struct(lit(n).as("o"),
+            (if (n == 1) element_at(toks, col("__i"))
+             else array_join(slice(toks, col("__i"), lit(n)), " ")).as("g")))
+      }: _*), x => x.isNotNull)
+    val cnt = withPos
+      .select(explode(perPos).as("__og"))
       .select(col("__og.o").as("__o"), col("__og.g").as("__g"))
       .groupBy("__o", "__g").agg(count(lit(1)).as("__c"))
     cnt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

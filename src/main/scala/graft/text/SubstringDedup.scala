@@ -97,16 +97,20 @@ class ExactSubstringDeduplicator(override val uid: String)
       ExactSubstringDeduplicator.tokens(col(getInputCol)))
     // (id, window start 0-based, 64-bit window hash); docs shorter than
     // k emit nothing (sequence() would count DOWN for a negative span —
-    // guard with `when`, the wordNGrams precedent)
+    // guard with `when`, the wordNGrams precedent). INDEX explode with
+    // the hash built post-explode — a hash-array generator child would
+    // have its full transform re-run at the scan by the optimizer's
+    // inferred size()>0 filter (the explodeNGrams rationale, O(len²)
+    // per doc)
     val wins = dfT
       .select(col(id).as("__esd_id"), toks)
       .select(col("__esd_id"),
-        posexplode(when(size(toks) >= k,
-          org.apache.spark.sql.functions.transform(
-            sequence(lit(1), size(toks) - (k - 1)),
-            i => xxhash64(array_join(slice(toks, i, lit(k)), " "))))
-          .otherwise(array().cast(ArrayType(LongType)))))
-      .toDF("__esd_id", "__esd_pos", "__esd_h")
+        explode(when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("__esd_i"),
+        toks)
+      .select(col("__esd_id"), (col("__esd_i") - 1).as("__esd_pos"),
+        xxhash64(array_join(slice(toks, col("__esd_i"), lit(k)), " "))
+          .as("__esd_h"))
 
     val dup = wins.groupBy("__esd_h")
       .agg(count(lit(1)).as("__esd_c"))
