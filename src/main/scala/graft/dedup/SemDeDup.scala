@@ -128,48 +128,35 @@ class SemDeDup(override val uid: String) extends Transformer
     // SIZE — the paper's protocol), capped where driver-side training
     // stops being the right tool; the FAISS ~64 samples/cell guideline
     // then bounds the training collect so quantizer flops stay ~O(k²·dim).
-    // The corpus size comes from (cheapest first): the caller's
-    // corpusSizeHint; else an Observation riding the sample job below
-    // (TakeOrderedAndProject scans every row anyway, so the count is
-    // free — no dedicated corpus pass for one scalar). The observed
-    // count is of NON-NULL vectors — the clusterable population, which
-    // is what cluster count should track.
+    // The corpus size comes from the caller's corpusSizeHint when set
+    // (no pass at all — a curation pipeline always knows the previous
+    // stage's row count), else one count() pass. An earlier draft
+    // counted for free via an Observation riding the sample job; it was
+    // reverted — `Observation` lazily materializes the session's
+    // ObservationManager, a non-serializable non-transient SparkSession
+    // field, which then breaks Java serialization of ANY later task
+    // closure that captures a SparkSession in the same JVM (Spark ML
+    // models with training summaries do) — found as 5 cross-suite
+    // failures in the round-12 full test run.
     def autoK(n: Long): Int =
       math.max(1, math.min($(maxAutoClusters).toLong,
         (n + $(targetClusterSize) - 1) / $(targetClusterSize))).toInt
-    val needObs = $(nClusters) == 0 && $(corpusSizeHint) == 0L
-    val obs = if (needObs) Some(org.apache.spark.sql.Observation()) else None
-    // collect cap BEFORE n is known: with a hint (or explicit k) the
-    // exact 64·k bound applies; in observed-auto mode the cap is
-    // trainSample and the array is sliced to 64·k after — the
-    // hash-ordered limit is a deterministic total order, so a prefix of
-    // the larger sample IS the smaller sample
-    val preCap =
-      if ($(nClusters) > 0) $(trainSample)
-      else if ($(corpusSizeHint) > 0L)
-        math.min($(trainSample), math.max(4096, 64 * autoK($(corpusSizeHint))))
-      else $(trainSample)
-    // bounded hash-ordered sample -> driver-side spherical k-means
-    // (TakeOrderedAndProject, no global sort; deterministic for a given
-    // corpus + seed)
-    val baseSel = df
-      .select(id.cast("long").as("__id"),
-        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
-      .where(col("__v").isNotNull)
-    val observed = obs.map(o => baseSel.observe(o, count(lit(1)).as("n")))
-      .getOrElse(baseSel)
-    val sampleFull: Array[Array[Double]] = observed
-      .orderBy(xxhash64(col("__id")))
-      .limit(preCap)
-      .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
     val k =
       if ($(nClusters) > 0) $(nClusters)
-      else if ($(corpusSizeHint) > 0L) autoK($(corpusSizeHint))
-      else autoK(obs.get.get("n").asInstanceOf[Long])
+      else autoK(if ($(corpusSizeHint) > 0L) $(corpusSizeHint) else df.count())
     val sampleCap =
       if ($(nClusters) > 0) $(trainSample)
       else math.min($(trainSample), math.max(4096, 64 * k))
-    val sample = sampleFull.take(sampleCap)
+    // bounded hash-ordered sample -> driver-side spherical k-means
+    // (TakeOrderedAndProject, no global sort; deterministic for a given
+    // corpus + seed)
+    val sample: Array[Array[Double]] = df
+      .select(id.cast("long").as("__id"),
+        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(xxhash64(col("__id")))
+      .limit(sampleCap)
+      .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
     // Flat driver k-means is O(sample·k·dim·iters) per restart and flat
     // assignment is O(k·dim) per ROW — both melt past a few hundred
     // cells (k=512 cost ~1/3 of the x100 wall before this split). Above

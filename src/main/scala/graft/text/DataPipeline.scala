@@ -29,6 +29,13 @@ object PipelineFunctions {
     * `split(...)` argument re-tokenizes the whole document once per
     * position — measured O(len²): a 10x corpus cost sb_perplexity 113 s
     * until every call site was materialized (round 11).
+    *
+    * Do NOT `explode` this column's expression directly — the
+    * optimizer's inferred generator filter re-runs the transform at the
+    * scan even over a materialized token column (round 12); use
+    * [[explodeNGrams]] for one-row-per-gram shapes. This array form is
+    * for per-doc array consumers (e.g. overlapProfile's distinct-gram
+    * counts).
     */
   def wordNGrams(words: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
