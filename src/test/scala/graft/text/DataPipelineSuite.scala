@@ -208,4 +208,37 @@ class DataPipelineSuite extends TestBase {
         .transform(skewed)
     }
   }
+
+  test("gram-explode plans never inline the tokenizer into a lambda") {
+    // regression guard for the inferred-generator-filter trap (round
+    // 12): InferFiltersFromGenerate + predicate pushdown used to land a
+    // filter at the scan with `slice(split(text), i, n)` inside the
+    // per-window lambda — the O(len²) re-tokenization, synthesized by
+    // the optimizer, invisible in operator code. The index-explode
+    // shape keeps every slice() over an attribute; `slice(split` in an
+    // optimized plan means the trap is back.
+    val docs = sfTable("documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val plans = Seq(
+      "decontaminate.flag" -> Decontamination
+        .flag(corpus, bench, "text", "doc_id"),
+      "frequent_ngrams" -> new FrequentNGrams().setInputCol("text")
+        .transform(docs),
+      "dsir.fit counts" -> new DSIRScorer().setInputCol("text")
+        .setTargetPredicate("source = 'src0'").setVocabSize(16)
+        .fit(docs).transform(docs),
+      "sb.fit+transform" -> new StupidBackoffLM().setInputCol("text")
+        .setVocabSize(64).setGramBudget(64).fit(docs.limit(50))
+        .transform(docs.limit(50)),
+      "exact_substring" -> new graft.text.ExactSubstringDeduplicator()
+        .setInputCol("text").setMinMatchTokens(5).transform(docs))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("slice(split"),
+        s"$name: tokenizer inlined into a window lambda:\n" +
+          p.linesIterator.filter(_.contains("slice(split"))
+            .take(2).mkString("\n"))
+    }
+  }
 }
