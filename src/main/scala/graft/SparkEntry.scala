@@ -1775,6 +1775,23 @@ object SparkEntry {
     // d3 the other thirteen — so the gate exercises both the n^tau
     // flattening and the rate-1 cap, and the oracle recomputes the
     // histogram, the normalization, and the hex thresholds generically
+    // deterministic per-domain upsampling (repeat factors): d0 gets 2
+    // copies + a deterministic half a third, d1 exactly 1, d2 a
+    // deterministic quarter, d3 dropped — multi-epoch, identity,
+    // fractional-downsample, and drop in one gate; the oracle replays
+    // copies = floor(w) + (md5 < hexThreshold(frac(w))) and unnests
+    // range(0, copies)
+    "domain_upsample" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").withColumn("dom",
+        concat(lit("d"), least(pmod(col("doc_id"), lit(16)), lit(3))
+          .cast("string")))
+      new graft.text.DomainUpsampler().setIdCol("doc_id")
+        .setDomainCol("dom").setSalt("up")
+        .setWeights(Map("d0" -> 2.5, "d1" -> 1.0, "d2" -> 0.25, "d3" -> 0.0))
+        .transform(docs)
+        .select(col("doc_id"), col("epoch"))
+    },
+
     "temperature_mixture" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents").withColumn("dom",
         concat(lit("d"), least(pmod(col("doc_id"), lit(16)), lit(3))
@@ -3528,6 +3545,26 @@ object SparkEntry {
     // replays the temperature rule with the SAME operation order as the
     // Scala side: r = ((f * N) * (n^tau / z)) / n, threshold =
     // floor(r * 2^32) as 8-hex (floor == Long truncation for r >= 0)
+    // repeat factors replayed exactly: floor copies + one fractional
+    // copy under the shared md5/hexThreshold convention, then
+    // range-unnest to 0-based epochs
+    "domain_upsample" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(LEAST(doc_id % 16, 3) AS VARCHAR) AS dom
+        |  FROM documents),
+        |w(dom, fl, thr) AS (VALUES
+        |  ('d0', 2, '80000000'), ('d1', 1, '0'),
+        |  ('d2', 0, '40000000'), ('d3', 0, '0')),
+        |cp AS (
+        |  SELECT b.doc_id,
+        |    fl + CASE WHEN substr(md5(CAST(b.doc_id AS VARCHAR) || ':up'),
+        |        1, 8) < w.thr THEN 1 ELSE 0 END AS copies
+        |  FROM base b JOIN w ON b.dom = w.dom)
+        |SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+        |FROM cp, unnest(range(0, copies)) AS u(e)
+        |WHERE copies > 0""".stripMargin,
+
     "temperature_mixture" ->
       """WITH base AS (
         |  SELECT doc_id,

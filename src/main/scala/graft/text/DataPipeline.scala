@@ -428,6 +428,91 @@ class TemperatureSampler(override val uid: String) extends Transformer
 object TemperatureSampler
     extends graft.core.GraftReadable[TemperatureSampler]
 
+/** Deterministic per-domain UPSAMPLING — the other half of mixture
+  * control: public pre-training recipes REPEAT high-value domains while
+  * web text is sampled down (GPT-3 Table 2.2 trains Wikipedia ~3.4
+  * epochs and books ~1.9 against <1 for Common Crawl — public paper).
+  * Repeat factor w per domain: every doc emits floor(w) copies, plus
+  * one more iff md5(id:salt) < frac(w) in the
+  * [[DomainMixtureSampler.hexThreshold]] convention — so the realized
+  * factor converges to w per domain and the SAME (id, salt) always
+  * draws the same copies: reproducible across runs, cluster sizes, and
+  * partitionings, and nested in w (raising a weight only ADDS copies).
+  * w <= 1 degenerates to [[DomainMixtureSampler]]'s keep rule (with
+  * `epoch` = 0), so one operator expresses the whole mixture row of a
+  * data card.
+  *
+  * Output appends `outputCol` (default `epoch`, 0-based copy index);
+  * (id, epoch) is the composite key downstream — feed both to
+  * [[CorpusShuffler]] (e.g. via a derived id) so copies of a document
+  * land far apart in training order. Scale shape: one narrow
+  * explode-of-a-sequence — no shuffle, no state, no skew sensitivity
+  * beyond the output inflation itself (bounded by max(w)).
+  */
+class DomainUpsampler(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("DomainUpsampler"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val domainCol = new Param[String](this, "domainCol", "domain column")
+  setDefault(domainCol -> "source")
+  def setDomainCol(v: String): this.type = set(domainCol, v)
+  final val weights = new Param[Map[String, Double]](this, "weights",
+    "domain -> repeat factor >= 0 (2.5 = two copies always, a third " +
+      "for a deterministic half of the domain's ids; 0 drops the domain)")
+  setDefault(weights -> Map.empty[String, Double])
+  def setWeights(m: Map[String, Double]): this.type = {
+    require(m.values.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinite),
+      "repeat factors must be finite and >= 0")
+    set(weights, m)
+  }
+  final val defaultWeight = new DoubleParam(this, "defaultWeight",
+    "repeat factor for unlisted domains", ParamValidators.gtEq(0.0))
+  setDefault(defaultWeight -> 1.0)
+  def setDefaultWeight(v: Double): this.type = set(defaultWeight, v)
+  final val salt = new Param[String](this, "salt",
+    "hash salt — vary to draw independent fractional copies")
+  setDefault(salt -> "up")
+  def setSalt(v: String): this.type = set(salt, v)
+  final val outputCol = new Param[String](this, "outputCol",
+    "0-based copy-index column")
+  setDefault(outputCol -> "epoch")
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    require(!df.columns.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
+    def floorOf(w: Double) = math.floor(w).toLong
+    def thrOf(w: Double) =
+      DomainMixtureSampler.hexThreshold(w - math.floor(w))
+    val dom = col($(domainCol)).cast("string")
+    val baseMap = $(weights).map { case (k, w) => k -> floorOf(w) }
+    val thrMap = $(weights).map { case (k, w) => k -> thrOf(w) }
+    val base =
+      if (baseMap.isEmpty) lit(floorOf($(defaultWeight)))
+      else coalesce(element_at(typedLit(baseMap), dom),
+        lit(floorOf($(defaultWeight))))
+    val thr =
+      if (thrMap.isEmpty) lit(thrOf($(defaultWeight)))
+      else coalesce(element_at(typedLit(thrMap), dom),
+        lit(thrOf($(defaultWeight))))
+    val key = substring(
+      md5(concat(col($(idCol)).cast("string"), lit(":" + $(salt)))), 1, 8)
+    val copies = base + when(key < thr, lit(1L)).otherwise(lit(0L))
+    // sequence(0, -1) would count DOWN — guard the zero-copy case
+    df.withColumn($(outputCol), explode(
+      when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast(ArrayType(LongType)))))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField($(outputCol), LongType, nullable = false))
+  override def copy(extra: ParamMap): DomainUpsampler = defaultCopy(extra)
+}
+object DomainUpsampler extends graft.core.GraftReadable[DomainUpsampler]
+
 object DomainMixtureSampler
     extends graft.core.GraftReadable[DomainMixtureSampler] {
   /** weight -> 8-hex-lowercase threshold; "g" (> every hex char) keeps

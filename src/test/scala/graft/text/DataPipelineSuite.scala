@@ -209,6 +209,35 @@ class DataPipelineSuite extends TestBase {
     }
   }
 
+  test("DomainUpsampler repeats by floor + deterministic fraction") {
+    val docs = (0L until 400L).map(i => (i, s"d${i % 4}"))
+      .toDF("doc_id", "dom")
+    val out = new DomainUpsampler().setIdCol("doc_id").setDomainCol("dom")
+      .setWeights(Map("d0" -> 2.5, "d1" -> 1.0, "d2" -> 0.25, "d3" -> 0.0))
+      .transform(docs)
+    val per = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // d0: 100 docs -> 200 guaranteed + ~50 fractional copies
+    assert(per("d0") >= 200L && per("d0") <= 300L)
+    assert(per.get("d3").isEmpty, "weight 0 drops the domain")
+    assert(per("d1") == 100L)
+    assert(per("d2") > 0L && per("d2") < 100L)
+    // epochs are dense 0..copies-1 per doc
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("m"), min("epoch").as("lo"))
+      .filter(col("m") =!= col("n") - 1 || col("lo") =!= 0).count()
+    assert(bad == 0)
+    // deterministic + partitioning-independent
+    val again = new DomainUpsampler().setIdCol("doc_id").setDomainCol("dom")
+      .setWeights(Map("d0" -> 2.5, "d1" -> 1.0, "d2" -> 0.25, "d3" -> 0.0))
+      .transform(docs.repartition(7))
+    assertDFEq(out, again)
+    // nesting: raising a weight only ADDS copies
+    val lower = new DomainUpsampler().setIdCol("doc_id").setDomainCol("dom")
+      .setWeights(Map("d0" -> 1.5, "d1" -> 1.0, "d2" -> 0.25, "d3" -> 0.0))
+      .transform(docs).select("doc_id", "epoch")
+    assert(lower.exceptAll(out.select("doc_id", "epoch")).count() == 0)
+  }
+
   test("gram-explode plans never inline the tokenizer into a lambda") {
     // regression guard for the inferred-generator-filter trap (round
     // 12): InferFiltersFromGenerate + predicate pushdown used to land a
