@@ -688,6 +688,32 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // Gopher §A1.1 structural signals over synthesized multi-line text
+    // (the corpus is single-line): each doc gains a bullet-or-plain
+    // line (id%3), an ellipsis-or-plain terminator line (id%4), and a
+    // hash/unicode-ellipsis line (id%5) — exercising every counter and
+    // both q4 denominators; the oracle recomputes all ten columns
+    "gopher_signals" -> { (s, dir) =>
+      val id = col("doc_id")
+      val t2 = concat_ws("\n",
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit("- bullet item "), id.cast("string")))
+          .otherwise(concat(lit("plain "), id.cast("string"))),
+        when(id % 4 === 0, lit("to be continued..."))
+          .otherwise(lit("the end")),
+        when(id % 5 === 0,
+          concat(lit("### tags… and more "), id.cast("string")))
+          .otherwise(lit("closing line")))
+      new graft.text.GopherSignals().setInputCol("__t2")
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id"), col("gs_n_words"), col("gs_n_alpha_words"),
+          col("gs_alpha_word_q4"), col("gs_n_symbols"),
+          col("gs_symbol_word_q4"), col("gs_n_lines"),
+          col("gs_n_bullet_lines"), col("gs_bullet_line_q4"),
+          col("gs_n_ellipsis_lines"), col("gs_ellipsis_line_q4"))
+    },
+
     // greedy first-fit token packing in id order within each source group;
     // the oracle replays the same scan as a recursive running-sum CTE
     "seq_pack" -> { (s, dir) =>
@@ -2172,6 +2198,62 @@ object SparkEntry {
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(grams) AS gram FROM g)
         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // identical synthesized structure, all ten signal columns recomputed
+    // with the same literal classes and q4 operation order
+    "gopher_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '- bullet item ' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'plain ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'to be continued...' ELSE 'the end' END || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '### tags… and more ' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'closing line' END AS t
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(trim(t), '\s+'),
+        |      w -> w <> '') AS toks,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lns
+        |  FROM base),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS nw,
+        |    CAST(len(list_filter(toks,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS naw,
+        |    CAST(length(t) - length(regexp_replace(t, '#', '', 'g'))
+        |      + (length(t) - length(replace(t, '...', ''))) / 3
+        |      + length(t) - length(regexp_replace(t, '…', '', 'g'))
+        |      AS BIGINT) AS nsym,
+        |    CAST(len(lns) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lns, l -> list_contains(
+        |      ['-', '*', '•', '‣', '▶'], substr(l, 1, 1)))) AS BIGINT) AS nbl,
+        |    CAST(len(list_filter(lns, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…'))) AS BIGINT) AS nel
+        |  FROM parts)
+        |SELECT doc_id,
+        |  nw AS gs_n_words, naw AS gs_n_alpha_words,
+        |  CASE WHEN nw > 0 THEN CAST(FLOOR(CAST(naw AS DOUBLE)
+        |    / CAST(nw AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS gs_alpha_word_q4,
+        |  nsym AS gs_n_symbols,
+        |  CASE WHEN nw > 0 THEN CAST(FLOOR(CAST(nsym AS DOUBLE)
+        |    / CAST(nw AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS gs_symbol_word_q4,
+        |  nl AS gs_n_lines, nbl AS gs_n_bullet_lines,
+        |  CASE WHEN nl > 0 THEN CAST(FLOOR(CAST(nbl AS DOUBLE)
+        |    / CAST(nl AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS gs_bullet_line_q4,
+        |  nel AS gs_n_ellipsis_lines,
+        |  CASE WHEN nl > 0 THEN CAST(FLOOR(CAST(nel AS DOUBLE)
+        |    / CAST(nl AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS gs_ellipsis_line_q4
+        |FROM cnt""".stripMargin,
 
     // doc_stats' integer/q4 signal expressions with the gate thresholds
     "quality_filter" ->

@@ -92,3 +92,72 @@ class QualityFilter(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): QualityFilter = defaultCopy(extra)
 }
 object QualityFilter extends graft.core.GraftReadable[QualityFilter]
+
+/** The Gopher §A1.1 STRUCTURAL quality signals (Rae et al. 2021, public)
+  * that [[QualityFilter]]'s composite does not carry — the line- and
+  * word-shape rules: fraction of words containing an alphabetic
+  * character (paper keeps docs with ≥ 80%), symbol-to-word ratio for
+  * `#` and ellipses (paper drops > 0.1), fraction of lines STARTING
+  * with a bullet (paper drops > 90%), and fraction of lines ENDING with
+  * an ellipsis (paper drops > 30%). Emitted as exact integers plus
+  * q4-scaled ratios (floor(r·1e4+0.5) — the hash-gate-safe convention),
+  * so the thresholds above are one narrow `filter` away.
+  *
+  * Scale shape: a single codegen'd projection — split/filter/transform
+  * over literal character classes (engine-portable, no `\p{...}`
+  * Unicode-table drift), no shuffle, no state; at 100 TB it rides the
+  * scan. Lines are `\n`-split then trimmed, empty lines dropped (the
+  * LineDeduplicator convention); ellipses count both `...` and `…`.
+  *
+  * Columns: `gs_n_words`, `gs_n_alpha_words`, `gs_alpha_word_q4`,
+  * `gs_n_symbols`, `gs_symbol_word_q4`, `gs_n_lines`,
+  * `gs_n_bullet_lines`, `gs_bullet_line_q4`, `gs_n_ellipsis_lines`,
+  * `gs_ellipsis_line_q4`.
+  */
+class GopherSignals(override val uid: String) extends Transformer
+    with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("GopherSignals"))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    import PipelineFunctions.q4
+    val c = coalesce(col(getInputCol), lit(""))
+    val words = filter(split(trim(c), "\\s+"), w => length(w) > 0)
+    val alphaWords = filter(words, w => w.rlike("[A-Za-z]"))
+    // non-overlapping left-to-right counts via replace-length arithmetic
+    // (identical semantics in Spark and DuckDB)
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    val nDots = (length(c) - length(replace(c, lit("..."), lit("")))) / 3
+    val nHellip = length(c) - length(regexp_replace(c, "…", ""))
+    val lines = filter(
+      org.apache.spark.sql.functions.transform(split(c, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val bulletLines = filter(lines,
+      l => substring(l, 1, 1).isin("-", "*", "•", "‣", "▶"))
+    val ellipsisLines = filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))
+    ds.toDF()
+      .withColumn("gs_n_words", size(words).cast(LongType))
+      .withColumn("gs_n_alpha_words", size(alphaWords).cast(LongType))
+      .withColumn("gs_alpha_word_q4",
+        q4(col("gs_n_alpha_words"), col("gs_n_words")))
+      .withColumn("gs_n_symbols", (nHash + nDots + nHellip).cast(LongType))
+      .withColumn("gs_symbol_word_q4",
+        q4(col("gs_n_symbols"), col("gs_n_words")))
+      .withColumn("gs_n_lines", size(lines).cast(LongType))
+      .withColumn("gs_n_bullet_lines", size(bulletLines).cast(LongType))
+      .withColumn("gs_bullet_line_q4",
+        q4(col("gs_n_bullet_lines"), col("gs_n_lines")))
+      .withColumn("gs_n_ellipsis_lines", size(ellipsisLines).cast(LongType))
+      .withColumn("gs_ellipsis_line_q4",
+        q4(col("gs_n_ellipsis_lines"), col("gs_n_lines")))
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      "gs_n_words", "gs_n_alpha_words", "gs_alpha_word_q4",
+      "gs_n_symbols", "gs_symbol_word_q4", "gs_n_lines",
+      "gs_n_bullet_lines", "gs_bullet_line_q4",
+      "gs_n_ellipsis_lines", "gs_ellipsis_line_q4")
+      .map(StructField(_, LongType)))
+  override def copy(extra: ParamMap): GopherSignals = defaultCopy(extra)
+}
+object GopherSignals extends graft.core.GraftReadable[GopherSignals]

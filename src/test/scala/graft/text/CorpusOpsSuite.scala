@@ -43,6 +43,34 @@ class CorpusOpsSuite extends TestBase {
     assert(kept == Seq(0L))
   }
 
+  test("GopherSignals counts structural signals on hand-built pages") {
+    val docs = Seq(
+      // 3 lines; 1 bullet-start; 1 ellipsis-end; words: alpha except "42"
+      (1L, "- first item\nplain words here 42\nwait for it..."),
+      // unicode bullet + unicode ellipsis; '#'s and a '...' mid-line
+      (2L, "• bullet\nc# and ## plus mid... dots\nends with…"),
+      // empty-after-trim lines are dropped; all-alpha words
+      (3L, "one two\n   \nthree"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = new GopherSignals().setInputCol("text").transform(docs)
+      .select("doc_id", "gs_n_words", "gs_n_alpha_words", "gs_n_symbols",
+        "gs_n_lines", "gs_n_bullet_lines", "gs_n_ellipsis_lines",
+        "gs_alpha_word_q4", "gs_symbol_word_q4")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 10 words ("-" counts, "42" has no letter -> 8 alpha);
+    // symbols: one "..."; 3 lines, 1 bullet, 1 ellipsis-ended
+    assert(got(1L) == ((1L, 10L, 8L, 1L, 3L, 1L, 1L, 8000L, 1000L)))
+    // doc 2: 10 words; alpha all but "##" and "•" (c#, mid..., ends,
+    // with… carry letters) -> 8; symbols: 3 '#' + 1 '...' + 1 '…' = 5;
+    // 3 lines, 1 bullet (•), 1 ellipsis-ended (…)
+    assert(got(2L) == ((2L, 10L, 8L, 5L, 3L, 1L, 1L, 8000L, 5000L)))
+    assert(got(3L) == ((3L, 3L, 3L, 0L, 2L, 0L, 0L, 10000L, 0L)))
+    // empty doc: zero everything, q4 denominators guarded to 0
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("QualityFilter thresholds mirror DocumentAnalyzer signals exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val kept = new QualityFilter().setInputCol("text")
