@@ -688,6 +688,26 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // END-TO-END curation recipe in ONE gate: exact dedup -> Gopher
+    // quality gate -> deterministic training order -> fixed-window
+    // chunking. Every stage is individually hash-gated elsewhere; this
+    // gate pins the COMPOSITION (survivor sets feed downstream exactly,
+    // offsets are cumulative over the curated order) — what a user's
+    // pipeline actually runs
+    "curation_e2e" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val dd = new ExactDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").transform(docs)
+      val q = new QualityFilter().setInputCol("text")
+        .setMinTokens(40).setMaxTokens(100000)
+        .setMinQualityQ4(4000L).setMinStopwordHits(1L).transform(dd)
+      new ConcatChunker().setInputCol("text").setIdCol("doc_id")
+        .setContextLen(128).setSeed("e2e")
+        .transform(q.select("doc_id", "text"))
+        .select(col("doc_id"), col("tok_offset"), col("chunk_id"),
+          col("tok_start"), col("tok_end"))
+    },
+
     // Gopher §A1.1 structural signals over synthesized multi-line text
     // (the corpus is single-line): each doc gains a bullet-or-plain
     // line (id%3), an ellipsis-or-plain terminator line (id%4), and a
@@ -2198,6 +2218,68 @@ object SparkEntry {
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(grams) AS gram FROM g)
         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    // the three stage replays (dedup_exact, quality_filter,
+    // concat_chunk) chained as CTEs over each other's survivors —
+    // the composition, not just the pieces
+    "curation_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |qbase AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS len_d,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ltoks
+        |  FROM dd),
+        |qcnt AS (
+        |  SELECT doc_id, text, len_d, len(toks) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |      AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that',
+        |       'for','on','with','as','at','by','be','this','are'], t)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(ltoks) AS DOUBLE) AS n_ltoks_d
+        |  FROM qbase),
+        |surv AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, n_tokens, n_stop,
+        |      CAST(floor(least(1.0,
+        |        CAST(n_alpha AS DOUBLE) / greatest(len_d, 1.0) * 0.4
+        |        + (1.0 - least(
+        |            CAST(n_punct AS DOUBLE) / greatest(len_d, 1.0) * 5, 1.0)) * 0.2
+        |        + CAST(n_stop AS DOUBLE) / greatest(n_ltoks_d, 1.0) * 2.0 * 0.2
+        |        + (CASE WHEN len_d / greatest(n_ltoks_d, 1.0)
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+        |        * 10000.0 + 0.5) AS BIGINT) AS q4
+        |    FROM qcnt)
+        |  WHERE n_tokens BETWEEN 40 AND 100000
+        |    AND q4 >= 4000 AND n_stop >= 1),
+        |tok AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':e2e') AS h,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n
+        |  FROM surv),
+        |off AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS o
+        |  FROM tok),
+        |pieces AS (
+        |  SELECT doc_id, o AS tok_offset, n,
+        |    unnest(range(o // 128, (o + n - 1) // 128 + 1)) AS chunk_id
+        |  FROM off WHERE n > 0)
+        |SELECT doc_id, tok_offset, chunk_id,
+        |  GREATEST(0, chunk_id * 128 - tok_offset) AS tok_start,
+        |  LEAST(n, (chunk_id + 1) * 128 - tok_offset) AS tok_end
+        |FROM pieces""".stripMargin,
 
     // identical synthesized structure, all ten signal columns recomputed
     // with the same literal classes and q4 operation order
