@@ -1706,6 +1706,35 @@ object SparkEntry {
         .select(col("doc_id"), model.decode(col("bpe_tokens")).as("rt"))
     },
 
+    // Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer — same
+    // losslessness contract and gate shape as bpe_roundtrip: the EM-
+    // trained pieces are not SQL-replayable, but decode(encode(text))
+    // must reconstruct the canonical text exactly, driving the trained
+    // Viterbi encode over every document (OOV single-char fallback
+    // included). UnigramTokenizerSuite pins Viterbi against exhaustive
+    // enumeration and the EM/prune behavior on worked examples.
+    "unigram_roundtrip" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val model = new graft.text.UnigramTokenizer().setInputCol("text")
+        .setVocabSize(300).setSeedSize(2000).setMaxWordTypes(4096).fit(docs)
+      model.transform(docs)
+        .select(col("doc_id"), model.decode(col("u_tokens")).as("rt"))
+    },
+
+    // Winnowing fingerprints (Schleimer 2003 / MOSS): every selected
+    // (position, md5) pair over char 9-grams with a 4-gram window,
+    // rightmost-min tie rule — the oracle replays gram hashing, window
+    // minima, and the tie rule verbatim in SQL, so selection is
+    // hash-gated position by position
+    "winnow_fingerprints" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      new graft.text.DocumentFingerprinter().setInputCol("text")
+        .setK(9).setWindow(4).transform(docs)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+        .select(col("doc_id"), col("fp.pos").cast("long").as("pos"),
+          col("fp.hash").as("hash"))
+    },
+
     // Stupid-backoff trigram LM (Brants et al. 2007) at deliberately
     // tiny budgets (vocab 16 / 32 grams per order) so BOTH the pruning
     // rule and the full backoff chain are exercised; the oracle replays
@@ -3396,6 +3425,42 @@ object SparkEntry {
         |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
         |  ' ') AS rt
         |FROM documents""".stripMargin,
+
+    // Unigram tokenizer losslessness: identical canonicalization replay
+    "unigram_roundtrip" ->
+      """SELECT doc_id, array_to_string(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+        |  ' ') AS rt
+        |FROM documents""".stripMargin,
+
+    // Winnowing replay: same canonicalization, char 9-gram md5 hashes,
+    // per-window MIN over w=4 via a position-range self-join (clipping
+    // at the gram-array end exactly as slice() does), then the
+    // rightmost-min tie rule as MAX(pos) among window positions
+    // achieving the window minimum
+    "winnow_fingerprints" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos, md5(substr(t, p, 9)) AS h
+        |  FROM canon, unnest(range(1, greatest(length(t) - 9 + 1, 0) + 1)) u(p)),
+        |mcnt AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
+        |wins AS (
+        |  SELECT g1.doc_id, g1.pos AS q, MIN(g2.h) AS mh
+        |  FROM grams g1
+        |  JOIN mcnt ON mcnt.doc_id = g1.doc_id
+        |  JOIN grams g2 ON g2.doc_id = g1.doc_id
+        |   AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+        |  WHERE g1.pos <= greatest(mcnt.m - 3, 1)
+        |  GROUP BY g1.doc_id, g1.pos),
+        |sel AS (
+        |  SELECT w.doc_id, MAX(g.pos) AS pos, w.mh AS hash
+        |  FROM wins w JOIN grams g ON g.doc_id = w.doc_id AND g.h = w.mh
+        |   AND g.pos BETWEEN w.q AND w.q + 3
+        |  GROUP BY w.doc_id, w.q, w.mh)
+        |SELECT DISTINCT doc_id, pos, hash FROM sel""".stripMargin,
 
     // Stupid-backoff replay: per-order count tables with the same
     // (count desc, gram asc) pruning, then per-position the same
