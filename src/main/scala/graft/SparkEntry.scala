@@ -708,6 +708,36 @@ object SparkEntry {
           col("tok_start"), col("tok_end"))
     },
 
+    // C4 cleaning rules (Raffel 2020 §2.2) over synthesized multi-line
+    // text: per doc, planted lines exercise every rule — a no-terminal-
+    // punct line (id%3), a 2-word line (id%4), a javascript line (id%5),
+    // a lorem-ipsum page-killer (id%7), a brace line that FAILS line
+    // rules (id%11 — pinning that page literals are checked on the
+    // CLEANED text: the brace never reaches it), and a badword page-
+    // killer (id%13). The oracle replays line filtering, sentence
+    // counting, and all three page rules in SQL
+    "c4_filter" -> { (s, dir) =>
+      val id = col("doc_id")
+      val t2 = concat_ws("\n",
+        col("text"),
+        when(id % 3 === 0, lit("This sentence ends properly."))
+          .otherwise(lit("no terminal punctuation here")),
+        when(id % 4 === 0, lit("Too short."))
+          .otherwise(lit("this longer line survives fine.")),
+        when(id % 5 === 0, lit("Enable javascript to view this page."))
+          .otherwise(lit("another good sentence here.")),
+        when(id % 7 === 0, lit("lorem ipsum dolor sit amet."))
+          .otherwise(lit("final line of the page.")),
+        when(id % 11 === 0, lit("code { margin: 0 }"))
+          .otherwise(lit("closing remark stands alone.")),
+        when(id % 13 === 0, lit("that badword kills pages."))
+          .otherwise(lit("a clean finishing line.")))
+      new graft.text.C4Filter().setInputCol("__t2").setMinSentences(2)
+        .setBadWords(Array("badword"))
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id"), col("c4_text"))
+    },
+
     // Gopher §A1.1 structural signals over synthesized multi-line text
     // (the corpus is single-line): each doc gains a bullet-or-plain
     // line (id%3), an ellipsis-or-plain terminator line (id%4), and a
@@ -2312,6 +2342,42 @@ object SparkEntry {
 
     // identical synthesized structure, all ten signal columns recomputed
     // with the same literal classes and q4 operation order
+    // C4 replay: same planted lines; line filter (terminal punct, >= 3
+    // words, no 'javascript'), then the page rules on the CLEANED text
+    "c4_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'This sentence ends properly.'
+        |      ELSE 'no terminal punctuation here' END || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Too short.'
+        |      ELSE 'this longer line survives fine.' END || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'Enable javascript to view this page.'
+        |      ELSE 'another good sentence here.' END || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |      ELSE 'final line of the page.' END || chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'code { margin: 0 }'
+        |      ELSE 'closing remark stands alone.' END || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'that badword kills pages.'
+        |      ELSE 'a clean finishing line.' END AS t
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split(t, chr(10)),
+        |    l -> regexp_matches(trim(l), '[.!?"]$')
+        |     AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |           w -> w <> '')) >= 3
+        |     AND NOT contains(lower(l), 'javascript')), chr(10)) AS c
+        |  FROM base)
+        |SELECT doc_id, c AS c4_text FROM clean
+        |WHERE (length(c) - length(regexp_replace(c, '[.!?]', '', 'g'))) >= 2
+        |  AND NOT contains(lower(c), 'lorem ipsum')
+        |  AND NOT contains(lower(c), '{')
+        |  AND NOT list_contains(list_filter(
+        |    string_split_regex(lower(c), '\s+'), w -> w <> ''),
+        |    'badword')""".stripMargin,
+
     "gopher_signals" ->
       """WITH base AS (
         |  SELECT doc_id,
