@@ -62,6 +62,16 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("UnigramTokenizerModel save/load") {
+    val df = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val m = new graft.text.UnigramTokenizer().setInputCol("text")
+      .setVocabSize(12).setSeedSize(64).fit(df)
+    val p = tmp("unigram"); m.write.overwrite().save(p)
+    val loaded = graft.text.UnigramTokenizerModel.load(p)
+    assert(loaded.pieces.toSeq == m.pieces.toSeq)
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("QualityClassifierModel save/load (nested LR)") {
     val df = Seq((1L, "good words here", 1.0), (2L, "bad stuff there", 0.0),
       (3L, "good words again", 1.0), (4L, "bad stuff repeated", 0.0))

@@ -88,6 +88,23 @@ class WinnowingSuite extends TestBase {
     assert(density > 0.2 && density < 0.6, s"density $density out of band")
   }
 
+  test("optimized plan hashes each gram once (no lambda re-inlining)") {
+    // the canon text and hash array are lambda-bound through single-
+    // element-array transforms; if a future optimizer rule re-inlines
+    // them into the per-window lambda, md5/regexp_replace appear once
+    // per REFERENCE and per-doc cost returns to O(len²) — the trap that
+    // hung this suite's density test before the binding was added
+    // parquet-backed source: a local Seq relation gets whole-plan
+    // constant-folded by ConvertToLocalRelation, hiding the expressions
+    val df = sfTable("documents").select("doc_id", "text")
+    val plan = new DocumentFingerprinter().setInputCol("text")
+      .transform(df).queryExecution.optimizedPlan.toString
+    assert(plan.sliding(4).count(_ == "md5(") == 1,
+      s"md5 must appear exactly once in the optimized plan:\n$plan")
+    assert(plan.sliding(15).count(_ == "regexp_replace(") == 1,
+      s"canon must be evaluated once in the optimized plan:\n$plan")
+  }
+
   test("sub-k and sub-window documents degrade gracefully") {
     assert(run("ab", 9, 4).isEmpty)
     // 10 chars, k=9 -> 2 grams < w: single window, its min only
