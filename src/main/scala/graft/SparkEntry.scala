@@ -970,6 +970,36 @@ object SparkEntry {
     // scan is exhaustive, so the top-5 must EQUAL brute force — any cell
     // assignment / probe-join / top-k regression breaks the constant
     // full-recall hash (cells only shape the scan, never the candidates)
+    // k-NN GRAPH (self top-k join, query set == corpus): brute mode on
+    // a 100-node subgraph, every edge hash-gated against the all-pairs
+    // SQL replay (knn_bruteforce float precedent: cosine doubles agree
+    // across engines; tie-break (score desc, id asc) in both)
+    "knn_graph" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 100)
+      new graft.sim.KNNGraph().setInputCol("embedding").setIdCol("vec_id")
+        .setK(3).setBruteForce(true)
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
+    },
+
+    // IVF-mode graph at nProbe == nLists: every cell probed, so the
+    // cell partition cannot lose a neighbor and the graph must equal
+    // brute force EXACTLY — per-node hit count is the constant k
+    // (the knn_ivf_recall pattern)
+    "knn_graph_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val g = new graft.sim.KNNGraph().setInputCol("embedding")
+        .setIdCol("vec_id").setK(5).setNLists(8).setNProbe(8)
+      val ivf = g.transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      val bf = g.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setBruteForce(true).transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      bf.join(ivf, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(col("query_id"), col("hits"), lit(5L).as("k"))
+    },
+
     "knn_ivf_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
@@ -3043,6 +3073,22 @@ object SparkEntry {
 
     // exhaustive probing == brute force, deterministically (quantizer is
     // seeded and trained driver-side; ties break by id in the aggregator)
+    // every (node, neighbor) edge of the 100-node brute-force graph
+    "knn_graph" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 100),
+        |scored AS (SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |    list_cosine_similarity(q.embedding, e.embedding) AS score
+        |  FROM sub q CROSS JOIN sub e WHERE q.vec_id <> e.vec_id),
+        |ranked AS (SELECT query_id, id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, id) AS rn FROM scored)
+        |SELECT query_id, id AS neighbor_id FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "knn_graph_recall" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
+        |  CAST(5 AS BIGINT) AS k
+        |FROM embeddings""".stripMargin,
+
     "knn_ivf_recall" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS hits,
         |  CAST(5 AS BIGINT) AS k
