@@ -19,15 +19,26 @@ import graft.core._
   * 2/(window+1) — the standard local, position-aware alternative to
   * MinHash when "which span matched" matters (plagiarism/provenance).
   *
-  * Spark-first shape: the whole computation is per-document and built
-  * ENTIRELY from codegen'd expressions — `transform(sequence(...))`
-  * over gram positions, `md5` gram hashes, `slice`/`array_min` window
-  * minima — no UDF, no shuffle beyond whatever the caller does with the
-  * result. Per-doc cost is O(len · window) string compares;
-  * the O(len) monotonic-queue variant needs an opaque UDF and loses
-  * whole-stage codegen, a poor trade at the small windows (4–16) the
-  * paper prescribes. Hashes are md5 hex strings compared in binary
-  * order — deterministic, and replayable verbatim in the DuckDB oracle.
+  * Scale shape: the whole computation is per-document — a narrow
+  * one-pass UDF, no shuffle; scan splits are the parallelism source
+  * (on tiny local corpora that is the wall — lower
+  * `spark.sql.files.maxPartitionBytes` to fan out; a real corpus has
+  * ample splits). Inside the row the pass is O(len): md5 over a sliding
+  * UTF-8 byte window (no per-gram string), window minima through a
+  * monotonic deque whose tie rule (evict-equal-from-back) IS the
+  * paper's rightmost-min selection, selections deduped by the
+  * monotonicity of winnowing picks. Hashes are md5 — hex encoding is
+  * byte-order-preserving, so digest comparison equals the hex-string
+  * comparison the DuckDB oracle replays.
+  *
+  * Tried and REJECTED: a builtin-expression formulation
+  * (`transform(sequence)` gram hashing + per-window `slice`/
+  * `array_min`/`reverse`/`array_position`). Whole-stage codegen bought
+  * nothing — the operator IS the kernel — while every window allocated
+  * three w-arrays and every gram a 32-char hex string: measured
+  * 1962 s at the 100x sweep point vs this implementation's one-pass
+  * arithmetic (SCALING.md round-12 tranche 3), a pure
+  * allocation/GC tax with identical output.
   *
   * Documents shorter than k characters yield no fingerprints; documents
   * with fewer than `window` grams yield the single minimum over all
@@ -53,55 +64,14 @@ class DocumentFingerprinter(override val uid: String)
   setDefault(outputCol -> "fingerprints")
   def setOutputCol(v: String): this.type = set(outputCol, v)
 
-  /** Canonical text: lowercased, whitespace runs collapsed to single
-    * spaces — the same normalization every corpus operator applies, so
-    * fingerprints survive reflow/case edits (the paper's motivation). */
-  private def canon(c: Column): Column =
-    trim(regexp_replace(lower(c), "\\s+", " "))
-
   override def transform(ds: Dataset[_]): DataFrame = {
-    val df = ds.toDF()
     val kk = $(k)
     val w = $(window)
-    // sequence(1, stop) REVERSES for stop < 1 (negative step inference),
-    // so sub-k documents must short-circuit to an empty array explicitly
-    def seq1(stop: Column): Column =
-      when(stop >= 1, sequence(lit(1), stop))
-        .otherwise(array().cast(ArrayType(IntegerType)))
-    // Lambda-bind the canon text and the hash array through single-
-    // element-array transforms so each evaluates ONCE per row. Passing
-    // the raw expressions into the per-gram / per-window lambdas would
-    // re-evaluate them per element — the O(len²) re-inlining trap this
-    // codebase documents at wordNGrams (the optimizer offers no CSE
-    // inside lambda bodies, and project collapse re-inlines even
-    // materialized columns used once).
-    def bind1(e: Column)(f: Column => Column): Column =
-      element_at(transform_(array(e), f), 1)
-    val fps = bind1(canon(col(getInputCol))) { t =>
-      val m = length(t) - kk + 1 // gram count
-      bind1(transform_(seq1(m), p => md5(substring_(t, p, kk)))) { hashes =>
-        // window starts: 1 .. max(1, m-w+1); the final window clips to
-        // the array end only in the degenerate m < w case
-        val starts = seq1(greatest(m - w + 1, least(m, lit(1))))
-        transform_(starts, q => {
-          val win = slice(hashes, q, lit(w))
-          val mh = array_min(win)
-          // rightmost occurrence of the minimum (paper's tie rule):
-          // first position in the REVERSED window, mapped back
-          val rpos = array_position(reverse(win), mh)
-          struct((q + size(win) - rpos.cast(IntegerType)).as("pos"),
-            mh.as("hash"))
-        })
-      }
+    val fpUdf = udf { text: String =>
+      Winnowing.fingerprints(text, kk, w)
     }
-    df.withColumn($(outputCol), array_sort(array_distinct(fps)))
+    ds.toDF().withColumn($(outputCol), fpUdf(col(getInputCol)))
   }
-
-  // local aliases: transform/substring collide with Transformer members
-  private def transform_(c: Column, f: Column => Column): Column =
-    org.apache.spark.sql.functions.transform(c, f)
-  private def substring_(c: Column, pos: Column, len: Int): Column =
-    c.substr(pos, lit(len))
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField($(outputCol), ArrayType(
@@ -111,3 +81,93 @@ class DocumentFingerprinter(override val uid: String)
 }
 object DocumentFingerprinter
   extends GraftReadable[DocumentFingerprinter]
+
+object Winnowing {
+  /** One selected fingerprint: 1-indexed gram position + md5 hex. */
+  case class Fingerprint(pos: Int, hash: String)
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic digest compare — equals hex-string order
+    * because the nibble→'0'..'9','a'..'f' map is monotone in ASCII. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  /** Canonical text (lowercase, whitespace runs → single spaces — the
+    * corpus-wide normalization, so fingerprints survive reflow/case
+    * edits) then the paper's algorithm in one pass. */
+  def fingerprints(text: String, k: Int, w: Int): Seq[Fingerprint] = {
+    if (text == null) return Seq.empty
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    // code points, not UTF-16 units: gram positions must agree with the
+    // SQL oracle's substr() and Spark's substring(), both codepoint-based
+    val cps = t.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m < 1) return Seq.empty
+    // UTF-8 bytes once, plus per-codepoint byte offsets: gram i hashes
+    // the byte range [off(i), off(i+k)) — no per-gram string
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = new Array[Int](cps.length + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < cps.length) {
+      val cp = cps(ci)
+      bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+             else if (cp < 0x10000) 3 else 4)
+      ci += 1
+      off(ci) = bi
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      md.update(bytes, off(i), off(i + k) - off(i))
+      digests(i) = md.digest()
+      i += 1
+    }
+    // monotonic min-deque; evicting EQUAL hashes from the back keeps the
+    // newest of any tie at the front — exactly the rightmost-min rule.
+    // Winnowing selections are non-decreasing in position (a smaller
+    // hash later would have won the earlier window too), so consecutive
+    // duplicate selections collapse by tracking the last emitted pos.
+    val deque = new java.util.ArrayDeque[Integer](w + 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Fingerprint]
+    var lastEmitted = -1
+    var j = 0
+    while (j < m) {
+      while (!deque.isEmpty && cmp(digests(deque.peekLast), digests(j)) >= 0)
+        deque.pollLast()
+      deque.addLast(j)
+      if (deque.peekFirst < j - w + 1) deque.pollFirst()
+      // a full window ends at j ≥ w-1; if m < w there is one clipped
+      // window, emitted at the final gram
+      if (j >= w - 1 || j == m - 1) {
+        val sel = deque.peekFirst.intValue
+        if (sel != lastEmitted) {
+          out += Fingerprint(sel + 1, hex(digests(sel)))
+          lastEmitted = sel
+        }
+      }
+      j += 1
+    }
+    out.toSeq
+  }
+}

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *          (the knn_lsh gate pins 2-bit bands for tiny fixtures)
   *   vw   — VowpalHashFeaturizer alone (the gate's long-form explode
   *          UDF is oracle plumbing, not the operator)
+  *   knngraph — KNNGraph in its SCALE shape: ivf mode over the FULL
+  *          embeddings table, nLists = √(n·nProbe) per the FAISS rule
+  *          the scaladoc prescribes (the knn_graph gate pins a 100-node
+  *          brute subgraph for its all-pairs oracle — constant-size by
+  *          design, so its sweep row says nothing about scale)
   */
 object OpProbe {
   def main(args: Array[String]): Unit = {
@@ -44,6 +49,16 @@ object OpProbe {
           .transform(spark.read.parquet(s"$dir/events.parquet"))
           .select(nnz(col("features")).as("a"))
           .agg(sum(col("a"))).head().getLong(0)
+      case "knngraph" =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        val nProbe = 8
+        val lists = math.max(8, math.sqrt(n.toDouble * nProbe).toInt)
+        new graft.sim.KNNGraph().setInputCol("embedding")
+          .setIdCol("vec_id").setK(10).setNLists(lists).setNProbe(nProbe)
+          .transform(emb)
+          .select(explode(col("neighbors.id")).as("id"))
+          .agg(count(lit(1))).head().getLong(0)
       case other => sys.error(s"unknown op $other")
     }
     val wall = (System.nanoTime() - t0) / 1e9

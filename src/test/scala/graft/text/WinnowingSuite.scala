@@ -7,15 +7,18 @@ class WinnowingSuite extends TestBase {
   import spark.implicits._
 
   /** Straight-from-the-paper reference: md5-hex hashes of char k-grams,
-    * slide a w-window, keep each window's min (rightmost on ties). */
+    * slide a w-window, keep each window's min (rightmost on ties).
+    * Grams count CODEPOINTS (the Spark substring / DuckDB substr unit),
+    * not UTF-16 chars. */
   private def reference(text: String, k: Int, w: Int): Set[(Int, String)] = {
     val t = text.toLowerCase.replaceAll("\\s+", " ").trim
-    val m = t.length - k + 1
+    val cps = t.codePoints().toArray
+    val m = cps.length - k + 1
     if (m < 1) return Set.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = (1 to m).map { p =>
       md.reset()
-      md.digest(t.substring(p - 1, p - 1 + k).getBytes("UTF-8"))
+      md.digest(new String(cps, p - 1, k).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     }.toArray
     val starts = 1 to math.max(1, m - w + 1)
@@ -88,21 +91,20 @@ class WinnowingSuite extends TestBase {
     assert(density > 0.2 && density < 0.6, s"density $density out of band")
   }
 
-  test("optimized plan hashes each gram once (no lambda re-inlining)") {
-    // the canon text and hash array are lambda-bound through single-
-    // element-array transforms; if a future optimizer rule re-inlines
-    // them into the per-window lambda, md5/regexp_replace appear once
-    // per REFERENCE and per-doc cost returns to O(len²) — the trap that
-    // hung this suite's density test before the binding was added
-    // parquet-backed source: a local Seq relation gets whole-plan
-    // constant-folded by ConvertToLocalRelation, hiding the expressions
-    val df = sfTable("documents").select("doc_id", "text")
-    val plan = new DocumentFingerprinter().setInputCol("text")
-      .transform(df).queryExecution.optimizedPlan.toString
-    assert(plan.sliding(4).count(_ == "md5(") == 1,
-      s"md5 must appear exactly once in the optimized plan:\n$plan")
-    assert(plan.sliding(15).count(_ == "regexp_replace(") == 1,
-      s"canon must be evaluated once in the optimized plan:\n$plan")
+  test("astral code points count as one character (oracle substr parity)") {
+    // gram positions and boundaries must follow CODEPOINTS: DuckDB
+    // substr and Spark substring both count them, UTF-16 would shift
+    // every position after an emoji
+    for ((k, w) <- Seq((3, 2), (4, 3)))
+      assert(run("a😀b😀c defg hij", k, w) == reference("a😀b😀c defg hij", k, w))
+  }
+
+  test("null and whitespace-only text yield empty fingerprints") {
+    val df = Seq((0L, null: String), (1L, "   \t  "), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = new DocumentFingerprinter().setInputCol("text").transform(df)
+      .select(size(col("fingerprints"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 0))
   }
 
   test("sub-k and sub-window documents degrade gracefully") {
