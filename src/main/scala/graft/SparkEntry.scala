@@ -523,6 +523,53 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // Bloom-cascade incremental dedup, exact verify: the ~10-bit/doc
+    // partitioned Bloom filter routes definitely-new docs past the
+    // fingerprint index and exact-verifies the maybes — no false
+    // negatives, so the output EQUALS IncrementalDeduplicator and the
+    // same planted-split oracle hashes it
+    "dedup_bloom" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val fpIdx = graft.dedup.IncrementalDeduplicator
+        .fingerprintIndex(corpus, "text")
+      new graft.dedup.BloomIncrementalDeduplicator().setInputCol("text")
+        .setIdCol("doc_id")
+        .setBloomIndex(graft.dedup.BloomIncrementalDeduplicator
+          .buildIndex(fpIdx, numBuckets = 32))
+        .setCorpusIndex(fpIdx).transform(batch)
+        .select(col("doc_id"))
+    },
+
+    // Approximate mode (index-only steady state, maybes dropped
+    // outright): gated at a 40-bit/doc budget where the per-doc FP
+    // probability is ~5e-9 — the filter's decisions are deterministic
+    // (xxhash64 bit placement), so this pins "no false positive occurs
+    // on this corpus", the analogous posture to the signature-mode
+    // MinHash gate's probed threshold margin
+    "dedup_bloom_approx" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val fpIdx = graft.dedup.IncrementalDeduplicator
+        .fingerprintIndex(corpus, "text")
+      new graft.dedup.BloomIncrementalDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setVerify("approximate")
+        .setBloomIndex(graft.dedup.BloomIncrementalDeduplicator
+          .buildIndex(fpIdx, numBuckets = 32, bitsPerDoc = 40))
+        .transform(batch)
+        .select(col("doc_id"))
+    },
+
     // Incremental NEAR-dup dedup (MinHash): same planted snapshot split
     // as dedup_incremental; exact verify mode so the oracle can replay
     // batch-vs-corpus decisions by exact shingle Jaccard (signature mode
@@ -2783,6 +2830,42 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT r FROM wd)""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT ct FROM canon WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, ct FROM canon WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ct FROM canon WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ct FROM canon WHERE doc_id % 8 = 4),
+        |kept AS (SELECT ct, MIN(doc_id) AS doc_id FROM batch GROUP BY ct)
+        |SELECT doc_id FROM kept
+        |WHERE ct NOT IN (SELECT ct FROM corpus)""".stripMargin,
+
+    // Bloom cascade (exact verify) provably equals IncrementalDeduplicator,
+    // so both Bloom gates replay the identical planted-split SQL; the
+    // approximate gate additionally pins that no false positive occurs
+    // at its 40-bit budget on this corpus
+    "dedup_bloom" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT ct FROM canon WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, ct FROM canon WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ct FROM canon WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ct FROM canon WHERE doc_id % 8 = 4),
+        |kept AS (SELECT ct, MIN(doc_id) AS doc_id FROM batch GROUP BY ct)
+        |SELECT doc_id FROM kept
+        |WHERE ct NOT IN (SELECT ct FROM corpus)""".stripMargin,
+
+    "dedup_bloom_approx" ->
       """WITH canon AS (
         |  SELECT doc_id,
         |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
