@@ -91,6 +91,10 @@ class PlanSuite extends TestBase {
     // global-stats cross joins
     val allowedBnl = Set("knn_bruteforce", "knn_lsh", "knn_ivf",
       "knn_lsh_recall", "knn_ivf_recall", "knn_ivfpq_recall", // brute-force reference sides
+      "knn_graph", "knn_graph_recall", // brute mode IS all-pairs: the
+      // constant-cell key folds away and the broadcast nested loop is
+      // the designed oracle-baseline plan; ivf mode joins on a real
+      // cell key (KNNGraphSuite covers it; no broadcast of the corpus)
       "dedup_simhash_exact", // O(n²) Hamming ground truth is the point
       "sr_anomalies", "per_instance_stats", "clean_missing_data")
     for ((name, fn) <- SparkEntry.queries) {

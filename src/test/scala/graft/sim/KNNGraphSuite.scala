@@ -48,6 +48,22 @@ class KNNGraphSuite extends TestBase {
       s"recall ${hits.toDouble / total} below floor at nProbe=4/8")
   }
 
+  test("ivf mode plans a real equi-join by cell — nothing nested-loop") {
+    // brute mode's all-pairs broadcast nested loop is its design (and
+    // PlanSuite-exempted); the SCALE path must never degrade to it
+    val emb = sfTable("embeddings").limit(300)
+    val plan = new KNNGraph().setInputCol("embedding").setIdCol("vec_id")
+      .setK(4).setNLists(8).setNProbe(4).transform(emb)
+      .queryExecution.executedPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+    val bad = flatten(plan).filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    assert(bad.isEmpty, s"ivf-mode graph degenerated:\n$plan")
+  }
+
   test("every node appears and has exactly k neighbors") {
     val emb = sfTable("embeddings").limit(200)
     val out = new KNNGraph().setInputCol("embedding").setIdCol("vec_id")
