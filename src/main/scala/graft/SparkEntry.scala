@@ -1733,6 +1733,79 @@ object SparkEntry {
           decode(col("bytes"), "UTF-8").as("text"))
     },
 
+    // HTML -> text extraction on pages synthesized around each doc's
+    // text: head/script/style/comment subtrees must vanish, block tags
+    // become single line breaks, entities decode, whitespace
+    // normalizes — the oracle replays the published regexp chain
+    // (HtmlTextExtractor.steps) step for step; patterns live in the
+    // Java-regex ∩ RE2 common subset so both engines agree
+    "html_extract" -> { (s, dir) =>
+      val page = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>T</title><script>if (1 < 2) { f(\"x\"); }" +
+            "</script><style>p { color: red }</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p class=\"a\">"),
+          col("text"),
+          lit("</p><div>A&amp;B &lt;tag&gt;&nbsp;tail&#39;s</div>" +
+            "</body></html>")).as("html"))
+      new graft.text.HtmlTextExtractor().setInputCol("html")
+        .setOutputCol("extracted").transform(page)
+        .select(col("doc_id"), col("extracted"))
+    },
+
+    // the crawl front end as ONE plan: synthesized HTML wrapped in an
+    // HTTP response, framed into WARC segments, re-read through the
+    // streaming parser, HTTP envelope stripped, HTML extracted — the
+    // WARC+HTTP layers are roundtrip-transparent, so the oracle is
+    // html_extract's replay verbatim
+    "crawl_e2e" -> { (s, dir) =>
+      val staging = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_crawl_${new java.io.File(dir).getName}").toString
+      val page = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>T</title><script>if (1 < 2) { f(\"x\"); }" +
+            "</script><style>p { color: red }</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- hidden --><p class=\"a\">"),
+          col("text"),
+          lit("</p><div>A&amp;B &lt;tag&gt;&nbsp;tail&#39;s</div>" +
+            "</body></html>")).as("html"))
+      graft.io.warc.WarcFiles.write(
+        page.select(
+          concat(lit("urn:doc:"), col("doc_id").cast("string")).as("uri"),
+          encode(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            col("html")), "UTF-8").as("bytes")),
+        staging, maxShardBytes = 1L << 20)
+      graft.io.warc.WarcFiles.read(s, staging)
+        .select(regexp_replace(col("uri"), "^urn:doc:", "")
+          .cast("long").as("doc_id"),
+          graft.text.HtmlTextExtractor.extract(
+            decode(graft.io.warc.WarcFiles.httpBody(col("bytes")), "UTF-8"))
+            .as("extracted"))
+    },
+
+    // WARC/WET roundtrip: documents written as WET conversion records
+    // (per-record gzip members, the Common Crawl layout) then re-read
+    // through the streaming segment parser — text byte-exact, ids
+    // recovered from the target URI
+    "warc_roundtrip" -> { (s, dir) =>
+      val staging = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_warc_${new java.io.File(dir).getName}").toString
+      val docs = tbl(s, dir, "documents")
+        .select(concat(lit("urn:doc:"), col("doc_id").cast("string")).as("uri"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      graft.io.warc.WarcFiles.write(docs, staging, maxShardBytes = 1L << 20)
+      graft.io.warc.WarcFiles.read(s, staging)
+        .filter(col("record_type") === "conversion")
+        .select(regexp_replace(col("uri"), "^urn:doc:", "")
+          .cast("long").as("doc_id"),
+          decode(col("bytes"), "UTF-8").as("text"))
+    },
+
     // within-doc repeated-line removal on synthesized pages (each doc
     // becomes line+line+tail+line); the oracle replays first-occurrence
     // order-preserving distinct with an indexed list_filter
@@ -3539,6 +3612,65 @@ object SparkEntry {
 
     "tar_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "warc_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
+
+    "html_extract" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<html><head><title>T</title><script>if (1 < 2) { f("x"); }' ||
+        |  '</script><style>p { color: red }</style></head><body><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '</h1><!-- hidden --><p class="a">' || text ||
+        |  '</p><div>A&amp;B &lt;tag&gt;&nbsp;tail&#39;s</div>' ||
+        |  '</body></html>' AS h FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM page),
+        |c2 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS h FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS h FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS h FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]*>',
+        |  chr(10), 'g') AS h FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', '', 'g') AS h FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS h FROM c7),
+        |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&#34;', '"', 'g'), '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'), '&amp;', '&', 'g') AS h FROM c8),
+        |c10 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM c9),
+        |c11 AS (SELECT doc_id, regexp_replace(h, ' ?\n ?', chr(10), 'g') AS h FROM c10),
+        |c12 AS (SELECT doc_id, regexp_replace(h, '\n{2,}', chr(10), 'g') AS h FROM c11),
+        |c13 AS (SELECT doc_id, regexp_replace(h, '^\n+', '', 'g') AS h FROM c12),
+        |c14 AS (SELECT doc_id, regexp_replace(h, '\n+$', '', 'g') AS h FROM c13)
+        |SELECT doc_id, trim(h) AS extracted FROM c14""".stripMargin,
+
+    "crawl_e2e" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<html><head><title>T</title><script>if (1 < 2) { f("x"); }' ||
+        |  '</script><style>p { color: red }</style></head><body><h1>Doc ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  '</h1><!-- hidden --><p class="a">' || text ||
+        |  '</p><div>A&amp;B &lt;tag&gt;&nbsp;tail&#39;s</div>' ||
+        |  '</body></html>' AS h FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM page),
+        |c2 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS h FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS h FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS h FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]*>',
+        |  chr(10), 'g') AS h FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', '', 'g') AS h FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS h FROM c7),
+        |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&#34;', '"', 'g'), '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'), '&amp;', '&', 'g') AS h FROM c8),
+        |c10 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM c9),
+        |c11 AS (SELECT doc_id, regexp_replace(h, ' ?\n ?', chr(10), 'g') AS h FROM c10),
+        |c12 AS (SELECT doc_id, regexp_replace(h, '\n{2,}', chr(10), 'g') AS h FROM c11),
+        |c13 AS (SELECT doc_id, regexp_replace(h, '^\n+', '', 'g') AS h FROM c12),
+        |c14 AS (SELECT doc_id, regexp_replace(h, '\n+$', '', 'g') AS h FROM c13)
+        |SELECT doc_id, trim(h) AS extracted FROM c14""".stripMargin,
 
     "dedup_exact_stream" ->
       """SELECT DISTINCT

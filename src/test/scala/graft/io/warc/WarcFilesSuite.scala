@@ -1,0 +1,89 @@
+package graft.io.warc
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+class WarcFilesSuite extends TestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("WET write/read roundtrip is byte-exact across shard rolls") {
+    val docs = sfTable("documents").select(
+      concat(lit("urn:doc:"), col("doc_id")).as("uri"),
+      encode(col("text"), "UTF-8").as("bytes"))
+    val dir = tmp("warc_rt")
+    WarcFiles.write(docs, dir, maxShardBytes = 64 * 1024)
+    val back = WarcFiles.read(spark, dir)
+    assert(back.select("record_type").distinct().as[String].collect()
+      .toSeq == Seq("conversion"))
+    assertDFEq(
+      back.select(col("uri"), decode(col("bytes"), "UTF-8").as("text")),
+      sfTable("documents").select(
+        concat(lit("urn:doc:"), col("doc_id")).as("uri"), col("text")))
+    // the cap forced multiple shards and every shard is its own file
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS .crc checksum twins
+    assert(shards.length > 1 && shards.forall(_.endsWith(".warc.gz")))
+  }
+
+  test("reader parses a hand-written uncompressed WARC with an HTTP response") {
+    val body = "<html>hi</html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    val rec = "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/\r\n" +
+      "WARC-Date: 2013-05-01T12:00:00Z\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n" + http + "\r\n\r\n" +
+      "WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "Content-Length: 4\r\n\r\nabcd\r\n\r\n"
+    val dir = tmp("warc_hand")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg.warc"),
+      rec.getBytes(StandardCharsets.US_ASCII))
+    val rows = WarcFiles.read(spark, dir)
+    assert(rows.count() == 2)
+    val resp = rows.filter(col("record_type") === "response")
+      .select(col("uri"), col("date"),
+        decode(WarcFiles.httpBody(col("bytes")), "UTF-8").as("body"))
+      .head()
+    assert(resp.getString(0) == "http://example.com/")
+    assert(resp.getString(1) == "2013-05-01T12:00:00Z")
+    assert(resp.getString(2) == body)
+  }
+
+  test("httpBody passes through payloads with no HTTP envelope") {
+    val df = Seq("plain text".getBytes(StandardCharsets.UTF_8))
+      .toDF("bytes")
+    assert(df.select(decode(WarcFiles.httpBody(col("bytes")), "UTF-8"))
+      .as[String].head() == "plain text")
+  }
+
+  test("dateCol rides into records; default date is the fixed epoch") {
+    val df = Seq(("urn:a", "x".getBytes(StandardCharsets.UTF_8), "2020-01-02T03:04:05Z"))
+      .toDF("uri", "bytes", "d")
+    val dir = tmp("warc_date")
+    WarcFiles.write(df, dir, dateCol = Some("d"))
+    assert(WarcFiles.read(spark, dir).select("date").as[String].head() ==
+      "2020-01-02T03:04:05Z")
+    val dir2 = tmp("warc_nodate")
+    WarcFiles.write(df.drop("d"), dir2)
+    assert(WarcFiles.read(spark, dir2).select("date").as[String].head() ==
+      "1970-01-01T00:00:00Z")
+  }
+
+  test("malformed segment fails loudly, not silently truncated") {
+    val dir = tmp("warc_bad")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg.warc"),
+      "NOT A WARC\r\n".getBytes(StandardCharsets.US_ASCII))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcFiles.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("WARC") ||
+      e.getCause != null)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class HtmlTextSuite extends TestBase {
+  import spark.implicits._
+
+  private def run(html: String): String =
+    new HtmlTextExtractor().setInputCol("html").setOutputCol("out")
+      .transform(Seq(html).toDF("html")).select("out").as[String].head()
+
+  test("full page: head dropped, blocks become lines, entities decode") {
+    val html =
+      """<html><head><title>Ignored</title>
+        |<script>if (1 < 2) { alert("x"); }</script>
+        |<style>p { color: red }</style></head>
+        |<body><h1>Heading</h1><!-- comment -->
+        |<p>First &amp; second &lt;para&gt;.</p>
+        |<div>A&nbsp;B</div>
+        |<ul><li>one</li><li>two</li></ul>
+        |</body></html>""".stripMargin
+    val out = run(html)
+    assert(out ==
+      "Heading\nFirst & second <para>.\nA B\none\ntwo",
+      s"got:\n$out")
+  }
+
+  test("script content with embedded angle brackets never leaks") {
+    val out = run("<p>keep</p><script>for(i=0;i<10;i++){d.write('<b>x</b>')}</script><p>tail</p>")
+    assert(out == "keep\ntail")
+  }
+
+  test("inline tags strip without line breaks; attributes vanish") {
+    assert(run("""<p>a <b>bold</b> and <a href="http://x/">link</a> end</p>""") ==
+      "a bold and link end")
+  }
+
+  test("numeric quote/apostrophe entities and apos decode") {
+    assert(run("<p>it&#39;s a &quot;q&quot; &#34;r&#34; &apos;s&apos;</p>") ==
+      "it's a \"q\" \"r\" 's'")
+  }
+
+  test("whitespace: runs collapse, newline stacks collapse to one") {
+    assert(run("<body><p>a</p>\n\n\n\n<p>b</p>   \t <p>c   d</p></body>") ==
+      "a\nb\nc d")
+  }
+
+  test("whole-stage codegen: the chain is expressions, not a UDF") {
+    val df = Seq("x").toDF("html")
+    val plan = new HtmlTextExtractor().setInputCol("html")
+      .transform(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("null html yields null text") {
+    val out = new HtmlTextExtractor().setInputCol("html").setOutputCol("out")
+      .transform(Seq[(Long, String)]((1L, null)).toDF("id", "html"))
+      .select("out").as[String].collect()
+    assert(out.toSeq == Seq(null))
+  }
+}
