@@ -1733,6 +1733,41 @@ object SparkEntry {
           decode(col("bytes"), "UTF-8").as("text"))
     },
 
+    // Token-shard (.bin/.idx) roundtrip: docs tokenized against a
+    // SQL-replayable corpus vocab (alphabetical rank of the canonical
+    // words), doc_id rides as token 0 since the flat Megatron-style
+    // format is purely positional; read back, explode, compare every
+    // (doc_id, pos, token_id) triple
+    "tokenshard_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val staging = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_tok_${new java.io.File(dir).getName}").toString
+      val words = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(
+          graft.dedup.DedupFunctions.canonical(col("text")), " "))
+          .as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+      // oracle plumbing, not the operator: the bounded corpus vocab
+      // gets ids by alphabetical rank (replayable), real pipelines feed
+      // tokenizer-model ids here
+      val vocab = words.select("w").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("w")))
+      val toks = words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id")).as("ids"))
+        .select(concat(array(col("doc_id").cast("int")), col("ids"))
+          .as("tokens"))
+      graft.io.binary.TokenShards.write(toks, staging,
+        maxShardBytes = 1L << 20)
+      graft.io.binary.TokenShards.read(s, staging)
+        .select(element_at(col("tokens"), 1).cast("long").as("doc_id"),
+          posexplode(slice(col("tokens"), 2, Int.MaxValue))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos"), col("token_id"))
+    },
+
     // HTML -> text extraction on pages synthesized around each doc's
     // text: head/script/style/comment subtrees must vanish, block tags
     // become single line breaks, entities decode, whitespace
@@ -3615,6 +3650,22 @@ object SparkEntry {
 
     "warc_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "tokenshard_roundtrip" ->
+      """WITH base AS (SELECT doc_id,
+        |  regexp_split_to_array(
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS arr
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS pos FROM base),
+        |wf AS (SELECT * FROM w WHERE length(w) > 0),
+        |v AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS id
+        |      FROM (SELECT DISTINCT w FROM wf)),
+        |ranked AS (SELECT doc_id, wf.pos, v.id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wf.pos) AS dense
+        |  FROM wf JOIN v USING (w))
+        |SELECT doc_id, CAST(dense - 1 AS INTEGER) AS pos,
+        |  CAST(id AS INTEGER) AS token_id FROM ranked""".stripMargin,
 
     "html_extract" ->
       """WITH page AS (SELECT doc_id,

@@ -1,0 +1,55 @@
+package graft.io.binary
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class TokenShardsSuite extends TestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("width-4 roundtrip across shard rolls, empty docs included") {
+    val docs = Seq(
+      Seq(1, 2, 3, 70000, Int.MaxValue),
+      Seq.empty[Int],
+      (0 until 5000).toSeq,
+      Seq(42)).toDF("tokens")
+    val dir = tmp("tok4")
+    TokenShards.write(docs, dir, maxShardBytes = 4096)
+    val back = TokenShards.read(spark, dir)
+    assert(back.count() == 4)
+    assertDFEq(back.select("tokens"), docs)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(names.count(_.endsWith(".bin")) > 1, "cap must roll shards")
+    assert(names.count(_.endsWith(".bin")) == names.count(_.endsWith(".idx")))
+  }
+
+  test("width-2 packs two bytes per id and rejects overflow") {
+    val dir = tmp("tok2")
+    TokenShards.write(Seq(Seq(0, 1, 65535)).toDF("tokens"), dir, width = 2)
+    assertDFEq(TokenShards.read(spark, dir).select("tokens"),
+      Seq(Seq(0, 1, 65535)).toDF("tokens"))
+    val bin = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head
+    assert(bin.length() == 6, s"3 uint16 ids must be 6 bytes, got ${bin.length}")
+    val e = intercept[org.apache.spark.SparkException] {
+      TokenShards.write(Seq(Seq(65536)).toDF("tokens"), tmp("tokof"),
+        width = 2)
+    }
+    assert(e.getMessage.contains("uint16") ||
+      (e.getCause != null && e.getCause.getMessage.contains("uint16")))
+  }
+
+  test("ordinals preserve in-shard order: shard order IS training order") {
+    val docs = (0 until 100).map(i => Seq(i)).toDF("tokens")
+      .coalesce(1) // one partition -> one deterministic shard sequence
+    val dir = tmp("tokord")
+    TokenShards.write(docs, dir, maxShardBytes = 1L << 20)
+    val back = TokenShards.read(spark, dir)
+      .orderBy("shard", "ordinal")
+      .select(element_at(col("tokens"), 1)).as[Int].collect()
+    assert(back.toSeq == (0 until 100))
+  }
+}
