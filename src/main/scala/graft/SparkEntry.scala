@@ -1733,6 +1733,24 @@ object SparkEntry {
           decode(col("bytes"), "UTF-8").as("text"))
     },
 
+    // Mojibake repair on text dirtied with the classic UTF-8-as-cp1252
+    // sequences (derived, not hand-typed: MojibakeRepair.moji); the
+    // oracle replays synthesis + the full replace chain, itself built
+    // from the same published table
+    "mojibake_repair" -> { (s, dir) =>
+      import graft.text.MojibakeRepair.moji
+      val dirty = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit(s"It${moji("’")}s ${moji("“")}fine${moji("„")} " +
+            s"caf${moji("é")} ${moji("—")} 20${moji("°")}C "),
+          col("text"),
+          lit(s" tail${moji("…")} ${moji("«")}q${moji("»")} " +
+            s"${moji("ü")}ber")).as("dirty"))
+      new graft.text.MojibakeRepair().setInputCol("dirty")
+        .setOutputCol("repaired").transform(dirty)
+        .select(col("doc_id"), col("repaired"))
+    },
+
     // Token-shard (.bin/.idx) roundtrip: docs tokenized against a
     // SQL-replayable corpus vocab (alphabetical rank of the canonical
     // words), doc_id rides as token 0 since the flat Megatron-style
@@ -3650,6 +3668,17 @@ object SparkEntry {
 
     "warc_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "mojibake_repair" -> {
+      import graft.text.MojibakeRepair.{moji, table}
+      val synth = s"'It${moji("’")}s ${moji("“")}fine${moji("„")} " +
+        s"caf${moji("é")} ${moji("—")} 20${moji("°")}C ' || text || " +
+        s"' tail${moji("…")} ${moji("«")}q${moji("»")} ${moji("ü")}ber'"
+      val chain = table.foldLeft(s"($synth)") { case (acc, (bad, good)) =>
+        s"replace($acc, '$bad', '$good')"
+      }
+      s"SELECT doc_id, $chain AS repaired FROM documents"
+    },
 
     "tokenshard_roundtrip" ->
       """WITH base AS (SELECT doc_id,
