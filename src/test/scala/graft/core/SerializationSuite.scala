@@ -359,6 +359,51 @@ class SerializationSuite extends TestBase {
     assert(copy.getCols.toSeq == Seq("line1\nline2", "tab\there"))
   }
 
+  test("round-12 param-only transformers save/load and re-transform") {
+    // the text/ingest family added this round: pure-param stages, so
+    // the fuzzing contract is save -> load -> transform equality
+    val docs = Seq((1L, "<p>Itâ€™s &amp; fine</p>"),
+      (2L, "plain line\nsecond line here okay"))
+      .toDF("doc_id", "text")
+    def rt[T <: org.apache.spark.ml.Transformer](
+        stage: T, load: String => T): Unit = {
+      val p = tmp(stage.uid.take(8))
+      stage.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+        .write.overwrite().save(p)
+      roundTrip(stage.transform(docs), load(p).transform(docs))
+    }
+    rt(new graft.text.HtmlTextExtractor().setInputCol("text")
+      .setOutputCol("o"), graft.text.HtmlTextExtractor.load)
+    rt(new graft.text.MojibakeRepair().setInputCol("text")
+      .setOutputCol("o"), graft.text.MojibakeRepair.load)
+    rt(new graft.text.DocumentFingerprinter().setInputCol("text")
+      .setK(4).setWindow(3), graft.text.DocumentFingerprinter.load)
+    rt(new graft.text.C4Filter().setInputCol("text")
+      .setMinSentences(1).setMinWordsPerLine(2),
+      graft.text.C4Filter.load)
+    rt(new graft.text.GopherSignals().setInputCol("text"),
+      graft.text.GopherSignals.load)
+    // run-time-input stages: params persist, inputs reattach post-load
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Array(i.toDouble, (i * 3 % 7).toDouble)))
+      .toDF("vec_id", "embedding")
+    val g = new graft.sim.KNNGraph().setInputCol("embedding")
+      .setIdCol("vec_id").setK(3).setBruteForce(true)
+    val gp = tmp("knngraph"); g.write.overwrite().save(gp)
+    roundTrip(g.transform(emb), graft.sim.KNNGraph.load(gp).transform(emb))
+    val fpIdx = graft.dedup.IncrementalDeduplicator
+      .fingerprintIndex(docs, "text")
+    val bloom = graft.dedup.BloomIncrementalDeduplicator
+      .buildIndex(fpIdx, numBuckets = 4)
+    val b = new graft.dedup.BloomIncrementalDeduplicator()
+      .setInputCol("text").setIdCol("doc_id")
+    val bp = tmp("bloom"); b.write.overwrite().save(bp)
+    val bl = graft.dedup.BloomIncrementalDeduplicator.load(bp)
+    roundTrip(
+      b.setBloomIndex(bloom).setCorpusIndex(fpIdx).transform(docs),
+      bl.setBloomIndex(bloom).setCorpusIndex(fpIdx).transform(docs))
+  }
+
   test("graft stages survive inside a persisted Spark Pipeline") {
     // Pipeline.load dispatches each stage from $stagePath/metadata —
     // the standard-format file our writers emit via PipelineMetadataShim;
