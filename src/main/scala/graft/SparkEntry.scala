@@ -1733,6 +1733,19 @@ object SparkEntry {
           decode(col("bytes"), "UTF-8").as("text"))
     },
 
+    // SQ8 scalar quantization: per-dim corpus min/max -> uint8 codes;
+    // the oracle recomputes the bounds and replays the exact
+    // floor(+0.5) arithmetic chain double-for-double (float->double
+    // widening is exact — the knn-oracle precedent)
+    "embedding_sq8" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val m = new graft.sim.ScalarQuantizer().setInputCol("embedding")
+        .fit(emb)
+      m.transform(emb)
+        .select(col("vec_id"), posexplode(col("codes"))
+          .as(Seq("pos", "code")))
+    },
+
     // Mojibake repair on text dirtied with the classic UTF-8-as-cp1252
     // sequences (derived, not hand-typed: MojibakeRepair.moji); the
     // oracle replays synthesis + the full replace chain, itself built
@@ -3668,6 +3681,19 @@ object SparkEntry {
 
     "warc_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "embedding_sq8" ->
+      """WITH d AS (SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS p
+        |  FROM embeddings),
+        |st AS (SELECT p, min(x) AS mn, max(x) AS mx FROM d GROUP BY p)
+        |SELECT d.vec_id, CAST(d.p - 1 AS INTEGER) AS pos,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE least(255.0, greatest(0.0,
+        |      floor((x - mn) * 255.0 / (mx - mn) + 0.5)))
+        |  END AS INTEGER) AS code
+        |FROM d JOIN st USING (p)""".stripMargin,
 
     "mojibake_repair" -> {
       import graft.text.MojibakeRepair.{moji, table}
