@@ -1714,6 +1714,22 @@ object SparkEntry {
           col("lm_ce_q4"))
     },
 
+    // CCNet §4.3 head/middle/tail split: LM cross-entropy terciles
+    // (bucket 1 = head = lowest perplexity); the integer q4 score +
+    // doc_id tiebreak give a total order, so NTILE agrees exactly.
+    // The global window is the ORACLE-exact form; at corpus scale the
+    // same split is two approxQuantile thresholds + a narrow filter
+    // (ScoreSelector's approx mode — no global sort)
+    "ccnet_buckets" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents")
+      new graft.text.UnigramLM().setInputCol("text").setVocabSize(16)
+        .fit(docs).transform(docs)
+        .filter(col("lm_n_tokens") > 0)
+        .select(col("doc_id"), ntile(3).over(
+          Window.orderBy(col("lm_ce_q4"), col("doc_id"))).as("bucket"))
+    },
+
     // WebDataset-style tar shard sink: every document's text is written
     // into byte-capped tar shards executor-side and read back through
     // the shard reader — the oracle is the identity, so any lost,
@@ -2127,6 +2143,38 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  // shared between lm_perplexity and the ccnet_buckets wrapper
+  private val lmPerplexitySql: String =
+    """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> x <> '')) AS t
+          |  FROM documents),
+          |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM cnt),
+          |vocab AS (SELECT t, c FROM (
+          |    SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn
+          |    FROM cnt) WHERE rn <= 16),
+          |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+          |    CAST(SUM(c) AS BIGINT) AS cv FROM vocab),
+          |par AS (SELECT
+          |    CAST(tot.nb AS DOUBLE) + 1.0 * (vs.v + 1) AS denom,
+          |    CAST(tot.nb - vs.cv AS DOUBLE) + 1.0 AS unknum
+          |  FROM tot CROSS JOIN vs),
+          |sc AS (
+          |  SELECT tok.doc_id, COUNT(*) AS n_tok,
+          |    SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+          |    SUM(-ln((CASE WHEN vocab.t IS NULL THEN par.unknum
+          |      ELSE CAST(vocab.c AS DOUBLE) + 1.0 END) / par.denom)) AS s
+          |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t CROSS JOIN par
+          |  GROUP BY tok.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS lm_n_tokens,
+          |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS lm_n_oov,
+          |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
+          |    AS lm_ce_q4
+          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "featurize_datetime" ->
       """SELECT o_orderkey,
@@ -3641,36 +3689,16 @@ object SparkEntry {
     // unigram LM replayed in SQL: same tokenization as the Spark side,
     // top-16 vocab by (count desc, token asc), add-1.0 smoothing over
     // V+1 types with OOV pooled into UNK; q4-scaled cross-entropy
-    "lm_perplexity" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'),
-        |    x -> x <> '')) AS t
-        |  FROM documents),
-        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
-        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM cnt),
-        |vocab AS (SELECT t, c FROM (
-        |    SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn
-        |    FROM cnt) WHERE rn <= 16),
-        |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
-        |    CAST(SUM(c) AS BIGINT) AS cv FROM vocab),
-        |par AS (SELECT
-        |    CAST(tot.nb AS DOUBLE) + 1.0 * (vs.v + 1) AS denom,
-        |    CAST(tot.nb - vs.cv AS DOUBLE) + 1.0 AS unknum
-        |  FROM tot CROSS JOIN vs),
-        |sc AS (
-        |  SELECT tok.doc_id, COUNT(*) AS n_tok,
-        |    SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
-        |    SUM(-ln((CASE WHEN vocab.t IS NULL THEN par.unknum
-        |      ELSE CAST(vocab.c AS DOUBLE) + 1.0 END) / par.denom)) AS s
-        |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t CROSS JOIN par
-        |  GROUP BY tok.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(sc.n_tok, 0) AS BIGINT) AS lm_n_tokens,
-        |  CAST(COALESCE(sc.n_oov, 0) AS BIGINT) AS lm_n_oov,
-        |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
-        |    AS lm_ce_q4
-        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "lm_perplexity" -> lmPerplexitySql,
+
+    // CCNet head/middle/tail by LM cross-entropy terciles: the lm
+    // oracle runs as a CTE, NTILE over the integer-quantized score
+    // with doc_id tiebreak (total order -> both engines agree)
+    "ccnet_buckets" ->
+      s"""WITH lm AS ($lmPerplexitySql)
+         |SELECT doc_id, CAST(NTILE(3) OVER
+         |  (ORDER BY lm_ce_q4, doc_id) AS INTEGER) AS bucket
+         |FROM lm WHERE lm_n_tokens > 0""".stripMargin,
 
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
