@@ -1749,6 +1749,26 @@ object SparkEntry {
           decode(col("bytes"), "UTF-8").as("text"))
     },
 
+    // URL/domain filter on synthesized crawl URLs: doc_id picks the
+    // domain (2 of 5 blocked, one spelled as a subdomain), every 7th
+    // URL carries a blocked path term; host extraction + dot-boundary
+    // suffix + substring rules all replayed in SQL
+    "url_filter" -> { (s, dir) =>
+      val domains = array(lit("good.com"), lit("evil.com"), lit("fine.org"),
+        lit("sub.bad.org"), lit("notevil.com"))
+      val urls = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          element_at(domains, (col("doc_id") % 5 + 1).cast("int")),
+          lit("/page/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 7 === 0, lit("?ref=casino"))
+            .otherwise(lit(""))).as("url"))
+      new graft.text.UrlFilter().setInputCol("url")
+        .setBlockedDomains(Seq("evil.com", "bad.org"))
+        .setBlockedTerms(Seq("casino"))
+        .transform(urls)
+    },
+
     // SQ8 scalar quantization: per-dim corpus min/max -> uint8 codes;
     // the oracle recomputes the bounds and replays the exact
     // floor(+0.5) arithmetic chain double-for-double (float->double
@@ -3709,6 +3729,24 @@ object SparkEntry {
 
     "warc_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "url_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |  (['good.com','evil.com','fine.org','sub.bad.org','notevil.com'])
+        |    [CAST(doc_id % 5 + 1 AS INTEGER)] ||
+        |  '/page/' || CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '?ref=casino' ELSE '' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_extract(lower(url),
+        |    '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+        |    '^www\.', '') AS host FROM u)
+        |SELECT doc_id, url FROM h
+        |WHERE NOT (host = 'evil.com' OR host LIKE '%.evil.com'
+        |        OR host = 'bad.org' OR host LIKE '%.bad.org'
+        |        OR lower(url) LIKE '%casino%')""".stripMargin,
 
     "embedding_sq8" ->
       """WITH d AS (SELECT vec_id,

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** URL/domain filtering — the crawl-side gate every web-corpus recipe
+  * applies before touching document bytes (C4's badwords URL rule,
+  * RefinedWeb's UT1 blocklist stage): drop documents whose source URL
+  * sits on a blocked domain (or any of its subdomains) or whose URL
+  * contains a blocked substring.
+  *
+  * Pure codegen'd expressions, zero shuffle, and — like every filter
+  * in this family — RE2∩Java-regex-safe so the oracle replays it:
+  * host extraction is one `regexp_extract` (scheme/userinfo/port/path
+  * stripped, lowercased, leading `www.` removed), domain matching is
+  * an `exists` over the blocklist literal (exact host or
+  * dot-boundary suffix — `evil.com` blocks `a.evil.com` but NOT
+  * `notevil.com`), substring terms match against the whole lowercased
+  * URL. The blocklist rides the plan as a literal array: thousands of
+  * entries broadcast with the plan for free; for the multi-million-
+  * entry UT1 lists, join a blocklist TABLE on the extracted
+  * `registered domain` column instead (one broadcast join) — this
+  * stage is the in-plan fast path.
+  */
+class UrlFilter(override val uid: String)
+    extends Transformer with HasInputCol with GraftWritable {
+  def this() = this(Identifiable.randomUID("UrlFilter"))
+
+  final val blockedDomains = new StringArrayParam(this, "blockedDomains",
+    "domains blocked together with every subdomain")
+  setDefault(blockedDomains -> Array.empty[String])
+  def setBlockedDomains(v: Seq[String]): this.type =
+    set(blockedDomains, v.toArray)
+
+  final val blockedTerms = new StringArrayParam(this, "blockedTerms",
+    "lowercase substrings that block a URL anywhere they appear")
+  setDefault(blockedTerms -> Array.empty[String])
+  def setBlockedTerms(v: Seq[String]): this.type =
+    set(blockedTerms, v.toArray)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    df.filter(UrlFilter.keeps(col(getInputCol),
+      $(blockedDomains).toIndexedSeq, $(blockedTerms).toIndexedSeq))
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): UrlFilter = defaultCopy(extra)
+}
+
+object UrlFilter extends GraftReadable[UrlFilter] {
+
+  /** Lowercased host of a URL, `www.`-stripped; empty string when the
+    * URL has no parseable authority. */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url),
+        "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1),
+      "^www\\.", "")
+
+  /** The keep predicate (true = survives). */
+  def keeps(url: Column, domains: Seq[String], terms: Seq[String]): Column = {
+    val h = host(url)
+    val domainHit =
+      if (domains.isEmpty) lit(false)
+      else exists(lit(domains.toArray),
+        d => h === d || endswith(h, concat(lit("."), d)))
+    val termHit =
+      if (terms.isEmpty) lit(false)
+      else exists(lit(terms.toArray), t => contains(lower(url), t))
+    url.isNotNull && !domainHit && !termHit
+  }
+}

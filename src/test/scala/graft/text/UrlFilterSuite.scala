@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class UrlFilterSuite extends TestBase {
+  import spark.implicits._
+
+  private val f = new UrlFilter().setInputCol("url")
+    .setBlockedDomains(Seq("evil.com", "bad.org"))
+    .setBlockedTerms(Seq("casino", "xxx"))
+
+  private def survivors(urls: String*): Seq[String] =
+    f.transform(urls.toDF("url")).as[String].collect().toSeq
+
+  test("blocked domains fall with every subdomain, not by substring") {
+    assert(survivors(
+      "https://evil.com/page",          // exact -> drop
+      "http://a.b.evil.com/x",          // subdomain -> drop
+      "https://notevil.com/fine",       // suffix WITHOUT dot -> keep
+      "https://evil.com.safe.net/ok",   // blocked string mid-host -> keep
+      "https://good.com/evil.com") ==   // only in path -> keep
+      Seq("https://notevil.com/fine", "https://evil.com.safe.net/ok",
+        "https://good.com/evil.com"))
+  }
+
+  test("www and case and userinfo and port normalize away") {
+    assert(survivors(
+      "HTTPS://WWW.EVIL.COM/X",
+      "https://user:pw@evil.com:8080/x",
+      "https://www.fine.com/x") == Seq("https://www.fine.com/x"))
+  }
+
+  test("blocked terms match anywhere in the lowercased url") {
+    assert(survivors(
+      "https://ok.com/CASINO/night",
+      "https://ok.com/games",
+      "https://xxx-files.net/doc") == Seq("https://ok.com/games"))
+  }
+
+  test("null drops; scheme-less has no authority for domain rules") {
+    val df = Seq[Option[String]](None, Some("not a url"), Some("https://ok.com/"))
+      .toDF("url")
+    val out = f.transform(df).as[String].collect().toSeq
+    // scheme-less has empty host: no domain hit, term rules still apply
+    assert(out == Seq("not a url", "https://ok.com/"))
+  }
+
+  test("expressions only, zero shuffle") {
+    val plan = f.transform(Seq("https://x.com").toDF("url"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"))
+  }
+}
