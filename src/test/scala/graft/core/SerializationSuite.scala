@@ -359,6 +359,17 @@ class SerializationSuite extends TestBase {
     assert(copy.getCols.toSeq == Seq("line1\nline2", "tab\there"))
   }
 
+  test("ScalarQuantizerModel save/load") {
+    val df = Seq((1L, Array(0.0f, 10.0f)), (2L, Array(1.0f, -10.0f)))
+      .toDF("vec_id", "embedding")
+    val m = new graft.sim.ScalarQuantizer().setInputCol("embedding").fit(df)
+    val p = tmp("sq8"); m.write.overwrite().save(p)
+    val loaded = graft.sim.ScalarQuantizerModel.load(p)
+    assert(loaded.mins.sameElements(m.mins) &&
+      loaded.maxs.sameElements(m.maxs))
+    roundTrip(m.transform(df), loaded.transform(df))
+  }
+
   test("round-12 param-only transformers save/load and re-transform") {
     // the text/ingest family added this round: pure-param stages, so
     // the fuzzing contract is save -> load -> transform equality
