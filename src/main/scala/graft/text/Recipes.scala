@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.ml.Pipeline
+import graft.stages.Lambda
+import org.apache.spark.sql.functions._
+
+/** Pre-assembled curation pipelines — the standard orderings of this
+  * library's stages as plain SparkML `Pipeline`s, so a user gets the
+  * published recipe in one call and still re-orders / re-parameterizes
+  * by editing `getStages`. Stage order follows the public pipelines
+  * (C4 / CCNet / RefinedWeb): cheap URL-level drops before byte-level
+  * cleaning, cleaning before quality gating, quality gating before
+  * the (only) shuffling stage, dedup.
+  *
+  * Every member is built from the individually-oracle-gated stages;
+  * the suite runs each recipe end-to-end on the documents fixture and
+  * the composition gates (`crawl_e2e`, `curation_e2e`) hash-pin the
+  * chained-plan semantics the recipes rely on.
+  */
+object Recipes {
+
+  /** Crawl response records → clean text: URL blocklist → HTML→text →
+    * mojibake repair → C4 line/page cleaning. Input column `url` +
+    * `html`; survivors end with clean text in `text`. */
+  def webExtraction(blockedDomains: Seq[String] = Nil,
+      blockedTerms: Seq[String] = Nil): Pipeline =
+    new Pipeline().setStages(Array(
+      new UrlFilter().setInputCol("url")
+        .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms),
+      new HtmlTextExtractor().setInputCol("html").setOutputCol("__extracted"),
+      new MojibakeRepair().setInputCol("__extracted")
+        .setOutputCol("__repaired"),
+      new C4Filter().setInputCol("__repaired").setOutputCol("text"),
+      new Lambda().setTransform(
+        _.drop("__extracted", "__repaired", "html"))))
+
+  /** Clean text → training corpus: Gopher structural signals +
+    * threshold gate → exact dedup → deterministic shuffle order.
+    * Expects `doc_id` and `text`; emits survivors with `shuffle_pos`.
+    * Near-dup (MinHash/SemDeDup) and LM-perplexity gating compose the
+    * same way — they are left out of the default because their
+    * parameters are corpus-specific choices, not defaults. */
+  def corpusCuration(minWords: Long = 50, maxBulletLineQ4: Long = 9000,
+      seed: String = "42"): Pipeline =
+    new Pipeline().setStages(Array(
+      new GopherSignals().setInputCol("text"),
+      new Lambda().setTransform(df => df
+        .filter(col("gs_n_words") >= minWords &&
+          col("gs_bullet_line_q4") <= maxBulletLineQ4)
+        .drop(df.columns.filter(_.startsWith("gs_")).toIndexedSeq: _*)),
+      new graft.dedup.ExactDeduplicator().setInputCol("text")
+        .setIdCol("doc_id"),
+      new CorpusShuffler().setIdCol("doc_id").setSeed(seed)))
+}

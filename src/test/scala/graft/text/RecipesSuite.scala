@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+class RecipesSuite extends TestBase {
+  import spark.implicits._
+
+  test("webExtraction: blocklist, extraction, repair, cleaning chain end-to-end") {
+    import MojibakeRepair.moji
+    def page(body: String) =
+      s"<html><head><script>x(1)</script></head><body>$body</body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full sentence number $i with plenty of honest words in it.")
+      .mkString(" ")
+    val df = Seq(
+      ("https://ok.com/a", page(s"<p>$longPara</p>")),
+      ("https://evil.com/b", page(s"<p>$longPara</p>")), // URL-blocked
+      ("https://ok.com/c", page(s"<p>caf${moji("é")} $longPara</p>")),
+      ("https://ok.com/d", page("<p>too short.</p>"))) // C4-dropped
+      .toDF("url", "html")
+    val out = Recipes.webExtraction(blockedDomains = Seq("evil.com"))
+      .fit(df).transform(df)
+    assert(out.columns.toSeq == Seq("url", "text"))
+    val kept = out.select("url").as[String].collect().toSet
+    assert(kept == Set("https://ok.com/a", "https://ok.com/c"))
+    val repaired = out.filter(col("url") === "https://ok.com/c")
+      .select("text").as[String].head()
+    assert(repaired.startsWith("café ") && !repaired.contains("Ã"))
+  }
+
+  test("corpusCuration: gate, dedup, deterministic order") {
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, body), (2L, body), // dup pair -> min id survives
+      (3L, "tiny"), // word-count gate drops
+      (4L, body + " unique tail here")).toDF("doc_id", "text")
+    val out = Recipes.corpusCuration(minWords = 50).fit(df).transform(df)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(out.columns.contains("shuffle_pos"))
+    // deterministic: same seed -> same permutation
+    val again = Recipes.corpusCuration(minWords = 50).fit(df).transform(df)
+    assertDFEq(out, again)
+  }
+
+  test("recipes persist as Pipelines (Lambda fn rides complex params)") {
+    val p = java.nio.file.Files.createTempDirectory("recipe").toString + "/p"
+    Recipes.webExtraction(blockedDomains = Seq("evil.com"))
+      .write.overwrite().save(p)
+    val loaded = org.apache.spark.ml.Pipeline.load(p)
+    assert(loaded.getStages.length == 5)
+  }
+}
