@@ -71,13 +71,22 @@ object WarcFiles {
     buf
   }
 
-  /** Streaming record iterator over one (possibly gzipped) segment. */
+  /** Streaming record iterator over one (possibly compressed) segment.
+    * Gzip and zstd both decode concatenated per-record members/frames
+    * (zstd via zstd-jni's continuous mode — the `.warc.zst` layout of
+    * the newer public crawls). */
   private[warc] def records(in0: InputStream, file: String,
-      gzipped: Boolean): Iterator[Row] = {
-    val in: InputStream =
-      if (gzipped) // buffer above the inflater: header parsing reads bytewise
-        new BufferedInputStream(new GzipCompressorInputStream(in0, true), 1 << 16)
-      else in0
+      codec: String): Iterator[Row] = {
+    val in: InputStream = codec match {
+      // buffer above the inflater: header parsing reads bytewise
+      case "gz" => new BufferedInputStream(
+        new GzipCompressorInputStream(in0, true), 1 << 16)
+      case "zst" =>
+        val z = new com.github.luben.zstd.ZstdInputStream(in0)
+        z.setContinuous(true)
+        new BufferedInputStream(z, 1 << 16)
+      case _ => in0
+    }
     new Iterator[Row] {
       private var nextRow: Row = advance()
       private def advance(): Row = {
@@ -124,7 +133,8 @@ object WarcFiles {
       spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(conf.value)
-    val segs = Seq("*.warc", "*.warc.gz", "*.wet", "*.wet.gz")
+    val segs = Seq("*.warc", "*.warc.gz", "*.wet", "*.wet.gz",
+      "*.warc.zst", "*.wet.zst")
       .flatMap(g => fs.globStatus(new org.apache.hadoop.fs.Path(base, g)))
       .map(_.getPath.toString).sorted
     val rdd = spark.sparkContext
@@ -135,7 +145,10 @@ object WarcFiles {
           path.getFileSystem(conf.value).open(path), 1 << 16)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => raw.close()))
-        records(raw, p, p.endsWith(".gz"))
+        records(raw, p,
+          if (p.endsWith(".gz")) "gz"
+          else if (p.endsWith(".zst")) "zst"
+          else "none")
       }
     spark.createDataFrame(rdd, recordType)
   }

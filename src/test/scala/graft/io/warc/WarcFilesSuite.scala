@@ -75,6 +75,25 @@ class WarcFilesSuite extends TestBase {
       "1970-01-01T00:00:00Z")
   }
 
+  test("zstd segments decode, including concatenated per-record frames") {
+    val rec1 = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: urn:z1\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    val rec2 = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: urn:z2\r\nContent-Length: 5\r\n\r\nworld\r\n\r\n"
+    val dir = tmp("warc_zst")
+    val out = new java.io.FileOutputStream(s"$dir/seg.warc.zst")
+    for (r <- Seq(rec1, rec2)) { // one zstd FRAME per record
+      val z = new com.github.luben.zstd.ZstdOutputStream(
+        new java.io.FilterOutputStream(out) { override def close(): Unit = () })
+      z.write(r.getBytes(StandardCharsets.US_ASCII)); z.close()
+    }
+    out.close()
+    val rows = WarcFiles.read(spark, dir)
+      .select(col("uri"), decode(col("bytes"), "UTF-8").as("t"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(("urn:z1", "hello"), ("urn:z2", "world")))
+  }
+
   test("malformed segment fails loudly, not silently truncated") {
     val dir = tmp("warc_bad")
     java.nio.file.Files.write(
