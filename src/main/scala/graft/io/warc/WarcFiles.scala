@@ -173,6 +173,83 @@ object WarcFiles {
     f(c)
   }
 
+  /** HTTP response headers of a `response` record's payload as a
+    * lowercase-keyed map (empty for records with no HTTP envelope). */
+  def httpHeaders(c: Column): Column = {
+    val f = udf { bytes: Array[Byte] =>
+      if (bytes == null) Map.empty[String, String]
+      else {
+        val end = {
+          var i = 0; var at = -1
+          while (at < 0 && i + 3 < math.min(bytes.length, 1 << 16)) {
+            if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+                bytes(i + 2) == '\r' && bytes(i + 3) == '\n') at = i
+            i += 1
+          }
+          at
+        }
+        if (end < 0) Map.empty[String, String]
+        else {
+          val head = new String(bytes, 0, end, StandardCharsets.ISO_8859_1)
+          if (!head.regionMatches(true, 0, "HTTP/", 0, 5))
+            Map.empty[String, String]
+          else head.split("\r\n").drop(1).flatMap { l =>
+            val i = l.indexOf(':')
+            if (i > 0) Some(l.substring(0, i).trim.toLowerCase ->
+              l.substring(i + 1).trim)
+            else None
+          }.toMap
+        }
+      }
+    }
+    f(c)
+  }
+
+  /** Decode page bytes to text with charset sniffing — the order real
+    * pipelines use: UTF BOM, `charset=` in the Content-Type header
+    * value (pass `httpHeaders(c)("content-type")` or null), `<meta
+    * charset>` / http-equiv in the first 4 KB, else UTF-8 with
+    * malformed input REPLACEd (never a task failure: a broken page
+    * yields U+FFFD runs that the downstream quality gates drop).
+    * Unknown charset names fall back the same way. */
+  def decodeText(bytes: Column, contentType: Column = lit(null)): Column = {
+    val f = udf { (b: Array[Byte], ct: String) =>
+      if (b == null) null
+      else {
+        def known(n: String): Option[java.nio.charset.Charset] =
+          try Some(java.nio.charset.Charset.forName(n.trim))
+          catch { case _: Exception => None }
+        val fromBom =
+          if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+              b(2) == 0xBF.toByte) Some(StandardCharsets.UTF_8)
+          else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+            Some(StandardCharsets.UTF_16BE)
+          else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+            Some(StandardCharsets.UTF_16LE)
+          else None
+        val CsHeader = "(?i)charset=[\"']?([\\w.:-]+)".r
+        val fromHeader = Option(ct)
+          .flatMap(c => CsHeader.findFirstMatchIn(c))
+          .flatMap(m => known(m.group(1)))
+        val fromMeta = {
+          val head = new String(b, 0, math.min(b.length, 4096),
+            StandardCharsets.ISO_8859_1)
+          CsHeader.findFirstMatchIn(head).flatMap(m => known(m.group(1)))
+        }
+        val cs = fromBom.orElse(fromHeader).orElse(fromMeta)
+          .getOrElse(StandardCharsets.UTF_8)
+        val dec = cs.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        val skip = if (fromBom.contains(StandardCharsets.UTF_8)) 3
+          else if (fromBom.isDefined) 2 else 0
+        dec.decode(java.nio.ByteBuffer.wrap(b, skip, b.length - skip))
+          .toString
+      }
+    }
+    f(bytes, contentType)
+  }
+
   private def writeRecord(out: OutputStream, uri: String, date: String,
       payload: Array[Byte]): Unit = {
     val id = java.security.MessageDigest.getInstance("MD5")

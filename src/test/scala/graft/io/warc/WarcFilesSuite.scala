@@ -94,6 +94,39 @@ class WarcFilesSuite extends TestBase {
     assert(rows == Set(("urn:z1", "hello"), ("urn:z2", "world")))
   }
 
+  test("httpHeaders parses the envelope; no-envelope payload yields empty map") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\nX-A: b\r\n\r\nbody"
+    val df = Seq(http.getBytes(StandardCharsets.ISO_8859_1),
+      "plain".getBytes(StandardCharsets.UTF_8)).toDF("bytes")
+    val maps = df.select(WarcFiles.httpHeaders(col("bytes")))
+      .as[Map[String, String]].collect()
+    assert(maps(0) == Map(
+      "content-type" -> "text/html; charset=ISO-8859-1", "x-a" -> "b"))
+    assert(maps(1).isEmpty)
+  }
+
+  test("decodeText sniffs BOM, header charset, meta charset, falls back UTF-8") {
+    val latin = "café ole".getBytes(StandardCharsets.ISO_8859_1)
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "café".getBytes(StandardCharsets.UTF_8)
+    val meta = ("<html><head><meta charset=\"windows-1252\"></head>" +
+      "<body>déjà</body></html>")
+      .getBytes("windows-1252")
+    val plainUtf = "働く".getBytes(StandardCharsets.UTF_8)
+    val broken = Array(0xC3, 0x28).map(_.toByte) // malformed UTF-8
+    val df = Seq(
+      (latin, "text/html; charset=ISO-8859-1"),
+      (bom, null), (meta, null), (plainUtf, null), (broken, null))
+      .toDF("bytes", "ct")
+    val out = df.select(WarcFiles.decodeText(col("bytes"), col("ct")))
+      .as[String].collect()
+    assert(out(0) == "café ole")
+    assert(out(1) == "café") // BOM consumed, not emitted
+    assert(out(2).contains("déjà"))
+    assert(out(3) == "働く")
+    assert(out(4).contains("�")) // replaced, never a task failure
+  }
+
   test("malformed segment fails loudly, not silently truncated") {
     val dir = tmp("warc_bad")
     java.nio.file.Files.write(
