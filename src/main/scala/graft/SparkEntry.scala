@@ -1769,6 +1769,21 @@ object SparkEntry {
         .transform(urls)
     },
 
+    // Registered-domain extraction (the per-domain grouping key):
+    // two-label tail, or three when the tail is a listed public
+    // suffix; oracle replays both regexps and the suffix CASE
+    "registered_domain" -> { (s, dir) =>
+      val hosts = array(lit("news.bbc.co.uk"), lit("a.b.example.com"),
+        lit("www.example.com"), lit("shop.com.au"), lit("sub.x.co.jp"),
+        lit("foo.org"), lit("co.uk"))
+      val urls = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 7 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      urls.select(col("doc_id"),
+        graft.text.UrlFilter.registeredDomain(col("url")).as("domain"))
+    },
+
     // SQ8 scalar quantization: per-dim corpus min/max -> uint8 codes;
     // the oracle recomputes the bounds and replays the exact
     // floor(+0.5) arithmetic chain double-for-double (float->double
@@ -3729,6 +3744,28 @@ object SparkEntry {
 
     "warc_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+
+    "registered_domain" -> {
+      val sufs = graft.text.UrlFilter.defaultMultiSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+         |  'https://' ||
+         |  (['news.bbc.co.uk','a.b.example.com','www.example.com',
+         |    'shop.com.au','sub.x.co.jp','foo.org','co.uk'])
+         |    [CAST(doc_id % 7 + 1 AS INTEGER)] ||
+         |  '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |h AS (SELECT doc_id,
+         |  regexp_replace(regexp_extract(lower(url),
+         |    '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+         |    '^www\\.', '') AS host FROM u),
+         |p AS (SELECT doc_id,
+         |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS two,
+         |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three
+         |  FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN two IN ($sufs) AND three <> '' THEN three
+         |       ELSE two END AS domain FROM p""".stripMargin
+    },
 
     "url_filter" ->
       """WITH u AS (SELECT doc_id,

@@ -62,6 +62,33 @@ object UrlFilter extends GraftReadable[UrlFilter] {
         "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1),
       "^www\\.", "")
 
+  /** Multi-label public suffixes that make the registered domain three
+    * labels instead of two — the high-traffic subset of the public
+    * suffix list (the full PSL is a data file a deployment supplies to
+    * `registeredDomain`'s second parameter; this default covers the
+    * dominant ccTLD second-level registries). */
+  val defaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "com.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "co.in", "com.mx", "com.ar",
+    "com.tr", "co.kr", "or.kr", "co.za", "com.sg", "com.hk", "com.tw",
+    "co.nz", "com.my", "co.id", "com.eg", "com.sa", "co.il", "com.ua",
+    "com.pl", "com.vn")
+
+  /** Registered (pay-level) domain of a URL: the last two host labels,
+    * or the last three when the two-label tail is a listed public
+    * suffix — the key every per-domain operator (mixtures, upsampling,
+    * caps) should group by, since grouping by raw host splits one
+    * site into thousands of subdomain groups. Hosts with fewer labels
+    * (bare TLDs, IPs are left as-is) pass through. */
+  def registeredDomain(url: Column,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): Column = {
+    val h = host(url)
+    val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    val three = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(two.isin(multiSuffixes: _*) && three =!= "", three).otherwise(two)
+  }
+
   /** The keep predicate (true = survives). */
   def keeps(url: Column, domains: Seq[String], terms: Seq[String]): Column = {
     val h = host(url)

@@ -46,6 +46,21 @@ class UrlFilterSuite extends TestBase {
     assert(out == Seq("not a url", "https://ok.com/"))
   }
 
+  test("registeredDomain: two labels, PSL three-label tails, edge hosts") {
+    val cases = Seq(
+      "https://news.bbc.co.uk/x" -> "bbc.co.uk",
+      "https://a.b.example.com/x" -> "example.com",
+      "https://www.example.com/x" -> "example.com",
+      "https://example.com/x" -> "example.com",
+      "https://co.uk/x" -> "co.uk", // bare suffix: no third label
+      "https://localhost/x" -> "", // single label: no dot pair
+      "https://sub.shop.com.au/x" -> "shop.com.au")
+    val out = cases.map(_._1).toDF("url")
+      .select(UrlFilter.registeredDomain(col("url"))).as[String]
+      .collect().toSeq
+    assert(out == cases.map(_._2), s"got $out")
+  }
+
   test("expressions only, zero shuffle") {
     val plan = f.transform(Seq("https://x.com").toDF("url"))
       .queryExecution.executedPlan.toString
