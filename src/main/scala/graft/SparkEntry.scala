@@ -3839,9 +3839,9 @@ object SparkEntry {
         |c4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h FROM c3),
         |c5 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS h FROM c4),
         |c6 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]*>',
+        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]{0,1000}>',
         |  chr(10), 'g') AS h FROM c5),
-        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', '', 'g') AS h FROM c6),
+        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]{1,1000}>', '', 'g') AS h FROM c6),
         |c8 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS h FROM c7),
         |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
@@ -3867,9 +3867,9 @@ object SparkEntry {
         |c4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h FROM c3),
         |c5 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS h FROM c4),
         |c6 AS (SELECT doc_id, regexp_replace(h,
-        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]*>',
+        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]{0,1000}>',
         |  chr(10), 'g') AS h FROM c5),
-        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', '', 'g') AS h FROM c6),
+        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]{1,1000}>', '', 'g') AS h FROM c6),
         |c8 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS h FROM c7),
         |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,

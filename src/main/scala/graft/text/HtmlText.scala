@@ -48,8 +48,10 @@ class HtmlTextExtractor(override val uid: String)
 
 object HtmlTextExtractor extends GraftReadable[HtmlTextExtractor] {
 
-  /** (pattern, replacement) chain — applied in order; mirrored
-    * step-for-step by the `html_extract` oracle SQL. */
+  /** (pattern, replacement) chain in its SPEC form — `.*?` shortest
+    * match, the form the `html_extract` oracle replays step for step
+    * (RE2 executes non-greedy in linear time; these ARE the oracle's
+    * patterns verbatim). */
   val steps: Seq[(String, String)] = Seq(
     // 1. comments (DOTALL, non-greedy)
     ("(?s)<!--.*?-->", ""),
@@ -58,11 +60,17 @@ object HtmlTextExtractor extends GraftReadable[HtmlTextExtractor] {
     ("(?is)<style\\b[^>]*>.*?</style>", ""),
     ("(?is)<noscript\\b[^>]*>.*?</noscript>", ""),
     ("(?is)<head\\b[^>]*>.*?</head>", ""),
-    // 3. block-level tags become line breaks (open or close)
+    // 3. block-level tags become line breaks (open or close). The tag
+    // body is BOUNDED ({0,1000}, RE2's repetition limit): unbounded
+    // [^>]* rescans to EOF at every '<' of a '>'-free suffix — "a<b,
+    // c<d" math/code text is quadratic under java.util.regex; the
+    // bound caps each attempt, and a >1000-char tag (nonexistent in
+    // practice) simply survives to the text, where the quality gates
+    // judge it
     ("(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|" +
-      "section|article|header|footer|pre|form)\\b[^>]*>", "\n"),
-    // 4. every remaining tag vanishes
-    ("<[^>]+>", ""),
+      "section|article|header|footer|pre|form)\\b[^>]{0,1000}>", "\n"),
+    // 4. every remaining tag vanishes (same bound)
+    ("<[^>]{1,1000}>", ""),
     // 5. entities — &amp; LAST so it cannot create new entities
     ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
     ("&#34;", "\""), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
@@ -79,9 +87,20 @@ object HtmlTextExtractor extends GraftReadable[HtmlTextExtractor] {
     ("^\\n+", ""), ("\\n+$", ""))
 
   /** The full chain as one nested column expression; leading/trailing
-    * spaces trimmed last. */
+    * spaces trimmed last. The first five steps (comments + the four
+    * subtree strips) execute as the LINEAR native kernel
+    * [[graft.functions.TextExpressions.stripHtmlSubtrees]] rather than
+    * java.util.regex: Java regex attempts `.*?Closer` at every start
+    * position and rescans to EOF on each failure — quadratic on pages
+    * full of unclosed `<!--`/`<script`, a routine crawl shape under
+    * crawler length caps (92-150 s measured for ONE 300 KB adversarial
+    * page, in both the non-greedy and possessive formulations;
+    * graft.tools.HtmlProbe). RE2, the oracle engine, simulates all
+    * starts in one automaton pass, so the oracle keeps the published
+    * spec form and stays linear. */
   def extract(c: Column): Column =
-    trim(steps.foldLeft(c) { case (acc, (p, r)) =>
-      regexp_replace(acc, p, r)
+    trim(steps.drop(5).foldLeft(
+      graft.functions.TextExpressions.stripHtmlSubtrees(c)) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
     })
 }

@@ -46,6 +46,40 @@ class HtmlTextSuite extends TestBase {
       "a\nb\nc d")
   }
 
+  test("native subtree kernel matches the spec regex semantics") {
+    // the linear kernel replaces java-regex execution of steps 1-5;
+    // RE2/.*? shortest-match semantics pinned on the tricky shapes
+    val cases = Seq(
+      "<!--a---->x" -> "x", // dash run before the closer
+      "<!--a--->x" -> "x",
+      // '-->' absent inside '<!--->': not a comment, but step 7 then
+      // strips the whole '<...>' span as a tag — chain semantics
+      "<!--->x" -> "x",
+      "a<!-- b <!-- c -->d" -> "ad", // shortest close from FIRST opener
+      "a<!-- open " -> "a<!-- open", // unclosed -> stays (then trimmed)
+      "x<SCRIPT a=b>body</ScRiPt>y" -> "xy", // case-insensitive pair
+      "x<script>a<b</script>y" -> "xy", // '<' inside the body
+      "x<scripts>not a script</scripts>y" -> "xnot a scripty", // \b
+      "x<script-a>b</script>y" -> "xy", // '-' passes \b like the regex
+      "x<script no close" -> "x<script no close",
+      "u<style>s</style><noscript>n</noscript><head>h</head>v" -> "uv")
+    cases.foreach { case (in, want) =>
+      assert(run(in) == want, s"for <$in>")
+    }
+  }
+
+  test("adversarial pages (unclosed constructs, '>'-free text) stay linear-ish") {
+    // the defect this guards: 300 KB of these shapes took 92-150 s
+    // under java-regex execution; the kernel + bounded tag bodies do
+    // them in well under a second — generous wall for CI noise
+    val t0 = System.nanoTime()
+    run("<!-- x " * 14000)
+    run("<script> y " * 9000)
+    run("a<b, c<d, " * 10000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"adversarial extraction took $secs s")
+  }
+
   test("whole-stage codegen: the chain is expressions, not a UDF") {
     val df = Seq("x").toDF("html")
     val plan = new HtmlTextExtractor().setInputCol("html")
