@@ -250,10 +250,20 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val fullQs = namedWalls.sortBy(_._1)
       .map { case (k, w) => "\"" + k + "\":" + fmt(w) }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_contract_full.json"),
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_contract_full.json"), fullLine)
+    // full-suite runs also land the full-resolution record at the repo
+    // root as a COMMITTED artifact (BENCH_FULL.json): the compact
+    // contract line drops sub-threshold walls into an "omitted" count,
+    // so without this file those queries' walls had no repo-resident
+    // record at all (round-12 verdict). Subset runs (bench args) skip it
+    // so an isolation probe can't overwrite the suite-wide record.
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)

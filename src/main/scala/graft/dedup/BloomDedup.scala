@@ -198,6 +198,12 @@ object BloomIncrementalDeduplicator
       if (x.isEmpty) y
       else if (y.isEmpty) x
       else {
+        // same-m enforcement: silently OR-ing up to x.length would
+        // either AIOOBE or drop y's tail bits (= missed duplicates in
+        // approximate mode) when two differently-sized indexes meet
+        require(x.length == y.length,
+          s"incompatible Bloom buffers (${x.length} vs ${y.length} bytes " +
+            "— indexes built with different m cannot merge)")
         var i = 0
         while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
         x
@@ -249,6 +255,9 @@ object BloomIncrementalDeduplicator
       if (x.isEmpty) y
       else if (y == null || y.isEmpty) x
       else {
+        require(x.length == y.length,
+          s"incompatible Bloom buffers (${x.length} vs ${y.length} bytes " +
+            "— indexes built with different m cannot merge)")
         var i = 0
         while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
         x

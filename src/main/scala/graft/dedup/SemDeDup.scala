@@ -34,7 +34,12 @@ import org.apache.spark.sql.types._
   *    linear), capped by `maxAutoClusters` where driver-side k-means
   *    stops being the right tool (a fixed k instead saturates
   *    `maxClusterSize` caps as the corpus grows — candidates are then
-  *    silently dropped, visible in the drop metric);
+  *    silently dropped, visible in the drop metric). While auto-k grows
+  *    with the corpus (k ∝ n below the cap) the two-level assignment
+  *    term is O(√k·dim) per row, measurably superlinear — the round-12
+  *    100x sweep put alpha at 1.11; once n/targetClusterSize exceeds
+  *    `maxAutoClusters` (~1M rows at the defaults), k is constant and
+  *    the operator is linear — the 100 TB regime;
   *  - assignment is one narrow pass over the broadcast centroid matrix
   *    (argmax cosine == argmin L2 on the unit sphere) that also emits the
   *    centroid similarity the keep rule needs — no mllib lineage, no

@@ -91,16 +91,26 @@ object TokenShards {
         val bytes = ids.length.toLong * w
         if (bin == null || (written > 0 && written + bytes > maxShardBytes))
           roll()
+        // one bulk write per document (per-id writeByte calls cost 2-4
+        // stream dispatches per token on the hot path)
+        val docBuf = new Array[Byte](bytes.toInt)
+        var bi = 0
         ids.foreach { id =>
           if (w == 2) {
             require(id >= 0 && id <= 0xffff,
               s"token id $id out of uint16 range (use width=4)")
-            bin.writeByte(id & 0xff); bin.writeByte((id >> 8) & 0xff)
+            docBuf(bi) = (id & 0xff).toByte
+            docBuf(bi + 1) = ((id >> 8) & 0xff).toByte
+            bi += 2
           } else {
-            bin.writeByte(id & 0xff); bin.writeByte((id >> 8) & 0xff)
-            bin.writeByte((id >> 16) & 0xff); bin.writeByte((id >> 24) & 0xff)
+            docBuf(bi) = (id & 0xff).toByte
+            docBuf(bi + 1) = ((id >> 8) & 0xff).toByte
+            docBuf(bi + 2) = ((id >> 16) & 0xff).toByte
+            docBuf(bi + 3) = ((id >> 24) & 0xff).toByte
+            bi += 4
           }
         }
+        bin.write(docBuf)
         lengths += ids.length
         written += bytes
       }
@@ -134,18 +144,32 @@ object TokenShards {
         val n = idx.readLong()
         val lengths = Array.fill(n.toInt)(idx.readInt())
         idx.close()
+        // fail-loud on truncation up front: the format has no commit
+        // protocol, so a killed writer leaves a short .bin — the old
+        // per-byte read() masked its EOF as 0xff and decoded garbage ids
+        val expect = lengths.foldLeft(0L)(_ + _.toLong) * w
+        val actual = fsl.getFileStatus(binPath).getLen
+        require(actual == expect,
+          s"$p: .bin length $actual != $expect implied by the .idx " +
+            "(truncated or mismatched shard pair)")
         val bin = new DataInputStream(
           new BufferedInputStream(fsl.open(binPath), 1 << 16))
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => bin.close()))
         lengths.iterator.zipWithIndex.map { case (len, ord) =>
+          // one bulk readFully per document + local decode (readFully
+          // throws EOFException instead of masking -1; 4 single-byte
+          // read() calls per id dominated the hot read path)
+          val docBuf = new Array[Byte](len * w)
+          bin.readFully(docBuf)
           val ids = new Array[Int](len)
           var i = 0
           while (i < len) {
+            val b = i * w
             ids(i) =
-              if (w == 2) (bin.read() & 0xff) | ((bin.read() & 0xff) << 8)
-              else (bin.read() & 0xff) | ((bin.read() & 0xff) << 8) |
-                ((bin.read() & 0xff) << 16) | ((bin.read() & 0xff) << 24)
+              if (w == 2) (docBuf(b) & 0xff) | ((docBuf(b + 1) & 0xff) << 8)
+              else (docBuf(b) & 0xff) | ((docBuf(b + 1) & 0xff) << 8) |
+                ((docBuf(b + 2) & 0xff) << 16) | ((docBuf(b + 3) & 0xff) << 24)
             i += 1
           }
           Row(p, ord.toLong, ids.toSeq)

@@ -47,16 +47,19 @@ object WarcFiles {
 
   private val Crlf = "\r\n".getBytes(StandardCharsets.US_ASCII)
 
-  /** Read one CRLF- (or LF-) terminated ASCII line; null at EOF. */
+  /** Read one CRLF- (or LF-) terminated header line; null at EOF.
+    * Bytes accumulate and decode as UTF-8 (the WARC 1.0 header charset —
+    * real Common Crawl segments carry non-ASCII WARC-Target-URIs; a
+    * per-byte toChar decode would read them back as mojibake). */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def readFully(in: InputStream, n: Long): Array[Byte] = {
@@ -162,7 +165,10 @@ object WarcFiles {
       else {
         var i = 0
         var at = -1
-        while (at < 0 && i + 3 < bytes.length) {
+        // same HeaderScanBytes bound as httpHeaders, so the two
+        // accessors always agree on whether an HTTP envelope exists
+        val lim = math.min(bytes.length, HeaderScanBytes)
+        while (at < 0 && i + 3 < lim) {
           if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
               bytes(i + 2) == '\r' && bytes(i + 3) == '\n') at = i + 4
           i += 1
@@ -173,6 +179,12 @@ object WarcFiles {
     f(c)
   }
 
+  /** Both envelope accessors cap their CRLFCRLF search here: a header
+    * block past 64 KiB is treated as "no envelope" by BOTH httpHeaders
+    * and httpBody (previously httpBody scanned unbounded, so the two
+    * disagreed on such records — headers empty but body stripped). */
+  private val HeaderScanBytes = 1 << 16
+
   /** HTTP response headers of a `response` record's payload as a
     * lowercase-keyed map (empty for records with no HTTP envelope). */
   def httpHeaders(c: Column): Column = {
@@ -181,7 +193,7 @@ object WarcFiles {
       else {
         val end = {
           var i = 0; var at = -1
-          while (at < 0 && i + 3 < math.min(bytes.length, 1 << 16)) {
+          while (at < 0 && i + 3 < math.min(bytes.length, HeaderScanBytes)) {
             if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
                 bytes(i + 2) == '\r' && bytes(i + 3) == '\n') at = i
             i += 1
@@ -250,23 +262,24 @@ object WarcFiles {
     f(bytes, contentType)
   }
 
-  private def writeRecord(out: OutputStream, uri: String, date: String,
-      payload: Array[Byte]): Unit = {
+  /** The record's header block as bytes — UTF-8, which the WARC 1.0
+    * spec allows in header field values (US-ASCII getBytes silently
+    * substitutes '?' for unmappable chars, corrupting non-ASCII target
+    * URIs); [[readLine]] decodes the same way, so URIs roundtrip. */
+  private def recordHeader(uri: String, date: String,
+      payloadLen: Int): Array[Byte] = {
     val id = java.security.MessageDigest.getInstance("MD5")
       .digest(uri.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    val header = new StringBuilder()
+    new StringBuilder()
       .append("WARC/1.0\r\n")
       .append("WARC-Type: conversion\r\n")
       .append(s"WARC-Target-URI: $uri\r\n")
       .append(s"WARC-Date: $date\r\n")
       .append(s"WARC-Record-ID: <urn:graft:$id>\r\n")
       .append("Content-Type: text/plain\r\n")
-      .append(s"Content-Length: ${payload.length}\r\n\r\n")
-      .toString.getBytes(StandardCharsets.US_ASCII)
-    out.write(header)
-    out.write(payload)
-    out.write(Crlf); out.write(Crlf)
+      .append(s"Content-Length: $payloadLen\r\n\r\n")
+      .toString.getBytes(StandardCharsets.UTF_8)
   }
 
   /** Write (uri, bytes) rows as WET-style gzipped shards under
@@ -306,8 +319,15 @@ object WarcFiles {
       }
       it.foreach { r =>
         val payload = r.getAs[Array[Byte]](1)
-        val approx = payload.length.toLong + 256 // header + separators
-        if (raw == null || (written > 0 && written + approx > maxShardBytes))
+        // exact framed accounting: the built header's real byte length
+        // plus the record-terminating CRLFCRLF (a flat estimate let a
+        // long URI overshoot maxShardBytes; the header is in hand here,
+        // same discipline as TarShards' framed cap)
+        val header = recordHeader(r.getString(0),
+          if (r.length > 2 && !r.isNullAt(2)) r.getString(2)
+          else "1970-01-01T00:00:00Z", payload.length)
+        val framed = payload.length.toLong + header.length + 4
+        if (raw == null || (written > 0 && written + framed > maxShardBytes))
           roll()
         // one gzip member per record; close() releases the Deflater
         // (no native leak across millions of records) while the no-op
@@ -319,11 +339,11 @@ object WarcFiles {
               out.write(b, off, len)
             override def close(): Unit = ()
           })
-        writeRecord(gz, r.getString(0),
-          if (r.length > 2 && !r.isNullAt(2)) r.getString(2)
-          else "1970-01-01T00:00:00Z", payload)
+        gz.write(header)
+        gz.write(payload)
+        gz.write(Crlf); gz.write(Crlf)
         gz.close()
-        written += approx
+        written += framed
       }
       if (raw != null) raw.close()
     }

@@ -157,7 +157,12 @@ class CorpusShuffler(override val uid: String)
   def this() = this(Identifiable.randomUID("CorpusShuffler"))
 
   final val idCol = new Param[String](this, "idCol",
-    "unique row id column (shuffle-key input + tie-break)")
+    "unique row id column (shuffle-key input + tie-break). The position " +
+      "join-back is an inner equi-join on this column: a NULL id fails " +
+      "the transform loudly (positions are assigned to every input row, " +
+      "so a dropped row would silently shrink the corpus), and ids MUST " +
+      "be unique — duplicates would fan out multiplicatively through " +
+      "the join (dedup upstream; every curation recipe does)")
   setDefault(idCol -> "doc_id")
   def setIdCol(v: String): this.type = set(idCol, v)
 
@@ -175,22 +180,33 @@ class CorpusShuffler(override val uid: String)
     val df = ds.toDF()
     require(!df.columns.contains($(outputCol)),
       s"input already has a column named '${$(outputCol)}'")
+    val tmpId = graft.core.DatasetExtensions
+      .findUnusedColumnName("__cs_id", df)
+    val idName = $(idCol)
     // narrow ordering pass: (id) only — the 16-byte hash key plus the id
     // through the range sort, never the row payload
     val sorted = df
-      .select(col($(idCol)).as("__cs_id"))
+      .select(col(idName).as(tmpId))
       .orderBy(
-        md5(concat(col("__cs_id").cast(StringType), lit(":"), lit($(seed)))),
-        col("__cs_id"))
+        md5(concat(col(tmpId).cast(StringType), lit(":"), lit($(seed)))),
+        col(tmpId))
     val posSchema = StructType(Seq(
-      sorted.schema.head.copy(name = "__cs_id"),
+      sorted.schema.head.copy(name = tmpId),
       StructField($(outputCol), LongType, nullable = false)))
     val posFrame = df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        // fail loudly inside the pass that is already running: a NULL id
+        // can never equi-join its position back, so the row would
+        // silently vanish from the shuffled corpus
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"CorpusShuffler: NULL $idName at shuffle position $i " +
+            "(ids must be non-null and unique)")
+        Row(r.get(0), i)
+      },
       posSchema)
     // payload picks up its position through one hash exchange by id
-    df.join(posFrame, df($(idCol)) === posFrame("__cs_id"))
-      .drop("__cs_id")
+    df.join(posFrame, df(idName) === posFrame(tmpId))
+      .drop(tmpId)
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -130,6 +130,21 @@ class BloomDedupSuite extends TestBase {
     assert(next.count() == 0)
   }
 
+  test("merging indexes built with different m fails loudly") {
+    // silently OR-ing mismatched bit arrays would drop tail bits =
+    // missed duplicates in approximate mode; the same-m requirement is
+    // enforced in the merge itself
+    val (corpus, batch) = split
+    val fp = IncrementalDeduplicator.fingerprintIndex(corpus, "text")
+    val fp2 = IncrementalDeduplicator.fingerprintIndex(batch, "text")
+    val a = buildIndex(fp, numBuckets = 16, mBitsOverride = Some(64L))
+    val b = buildIndex(fp2, numBuckets = 16, mBitsOverride = Some(128L))
+    val e = intercept[Exception] { mergeIndexes(a, b).collect() }
+    def all(t: Throwable): String =
+      if (t == null) "" else t.getMessage + all(t.getCause)
+    assert(all(e).contains("incompatible Bloom buffers"))
+  }
+
   test("maybe-volume: only dup-rate + FPR of a fresh batch hits the exact index") {
     val (corpus, batch) = split
     val fpIdx = IncrementalDeduplicator.fingerprintIndex(corpus, "text")

@@ -42,6 +42,24 @@ class TokenShardsSuite extends TestBase {
       (e.getCause != null && e.getCause.getMessage.contains("uint16")))
   }
 
+  test("truncated .bin fails loudly instead of decoding garbage ids") {
+    // the format has no commit protocol: a killed writer leaves a short
+    // .bin whose old per-byte read() masked EOF as 0xff token bytes
+    val dir = tmp("toktrunc")
+    TokenShards.write(Seq(Seq(1, 2, 3, 4, 5)).toDF("tokens"), dir)
+    val bin = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".bin")).head
+    val ch = java.nio.file.Files.newByteChannel(bin.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    ch.truncate(bin.length() - 3); ch.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      TokenShards.read(spark, dir).count()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated") || msg.contains("length"))
+  }
+
   test("ordinals preserve in-shard order: shard order IS training order") {
     val docs = (0 until 100).map(i => Seq(i)).toDF("tokens")
       .coalesce(1) // one partition -> one deterministic shard sequence

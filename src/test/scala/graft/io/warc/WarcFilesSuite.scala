@@ -127,6 +127,54 @@ class WarcFilesSuite extends TestBase {
     assert(out(4).contains("�")) // replaced, never a task failure
   }
 
+  test("non-ASCII target URIs roundtrip as UTF-8 header bytes") {
+    // real Common Crawl segments carry UTF-8 URIs; US-ASCII getBytes
+    // would write '?' and a per-byte toChar read would return mojibake
+    val uris = Seq("https://例え.jp/ページ?q=日本語",
+      "https://müller.de/straße", "urn:plain:ascii")
+    val df = uris.map(u => (u, s"body of $u".getBytes(StandardCharsets.UTF_8)))
+      .toDF("uri", "bytes")
+    val dir = tmp("warc_utf8")
+    WarcFiles.write(df, dir)
+    val back = WarcFiles.read(spark, dir)
+      .select(col("uri"), decode(col("bytes"), "UTF-8").as("t"))
+      .as[(String, String)].collect().toSet
+    assert(back == uris.map(u => (u, s"body of $u")).toSet)
+  }
+
+  test("shard cap counts exact framed bytes, long URIs included") {
+    // two records whose REAL framed size (header ~460 B with a 300-char
+    // URI) exceeds half the cap: a flat 256-byte header estimate would
+    // pack both into one shard and overshoot; exact accounting rolls
+    val uri = "https://example.com/" + ("p" * 280)
+    val df = Seq((uri + "1", ("a" * 100).getBytes(StandardCharsets.UTF_8)),
+      (uri + "2", ("b" * 100).getBytes(StandardCharsets.UTF_8)))
+      .toDF("uri", "bytes").coalesce(1)
+    val dir = tmp("warc_cap")
+    WarcFiles.write(df, dir, maxShardBytes = 1000)
+    val shards = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).filter(_.endsWith(".warc.gz"))
+    assert(shards.length == 2,
+      s"exact framed accounting must roll the second record: $shards")
+    assert(WarcFiles.read(spark, dir).count() == 2)
+  }
+
+  test("httpBody and httpHeaders agree on a >64 KiB header block") {
+    // both accessors cap the CRLFCRLF search identically: a pathological
+    // header block past the bound means NO envelope for both — headers
+    // empty AND body passed through whole (previously httpBody stripped
+    // it while httpHeaders returned empty, disagreeing)
+    val huge = ("HTTP/1.1 200 OK\r\n" + "X-Pad: " + "a" * (1 << 16) +
+      "\r\n\r\nbody").getBytes(StandardCharsets.ISO_8859_1)
+    val df = Seq(huge).toDF("bytes")
+    val hdrs = df.select(WarcFiles.httpHeaders(col("bytes")))
+      .as[Map[String, String]].head()
+    val body = df.select(WarcFiles.httpBody(col("bytes")))
+      .as[Array[Byte]].head()
+    assert(hdrs.isEmpty)
+    assert(body.length == huge.length, "no-envelope body passes through whole")
+  }
+
   test("malformed segment fails loudly, not silently truncated") {
     val dir = tmp("warc_bad")
     java.nio.file.Files.write(

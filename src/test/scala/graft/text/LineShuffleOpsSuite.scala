@@ -82,6 +82,27 @@ class LineShuffleOpsSuite extends TestBase {
     assert(got.map(r => r._1 -> r._4).toMap == want)
   }
 
+  test("CorpusShuffler fails loudly on a NULL id and dodges __cs_id collisions") {
+    // a NULL id can never equi-join its position back — the row would
+    // silently vanish from the shuffled corpus
+    val bad = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      new CorpusShuffler().setIdCol("doc_id").transform(bad).count()
+    }
+    def all(t: Throwable): String =
+      if (t == null) "" else t.getMessage + all(t.getCause)
+    assert(all(e).contains("NULL doc_id"))
+    // a user column named __cs_id must not collide with the temp column
+    val tricky = Seq((1L, "x", "u1"), (2L, "y", "u2"))
+      .toDF("doc_id", "text", "__cs_id")
+    val out = new CorpusShuffler().setIdCol("doc_id").transform(tricky)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "__cs_id", "shuffle_pos"))
+    assert(out.select("__cs_id").as[String].collect().toSet ==
+      Set("u1", "u2"))
+  }
+
   test("WithinDocLineDeduplicator keeps first occurrences in order") {
     val df = Seq(
       (1L, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
