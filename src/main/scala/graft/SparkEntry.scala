@@ -42,6 +42,46 @@ private[graft] object TextFeaturizerGate {
   }
 }
 
+/** Planted-multilingual fixture shared by the language_id gate and
+  * LanguageIdentifierSuite: five languages with characteristic word
+  * pools; each doc's language is doc_id % 5 and its text is a
+  * deterministic 16-word sample of the pool (word i =
+  * pool[(doc_id*7 + i*13) % 12] — pure integer arithmetic, so the
+  * synthesis is replayable anywhere, though the ORACLE only needs the
+  * planted label: the gate is the quality_classifier pattern, pass =
+  * the trained classifier recovers every planted language exactly).
+  */
+private[graft] object LanguageGateFixture {
+  /** doc_id % 5 -> language code. */
+  val LangByMod: Seq[String] = Seq("en", "fr", "es", "de", "it")
+  val Pools: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "have", "that", "it", "is",
+      "was", "for", "not", "with"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans", "pour", "que",
+      "vous", "avec", "être", "sur"),
+    "es" -> Seq("el", "los", "las", "una", "para", "con", "por", "como",
+      "más", "pero", "sobre", "también"),
+    "de" -> Seq("der", "und", "die", "das", "nicht", "ein", "mit", "für",
+      "auf", "ist", "sich", "von"),
+    "it" -> Seq("il", "di", "che", "per", "una", "con", "non", "sono",
+      "della", "questo", "più", "anche"))
+
+  def langCol: org.apache.spark.sql.Column =
+    element_at(typedLit(LangByMod), (col("doc_id") % 5 + 1).cast("int"))
+
+  private def poolText(pool: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(15)),
+      i => element_at(typedLit(pool),
+        ((col("doc_id") * 7 + i * 13) % 12 + 1).cast("int"))))
+
+  def textCol: org.apache.spark.sql.Column =
+    LangByMod.zipWithIndex.foldLeft(
+      lit(null).cast(org.apache.spark.sql.types.StringType)) {
+      case (acc, (l, i)) =>
+        when(col("doc_id") % 5 === i, poolText(Pools(l))).otherwise(acc)
+    }
+}
+
 /** Ranking train/validation-split gate fixture shared by the ranking_tvs
   * query and RecoSuite's margin test. Constructed so JACCARD similarity
   * strictly beats LIFT on held-out NDCG@5, deterministically:
@@ -1987,6 +2027,24 @@ object SparkEntry {
       m.transform(docs).select(col("doc_id"), col("quality_pred"))
     },
 
+    // Trained language identification (the first gate of every public
+    // curation recipe — CCNet/C4/RefinedWeb lead with a language
+    // classifier): planted-multilingual synthesis (LanguageGateFixture,
+    // 5 languages x 12-word pools, deterministic word choice), train the
+    // hashed char-n-gram multinomial LR on the doc_id%3!=0 split,
+    // predict ALL docs — pass iff every planted language is recovered
+    // (the quality_classifier planted-rule-recovery pattern; margins
+    // and save/load are suite-asserted)
+    "language_id" -> { (s, dir) =>
+      val synth = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("lang", LanguageGateFixture.langCol)
+        .withColumn("text", LanguageGateFixture.textCol)
+      val m = new graft.text.LanguageIdentifier().setInputCol("text")
+        .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+        .fit(synth.filter(col("doc_id") % 3 =!= 0))
+      m.transform(synth).select(col("doc_id"), col("lang_pred"))
+    },
+
     // concat-and-chunk window assembly: deterministic shuffle order,
     // global running token offsets, fixed 128-token windows crossing doc
     // boundaries — every output is exact integer arithmetic, replayed in
@@ -3748,6 +3806,16 @@ object SparkEntry {
 
     "quality_classifier" ->
       """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS quality_pred
+        |FROM documents""".stripMargin,
+
+    // the oracle is the planted language itself (the classifier must
+    // recover it exactly; synthesis is pure integer arithmetic on
+    // doc_id, so the label needs no text replay)
+    "language_id" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'es'
+        |    WHEN 3 THEN 'de' ELSE 'it' END AS lang_pred
         |FROM documents""".stripMargin,
 
     "tar_roundtrip" ->

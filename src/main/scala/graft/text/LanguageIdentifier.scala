@@ -1,0 +1,187 @@
+package graft.text
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trained language identification — the first gate of every public
+  * web-curation recipe (CCNet/C4/RefinedWeb all lead with a fastText
+  * language classifier before any byte-level cleaning; the reference
+  * ships the capability as a service call,
+  * cognitive/src/main/scala/.../TextAnalytics.scala:298
+  * `LanguageDetector` — ours is a native, offline-trainable model).
+  *
+  * Architecture = the fastText langid shape (Joulin et al. 2016,
+  * public literature): hashed char n-grams (orders 1..`maxGram` of the
+  * lowercased, whitespace-collapsed text — language signal lives in
+  * character statistics, so no vocabulary pass and no tokenizer
+  * dependency) through the [[graft.featurize.VowpalHashFeaturizer]]
+  * murmur space into Spark ML MULTINOMIAL logistic regression. Labels
+  * are indexed by sorted order (collected driver-side — bounded by the
+  * number of languages, not the corpus).
+  *
+  * Scale shape: featurization is a narrow per-row map into a
+  * 2^numBits sparse space; training is L-BFGS over the hashed
+  * features; scoring broadcasts the (numLanguages x 2^numBits)
+  * coefficient matrix and is one narrow pass — zero shuffle at
+  * inference, the property that lets it gate a 100 TB crawl. The
+  * stopword-heuristic `TextAnalysis.languageId` remains the zero-
+  * training fallback for report columns; THIS is the recipe gate.
+  */
+class LanguageIdentifier(override val uid: String)
+    extends Estimator[LanguageIdentifierModel] with HasInputCol
+    with HasLabelCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("LanguageIdentifier"))
+
+  final val numBits = new IntParam(this, "numBits", "log2 feature space",
+    ParamValidators.inRange(1, 26))
+  setDefault(numBits -> 18)
+  def setNumBits(v: Int): this.type = set(numBits, v)
+  final val maxGram = new IntParam(this, "maxGram",
+    "char n-gram orders 1..maxGram are hashed",
+    ParamValidators.inRange(1, 5))
+  setDefault(maxGram -> 3)
+  def setMaxGram(v: Int): this.type = set(maxGram, v)
+  final val maxIter = new IntParam(this, "maxIter",
+    "L-BFGS iteration cap", ParamValidators.gt(0))
+  setDefault(maxIter -> 50)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  final val regParam = new DoubleParam(this, "regParam",
+    "L2 regularization", ParamValidators.gtEq(0.0))
+  setDefault(regParam -> 1e-4)
+  def setRegParam(v: Double): this.type = set(regParam, v)
+
+  override def fit(ds: Dataset[_]): LanguageIdentifierModel = {
+    val df = ds.toDF()
+    // bounded collect: one row per LANGUAGE; sorted order makes the
+    // label index a pure function of the label set (deterministic)
+    val labels = df.select(col($(labelCol)).cast(StringType))
+      .na.drop().distinct().collect().map(_.getString(0)).sorted
+    require(labels.length >= 2,
+      s"need at least 2 languages to train, got ${labels.toSeq}")
+    val y = (array_position(typedLit(labels.toSeq),
+      col($(labelCol)).cast(StringType)) - 1).cast(DoubleType)
+    val prepped = LanguageIdentifierModel
+      .featurize(df, getInputCol, $(numBits), $(maxGram))
+      .withColumn("__li_y", y)
+    val lr = new LogisticRegression().setFeaturesCol("__li_features")
+      .setLabelCol("__li_y").setFamily("multinomial")
+      .setMaxIter($(maxIter)).setRegParam($(regParam))
+      .setStandardization(false)
+    val m = new LanguageIdentifierModel(uid + "_model")
+      .setInputCol(getInputCol)
+    m.set(m.numBits, $(numBits)).set(m.maxGram, $(maxGram))
+      .set(m.labels, labels)
+    m.lrModel = lr.fit(prepped)
+    m
+  }
+  override def transformSchema(schema: StructType): StructType =
+    LanguageIdentifierModel.outputSchema(schema)
+  override def copy(extra: ParamMap): LanguageIdentifier = defaultCopy(extra)
+}
+
+object LanguageIdentifier extends graft.core.GraftReadable[LanguageIdentifier]
+
+class LanguageIdentifierModel(override val uid: String)
+    extends Model[LanguageIdentifierModel] with HasInputCol
+    with org.apache.spark.ml.util.MLWritable {
+  def this() = this(Identifiable.randomUID("LanguageIdentifierModel"))
+
+  final val numBits = new IntParam(this, "numBits", "log2 feature space",
+    ParamValidators.inRange(1, 26))
+  setDefault(numBits -> 18)
+  final val maxGram = new IntParam(this, "maxGram",
+    "char n-gram orders 1..maxGram are hashed",
+    ParamValidators.inRange(1, 5))
+  setDefault(maxGram -> 3)
+  final val labels = new StringArrayParam(this, "labels",
+    "language codes in training index order (sorted)")
+
+  var lrModel: LogisticRegressionModel = _
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val prepped = LanguageIdentifierModel
+      .featurize(ds.toDF(), getInputCol, $(numBits), $(maxGram))
+    lrModel.setFeaturesCol("__li_features")
+      .setProbabilityCol("__li_probability")
+      .setPredictionCol("__li_prediction")
+      .setRawPredictionCol("__li_raw")
+      .transform(prepped)
+      .withColumn("lang_pred", element_at(typedLit($(labels).toSeq),
+        col("__li_prediction").cast(IntegerType) + 1))
+      .withColumn("lang_prob",
+        array_max(vector_to_array(col("__li_probability"))))
+      .drop(Seq("__li_features", "__li_probability", "__li_prediction",
+        "__li_raw") ++ LanguageIdentifierModel.gramCols($(maxGram)): _*)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    LanguageIdentifierModel.outputSchema(schema)
+  override def copy(extra: ParamMap): LanguageIdentifierModel = {
+    val c = new LanguageIdentifierModel(uid)
+    c.lrModel = lrModel
+    copyValues(c, extra)
+  }
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new org.apache.spark.ml.util.MLWriter {
+      override protected def saveImpl(path: String): Unit = {
+        org.apache.spark.ml.graftshims.PipelineMetadataShim
+          .save(LanguageIdentifierModel.this, path, sparkSession)
+        graft.core.ModelIO.writeText(sparkSession, s"$path/params.json",
+          graft.core.ModelIO.paramsJson(LanguageIdentifierModel.this))
+        lrModel.write.overwrite().save(s"$path/lr")
+      }
+    }
+}
+
+object LanguageIdentifierModel
+    extends org.apache.spark.ml.util.MLReadable[LanguageIdentifierModel] {
+
+  private[text] def gramCols(maxGram: Int): Seq[String] =
+    (1 to maxGram).map(n => s"__li_g$n")
+
+  /** Char n-grams of every order 1..maxGram over the canonicalized
+    * text, murmur-hashed into a sparse 2^bits vector — stateless,
+    * narrow, codegen'd gram extraction (substr over a sequence). */
+  private[text] def featurize(df: DataFrame, inputCol: String,
+      bits: Int, maxGram: Int): DataFrame = {
+    val canon = regexp_replace(lower(col(inputCol)), "\\s+", " ")
+    val withGrams = (1 to maxGram).foldLeft(df) { case (d, n) =>
+      d.withColumn(s"__li_g$n", charNGrams(canon, n))
+    }
+    new graft.featurize.VowpalHashFeaturizer()
+      .setInputCols(gramCols(maxGram)).setOutputCol("__li_features")
+      .setNumBits(bits)
+      .transform(withGrams)
+  }
+
+  /** All length-n substrings of `c` (empty array when shorter than n).
+    * The explicit when-guard matters: Spark's `sequence(1, 0)` is a
+    * DESCENDING sequence, not empty. */
+  private[text] def charNGrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  private[text] def outputSchema(schema: StructType): StructType =
+    StructType(schema ++ Seq(
+      StructField("lang_pred", StringType),
+      StructField("lang_prob", DoubleType)))
+
+  override def read: org.apache.spark.ml.util.MLReader[LanguageIdentifierModel] =
+    new org.apache.spark.ml.util.MLReader[LanguageIdentifierModel] {
+      override def load(path: String): LanguageIdentifierModel = {
+        val m = new LanguageIdentifierModel()
+        graft.core.ModelIO.setParamsFromJson(m,
+          graft.core.ModelIO.readText(sparkSession, s"$path/params.json"))
+        m.lrModel = LogisticRegressionModel.load(s"$path/lr")
+        m
+      }
+    }
+}

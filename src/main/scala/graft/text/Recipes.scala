@@ -20,19 +20,38 @@ import org.apache.spark.sql.functions._
 object Recipes {
 
   /** Crawl response records → clean text: URL blocklist → HTML→text →
-    * mojibake repair → C4 line/page cleaning. Input column `url` +
-    * `html`; survivors end with clean text in `text`. */
+    * mojibake repair → [language gate] → C4 line/page cleaning. Input
+    * column `url` + `html`; survivors end with clean text in `text`.
+    *
+    * `languageGate` is the CCNet/RefinedWeb position for trained
+    * language id — right after byte repair, before the (language-
+    * specific) C4 rules, so dropped-language pages never pay cleaning:
+    * pass a fitted [[LanguageIdentifierModel]] plus the language codes
+    * to keep; docs whose argmax language is not in the keep set are
+    * dropped and the prediction columns do not survive the recipe. */
   def webExtraction(blockedDomains: Seq[String] = Nil,
-      blockedTerms: Seq[String] = Nil): Pipeline =
-    new Pipeline().setStages(Array(
+      blockedTerms: Seq[String] = Nil,
+      languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None)
+      : Pipeline = {
+    val langStages = languageGate.toSeq.flatMap { case (m, keep) =>
+      Seq(
+        m.copy(org.apache.spark.ml.param.ParamMap.empty)
+          .setInputCol("__repaired"),
+        new Lambda().setTransform(df => df
+          .filter(col("lang_pred").isin(keep.map(k => k: Any): _*))
+          .drop("lang_pred", "lang_prob")))
+    }
+    new Pipeline().setStages((Seq(
       new UrlFilter().setInputCol("url")
         .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms),
       new HtmlTextExtractor().setInputCol("html").setOutputCol("__extracted"),
       new MojibakeRepair().setInputCol("__extracted")
-        .setOutputCol("__repaired"),
+        .setOutputCol("__repaired")) ++
+      langStages ++ Seq(
       new C4Filter().setInputCol("__repaired").setOutputCol("text"),
       new Lambda().setTransform(
-        _.drop("__extracted", "__repaired", "html"))))
+        _.drop("__extracted", "__repaired", "html")))).toArray)
+  }
 
   /** Clean text → training corpus: Gopher structural signals +
     * threshold gate → exact dedup → deterministic shuffle order.

@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.{LanguageGateFixture, TestBase}
+import org.apache.spark.sql.functions._
+
+class LanguageIdentifierSuite extends TestBase {
+  import spark.implicits._
+
+  /** The language_id gate's planted-multilingual synthesis over a
+    * small id range. */
+  private def synth(n: Int) = {
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("lang", LanguageGateFixture.langCol)
+      .withColumn("text", LanguageGateFixture.textCol)
+  }
+
+  test("recovers every planted language on a held-out split, with margin") {
+    val docs = synth(400)
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+      .fit(docs.filter(col("doc_id") % 3 =!= 0))
+    val scored = m.transform(docs)
+    assert(scored.filter(col("lang_pred") =!= col("lang")).count() == 0)
+    // confident, not borderline: every argmax probability past 0.5
+    assert(scored.agg(min("lang_prob")).as[Double].head() > 0.5)
+    assert(m.lrModel.numClasses == 5)
+  }
+
+  test("labels index deterministically (sorted), output schema appended") {
+    val docs = synth(100)
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").fit(docs)
+    assert(m.get(m.labels).get.toSeq == Seq("de", "en", "es", "fr", "it"))
+    val out = m.transform(docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "text", "lang_pred", "lang_prob"))
+  }
+
+  test("model save/load roundtrip reproduces predictions exactly") {
+    val docs = synth(200)
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setMaxIter(20).fit(docs)
+    val path = java.nio.file.Files.createTempDirectory("li").toString + "/m"
+    m.write.overwrite().save(path)
+    val loaded = LanguageIdentifierModel.load(path)
+    assertDFEq(
+      m.transform(docs).select("doc_id", "lang_pred"),
+      loaded.transform(docs).select("doc_id", "lang_pred"))
+  }
+
+  test("charNGrams: exact grams, short-text empty (not a descending sequence)") {
+    val df = Seq("abcd", "ab", "", null).toDF("t")
+    val got = df.select(
+      LanguageIdentifierModel.charNGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "bcd"))
+    assert(got(1) == Seq.empty) // len < n: sequence(1,0) would DESCEND
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq.empty) // null text -> no grams (when() guard)
+  }
+
+  test("webExtraction language gate drops other languages pre-C4, cols clean") {
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    // long enough to survive C4's line rules AND its 5-sentence page rule
+    val en = ("the cat sat on the mat and it was happy there. " * 6).trim
+    val fr = ("le chat est sur le tapis et vous avez une idée. " * 6).trim
+    val df = Seq(
+      ("https://ok.com/en", page(en)),
+      ("https://ok.com/fr", page(fr))).toDF("url", "html")
+    // train on the planted fixture (the recipes caller supplies any
+    // fitted model); en/fr pools cover this page's vocabulary class
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setMaxIter(30).fit(synth(300))
+    val out = Recipes.webExtraction(
+      languageGate = Some((m, Seq("en")))).fit(df).transform(df)
+    assert(out.columns.toSeq == Seq("url", "text"))
+    assert(out.select("url").as[String].collect().toSeq ==
+      Seq("https://ok.com/en"))
+  }
+}
