@@ -43,10 +43,26 @@ class UrlFilter(override val uid: String)
   def setBlockedTerms(v: Seq[String]): this.type =
     set(blockedTerms, v.toArray)
 
+  /** The UT1-scale path: a blocklist TABLE (millions of registered
+    * domains — far past what should ride the plan as a literal array)
+    * anti-joined on the extracted registered domain. Runtime state,
+    * not a Param (the SemDeDup setCorpus convention): the table does
+    * not persist with the stage. */
+  @transient private var blockTable: Option[(DataFrame, String)] = None
+  def setBlockedDomainTable(table: DataFrame,
+      domainCol: String = "domain"): this.type = {
+    blockTable = Some((table, domainCol)); this
+  }
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    df.filter(UrlFilter.keeps(col(getInputCol),
+    val base = df.filter(UrlFilter.keeps(col(getInputCol),
       $(blockedDomains).toIndexedSeq, $(blockedTerms).toIndexedSeq))
+    blockTable match {
+      case None => base
+      case Some((t, dcol)) =>
+        UrlFilter.filterByDomainTable(base, getInputCol, t, dcol)
+    }
   }
   override def transformSchema(schema: StructType): StructType = schema
   override def copy(extra: ParamMap): UrlFilter = defaultCopy(extra)
@@ -87,6 +103,25 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     val three = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     when(two.isin(multiSuffixes: _*) && three =!= "", three).otherwise(two)
+  }
+
+  /** Drop every row whose URL's registered domain appears in
+    * `blocklist(domainCol)` — ONE broadcast left-anti hash join on the
+    * zero-shuffle registered-domain key: the fact side never moves, and
+    * a UT1-scale list (a few million domain strings, tens of MB) ships
+    * once per executor. Blocking a registered domain blocks every
+    * subdomain by construction, since the key collapses hosts to their
+    * pay-level domain. Rows with no parseable host (empty key) are
+    * KEPT — the blocklist names domains, and in-plan `blockedTerms`
+    * already handle malformed-URL policy. */
+  def filterByDomainTable(df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val key = graft.core.DatasetExtensions
+      .findUnusedColumnName("__uf_domain", df)
+    df.withColumn(key, registeredDomain(col(urlCol)))
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as(key))
+        .distinct()), Seq(key), "left_anti")
+      .drop(key)
   }
 
   /** The keep predicate (true = survives). */

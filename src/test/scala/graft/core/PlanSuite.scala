@@ -53,6 +53,24 @@ class PlanSuite extends TestBase {
       s"q1 reads more than it projects: $readSchema")
   }
 
+  test("url_filter_table broadcasts the blocklist side of the anti join") {
+    // the UT1-scale contract: the fact side never moves — the only join
+    // is a broadcast hash LEFT ANTI with the blocklist on the built side
+    val joins = planOf("url_filter_table").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(joins.size == 1, s"expected one broadcast join, got $joins")
+    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
+      s"expected LeftAnti, got ${joins.head.joinType}")
+    val shuffles = planOf("url_filter_table").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // the only exchange is the (small) blocklist's own distinct; the
+    // documents fact side must not shuffle
+    assert(shuffles.size <= 2,
+      s"fact side must not shuffle: ${shuffles.size} exchanges")
+  }
+
   test("dimension joins broadcast the small side") {
     val broadcasts = planOf("q5_region_revenue").collect {
       case b: BroadcastHashJoinExec => b

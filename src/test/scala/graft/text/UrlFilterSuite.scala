@@ -61,6 +61,29 @@ class UrlFilterSuite extends TestBase {
     assert(out == cases.map(_._2), s"got $out")
   }
 
+  test("blocklist-table path drops by registered domain, subdomains included") {
+    val urls = Seq(
+      "https://news.bbc.co.uk/story", // rd bbc.co.uk -> blocked
+      "https://deep.sub.example.com/x", // rd example.com -> blocked
+      "https://WWW.EXAMPLE.COM/case", // case-insensitive host
+      "https://shop.com.au/ok", // rd shop.com.au -> kept
+      "https://foo.org/ok", // kept
+      "not a url") // no host, empty key -> kept (terms handle policy)
+      .toDF("url")
+    val blocklist = Seq("Example.com", "bbc.co.uk").toDF("domain")
+    val out = new UrlFilter().setInputCol("url")
+      .setBlockedDomainTable(blocklist)
+      .transform(urls).as[String].collect().toSet
+    assert(out == Set("https://shop.com.au/ok", "https://foo.org/ok",
+      "not a url"))
+    // composes with the in-plan literal rules
+    val both = new UrlFilter().setInputCol("url")
+      .setBlockedTerms(Seq("foo"))
+      .setBlockedDomainTable(blocklist)
+      .transform(urls).as[String].collect().toSet
+    assert(both == Set("https://shop.com.au/ok", "not a url"))
+  }
+
   test("expressions only, zero shuffle") {
     val plan = f.transform(Seq("https://x.com").toDF("url"))
       .queryExecution.executedPlan.toString
