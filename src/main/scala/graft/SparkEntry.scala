@@ -1943,6 +1943,29 @@ object SparkEntry {
         .select(col("doc_id"), col("extracted"))
     },
 
+    // General numeric character references through the native linear
+    // decode (numericEntities=true): planted refs cover hex/decimal,
+    // the cp1252 C1 remap (&#146;), a supplementary plane (surrogate
+    // pair emission), the three U+FFFD classes (NUL, lone surrogate,
+    // out of range), a malformed ref that must survive verbatim, and
+    // the amp-decodes-last double-escape contract — the oracle replays
+    // each planted ref as a literal replacement at the decode's slot
+    // in the chain (the computed-character step is exactly what the
+    // regexp layer could not express; on the planted set it reduces to
+    // literals both engines agree on)
+    "html_entities" -> { (s, dir) =>
+      val page = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><body><p>Doc "), col("doc_id").cast("string"),
+          lit(": A&#x2019;B em&#8212;dash caf&#233; it&#146;s " +
+            "smile&#x1F600;! lone&#xD800;surr nul&#0;x big&#x110000;y " +
+            "bad&#zz; esc&amp;#39;q "),
+          col("text"), lit("</p></body></html>")).as("html"))
+      new graft.text.HtmlTextExtractor().setInputCol("html")
+        .setOutputCol("extracted").setNumericEntities(true)
+        .transform(page)
+        .select(col("doc_id"), col("extracted"))
+    },
+
     // the crawl front end as ONE plan: synthesized HTML wrapped in an
     // HTTP response, framed into WARC segments, re-read through the
     // streaming parser, HTTP envelope stripped, HTML extracted — the
@@ -3972,6 +3995,40 @@ object SparkEntry {
         |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
         |  '&#34;', '"', 'g'), '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'), '&amp;', '&', 'g') AS h FROM c8),
         |c10 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM c9),
+        |c11 AS (SELECT doc_id, regexp_replace(h, ' ?\n ?', chr(10), 'g') AS h FROM c10),
+        |c12 AS (SELECT doc_id, regexp_replace(h, '\n{2,}', chr(10), 'g') AS h FROM c11),
+        |c13 AS (SELECT doc_id, regexp_replace(h, '^\n+', '', 'g') AS h FROM c12),
+        |c14 AS (SELECT doc_id, regexp_replace(h, '\n+$', '', 'g') AS h FROM c13)
+        |SELECT doc_id, trim(h) AS extracted FROM c14""".stripMargin,
+
+    "html_entities" ->
+      """WITH page AS (SELECT doc_id,
+        |  '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  ': A&#x2019;B em&#8212;dash caf&#233; it&#146;s ' ||
+        |  'smile&#x1F600;! lone&#xD800;surr nul&#0;x big&#x110000;y ' ||
+        |  'bad&#zz; esc&amp;#39;q ' || text ||
+        |  '</p></body></html>' AS h FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM page),
+        |c2 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS h FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS h FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(h, '(?is)<noscript\b[^>]*>.*?</noscript>', '', 'g') AS h FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(h, '(?is)<head\b[^>]*>.*?</head>', '', 'g') AS h FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?i)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre|form)\b[^>]{0,1000}>',
+        |  chr(10), 'g') AS h FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(h, '<[^>]{1,1000}>', '', 'g') AS h FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g') AS h FROM c7),
+        |c9 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+        |  '&#34;', '"', 'g'), '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g') AS h FROM c8),
+        |n1 AS (SELECT doc_id, replace(replace(replace(replace(h,
+        |  '&#x2019;', '’'), '&#8212;', '—'), '&#233;', 'é'),
+        |  '&#146;', '’') AS h FROM c9),
+        |n2 AS (SELECT doc_id, replace(replace(replace(replace(h,
+        |  '&#x1F600;', '😀'), '&#xD800;', '�'), '&#0;', '�'),
+        |  '&#x110000;', '�') AS h FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(h, '&amp;', '&', 'g') AS h FROM n2),
+        |c10 AS (SELECT doc_id, regexp_replace(h, '[ \t\r]+', ' ', 'g') AS h FROM n3),
         |c11 AS (SELECT doc_id, regexp_replace(h, ' ?\n ?', chr(10), 'g') AS h FROM c10),
         |c12 AS (SELECT doc_id, regexp_replace(h, '\n{2,}', chr(10), 'g') AS h FROM c11),
         |c13 AS (SELECT doc_id, regexp_replace(h, '^\n+', '', 'g') AS h FROM c12),

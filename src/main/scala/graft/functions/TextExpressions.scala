@@ -219,4 +219,92 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): StripHtmlSubtreesExpr =
       copy(child = c)
   }
+
+  /** Decode HTML numeric character references — `&#NNN;` and
+    * `&#xHHHH;` — in one linear pass (computed code points are exactly
+    * what a regexp-replace chain cannot express). WHATWG semantics:
+    *  - 0, surrogates, and > 0x10FFFF become U+FFFD;
+    *  - C1 refs 0x80-0x9F take the spec's Windows-1252 remapping
+    *    (`&#146;` is the classic cp1252 apostrophe on real pages) —
+    *    derived from the JDK cp1252 decoder, not hand-typed (the
+    *    MojibakeRepair discipline);
+    *  - supplementary planes emit the surrogate pair;
+    *  - anything malformed (no digits, no terminating `;`) stays
+    *    verbatim. A double-escaped `&amp;#39;` never matches (`&#`
+    *    does not occur in it), preserving the entity chain's
+    *    amp-decodes-last contract. */
+  def decodeNumericEntities(text: Column): Column =
+    toCol(DecodeNumericEntitiesExpr(expr(text)))
+
+  case class DecodeNumericEntitiesExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    private def appendCp(sb: java.lang.StringBuilder, cp: Long): Unit =
+      if (cp == 0L || (cp >= 0xD800L && cp <= 0xDFFFL) || cp > 0x10FFFFL)
+        sb.append('�')
+      else if (cp >= 0x80L && cp <= 0x9FL) {
+        // derived from the JDK cp1252 decoder, whose REPLACE of the 5
+        // undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) marks exactly the
+        // positions the WHATWG table leaves as the code point itself
+        val d = new String(Array(cp.toByte), "windows-1252")
+        if (d.charAt(0) == '�') sb.append(cp.toChar) else sb.append(d)
+      }
+      else sb.appendCodePoint(cp.toInt)
+
+    def decode(u: UTF8String): UTF8String = {
+      val s = u.toString
+      var i = s.indexOf("&#")
+      if (i < 0) return u // common case: zero allocation
+      val sb = new java.lang.StringBuilder(s.length)
+      var copied = 0
+      while (i >= 0) {
+        var j = i + 2
+        val hex =
+          j < s.length && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+        if (hex) j += 1
+        val start = j
+        var cp = 0L
+        var more = true
+        while (more && j < s.length) {
+          val c = s.charAt(j)
+          val v =
+            if (c >= '0' && c <= '9') c - '0'
+            else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+            else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+            else -1
+          if (v < 0) more = false
+          else {
+            // saturate instead of overflow: every over-long ref is
+            // out of range and becomes U+FFFD anyway
+            cp = math.min(cp * (if (hex) 16 else 10) + v, 0x7FFFFFFFL)
+            j += 1
+          }
+        }
+        if (j > start && j < s.length && s.charAt(j) == ';') {
+          sb.append(s, copied, i)
+          appendCp(sb, cp)
+          copied = j + 1
+          i = s.indexOf("&#", copied)
+        } else {
+          // malformed: stays verbatim; resume after this '&'
+          i = s.indexOf("&#", i + 1)
+        }
+      }
+      if (copied == 0) u
+      else { sb.append(s, copied, s.length); UTF8String.fromString(sb.toString) }
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      decode(a.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("decodeNumEnt", this,
+        classOf[DecodeNumericEntitiesExpr].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.decode($a);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): DecodeNumericEntitiesExpr =
+      copy(child = c)
+  }
 }

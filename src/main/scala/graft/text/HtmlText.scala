@@ -26,10 +26,15 @@ import graft.core._
   * [[C4Filter]]/[[GopherSignals]] line rules already cover on the
   * extracted text.
   *
-  * Numeric character references: only the universal few are decoded
-  * (`&#39; &#34;`); general `&#x...;` decoding needs computed
-  * characters, which neither a regexp chain nor the oracle can
-  * express — a documented non-goal at this layer.
+  * Numeric character references: the universal few decode as chain
+  * literals (`&#39; &#34;`); GENERAL `&#x...;` decoding needs computed
+  * characters, which no regexp chain can express — setting
+  * `numericEntities` inserts the linear native decode
+  * [[graft.functions.TextExpressions.decodeNumericEntities]] between
+  * the entity literals and the amp-decodes-last step (off by default:
+  * the default chain stays the published, fully-regexp-replayable
+  * spec; the `html_entities` gate pins the decode against planted
+  * refs the oracle replays as literals).
   */
 class HtmlTextExtractor(override val uid: String)
     extends Transformer with HasInputCol with HasOutputCol
@@ -37,9 +42,15 @@ class HtmlTextExtractor(override val uid: String)
   def this() = this(Identifiable.randomUID("HtmlTextExtractor"))
   setDefault(outputCol -> "text")
 
+  final val numericEntities = new BooleanParam(this, "numericEntities",
+    "decode general numeric character references (&#NNN; / &#xHHHH;) " +
+      "with the native linear expression")
+  setDefault(numericEntities -> false)
+  def setNumericEntities(v: Boolean): this.type = set(numericEntities, v)
+
   override def transform(ds: Dataset[_]): DataFrame =
     ds.toDF().withColumn($(outputCol),
-      HtmlTextExtractor.extract(col(getInputCol)))
+      HtmlTextExtractor.extract(col(getInputCol), $(numericEntities)))
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema :+ StructField($(outputCol), StringType))
@@ -98,9 +109,24 @@ object HtmlTextExtractor extends GraftReadable[HtmlTextExtractor] {
     * graft.tools.HtmlProbe). RE2, the oracle engine, simulates all
     * starts in one automaton pass, so the oracle keeps the published
     * spec form and stays linear. */
-  def extract(c: Column): Column =
-    trim(steps.drop(5).foldLeft(
+  def extract(c: Column, numericEntities: Boolean = false): Column = {
+    val rest = steps.drop(5)
+    // the numeric decode slots between the entity literals and the
+    // amp step: &amp; decodes LAST so it cannot create new entities,
+    // and a double-escaped &amp;#39; therefore survives as the literal
+    // text &#39; under either setting
+    val ampAt = rest.indexWhere(_._1 == "&amp;")
+    val (beforeAmp, fromAmp) = rest.splitAt(ampAt)
+    val pre = beforeAmp.foldLeft(
       graft.functions.TextExpressions.stripHtmlSubtrees(c)) {
       case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }
+    val mid =
+      if (numericEntities)
+        graft.functions.TextExpressions.decodeNumericEntities(pre)
+      else pre
+    trim(fromAmp.foldLeft(mid) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
     })
+  }
 }

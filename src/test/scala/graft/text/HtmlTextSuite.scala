@@ -46,6 +46,35 @@ class HtmlTextSuite extends TestBase {
       "a\nb\nc d")
   }
 
+  test("numericEntities decodes general refs with WHATWG semantics") {
+    def runN(html: String): String =
+      new HtmlTextExtractor().setInputCol("html").setOutputCol("out")
+        .setNumericEntities(true)
+        .transform(Seq(html).toDF("html")).select("out").as[String].head()
+    val cases = Seq(
+      "a&#x2019;b" -> "a’b", // hex
+      "a&#X2019;b" -> "a’b", // capital X
+      "em&#8212;dash" -> "em—dash", // decimal
+      "caf&#233;" -> "café",
+      "it&#146;s" -> "it’s", // C1 -> cp1252 remap
+      "c&#129;d" -> "c\u0081d", // cp1252-undefined C1 stays the control
+      "s&#x1F600;!" -> "s😀!", // supplementary -> pair
+      "x&#xD800;y" -> "x�y", // lone surrogate
+      "x&#0;y" -> "x�y", // NUL
+      "x&#x110000;y" -> "x�y", // out of range
+      "x&#99999999999999999;y" -> "x�y", // over-long saturates
+      "bad&#zz; t" -> "bad&#zz; t", // malformed: verbatim
+      "no&#12 semi" -> "no&#12 semi", // missing ';': verbatim
+      "tail&#" -> "tail&#", // dangling
+      "esc&amp;#39;q" -> "esc&#39;q", // amp decodes last: no double decode
+      "pre&#39;q" -> "pre'q") // chain literal still handled earlier
+    cases.foreach { case (in, want) =>
+      assert(runN(s"<p>$in</p>") == want, s"for <$in>")
+    }
+    // default stays the published regexp-replayable chain: refs survive
+    assert(run("<p>a&#x2019;b</p>") == "a&#x2019;b")
+  }
+
   test("native subtree kernel matches the spec regex semantics") {
     // the linear kernel replaces java-regex execution of steps 1-5;
     // RE2/.*? shortest-match semantics pinned on the tricky shapes
