@@ -806,6 +806,86 @@ object SparkEntry {
           col("tok_start"), col("tok_end"))
     },
 
+    // THE WHOLE RECIPE as one gate: synthesized crawl pages (URL + HTML
+    // + planted mojibake + a lorem page-killer class) framed into WARC
+    // segments, re-read, then Recipes.webExtraction (URL blocklist ->
+    // HTML extract -> mojibake repair -> C4) -> Recipes.corpusCuration
+    // (Gopher word gate -> exact dedup -> deterministic order) ->
+    // vocab-rank tokenization -> TokenShards write/read. Every stage is
+    // individually hash-gated elsewhere; this pins the SPLICES (crawl
+    // front end feeds curation feeds the training sink). The oracle
+    // constructs the expected post-extraction text directly (extraction
+    // and repair have their own chain-replay gates) and replays the
+    // curation arithmetic: C4 line/page rules reduce to the planted
+    // classes, word gate, canonical min-id dedup, md5 order, rank ids
+    "recipe_e2e" -> { (s, dir) =>
+      import graft.text.MojibakeRepair.moji
+      val sfName = new java.io.File(dir).getName
+      val wstag = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_recipe_warc_$sfName").toString
+      val tstag = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_recipe_tok_$sfName").toString
+      val domains = array(lit("good.com"), lit("evil.com"), lit("fine.org"),
+        lit("nice.net"), lit("ok.io"))
+      val page = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(domains, (col("doc_id") % 5 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<html><head><script>if (1 < 2) { f(); }</script></head>" +
+            "<body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit(s" caf${moji("é")} ends here. and this sentence too. " +
+            "plus a third one. also a fourth sentence. finally the " +
+            "fifth.</p>"),
+          when(col("doc_id") % 13 === 0,
+            lit("<p>lorem ipsum dolor sit amet.</p>"))
+            .otherwise(lit("<p>a clean closing line.</p>")),
+          lit("</body></html>")).as("html"))
+      graft.io.warc.WarcFiles.write(
+        page.select(col("url").as("uri"),
+          encode(concat(
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            col("html")), "UTF-8").as("bytes")),
+        wstag, maxShardBytes = 1L << 20)
+      val crawl = graft.io.warc.WarcFiles.read(s, wstag)
+        .select(col("uri").as("url"),
+          decode(graft.io.warc.WarcFiles.httpBody(col("bytes")), "UTF-8")
+            .as("html"))
+      val web = graft.text.Recipes.webExtraction(
+        blockedDomains = Seq("evil.com")).fit(crawl).transform(crawl)
+      val withId = web.select(
+        regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+          .as("doc_id"), col("text"))
+      val curated = graft.text.Recipes
+        .corpusCuration(minWords = 70, seed = "e2e")
+        .fit(withId).transform(withId)
+      val words = curated.select(col("doc_id"), col("shuffle_pos"),
+        posexplode(split(
+          graft.dedup.DedupFunctions.canonical(col("text")), " "))
+          .as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+      val vocab = words.select("w").distinct()
+        .withColumn("id", row_number().over(Window.orderBy("w")))
+      val toks = words.join(vocab, "w")
+        .groupBy("doc_id", "shuffle_pos")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id")).as("ids"))
+        .select(concat(array(col("doc_id").cast("int"),
+          col("shuffle_pos").cast("int")), col("ids")).as("tokens"))
+      graft.io.binary.TokenShards.write(toks, tstag,
+        maxShardBytes = 1L << 20)
+      graft.io.binary.TokenShards.read(s, tstag)
+        .select(element_at(col("tokens"), 1).cast("long").as("doc_id"),
+          element_at(col("tokens"), 2).cast("long").as("shuffle_pos"),
+          posexplode(slice(col("tokens"), 3, Int.MaxValue))
+            .as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("shuffle_pos"), col("pos"),
+          col("token_id"))
+    },
+
     // C4 cleaning rules (Raffel 2020 §2.2) over synthesized multi-line
     // text: per doc, planted lines exercise every rule — a no-terminal-
     // punct line (id%3), a 2-word line (id%4), a javascript line (id%5),
@@ -4414,6 +4494,50 @@ object SparkEntry {
         |LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin,
 
     // the shuffle key is the contract: md5(id || ':42'), ties by id
+    // the expected post-extraction text is constructed directly (the
+    // extraction/repair chains have their own replay gates — here the
+    // hash still breaks if the pipeline's extraction or repair drifts);
+    // curation arithmetic replayed exactly: URL block = doc_id%5=1,
+    // lorem page rule = doc_id%13=0, Gopher gate = line2 words + 4
+    // closing words >= 70, canonical min-id dedup, md5 ':e2e' order,
+    // alphabetical vocab ranks over the curated corpus
+    "recipe_e2e" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' café ends here. and this sentence too. plus a ' ||
+        |    'third one. also a fourth sentence. finally the fifth.' AS line2
+        |  FROM documents
+        |  WHERE doc_id % 5 <> 1 AND doc_id % 13 <> 0),
+        |gop AS (
+        |  SELECT doc_id,
+        |    line2 || chr(10) || 'a clean closing line.' AS c4_text
+        |  FROM synth
+        |  WHERE len(list_filter(string_split_regex(trim(line2), '\s+'),
+        |    w -> w <> '')) + 4 >= 70),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(c4_text), '\s+', ' ', 'g')) AS ct
+        |  FROM gop),
+        |surv AS (SELECT min(doc_id) AS doc_id, ct FROM canon GROUP BY ct),
+        |shuf AS (
+        |  SELECT doc_id, ct, CAST(row_number() OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':e2e'), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |  FROM surv),
+        |w AS (
+        |  SELECT doc_id, shuffle_pos, unnest(arr) AS w,
+        |    generate_subscripts(arr, 1) AS pos
+        |  FROM (SELECT doc_id, shuffle_pos,
+        |    regexp_split_to_array(ct, ' ') AS arr FROM shuf)),
+        |wf AS (SELECT * FROM w WHERE length(w) > 0),
+        |v AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS id
+        |      FROM (SELECT DISTINCT w FROM wf)),
+        |ranked AS (SELECT doc_id, shuffle_pos, wf.pos, v.id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wf.pos) AS dense
+        |  FROM wf JOIN v USING (w))
+        |SELECT doc_id, shuffle_pos, CAST(dense - 1 AS INTEGER) AS pos,
+        |  CAST(id AS INTEGER) AS token_id FROM ranked""".stripMargin,
+
     "corpus_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1
