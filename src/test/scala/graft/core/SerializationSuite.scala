@@ -370,6 +370,21 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("LanguageIdentifierModel save/load") {
+    // tiny but separable bilingual fixture: char-gram features differ
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the quick brown fox and the lazy dog", "en")
+      else (i.toLong, "der schnelle braune fuchs und der hund", "de")
+    }.toDF("doc_id", "text", "lang")
+    val m = new graft.text.LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setMaxIter(10).fit(docs)
+    val p = tmp("li"); m.write.overwrite().save(p)
+    val loaded = graft.text.LanguageIdentifierModel.load(p)
+    assert(loaded.get(loaded.labels).get.sameElements(m.get(m.labels).get))
+    roundTrip(m.transform(docs).select("doc_id", "lang_pred"),
+      loaded.transform(docs).select("doc_id", "lang_pred"))
+  }
+
   test("round-12 param-only transformers save/load and re-transform") {
     // the text/ingest family added this round: pure-param stages, so
     // the fuzzing contract is save -> load -> transform equality
