@@ -2322,6 +2322,34 @@ object SparkEntry {
           col("top_2gram_count"), col("top_2gram_q4"), col("dup_2gram_q4"))
     },
 
+    // Full Gopher repetition-removal set over synthesized structure
+    // (the corpus is single-line): a line duplicated on id%3, a
+    // paragraph duplicated on id%4, and a 10-word phrase repeated on
+    // id%5 (drives the 5..10-gram overlap-aware coverage); the oracle
+    // rebuilds the same text and recomputes all 16 columns
+    "gopher_repetition" -> { (s, dir) =>
+      val id = col("doc_id")
+      val rep10 =
+        "one two three four five six seven eight nine ten"
+      val t2 = concat_ws("\n\n",
+        concat_ws("\n",
+          col("text"),
+          lit("the same exact line repeats here"),
+          when(id % 3 === 0, lit("the same exact line repeats here"))
+            .otherwise(concat(lit("distinct closing line "),
+              id.cast("string")))),
+        when(id % 4 === 0, lit("para block alpha\npara block beta"))
+          .otherwise(concat(lit("para body "), id.cast("string"))),
+        lit("para block alpha\npara block beta"),
+        when(id % 5 === 0, lit(s"$rep10 filler word $rep10"))
+          .otherwise(concat(lit("tail words close page "),
+            id.cast("string"))))
+      new graft.text.GopherRepetition().setInputCol("__t2")
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id") +:
+          graft.text.GopherRepetition.fields.map(f => col(f._1)): _*)
+    },
+
     // deterministic domain-mixture sampling: md5-hex-prefix thresholds
     // per source (1.0/0.75/0.5/0.25/0.1, default 0.125) — the kept set is
     // a pure function of (doc_id, salt), independent of partitioning
@@ -4599,6 +4627,200 @@ object SparkEntry {
         |  CAST(floor(CAST(dup2 AS DOUBLE) / CAST(n2 AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS dup_2gram_q4
         |FROM w JOIN agg2 ON w.doc_id = agg2.doc_id""".stripMargin,
+
+    // rebuilds the gate's synthesized text, then replays every Gopher
+    // repetition signal: line/paragraph duplicate (char) fractions,
+    // top-{2,3,4}-gram char fraction (ties to the binary-smallest
+    // gram), and overlap-aware dup-{5..10}-gram char coverage via
+    // DISTINCT covered word positions
+    "gopher_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text || chr(10) ||
+        |    'the same exact line repeats here' || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'the same exact line repeats here'
+        |      ELSE 'distinct closing line ' || CAST(doc_id AS VARCHAR)
+        |    END || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'para block alpha' || chr(10) || 'para block beta'
+        |      ELSE 'para body ' || CAST(doc_id AS VARCHAR)
+        |    END || chr(10) || chr(10) ||
+        |    'para block alpha' || chr(10) || 'para block beta'
+        |    || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'one two three four five six seven eight nine ten' ||
+        |        ' filler word ' ||
+        |        'one two three four five six seven eight nine ten'
+        |      ELSE 'tail words close page ' || CAST(doc_id AS VARCHAR)
+        |    END AS t2
+        |  FROM documents),
+        |lraw AS (
+        |  SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM docs),
+        |lf AS (
+        |  SELECT doc_id, len(trim(l)) AS lc,
+        |    count(*) OVER (PARTITION BY doc_id, trim(l)) AS c
+        |  FROM lraw WHERE trim(l) <> ''),
+        |lstat AS (
+        |  SELECT doc_id, count(*) AS nl, sum(lc) AS lch,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ldup,
+        |    sum(CASE WHEN c > 1 THEN lc ELSE 0 END) AS ldupch
+        |  FROM lf GROUP BY 1),
+        |praw AS (
+        |  SELECT doc_id, unnest(string_split_regex(t2, '\n{2,}')) AS p
+        |  FROM docs),
+        |pf AS (
+        |  SELECT doc_id, len(trim(p)) AS pc,
+        |    count(*) OVER (PARTITION BY doc_id, trim(p)) AS c
+        |  FROM praw WHERE trim(p) <> ''),
+        |pstat AS (
+        |  SELECT doc_id, count(*) AS np, sum(pc) AS pch,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS pdup,
+        |    sum(CASE WHEN c > 1 THEN pc ELSE 0 END) AS pdupch
+        |  FROM pf GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(t2), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM docs),
+        |wstat AS (
+        |  SELECT doc_id, len(t) AS nw,
+        |    COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS twc
+        |  FROM toks),
+        |wpos AS (
+        |  SELECT doc_id, i, t[i] AS w
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ')
+        |    AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |tp2 AS (SELECT doc_id, tc2 FROM (
+        |  SELECT doc_id, count(*) * (len(g) - 1) AS tc2,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g ASC) AS rn
+        |  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ')
+        |    AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks)),
+        |tp3 AS (SELECT doc_id, tc3 FROM (
+        |  SELECT doc_id, count(*) * (len(g) - 2) AS tc3,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g ASC) AS rn
+        |  FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+        |g4 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ')
+        |    AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+        |        FROM toks)),
+        |tp4 AS (SELECT doc_id, tc4 FROM (
+        |  SELECT doc_id, count(*) * (len(g) - 3) AS tc4,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, g ASC) AS rn
+        |  FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
+        |g5 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 4), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM toks)),
+        |d5 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g5) c,
+        |    unnest(range(0, 5)) AS u(j) WHERE c.cc > 1),
+        |s5 AS (SELECT d.doc_id, sum(len(w.w)) AS dc5
+        |  FROM d5 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1),
+        |g6 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 5), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+        |        FROM toks)),
+        |d6 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g6) c,
+        |    unnest(range(0, 6)) AS u(j) WHERE c.cc > 1),
+        |s6 AS (SELECT d.doc_id, sum(len(w.w)) AS dc6
+        |  FROM d6 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1),
+        |g7 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 6), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5)) AS i
+        |        FROM toks)),
+        |d7 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g7) c,
+        |    unnest(range(0, 7)) AS u(j) WHERE c.cc > 1),
+        |s7 AS (SELECT d.doc_id, sum(len(w.w)) AS dc7
+        |  FROM d7 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1),
+        |g8 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 7), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks)),
+        |d8 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g8) c,
+        |    unnest(range(0, 8)) AS u(j) WHERE c.cc > 1),
+        |s8 AS (SELECT d.doc_id, sum(len(w.w)) AS dc8
+        |  FROM d8 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1),
+        |g9 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 8), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 7)) AS i
+        |        FROM toks)),
+        |d9 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g9) c,
+        |    unnest(range(0, 9)) AS u(j) WHERE c.cc > 1),
+        |s9 AS (SELECT d.doc_id, sum(len(w.w)) AS dc9
+        |  FROM d9 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1),
+        |g10 AS (SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i, i + 9), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+        |        FROM toks)),
+        |d10 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+        |  FROM (SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g10) c,
+        |    unnest(range(0, 10)) AS u(j) WHERE c.cc > 1),
+        |s10 AS (SELECT d.doc_id, sum(len(w.w)) AS dc10
+        |  FROM d10 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+        |  GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(nl AS BIGINT) AS gr_n_lines,
+        |  CAST(floor(CAST(ldup AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_line_q4,
+        |  CAST(floor(CAST(ldupch AS DOUBLE) / CAST(lch AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_line_char_q4,
+        |  CAST(np AS BIGINT) AS gr_n_paras,
+        |  CAST(floor(CAST(pdup AS DOUBLE) / CAST(np AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_para_q4,
+        |  CAST(floor(CAST(pdupch AS DOUBLE) / CAST(pch AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_para_char_q4,
+        |  CAST(nw AS BIGINT) AS gr_n_words,
+        |  CAST(floor(CAST(tc2 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_2gram_char_q4,
+        |  CAST(floor(CAST(tc3 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_3gram_char_q4,
+        |  CAST(floor(CAST(tc4 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_4gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc5, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_5gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc6, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_6gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc7, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_7gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc8, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_8gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc9, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_9gram_char_q4,
+        |  CAST(floor(CAST(COALESCE(dc10, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_10gram_char_q4
+        |FROM docs
+        |  JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+        |  JOIN wstat USING (doc_id)
+        |  JOIN tp2 USING (doc_id) JOIN tp3 USING (doc_id)
+        |  JOIN tp4 USING (doc_id)
+        |  LEFT JOIN s5 USING (doc_id) LEFT JOIN s6 USING (doc_id)
+        |  LEFT JOIN s7 USING (doc_id) LEFT JOIN s8 USING (doc_id)
+        |  LEFT JOIN s9 USING (doc_id) LEFT JOIN s10 USING (doc_id)""".stripMargin,
 
     // md5-hex-prefix thresholds: floor(w * 16^8) as 8-hex lowercase;
     // 'g' sorts above every hex digit => weight 1.0 keeps all
