@@ -2350,6 +2350,47 @@ object SparkEntry {
           graft.text.GopherRepetition.fields.map(f => col(f._1)): _*)
     },
 
+    // The complete Gopher Table-A1 removal rule over fully synthesized
+    // docs: a priority CASE plants one violation class per prime mod —
+    // %7 word count, %11 dup n-grams, %13 bullet lines, %17 no stop
+    // words, %19 symbol ratio, %23 ellipsis lines, %29 duplicate lines
+    // — else a clean 64-word body; the oracle rebuilds the text and
+    // replays every threshold as exact q4 integer comparisons
+    "gopher_filter" -> { (s, dir) =>
+      val id = col("doc_id")
+      val bodyWords = concat_ws(" ",
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), lit(60)),
+          i => concat(lit("wrd"), ((id * 31 + i) % 97).cast("string"))))
+      val body = concat(bodyWords, lit(" the and of that"))
+      val phrase6 = lit(
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu ") * 6)
+      val bullets = concat_ws("\n",
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), lit(30)),
+          j => concat(lit("•filler item"), (id + j).cast("string"))))
+      val ellipsisLines = concat_ws("\n",
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(1), lit(5)),
+          j => concat(lit("more to come "), (id + j).cast("string"),
+            lit("..."))))
+      val dupLines = lit(
+        List.fill(8)("repeated filler line here").mkString("\n"))
+      val t2 = when(id % 7 === 0, lit("tiny doc the and"))
+        .when(id % 11 === 0, concat(body, lit(" "), phrase6))
+        .when(id % 13 === 0, concat(body, lit("\n"), bullets))
+        .when(id % 17 === 0, bodyWords)
+        .when(id % 19 === 0,
+          concat(body, lit(" ### ### ### ### ### ### ### ### ### ###")))
+        .when(id % 23 === 0, concat(body, lit("\n"), ellipsisLines))
+        .when(id % 29 === 0, concat(body, lit("\n"), dupLines))
+        .otherwise(body)
+      new graft.text.GopherQualityFilter().setInputCol("__t2")
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id"))
+    },
+
     // deterministic domain-mixture sampling: md5-hex-prefix thresholds
     // per source (1.0/0.75/0.5/0.25/0.1, default 0.125) — the kept set is
     // a pure function of (doc_id, salt), independent of partitioning
@@ -2430,6 +2471,147 @@ object SparkEntry {
           |  CAST(COALESCE(FLOOR(sc.s / sc.n_tok * 10000 + 0.5), 0) AS BIGINT)
           |    AS lm_ce_q4
           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** Shared DuckDB CTE block: every Gopher repetition signal computed
+    * from a `docs(doc_id, t2)` head CTE — line/paragraph duplicate
+    * stats, word positions, top-{2,3,4}-gram char counts, and
+    * overlap-aware dup-{5..10}-gram char coverage. Used by both the
+    * `gopher_repetition` signal oracle and the `gopher_filter`
+    * threshold-rule oracle. */
+  private val GopherRepetitionCtes: String =
+    """lraw AS (
+      |  SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM docs),
+      |lf AS (
+      |  SELECT doc_id, len(trim(l)) AS lc,
+      |    count(*) OVER (PARTITION BY doc_id, trim(l)) AS c
+      |  FROM lraw WHERE trim(l) <> ''),
+      |lstat AS (
+      |  SELECT doc_id, count(*) AS nl, sum(lc) AS lch,
+      |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ldup,
+      |    sum(CASE WHEN c > 1 THEN lc ELSE 0 END) AS ldupch
+      |  FROM lf GROUP BY 1),
+      |praw AS (
+      |  SELECT doc_id, unnest(string_split_regex(t2, '\n{2,}')) AS p
+      |  FROM docs),
+      |pf AS (
+      |  SELECT doc_id, len(trim(p)) AS pc,
+      |    count(*) OVER (PARTITION BY doc_id, trim(p)) AS c
+      |  FROM praw WHERE trim(p) <> ''),
+      |pstat AS (
+      |  SELECT doc_id, count(*) AS np, sum(pc) AS pch,
+      |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS pdup,
+      |    sum(CASE WHEN c > 1 THEN pc ELSE 0 END) AS pdupch
+      |  FROM pf GROUP BY 1),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(t2), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM docs),
+      |wstat AS (
+      |  SELECT doc_id, len(t) AS nw,
+      |    COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS twc
+      |  FROM toks),
+      |wpos AS (
+      |  SELECT doc_id, i, t[i] AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks)),
+      |g2 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ')
+      |    AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |tp2 AS (SELECT doc_id, tc2 FROM (
+      |  SELECT doc_id, count(*) * (len(g) - 1) AS tc2,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, g ASC) AS rn
+      |  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+      |g3 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ')
+      |    AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |        FROM toks)),
+      |tp3 AS (SELECT doc_id, tc3 FROM (
+      |  SELECT doc_id, count(*) * (len(g) - 2) AS tc3,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, g ASC) AS rn
+      |  FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+      |g4 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ')
+      |    AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+      |        FROM toks)),
+      |tp4 AS (SELECT doc_id, tc4 FROM (
+      |  SELECT doc_id, count(*) * (len(g) - 3) AS tc4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY count(*) DESC, g ASC) AS rn
+      |  FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
+      |g5 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 4), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+      |        FROM toks)),
+      |d5 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g5) c,
+      |    unnest(range(0, 5)) AS u(j) WHERE c.cc > 1),
+      |s5 AS (SELECT d.doc_id, sum(len(w.w)) AS dc5
+      |  FROM d5 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1),
+      |g6 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 5), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+      |        FROM toks)),
+      |d6 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g6) c,
+      |    unnest(range(0, 6)) AS u(j) WHERE c.cc > 1),
+      |s6 AS (SELECT d.doc_id, sum(len(w.w)) AS dc6
+      |  FROM d6 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1),
+      |g7 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 6), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5)) AS i
+      |        FROM toks)),
+      |d7 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g7) c,
+      |    unnest(range(0, 7)) AS u(j) WHERE c.cc > 1),
+      |s7 AS (SELECT d.doc_id, sum(len(w.w)) AS dc7
+      |  FROM d7 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1),
+      |g8 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 7), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM toks)),
+      |d8 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g8) c,
+      |    unnest(range(0, 8)) AS u(j) WHERE c.cc > 1),
+      |s8 AS (SELECT d.doc_id, sum(len(w.w)) AS dc8
+      |  FROM d8 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1),
+      |g9 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 8), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 7)) AS i
+      |        FROM toks)),
+      |d9 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g9) c,
+      |    unnest(range(0, 9)) AS u(j) WHERE c.cc > 1),
+      |s9 AS (SELECT d.doc_id, sum(len(w.w)) AS dc9
+      |  FROM d9 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1),
+      |g10 AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i, i + 9), ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+      |        FROM toks)),
+      |d10 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
+      |  FROM (SELECT doc_id, i,
+      |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g10) c,
+      |    unnest(range(0, 10)) AS u(j) WHERE c.cc > 1),
+      |s10 AS (SELECT d.doc_id, sum(len(w.w)) AS dc10
+      |  FROM d10 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
+      |  GROUP BY 1)""".stripMargin
+
+  /** the library's q4 fraction convention in DuckDB SQL */
+  private def q4sql(num: String, den: String): String =
+    s"CAST(floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)" +
+      " * 10000.0 + 0.5) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "featurize_datetime" ->
@@ -4634,7 +4816,7 @@ object SparkEntry {
     // gram), and overlap-aware dup-{5..10}-gram char coverage via
     // DISTINCT covered word positions
     "gopher_repetition" ->
-      """WITH docs AS (
+      ("""WITH docs AS (
         |  SELECT doc_id,
         |    text || chr(10) ||
         |    'the same exact line repeats here' || chr(10) ||
@@ -4654,136 +4836,9 @@ object SparkEntry {
         |        'one two three four five six seven eight nine ten'
         |      ELSE 'tail words close page ' || CAST(doc_id AS VARCHAR)
         |    END AS t2
-        |  FROM documents),
-        |lraw AS (
-        |  SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM docs),
-        |lf AS (
-        |  SELECT doc_id, len(trim(l)) AS lc,
-        |    count(*) OVER (PARTITION BY doc_id, trim(l)) AS c
-        |  FROM lraw WHERE trim(l) <> ''),
-        |lstat AS (
-        |  SELECT doc_id, count(*) AS nl, sum(lc) AS lch,
-        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ldup,
-        |    sum(CASE WHEN c > 1 THEN lc ELSE 0 END) AS ldupch
-        |  FROM lf GROUP BY 1),
-        |praw AS (
-        |  SELECT doc_id, unnest(string_split_regex(t2, '\n{2,}')) AS p
-        |  FROM docs),
-        |pf AS (
-        |  SELECT doc_id, len(trim(p)) AS pc,
-        |    count(*) OVER (PARTITION BY doc_id, trim(p)) AS c
-        |  FROM praw WHERE trim(p) <> ''),
-        |pstat AS (
-        |  SELECT doc_id, count(*) AS np, sum(pc) AS pch,
-        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS pdup,
-        |    sum(CASE WHEN c > 1 THEN pc ELSE 0 END) AS pdupch
-        |  FROM pf GROUP BY 1),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(t2), '\s+'),
-        |      x -> x <> '') AS t
-        |  FROM docs),
-        |wstat AS (
-        |  SELECT doc_id, len(t) AS nw,
-        |    COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS twc
-        |  FROM toks),
-        |wpos AS (
-        |  SELECT doc_id, i, t[i] AS w
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM toks)),
-        |g2 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ')
-        |    AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
-        |tp2 AS (SELECT doc_id, tc2 FROM (
-        |  SELECT doc_id, count(*) * (len(g) - 1) AS tc2,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY count(*) DESC, g ASC) AS rn
-        |  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
-        |g3 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ')
-        |    AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        |        FROM toks)),
-        |tp3 AS (SELECT doc_id, tc3 FROM (
-        |  SELECT doc_id, count(*) * (len(g) - 2) AS tc3,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY count(*) DESC, g ASC) AS rn
-        |  FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
-        |g4 AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ')
-        |    AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
-        |        FROM toks)),
-        |tp4 AS (SELECT doc_id, tc4 FROM (
-        |  SELECT doc_id, count(*) * (len(g) - 3) AS tc4,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY count(*) DESC, g ASC) AS rn
-        |  FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
-        |g5 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 4), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
-        |        FROM toks)),
-        |d5 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g5) c,
-        |    unnest(range(0, 5)) AS u(j) WHERE c.cc > 1),
-        |s5 AS (SELECT d.doc_id, sum(len(w.w)) AS dc5
-        |  FROM d5 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1),
-        |g6 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 5), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
-        |        FROM toks)),
-        |d6 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g6) c,
-        |    unnest(range(0, 6)) AS u(j) WHERE c.cc > 1),
-        |s6 AS (SELECT d.doc_id, sum(len(w.w)) AS dc6
-        |  FROM d6 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1),
-        |g7 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 6), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 5)) AS i
-        |        FROM toks)),
-        |d7 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g7) c,
-        |    unnest(range(0, 7)) AS u(j) WHERE c.cc > 1),
-        |s7 AS (SELECT d.doc_id, sum(len(w.w)) AS dc7
-        |  FROM d7 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1),
-        |g8 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 7), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
-        |        FROM toks)),
-        |d8 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g8) c,
-        |    unnest(range(0, 8)) AS u(j) WHERE c.cc > 1),
-        |s8 AS (SELECT d.doc_id, sum(len(w.w)) AS dc8
-        |  FROM d8 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1),
-        |g9 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 8), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 7)) AS i
-        |        FROM toks)),
-        |d9 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g9) c,
-        |    unnest(range(0, 9)) AS u(j) WHERE c.cc > 1),
-        |s9 AS (SELECT d.doc_id, sum(len(w.w)) AS dc9
-        |  FROM d9 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1),
-        |g10 AS (SELECT doc_id, i,
-        |    array_to_string(list_slice(t, i, i + 9), ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
-        |        FROM toks)),
-        |d10 AS (SELECT DISTINCT doc_id, c.i + u.j AS p
-        |  FROM (SELECT doc_id, i,
-        |      count(*) OVER (PARTITION BY doc_id, g) AS cc FROM g10) c,
-        |    unnest(range(0, 10)) AS u(j) WHERE c.cc > 1),
-        |s10 AS (SELECT d.doc_id, sum(len(w.w)) AS dc10
-        |  FROM d10 d JOIN wpos w ON d.doc_id = w.doc_id AND d.p = w.i
-        |  GROUP BY 1)
-        |SELECT doc_id,
+        |  FROM documents),""".stripMargin + "\n" +
+      GopherRepetitionCtes + "\n" +
+      """SELECT doc_id,
         |  CAST(nl AS BIGINT) AS gr_n_lines,
         |  CAST(floor(CAST(ldup AS DOUBLE) / CAST(nl AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_line_q4,
@@ -4820,7 +4875,93 @@ object SparkEntry {
         |  JOIN tp4 USING (doc_id)
         |  LEFT JOIN s5 USING (doc_id) LEFT JOIN s6 USING (doc_id)
         |  LEFT JOIN s7 USING (doc_id) LEFT JOIN s8 USING (doc_id)
-        |  LEFT JOIN s9 USING (doc_id) LEFT JOIN s10 USING (doc_id)""".stripMargin,
+        |  LEFT JOIN s9 USING (doc_id) LEFT JOIN s10 USING (doc_id)""".stripMargin),
+
+    // rebuilds the gate's priority-CASE fixture, then applies every
+    // Gopher Table-A1 threshold as exact q4 integer comparisons over
+    // the shared repetition CTEs + structural counts
+    "gopher_filter" ->
+      ("""WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 7 = 0 THEN 'tiny doc the and'
+        |      WHEN doc_id % 11 = 0 THEN body || ' ' ||
+        |        repeat('alpha beta gamma delta epsilon zeta eta ' ||
+        |          'theta iota kappa lambda mu ', 6)
+        |      WHEN doc_id % 13 = 0 THEN body || chr(10) ||
+        |        array_to_string(list_transform(range(1, 31),
+        |          j -> '•filler item' || CAST(doc_id + j AS VARCHAR)),
+        |          chr(10))
+        |      WHEN doc_id % 17 = 0 THEN bw
+        |      WHEN doc_id % 19 = 0 THEN body ||
+        |        ' ### ### ### ### ### ### ### ### ### ###'
+        |      WHEN doc_id % 23 = 0 THEN body || chr(10) ||
+        |        array_to_string(list_transform(range(1, 6),
+        |          j -> 'more to come ' || CAST(doc_id + j AS VARCHAR)
+        |            || '...'), chr(10))
+        |      WHEN doc_id % 29 = 0 THEN body || chr(10) ||
+        |        repeat('repeated filler line here' || chr(10), 7) ||
+        |        'repeated filler line here'
+        |      ELSE body END AS t2
+        |  FROM (SELECT doc_id, bw, bw || ' the and of that' AS body
+        |    FROM (SELECT doc_id,
+        |      array_to_string(list_transform(range(1, 61),
+        |        i -> 'wrd' || CAST((doc_id * 31 + i) % 97 AS VARCHAR)),
+        |        ' ') AS bw
+        |      FROM documents))),""".stripMargin + "\n" +
+      GopherRepetitionCtes + ",\n" +
+      s"""structc AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(list_filter(k.t, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS naw,
+        |    CAST(length(d.t2) - length(regexp_replace(d.t2, '#', '', 'g'))
+        |      + (length(d.t2) - length(replace(d.t2, '...', ''))) / 3
+        |      + length(d.t2) - length(regexp_replace(d.t2, '…', '', 'g'))
+        |      AS BIGINT) AS nsym,
+        |    CAST(len(list_intersect(list_distinct(list_transform(k.t,
+        |      w -> lower(w))), ['the', 'be', 'to', 'of', 'and', 'that',
+        |      'have', 'with'])) AS BIGINT) AS nstop
+        |  FROM docs d JOIN toks k USING (doc_id)),
+        |linec AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(lns, l -> list_contains(
+        |      ['-', '*', '•', '‣', '▶'], substr(l, 1, 1)))) AS BIGINT)
+        |      AS nbl,
+        |    CAST(len(list_filter(lns, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…'))) AS BIGINT) AS nel
+        |  FROM (SELECT doc_id, list_filter(list_transform(
+        |      string_split(t2, chr(10)), l -> trim(l)), l -> l <> '')
+        |      AS lns
+        |    FROM docs))
+        |SELECT doc_id FROM docs
+        |  JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+        |  JOIN wstat USING (doc_id) JOIN structc USING (doc_id)
+        |  JOIN linec USING (doc_id)
+        |  JOIN tp2 USING (doc_id) JOIN tp3 USING (doc_id)
+        |  JOIN tp4 USING (doc_id)
+        |  LEFT JOIN s5 USING (doc_id) LEFT JOIN s6 USING (doc_id)
+        |  LEFT JOIN s7 USING (doc_id) LEFT JOIN s8 USING (doc_id)
+        |  LEFT JOIN s9 USING (doc_id) LEFT JOIN s10 USING (doc_id)
+        |WHERE nw BETWEEN 50 AND 100000
+        |  AND ${q4sql("twc", "nw")} BETWEEN 30000 AND 100000
+        |  AND ${q4sql("nsym", "nw")} <= 1000
+        |  AND ${q4sql("naw", "nw")} >= 8000
+        |  AND ${q4sql("nbl", "nl")} <= 9000
+        |  AND ${q4sql("nel", "nl")} <= 3000
+        |  AND nstop >= 2
+        |  AND ${q4sql("ldup", "nl")} <= 3000
+        |  AND ${q4sql("pdup", "np")} <= 3000
+        |  AND ${q4sql("ldupch", "lch")} <= 2000
+        |  AND ${q4sql("pdupch", "pch")} <= 2000
+        |  AND ${q4sql("tc2", "twc")} <= 2000
+        |  AND ${q4sql("tc3", "twc")} <= 1800
+        |  AND ${q4sql("tc4", "twc")} <= 1600
+        |  AND ${q4sql("COALESCE(dc5, 0)", "twc")} <= 1500
+        |  AND ${q4sql("COALESCE(dc6, 0)", "twc")} <= 1400
+        |  AND ${q4sql("COALESCE(dc7, 0)", "twc")} <= 1300
+        |  AND ${q4sql("COALESCE(dc8, 0)", "twc")} <= 1200
+        |  AND ${q4sql("COALESCE(dc9, 0)", "twc")} <= 1100
+        |  AND ${q4sql("COALESCE(dc10, 0)", "twc")} <= 1000""".stripMargin),
 
     // md5-hex-prefix thresholds: floor(w * 16^8) as 8-hex lowercase;
     // 'g' sorts above every hex digit => weight 1.0 keeps all
