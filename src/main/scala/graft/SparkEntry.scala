@@ -2163,8 +2163,13 @@ object SparkEntry {
       val synth = tbl(s, dir, "documents").select(col("doc_id"))
         .withColumn("lang", LanguageGateFixture.langCol)
         .withColumn("text", LanguageGateFixture.textCol)
+      // trainSample: the benched operating point is the recommended
+      // 100-TB one — bounded deterministic fit + full-corpus inference
+      // (50k covers every sf dir fully; at the 100x sweep it bounds
+      // the L-BFGS pass, SCALING.md round 13)
       val m = new graft.text.LanguageIdentifier().setInputCol("text")
         .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+        .setTrainSample(50000)
         .fit(synth.filter(col("doc_id") % 3 =!= 0))
       m.transform(synth).select(col("doc_id"), col("lang_pred"))
     },

@@ -56,6 +56,20 @@ class LanguageIdentifier(override val uid: String)
     "L2 regularization", ParamValidators.gtEq(0.0))
   setDefault(regParam -> 1e-4)
   def setRegParam(v: Double): this.type = set(regParam, v)
+  final val trainSample = new IntParam(this, "trainSample",
+    "if > 0, fit on a bounded deterministic sample: the md5-hash-order " +
+      "first N rows (a uniform draw independent of partitioning), plus " +
+      "a per-class top-up of N/numLanguages rows for any language the " +
+      "primary draw missed (rare classes — or mass-duplicated corpora, " +
+      "where identical rows tie on the content hash and the top-N " +
+      "collapses onto few distinct documents — must not be silently " +
+      "dropped from the label space). A 5-language identifier does not " +
+      "need a corpus-wide L-BFGS — at 100x the full fit was measured " +
+      "671 s while inference stays a narrow broadcast pass (SCALING.md " +
+      "round 13).",
+    ParamValidators.gtEq(0))
+  setDefault(trainSample -> 0)
+  def setTrainSample(v: Int): this.type = set(trainSample, v)
 
   override def fit(ds: Dataset[_]): LanguageIdentifierModel = {
     val df = ds.toDF()
@@ -65,10 +79,36 @@ class LanguageIdentifier(override val uid: String)
       .na.drop().distinct().collect().map(_.getString(0)).sorted
     require(labels.length >= 2,
       s"need at least 2 languages to train, got ${labels.toSeq}")
+    // bounded training sample: TakeOrdered over an md5 of (label, text)
+    // — per-partition top-N then one bounded merge, deterministic under
+    // any partitioning (hash ties are identical rows, so the selected
+    // MULTISET is unique even when the row choice is not). The label
+    // census above stays corpus-wide; any language the primary draw
+    // missed — a rare class, or a mass-duplicated corpus whose top-N
+    // collapses onto few distinct documents — gets a per-class top-up
+    // draw of its fair share, so no class silently vanishes
+    val train = if ($(trainSample) > 0) {
+      val h = md5(concat_ws(" ",
+        coalesce(col($(labelCol)).cast(StringType), lit("")),
+        coalesce(col(getInputCol).cast(StringType), lit(""))))
+      val sampled = df.orderBy(h).limit($(trainSample))
+      val sampleLabels = sampled.select(col($(labelCol)).cast(StringType))
+        .na.drop().distinct().collect().map(_.getString(0)).sorted
+      val missing = labels.diff(sampleLabels)
+      if (missing.isEmpty) sampled
+      else {
+        val share = math.max($(trainSample) / labels.length, 1)
+        missing.foldLeft(sampled) { (acc, l) =>
+          acc.unionByName(df
+            .filter(col($(labelCol)).cast(StringType) === l)
+            .orderBy(h).limit(share))
+        }
+      }
+    } else df
     val y = (array_position(typedLit(labels.toSeq),
       col($(labelCol)).cast(StringType)) - 1).cast(DoubleType)
     val prepped = LanguageIdentifierModel
-      .featurize(df, getInputCol, $(numBits), $(maxGram))
+      .featurize(train, getInputCol, $(numBits), $(maxGram))
       .withColumn("__li_y", y)
     val lr = new LogisticRegression().setFeaturesCol("__li_features")
       .setLabelCol("__li_y").setFamily("multinomial")

@@ -137,3 +137,84 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     url.isNotNull && !domainHit && !termHit
   }
 }
+
+/** URL canonicalization for URL-level deduplication — the first dedup
+  * stage of RefinedWeb (Penedo et al. 2023 §3.2: "we deduplicate URLs")
+  * and the cheapest dedup a crawl pipeline has: two crawls of the same
+  * page differ only in tracking decorations, fragment, host case, or a
+  * trailing slash, and collapsing those costs one narrow projection.
+  *
+  * The canonical form, applied only to strings that carry a
+  * `scheme://` prefix (anything else passes through verbatim):
+  * fragment dropped; scheme and host lowercased; userinfo dropped;
+  * leading `www.` dropped (the [[UrlFilter.host]] convention); the
+  * scheme's default port dropped (`:80` for http, `:443` for https);
+  * trailing slashes stripped from the path; tracking query parameters
+  * (`trackingParams`, matched on the lowercased name) removed with the
+  * remaining parameters left in order; an emptied query dropped. Path
+  * case and non-default ports are preserved — paths are case-sensitive
+  * and ports are routing.
+  *
+  * Every step is a codegen'd expression in the RE2∩Java regex subset
+  * (each pattern can match at most once, so Spark's replace-all and
+  * DuckDB's replace-first agree) — zero shuffle; compose with
+  * [[graft.dedup.ExactDeduplicator]] on the output column for the
+  * actual URL dedup, which then pays only the standard dedup shuffle
+  * on the collapsed key.
+  */
+class UrlNormalizer(override val uid: String)
+    extends Transformer with HasInputCol with GraftWritable {
+  def this() = this(Identifiable.randomUID("UrlNormalizer"))
+
+  final val outputCol = new Param[String](this, "outputCol",
+    "normalized-URL output column")
+  setDefault(outputCol -> "url_norm")
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  final val trackingParams = new StringArrayParam(this, "trackingParams",
+    "query parameter names (lowercase) dropped during normalization")
+  setDefault(trackingParams -> Array("utm_source", "utm_medium",
+    "utm_campaign", "utm_term", "utm_content", "utm_id", "gclid",
+    "fbclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref"))
+  def setTrackingParams(v: Seq[String]): this.type =
+    set(trackingParams, v.toArray)
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF().withColumn($(outputCol),
+      UrlNormalizer.normalize(col(getInputCol),
+        $(trackingParams).toIndexedSeq))
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField($(outputCol), StringType))
+  override def copy(extra: ParamMap): UrlNormalizer = defaultCopy(extra)
+}
+
+object UrlNormalizer extends GraftReadable[UrlNormalizer] {
+
+  /** The canonicalization chain as a single column expression. */
+  def normalize(url: Column, trackers: Seq[String]): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val tail = regexp_replace(rest, "^[^/?]*", "")
+    val h0 = lower(regexp_replace(hostport, "^[^@]*@", ""))
+    val h1 = regexp_replace(h0, "^www\\.", "")
+    val h2 = when(scheme === "http", regexp_replace(h1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(h1, ":443$", ""))
+      .otherwise(h1)
+    val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1),
+      "/+$", "")
+    val qs = regexp_replace(tail, "^[^?]*", "")
+    val kept = filter(split(qs.substr(lit(2), length(qs)), "&"),
+      p => !lower(regexp_extract(p, "^([^=]*)", 1))
+        .isin(trackers.map(t => t: Any): _*))
+    val qNorm = when(length(qs) <= 1, lit(""))
+      .when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(url.isNull, lit(null).cast(StringType))
+      .when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), h2, path, qNorm))
+  }
+}

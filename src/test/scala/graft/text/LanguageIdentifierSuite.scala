@@ -78,4 +78,28 @@ class LanguageIdentifierSuite extends TestBase {
     assert(out.select("url").as[String].collect().toSeq ==
       Seq("https://ok.com/en"))
   }
+  test("trainSample: bounded deterministic fit still recovers the rule") {
+    val docs = synth(400)
+    // sample smaller than the corpus: exact rule recovery must survive
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+      .setTrainSample(150).fit(docs)
+    assert(m.transform(docs)
+      .filter(col("lang_pred") =!= col("lang")).count() == 0)
+    // partitioning must not change the sampled set: same predictions
+    val m2 = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+      .setTrainSample(150).fit(docs.repartition(7))
+    assertDFEq(m.transform(docs).select("doc_id", "lang_pred"),
+      m2.transform(docs).select("doc_id", "lang_pred"))
+    // a sample too small to cover every language gets per-class
+    // top-ups: every label still trains (each fixture doc carries its
+    // full 12-word pool, so even one doc per class recovers the rule)
+    val m3 = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+      .setTrainSample(2).fit(docs)
+    assert(m3.get(m3.labels).get.toSeq == Seq("de", "en", "es", "fr", "it"))
+    assert(m3.transform(docs)
+      .filter(col("lang_pred") =!= col("lang")).count() == 0)
+  }
 }
