@@ -1936,6 +1936,72 @@ object SparkEntry {
         graft.text.UrlFilter.registeredDomain(col("url")).as("domain"))
     },
 
+    // RefinedWeb URL canonicalization: every crawl-duplicate decoration
+    // (scheme/host case, www, userinfo, default vs routing port,
+    // trailing slashes, tracking params mixed with kept params,
+    // fragment, and a non-URL passthrough row class) synthesized from
+    // doc_id; the oracle replays the whole normalize chain — every
+    // regex in it matches at most once, so Spark replace-all and
+    // DuckDB replace-first agree
+    "url_normalize" -> { (s, dir) =>
+      val schemes = array(lit("https"), lit("HTTPS"), lit("http"),
+        lit("HTTP"))
+      val ports = array(lit(":443"), lit(":80"), lit(":8080"), lit(""))
+      val hosts = array(lit("Example.com"), lit("site.org"),
+        lit("News.co.uk"))
+      val slashes = array(lit("/"), lit("//"), lit(""), lit(""), lit(""))
+      val qsv = array(
+        concat(lit("?utm_source=f&q="), col("doc_id").cast("string")),
+        lit("?gclid=x"), lit("?a=1&fbclid=y&b=2"), lit(""))
+      val messy = when(col("doc_id") % 11 === 10,
+          concat(lit("doc "), col("doc_id").cast("string")))
+        .otherwise(concat(
+          element_at(schemes, (col("doc_id") % 4 + 1).cast("int")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("user:pw@")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          element_at(hosts, (col("doc_id") % 3 + 1).cast("int")),
+          element_at(ports, (col("doc_id") % 4 + 1).cast("int")),
+          lit("/Path/"), col("doc_id").cast("string"),
+          element_at(slashes, (col("doc_id") % 5 + 1).cast("int")),
+          element_at(qsv, (col("doc_id") % 7 % 4 + 1).cast("int")),
+          when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit(""))))
+      val urls = tbl(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+      new graft.text.UrlNormalizer().setInputCol("url")
+        .transform(urls).select(col("doc_id"), col("url_norm"))
+    },
+
+    // URL-level dedup (RefinedWeb's first dedup stage): ~50 distinct
+    // pages each crawled many times under different decorations;
+    // normalize collapses the decorations, ExactDeduplicator keeps the
+    // smallest doc_id per canonical URL. The oracle replays normalize +
+    // the min-id window (url_norm here is all-lowercase, so the
+    // deduplicator's canonical-text keying is the identity)
+    "url_dedup" -> { (s, dir) =>
+      val page = (col("doc_id") % 50).cast("string")
+      val qsv = array(concat(lit("?q="), page),
+        concat(lit("?q="), page, lit("&utm_source=f")),
+        lit("?gclid=x"), lit(""))
+      val url = concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        lit("site.com"),
+        when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/page/"), page,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        element_at(qsv, (col("doc_id") % 7 % 4 + 1).cast("int")),
+        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit("")))
+      val crawls = tbl(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      val normed = new graft.text.UrlNormalizer().setInputCol("url")
+        .transform(crawls)
+      new graft.dedup.ExactDeduplicator().setInputCol("url_norm")
+        .setIdCol("doc_id").transform(normed)
+        .select(col("doc_id"), col("url_norm"))
+    },
+
     // SQ8 scalar quantization: per-dim corpus min/max -> uint8 codes;
     // the oracle recomputes the bounds and replays the exact
     // floor(+0.5) arithmetic chain double-for-double (float->double
@@ -4227,6 +4293,118 @@ object SparkEntry {
         |WHERE NOT (host = 'evil.com' OR host LIKE '%.evil.com'
         |        OR host = 'bad.org' OR host LIKE '%.bad.org'
         |        OR lower(url) LIKE '%casino%')""".stripMargin,
+
+    // full replay of UrlNormalizer.normalize: each regex matches at
+    // most once (all anchored, or first-#-to-end), so DuckDB's
+    // replace-first equals Spark's replace-all
+    "url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 10 THEN 'doc ' || CAST(doc_id AS VARCHAR)
+        |  ELSE
+        |    (['https','HTTPS','http','HTTP'])[CAST(doc_id % 4 + 1 AS INTEGER)]
+        |    || '://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+        |    (['Example.com','site.org','News.co.uk'])
+        |      [CAST(doc_id % 3 + 1 AS INTEGER)] ||
+        |    ([':443',':80',':8080',''])[CAST(doc_id % 4 + 1 AS INTEGER)] ||
+        |    '/Path/' || CAST(doc_id AS VARCHAR) ||
+        |    (['/','//','','',''])[CAST(doc_id % 5 + 1 AS INTEGER)] ||
+        |    (['?utm_source=f&q=' || CAST(doc_id AS VARCHAR),
+        |      '?gclid=x','?a=1&fbclid=y&b=2',''])
+        |      [CAST(doc_id % 7 % 4 + 1 AS INTEGER)] ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END
+        |  END AS url FROM documents),
+        |n1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |n2 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag,
+        |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n1),
+        |n3 AS (SELECT doc_id, url, scheme,
+        |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS tail FROM n2),
+        |n4 AS (SELECT doc_id, url, scheme, tail,
+        |  regexp_replace(lower(regexp_replace(hostport, '^[^@]*@', '')),
+        |    '^www\.', '') AS h1 FROM n3),
+        |n5 AS (SELECT doc_id, url, scheme, tail,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+        |       ELSE h1 END AS h2 FROM n4),
+        |n6 AS (SELECT doc_id, url, scheme, h2,
+        |  regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+        |    '/+$', '') AS path,
+        |  regexp_replace(tail, '^[^?]*', '') AS qs FROM n5),
+        |n7 AS (SELECT doc_id, url, scheme, h2, path, qs,
+        |  list_filter(string_split(substr(qs, 2), '&'),
+        |    p -> NOT lower(regexp_extract(p, '^([^=]*)', 1)) IN
+        |      ('utm_source','utm_medium','utm_campaign','utm_term',
+        |       'utm_content','utm_id','gclid','fbclid','msclkid',
+        |       'mc_cid','mc_eid','igshid','ref')) AS kept FROM n6),
+        |n8 AS (SELECT doc_id, url, scheme, h2, path,
+        |  CASE WHEN length(qs) <= 1 THEN ''
+        |       WHEN len(kept) = 0 THEN ''
+        |       ELSE '?' || array_to_string(kept, '&') END AS qnorm
+        |  FROM n7)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' THEN url
+        |       ELSE scheme || '://' || h2 || path || qnorm END AS url_norm
+        |FROM n8""".stripMargin,
+
+    // normalize replay (same chain as url_normalize, on the grouped
+    // fixture) + the deduplicator's min-id-per-group window
+    "url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'https' END
+        |  || '://' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |  'site.com' ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END ||
+        |  '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |  (['?q=' || CAST(doc_id % 50 AS VARCHAR),
+        |    '?q=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=f',
+        |    '?gclid=x',''])[CAST(doc_id % 7 % 4 + 1 AS INTEGER)] ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id,
+        |  regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |n2 AS (SELECT doc_id,
+        |  lower(regexp_extract(nofrag,
+        |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM n1),
+        |n3 AS (SELECT doc_id, scheme,
+        |  regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS tail FROM n2),
+        |n4 AS (SELECT doc_id, scheme, tail,
+        |  regexp_replace(lower(regexp_replace(hostport, '^[^@]*@', '')),
+        |    '^www\.', '') AS h1 FROM n3),
+        |n5 AS (SELECT doc_id, scheme, tail,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+        |       ELSE h1 END AS h2 FROM n4),
+        |n6 AS (SELECT doc_id, scheme, h2,
+        |  regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+        |    '/+$', '') AS path,
+        |  regexp_replace(tail, '^[^?]*', '') AS qs FROM n5),
+        |n7 AS (SELECT doc_id, scheme, h2, path, qs,
+        |  list_filter(string_split(substr(qs, 2), '&'),
+        |    p -> NOT lower(regexp_extract(p, '^([^=]*)', 1)) IN
+        |      ('utm_source','utm_medium','utm_campaign','utm_term',
+        |       'utm_content','utm_id','gclid','fbclid','msclkid',
+        |       'mc_cid','mc_eid','igshid','ref')) AS kept FROM n6),
+        |n8 AS (SELECT doc_id,
+        |  scheme || '://' || h2 || path ||
+        |  CASE WHEN length(qs) <= 1 THEN ''
+        |       WHEN len(kept) = 0 THEN ''
+        |       ELSE '?' || array_to_string(kept, '&') END AS url_norm
+        |  FROM n7)
+        |SELECT doc_id, url_norm FROM (
+        |  SELECT doc_id, url_norm, row_number() OVER (
+        |    PARTITION BY url_norm ORDER BY doc_id) AS rn FROM n8)
+        |WHERE rn = 1""".stripMargin,
 
     "embedding_sq8" ->
       """WITH d AS (SELECT vec_id,
