@@ -1975,9 +1975,9 @@ object SparkEntry {
     // URL-level dedup (RefinedWeb's first dedup stage): ~50 distinct
     // pages each crawled many times under different decorations;
     // normalize collapses the decorations, ExactDeduplicator keeps the
-    // smallest doc_id per canonical URL. The oracle replays normalize +
-    // the min-id window (url_norm here is all-lowercase, so the
-    // deduplicator's canonical-text keying is the identity)
+    // smallest doc_id per canonical URL — rawKey mode, the recommended
+    // operating point for URL keys (paths stay case-sensitive). The
+    // oracle replays normalize + the min-id window over url_norm
     "url_dedup" -> { (s, dir) =>
       val page = (col("doc_id") % 50).cast("string")
       val qsv = array(concat(lit("?q="), page),
@@ -1998,7 +1998,7 @@ object SparkEntry {
       val normed = new graft.text.UrlNormalizer().setInputCol("url")
         .transform(crawls)
       new graft.dedup.ExactDeduplicator().setInputCol("url_norm")
-        .setIdCol("doc_id").transform(normed)
+        .setIdCol("doc_id").setRawKey(true).transform(normed)
         .select(col("doc_id"), col("url_norm"))
     },
 

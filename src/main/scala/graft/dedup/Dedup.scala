@@ -212,9 +212,19 @@ class ExactDeduplicator(override val uid: String) extends Transformer
     "numeric column; lowest value kept per duplicate group")
   def setPriorityCol(v: String): this.type = set(priorityCol, v)
 
+  /** Key on the raw input string instead of the canonical text form —
+    * for inputs that are already canonical keys rather than prose
+    * (normalized URLs, fingerprints), where lowercasing/whitespace-
+    * collapsing would over-collapse case-sensitive values. */
+  final val rawKey = new BooleanParam(this, "rawKey",
+    "dedup on the exact input string (skip text canonicalization)")
+  setDefault(rawKey -> false)
+  def setRawKey(v: Boolean): this.type = set(rawKey, v)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val canon = DedupFunctions.canonical(col(getInputCol))
+    val canon = if ($(rawKey)) col(getInputCol)
+      else DedupFunctions.canonical(col(getInputCol))
     // 128-bit fingerprint pair as the group key, NOT the canonical text:
     // the full normalized document as a shuffle/hash-map key made the
     // exact-dedup shuffle carry every byte twice (key + kept row) and

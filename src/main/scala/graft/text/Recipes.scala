@@ -28,11 +28,26 @@ object Recipes {
     * specific) C4 rules, so dropped-language pages never pay cleaning:
     * pass a fitted [[LanguageIdentifierModel]] plus the language codes
     * to keep; docs whose argmax language is not in the keep set are
-    * dropped and the prediction columns do not survive the recipe. */
+    * dropped and the prediction columns do not survive the recipe.
+    *
+    * `urlDedupIdCol` enables RefinedWeb's first dedup stage: URL
+    * canonicalization ([[UrlNormalizer]]) + exact dedup on the
+    * canonical URL (raw-key — paths stay case-sensitive), keeping the
+    * smallest id per page. It sits after the blocklist filter (narrow,
+    * shuffle-free drops go first) and before HTML extraction, so
+    * duplicate crawls never pay the extraction chain. */
   def webExtraction(blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
-      languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None)
+      languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None,
+      urlDedupIdCol: Option[String] = None)
       : Pipeline = {
+    val urlDedupStages = urlDedupIdCol.toSeq.flatMap { id =>
+      Seq(
+        new UrlNormalizer().setInputCol("url").setOutputCol("__url_norm"),
+        new graft.dedup.ExactDeduplicator().setInputCol("__url_norm")
+          .setIdCol(id).setRawKey(true),
+        new Lambda().setTransform(_.drop("__url_norm")))
+    }
     val langStages = languageGate.toSeq.flatMap { case (m, keep) =>
       Seq(
         m.copy(org.apache.spark.ml.param.ParamMap.empty)
@@ -43,7 +58,8 @@ object Recipes {
     }
     new Pipeline().setStages((Seq(
       new UrlFilter().setInputCol("url")
-        .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms),
+        .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms)) ++
+      urlDedupStages ++ Seq(
       new HtmlTextExtractor().setInputCol("html").setOutputCol("__extracted"),
       new MojibakeRepair().setInputCol("__extracted")
         .setOutputCol("__repaired")) ++

@@ -23,6 +23,15 @@ class DedupSuite extends TestBase {
     assert(ids.sameElements(Array(0L, 2L, 3L)))
   }
 
+  test("ExactDeduplicator rawKey dedups the exact string, not canonical text") {
+    // 0 and 4 differ only in case/spacing: canonical mode collapses
+    // them, rawKey keeps both (the normalized-URL / fingerprint case)
+    val out = new ExactDeduplicator().setInputCol("text").setIdCol("doc_id")
+      .setRawKey(true).transform(docs)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(0L, 2L, 3L, 4L))) // only 1 == 0 exactly
+  }
+
   test("ExactDeduplicator keeps the preferred-priority copy") {
     // {0,1,4} share canonical text; priority prefers doc 1
     val prioritized = docs.withColumn("prio",

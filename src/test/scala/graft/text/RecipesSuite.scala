@@ -29,6 +29,26 @@ class RecipesSuite extends TestBase {
     assert(repaired.startsWith("café ") && !repaired.contains("Ã"))
   }
 
+  test("webExtraction urlDedupIdCol: duplicate crawls drop before extraction") {
+    def page(body: String) =
+      s"<html><body>$body</body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full sentence number $i with plenty of honest words in it.")
+      .mkString(" ")
+    val df = Seq(
+      (1L, "https://www.site.com/a?utm_source=feed", page(s"<p>$longPara</p>")),
+      (2L, "https://site.com/a/", page(s"<p>$longPara recrawl</p>")),
+      (3L, "HTTPS://SITE.com/a#top", page(s"<p>$longPara recrawl2</p>")),
+      (4L, "https://site.com/b", page(s"<p>$longPara</p>")),
+      (5L, "https://site.com/B", page(s"<p>$longPara</p>"))) // case-distinct path survives
+      .toDF("doc_id", "url", "html")
+    val out = Recipes.webExtraction(urlDedupIdCol = Some("doc_id"))
+      .fit(df).transform(df)
+    // min doc_id per canonical URL; /b vs /B are different pages (rawKey)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+    assert(!out.columns.contains("__url_norm"))
+  }
+
   test("corpusCuration: gate, dedup, deterministic order") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ")
     val df = Seq(
