@@ -29,6 +29,9 @@ object Recipes {
     * pass a fitted [[LanguageIdentifierModel]] plus the language codes
     * to keep; docs whose argmax language is not in the keep set are
     * dropped and the prediction columns do not survive the recipe.
+    * `languageMinProb` additionally drops docs whose argmax confidence
+    * is below the threshold (CCNet keeps pages only above 0.5 — low-
+    * confidence pages are usually mixed-language or boilerplate).
     *
     * `urlDedupIdCol` enables RefinedWeb's first dedup stage: URL
     * canonicalization ([[UrlNormalizer]]) + exact dedup on the
@@ -39,7 +42,8 @@ object Recipes {
   def webExtraction(blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
       languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None,
-      urlDedupIdCol: Option[String] = None)
+      urlDedupIdCol: Option[String] = None,
+      languageMinProb: Double = 0.0)
       : Pipeline = {
     val urlDedupStages = urlDedupIdCol.toSeq.flatMap { id =>
       Seq(
@@ -53,7 +57,8 @@ object Recipes {
         m.copy(org.apache.spark.ml.param.ParamMap.empty)
           .setInputCol("__repaired"),
         new Lambda().setTransform(df => df
-          .filter(col("lang_pred").isin(keep.map(k => k: Any): _*))
+          .filter(col("lang_pred").isin(keep.map(k => k: Any): _*) &&
+            col("lang_prob") >= languageMinProb)
           .drop("lang_pred", "lang_prob")))
     }
     new Pipeline().setStages((Seq(

@@ -77,6 +77,12 @@ class LanguageIdentifierSuite extends TestBase {
     assert(out.columns.toSeq == Seq("url", "text"))
     assert(out.select("url").as[String].collect().toSeq ==
       Seq("https://ok.com/en"))
+    // a confidence floor above any attainable argmax drops everything
+    // (CCNet's 0.5 rule, exaggerated so the test is margin-independent)
+    val none = Recipes.webExtraction(
+      languageGate = Some((m, Seq("en"))), languageMinProb = 1.1)
+      .fit(df).transform(df)
+    assert(none.count() == 0)
   }
   test("trainSample: bounded deterministic fit still recovers the rule") {
     val docs = synth(400)
