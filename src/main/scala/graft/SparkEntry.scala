@@ -2232,9 +2232,14 @@ object SparkEntry {
       // trainSample: the benched operating point is the recommended
       // 100-TB one — bounded deterministic fit + full-corpus inference
       // (50k covers every sf dir fully; at the 100x sweep it bounds
-      // the L-BFGS pass, SCALING.md round 13)
+      // the L-BFGS pass, SCALING.md round 13). numBits=14 sizes the
+      // hash space to the 5-language problem (fastText langid uses
+      // 2^21 for 176 languages — ~16 KB/language; 2^18 here made every
+      // L-BFGS iteration allocate and ship a 10.5 MB dense gradient,
+      // 16x the useful size — measured 22.6 s at sf0.1 / 92.7 s @10x
+      // before, SCALING.md round 13)
       val m = new graft.text.LanguageIdentifier().setInputCol("text")
-        .setLabelCol("lang").setNumBits(18).setMaxIter(30)
+        .setLabelCol("lang").setNumBits(14).setMaxIter(30)
         .setTrainSample(50000)
         .fit(synth.filter(col("doc_id") % 3 =!= 0))
       m.transform(synth).select(col("doc_id"), col("lang_pred"))
