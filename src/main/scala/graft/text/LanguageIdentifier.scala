@@ -92,10 +92,14 @@ class LanguageIdentifier(override val uid: String)
         coalesce(col($(labelCol)).cast(StringType), lit("")),
         coalesce(col(getInputCol).cast(StringType), lit(""))))
       val sampled = df.orderBy(h).limit($(trainSample))
-      val sampleLabels = sampled.select(col($(labelCol)).cast(StringType))
-        .na.drop().distinct().collect().map(_.getString(0)).sorted
+      // one bounded agg over the sample: row count (sizes the fit's
+      // partitioning below) + which labels the primary draw hit
+      val stats = sampled.agg(count(lit(1)).as("n"),
+        collect_set(col($(labelCol)).cast(StringType)).as("ls")).head()
+      val n = stats.getLong(0)
+      val sampleLabels = stats.getSeq[String](1).sorted
       val missing = labels.diff(sampleLabels)
-      if (missing.isEmpty) sampled
+      val unioned = if (missing.isEmpty) sampled
       else {
         val share = math.max($(trainSample) / labels.length, 1)
         missing.foldLeft(sampled) { (acc, l) =>
@@ -104,6 +108,15 @@ class LanguageIdentifier(override val uid: String)
             .orderBy(h).limit(share))
         }
       }
+      // a global limit lands on ONE partition; left there, gram
+      // featurization and every L-BFGS gradient pass run single-
+      // threaded (measured 381.7 s at the 100x sweep, nearly all in
+      // the one-task fit — SCALING.md round 13). Spread the bounded
+      // sample ~1k rows/partition; round-robin from a single fixed
+      // input partition is deterministic, and the planted-margin
+      // contract tolerates the FP reorder of parallel gradient sums
+      val parts = math.max(1, math.min(64, (n / 1024).toInt))
+      if (parts > 1) unioned.repartition(parts) else unioned
     } else df
     val y = (array_position(typedLit(labels.toSeq),
       col($(labelCol)).cast(StringType)) - 1).cast(DoubleType)
