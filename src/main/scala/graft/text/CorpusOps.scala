@@ -120,36 +120,37 @@ class GopherSignals(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import PipelineFunctions.q4
-    val c = coalesce(col(getInputCol), lit(""))
-    val words = filter(split(trim(c), "\\s+"), w => length(w) > 0)
-    val alphaWords = filter(words, w => w.rlike("[A-Za-z]"))
-    // non-overlapping left-to-right counts via replace-length arithmetic
-    // (identical semantics in Spark and DuckDB)
-    val nHash = length(c) - length(regexp_replace(c, "#", ""))
-    val nDots = (length(c) - length(replace(c, lit("..."), lit("")))) / 3
-    val nHellip = length(c) - length(regexp_replace(c, "…", ""))
-    val lines = filter(
-      org.apache.spark.sql.functions.transform(split(c, "\n"), l => trim(l)),
-      l => length(l) > 0)
-    val bulletLines = filter(lines,
-      l => substring(l, 1, 1).isin("-", "*", "•", "‣", "▶"))
-    val ellipsisLines = filter(lines,
-      l => l.endsWith("...") || l.endsWith("…"))
-    ds.toDF()
-      .withColumn("gs_n_words", size(words).cast(LongType))
-      .withColumn("gs_n_alpha_words", size(alphaWords).cast(LongType))
-      .withColumn("gs_alpha_word_q4",
-        q4(col("gs_n_alpha_words"), col("gs_n_words")))
-      .withColumn("gs_n_symbols", (nHash + nDots + nHellip).cast(LongType))
-      .withColumn("gs_symbol_word_q4",
-        q4(col("gs_n_symbols"), col("gs_n_words")))
-      .withColumn("gs_n_lines", size(lines).cast(LongType))
-      .withColumn("gs_n_bullet_lines", size(bulletLines).cast(LongType))
-      .withColumn("gs_bullet_line_q4",
-        q4(col("gs_n_bullet_lines"), col("gs_n_lines")))
-      .withColumn("gs_n_ellipsis_lines", size(ellipsisLines).cast(LongType))
-      .withColumn("gs_ellipsis_line_q4",
-        q4(col("gs_n_ellipsis_lines"), col("gs_n_lines")))
+    // one-pass kernel + two projections, not ten HOF withColumns: each
+    // withColumn re-analyzed the whole logical plan (driver-side
+    // seconds per query under a large upstream tree), and the
+    // filter/transform higher-order functions are CodegenFallback —
+    // interpreted per-element lambda dispatch measured at ~2 ms/doc in
+    // jstack samples (SimpleHigherOrderFunction.eval). The winnowing
+    // precedent (round 12, 16.7x): when the operator IS the kernel, a
+    // one-pass UDF wins. Semantics are bit-identical to the old
+    // expression chain (GopherSignalsSuite pins the edge cases and the
+    // gopher_signals oracle hash-checks them end to end).
+    val tmp = graft.core.DatasetExtensions
+      .findUnusedColumnName("gs_struct", ds.schema)
+    val sUdf = udf { t: String => GopherStructural.profile(t, Array.empty) }
+    val base = ds.toDF()
+    val baseCols = base.columns.toIndexedSeq.map(col)
+    val counted = base.withColumn(tmp, sUdf(col(getInputCol)))
+    counted.select(baseCols ++ Seq(
+      col(tmp).getField("nWords").as("gs_n_words"),
+      col(tmp).getField("nAlphaWords").as("gs_n_alpha_words"),
+      q4(col(tmp).getField("nAlphaWords"), col(tmp).getField("nWords"))
+        .as("gs_alpha_word_q4"),
+      col(tmp).getField("nSymbols").as("gs_n_symbols"),
+      q4(col(tmp).getField("nSymbols"), col(tmp).getField("nWords"))
+        .as("gs_symbol_word_q4"),
+      col(tmp).getField("nLines").as("gs_n_lines"),
+      col(tmp).getField("nBulletLines").as("gs_n_bullet_lines"),
+      q4(col(tmp).getField("nBulletLines"), col(tmp).getField("nLines"))
+        .as("gs_bullet_line_q4"),
+      col(tmp).getField("nEllipsisLines").as("gs_n_ellipsis_lines"),
+      q4(col(tmp).getField("nEllipsisLines"), col(tmp).getField("nLines"))
+        .as("gs_ellipsis_line_q4")): _*)
   }
   override def transformSchema(schema: StructType): StructType =
     StructType(schema ++ Seq(
@@ -161,3 +162,95 @@ class GopherSignals(override val uid: String) extends Transformer
   override def copy(extra: ParamMap): GopherSignals = defaultCopy(extra)
 }
 object GopherSignals extends graft.core.GraftReadable[GopherSignals]
+
+/** One-pass JVM kernel behind [[GopherSignals]] and
+  * [[GopherQualityFilter]]'s two extra Table-A1 signals. Each count
+  * replicates the original Spark expression EXACTLY (the oracle SQL
+  * replays those semantics):
+  *
+  *  - words = `split(text, "\\s+")` dropping empties (the leading-
+  *    whitespace artifact token); an alpha word contains an ASCII
+  *    letter (`rlike("[A-Za-z]")`).
+  *  - symbols = '#' count + NON-OVERLAPPING left-to-right "..." count
+  *    (the replace-length arithmetic) + '…' count.
+  *  - lines = `split(text, "\n")`, SPACE-trimmed (Spark `trim` strips
+  *    ' ' only — NOT Java `String.trim`, which also strips \t and \r),
+  *    empties dropped; bullet lines start with one of - * • ‣ ▶;
+  *    ellipsis lines end with "..." or "…".
+  *  - wordChars = sum of word lengths in CODEPOINTS (Spark `length`
+  *    counts characters, not UTF-16 units).
+  *  - stopHits = number of DISTINCT `stops` entries present among the
+  *    lowercased words (`Locale.ROOT` — equals Spark `lower` on the
+  *    ASCII stop lists this gates).
+  */
+private[text] object GopherStructural {
+  case class S(nWords: Long, nAlphaWords: Long, nSymbols: Long,
+      nLines: Long, nBulletLines: Long, nEllipsisLines: Long,
+      wordChars: Long, stopHits: Long)
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def spaceTrim(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  private def isBullet(ch: Char): Boolean =
+    ch == '-' || ch == '*' || ch == '•' || ch == '‣' || ch == '▶'
+
+  def profile(text0: String, stops: Array[String]): S = {
+    val text = if (text0 == null) "" else text0
+    // words
+    var nWords = 0L; var nAlpha = 0L; var wordChars = 0L
+    val lowered = if (stops.nonEmpty)
+      new java.util.HashSet[String]() else null
+    Ws.split(text).foreach { w =>
+      if (w.nonEmpty) {
+        nWords += 1
+        wordChars += w.codePointCount(0, w.length)
+        var i = 0; var hasAlpha = false
+        while (i < w.length && !hasAlpha) {
+          val c = w.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+            hasAlpha = true
+          i += 1
+        }
+        if (hasAlpha) nAlpha += 1
+        if (lowered != null)
+          lowered.add(w.toLowerCase(java.util.Locale.ROOT))
+      }
+    }
+    var stopHits = 0L
+    if (lowered != null) stops.foreach { s =>
+      if (lowered.contains(s)) stopHits += 1
+    }
+    // symbols
+    var nSym = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '#' || c == '…') nSym += 1
+      i += 1
+    }
+    var from = text.indexOf("...")
+    while (from >= 0) { nSym += 1; from = text.indexOf("...", from + 3) }
+    // lines
+    var nLines = 0L; var nBullet = 0L; var nEllipsis = 0L
+    var start = 0
+    while (start <= text.length) {
+      val nl = text.indexOf('\n', start)
+      val end = if (nl < 0) text.length else nl
+      val l = spaceTrim(text.substring(start, end))
+      if (l.nonEmpty) {
+        nLines += 1
+        if (isBullet(l.charAt(0))) nBullet += 1
+        if (l.endsWith("...") || l.endsWith("…")) nEllipsis += 1
+      }
+      start = end + 1
+    }
+    S(nWords, nAlpha, nSym, nLines, nBullet, nEllipsis,
+      wordChars, stopHits)
+  }
+}

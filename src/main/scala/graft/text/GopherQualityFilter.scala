@@ -103,19 +103,21 @@ class GopherQualityFilter(override val uid: String)
     val withSig = new GopherRepetition().setInputCol(getInputCol)
       .transform(
         new GopherSignals().setInputCol(getInputCol).transform(ds))
-    val c = coalesce(col(getInputCol), lit(""))
-    val words = filter(split(trim(c), "\\s+"), w => length(w) > 0)
-    val wordChars = aggregate(
-      org.apache.spark.sql.functions.transform(words, w => length(w)),
-      lit(0L), (a, x) => a + x)
-    val stops = array($(stopWords).map(lit).toIndexedSeq: _*)
-    val full = withSig
-      .withColumn("gq_mean_word_len_q4",
-        PipelineFunctions.q4(wordChars, col("gs_n_words")))
-      .withColumn("gq_stop_words",
-        size(array_intersect(
-          array_distinct(org.apache.spark.sql.functions.transform(
-            words, w => lower(w))), stops)).cast(LongType))
+    // the two extra Table-A1 signals come from the same one-pass
+    // structural kernel as GopherSignals (its scaladoc records the
+    // exact Spark-expression semantics each field replicates); the
+    // old HOF aggregate/intersect expressions were interpreted
+    // CodegenFallback per-element lambdas — see GopherSignals
+    val sw = $(stopWords)
+    val extraUdf = udf { t: String => GopherStructural.profile(t, sw) }
+    val tmp = graft.core.DatasetExtensions
+      .findUnusedColumnName("gq_struct", withSig.schema)
+    val withExtra = withSig.withColumn(tmp, extraUdf(col(getInputCol)))
+    val full = withExtra.select(
+      withSig.columns.toIndexedSeq.map(col) ++ Seq(
+        PipelineFunctions.q4(col(tmp).getField("wordChars"),
+          col("gs_n_words")).as("gq_mean_word_len_q4"),
+        col(tmp).getField("stopHits").as("gq_stop_words")): _*)
     val top = $(maxTopNgramCharQ4)
     val dup = $(maxDupNgramCharQ4)
     require(top.length == 3 && dup.length == 6,

@@ -55,11 +55,17 @@ class GopherRepetition(override val uid: String)
     val profUdf = udf { text: String => GopherRepetition.profile(text) }
     val tmp = graft.core.DatasetExtensions
       .findUnusedColumnName("gr_profile", ds.schema)
-    GopherRepetition.fields.foldLeft(
-      ds.toDF().withColumn(tmp, profUdf(col(getInputCol)))) {
-      case (d, (outName, fieldName)) =>
-        d.withColumn(outName, col(tmp).getField(fieldName))
-    }.drop(tmp)
+    // one projection for all sixteen fields, not a withColumn fold:
+    // each withColumn re-analyzes the whole plan, and sixteen re-walks
+    // were measured as driver-side seconds when the upstream expression
+    // tree is large (SCALING.md round 13). The tmp struct column keeps
+    // the UDF evaluated once; not re-selecting it is the drop.
+    val base = ds.toDF()
+    base.withColumn(tmp, profUdf(col(getInputCol)))
+      .select(base.columns.toIndexedSeq.map(col) ++
+        GopherRepetition.fields.map { case (outName, fieldName) =>
+          col(tmp).getField(fieldName).as(outName)
+        }: _*)
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -71,6 +71,31 @@ class CorpusOpsSuite extends TestBase {
     assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("GopherSignals kernel keeps Spark-expression edge semantics") {
+    // Spark trim strips ' ' ONLY: a tab-padded line survives as
+    // nonempty (Java String.trim would drop it); null behaves as "";
+    // codepoint lengths (not UTF-16 units) feed the word stats
+    val docs = Seq(
+      (1L, "\t\nreal line"), // tab line counts; 3 words ("\t" is ws-split away... no: "\t\n" splits to nothing)
+      (2L, null: String),
+      (3L, "a 😀b c")) // emoji word: 2 codepoints, has alpha
+      .toDF("doc_id", "text")
+    val got = new GopherSignals().setInputCol("text").transform(docs)
+      .select("doc_id", "gs_n_words", "gs_n_lines", "gs_n_alpha_words")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 2L))) // "\t" line trims to "\t": nonempty
+    assert(got(2L) == ((2L, 0L, 0L, 0L)))
+    assert(got(3L) == ((3L, 3L, 1L, 3L)))
+    // the kernel's word chars count codepoints: words a / 😀b / c have
+    // lengths 1,2,1 (not UTF-16 units 1,3,1); distinct-stopword hits
+    // are case-insensitive whole tokens
+    val s = GopherStructural.profile("a 😀b c", Array.empty)
+    assert(s.nWords == 3L && s.wordChars == 4L)
+    val s2 = GopherStructural.profile("The THE the bear",
+      Array("the", "be", "of"))
+    assert(s2.stopHits == 1L)
+  }
+
   test("QualityFilter thresholds mirror DocumentAnalyzer signals exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val kept = new QualityFilter().setInputCol("text")
