@@ -199,18 +199,53 @@ object LanguageIdentifierModel
     (1 to maxGram).map(n => s"__li_g$n")
 
   /** Char n-grams of every order 1..maxGram over the canonicalized
-    * text, murmur-hashed into a sparse 2^bits vector — stateless,
-    * narrow, codegen'd gram extraction (substr over a sequence). */
+    * text, murmur-hashed into a sparse 2^bits vector — ONE plain-JVM
+    * pass per row. The original composition (charNGrams HOF columns →
+    * VowpalHashFeaturizer) evaluated transform/sequence as interpreted
+    * CodegenFallback lambdas, ~750 per doc at the defaults — the
+    * inference wall of the 100x sweep (SCALING.md round 13). This
+    * kernel replicates it BIT-EXACTLY — same canon (lower, then \s+ →
+    * single space), same codepoint-based grams ([[charNGrams]] is the
+    * pinned spec), same `"__li_gN=" + gram` murmur-seed-0 indices, the
+    * same +1.0 accumulation — so models saved before the rewrite score
+    * identically (feature indices pair with stored coefficients). */
   private[text] def featurize(df: DataFrame, inputCol: String,
       bits: Int, maxGram: Int): DataFrame = {
-    val canon = regexp_replace(lower(col(inputCol)), "\\s+", " ")
-    val withGrams = (1 to maxGram).foldLeft(df) { case (d, n) =>
-      d.withColumn(s"__li_g$n", charNGrams(canon, n))
+    val featUdf = udf { text: String => hashFeatures(text, bits, maxGram) }
+    df.withColumn("__li_features", featUdf(col(inputCol)))
+  }
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  private[text] def hashFeatures(text0: String, bits: Int,
+      maxGram: Int): org.apache.spark.ml.linalg.SparseVector = {
+    val dim = 1 << bits; val mask = dim - 1
+    val acc = new java.util.HashMap[Int, Double]()
+    if (text0 != null) {
+      // Spark lower() takes UTF8String's non-ASCII path through
+      // String.toLowerCase(); \s+ is the same regex engine either way
+      val canon = Ws.matcher(text0.toLowerCase).replaceAll(" ")
+      val cps = canon.codePoints.toArray
+      var n = 1
+      while (n <= maxGram) {
+        val prefix = "__li_g" + n + "="
+        var i = 0
+        while (i <= cps.length - n) {
+          val idx = graft.featurize.Murmur3
+            .hashString(prefix + new String(cps, i, n), 0) & mask
+          acc.merge(idx, 1.0, (a, b) => a + b)
+          i += 1
+        }
+        n += 1
+      }
     }
-    new graft.featurize.VowpalHashFeaturizer()
-      .setInputCols(gramCols(maxGram)).setOutputCol("__li_features")
-      .setNumBits(bits)
-      .transform(withGrams)
+    val idxs = new Array[Int](acc.size)
+    val it = acc.keySet().iterator()
+    var j = 0
+    while (it.hasNext) { idxs(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(idxs)
+    val vals = idxs.map(acc.get(_): Double)
+    new org.apache.spark.ml.linalg.SparseVector(dim, idxs, vals)
   }
 
   /** All length-n substrings of `c` (empty array when shorter than n).

@@ -84,6 +84,26 @@ class LanguageIdentifierSuite extends TestBase {
       .fit(df).transform(df)
     assert(none.count() == 0)
   }
+  test("hashFeatures kernel == the charNGrams+VW expression composition") {
+    // the kernel must stay BIT-exact with the original column chain so
+    // models saved before the rewrite keep their coefficient indices
+    val texts = Seq("The quick  Brown\tfox", "éàü  ñ", "a", "", null,
+      "x 😀y z", "  padded  ", "multi\nline\ntext here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val kernel = LanguageIdentifierModel.featurize(df, "t", 14, 3)
+      .select("id", "__li_features")
+    val canon = regexp_replace(lower(col("t")), "\\s+", " ")
+    val viaExprs = new graft.featurize.VowpalHashFeaturizer()
+      .setInputCols(Array("__li_g1", "__li_g2", "__li_g3"))
+      .setOutputCol("__li_features").setNumBits(14)
+      .transform((1 to 3).foldLeft(df) { case (d, n) =>
+        d.withColumn(s"__li_g$n",
+          LanguageIdentifierModel.charNGrams(canon, n))
+      }).select("id", "__li_features")
+    assertDFEq(kernel, viaExprs)
+  }
+
   test("trainSample: bounded deterministic fit still recovers the rule") {
     val docs = synth(400)
     // sample smaller than the corpus: exact rule recovery must survive
