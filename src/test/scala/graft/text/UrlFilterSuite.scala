@@ -89,6 +89,13 @@ class UrlFilterSuite extends TestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"))
   }
+  test("UrlNormalizer plans as a zero-exchange, UDF-free projection") {
+    val df = Seq("https://www.a.com/x?utm_source=f").toDF("u")
+    val plan = new UrlNormalizer().setInputCol("u").transform(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"))
+  }
+
   test("UrlNormalizer collapses crawl-duplicate decorations") {
     val f = new UrlNormalizer().setInputCol("u")
     def norm(u: String): String = {
