@@ -91,26 +91,31 @@ object TokenShards {
         val bytes = ids.length.toLong * w
         if (bin == null || (written > 0 && written + bytes > maxShardBytes))
           roll()
-        // one bulk write per document (per-id writeByte calls cost 2-4
-        // stream dispatches per token on the hot path)
-        val docBuf = new Array[Byte](bytes.toInt)
+        // bulk writes in bounded chunks (per-id writeByte calls cost
+        // 2-4 stream dispatches per token on the hot path; one
+        // doc-sized array would overflow Array[Byte] for a pathological
+        // >2 GiB document where the old streaming path kept working —
+        // round-13 review)
+        val chunkIds = 1 << 18
+        val buf = new Array[Byte](math.min(bytes, chunkIds.toLong * w).toInt)
         var bi = 0
         ids.foreach { id =>
           if (w == 2) {
             require(id >= 0 && id <= 0xffff,
               s"token id $id out of uint16 range (use width=4)")
-            docBuf(bi) = (id & 0xff).toByte
-            docBuf(bi + 1) = ((id >> 8) & 0xff).toByte
+            buf(bi) = (id & 0xff).toByte
+            buf(bi + 1) = ((id >> 8) & 0xff).toByte
             bi += 2
           } else {
-            docBuf(bi) = (id & 0xff).toByte
-            docBuf(bi + 1) = ((id >> 8) & 0xff).toByte
-            docBuf(bi + 2) = ((id >> 16) & 0xff).toByte
-            docBuf(bi + 3) = ((id >> 24) & 0xff).toByte
+            buf(bi) = (id & 0xff).toByte
+            buf(bi + 1) = ((id >> 8) & 0xff).toByte
+            buf(bi + 2) = ((id >> 16) & 0xff).toByte
+            buf(bi + 3) = ((id >> 24) & 0xff).toByte
             bi += 4
           }
+          if (bi == buf.length) { bin.write(buf, 0, bi); bi = 0 }
         }
-        bin.write(docBuf)
+        if (bi > 0) bin.write(buf, 0, bi)
         lengths += ids.length
         written += bytes
       }

@@ -134,7 +134,10 @@ class GopherSignals(override val uid: String) extends Transformer
       .findUnusedColumnName("gs_struct", ds.schema)
     val sUdf = udf { t: String => GopherStructural.profile(t, Array.empty) }
     val base = ds.toDF()
-    val baseCols = base.columns.toIndexedSeq.map(col)
+    // replace semantics on re-application (withColumn's old behavior):
+    // pre-existing gs_* columns are superseded, not duplicated
+    val baseCols = base.columns.toIndexedSeq
+      .filterNot(_.startsWith("gs_")).map(col)
     val counted = base.withColumn(tmp, sUdf(col(getInputCol)))
     counted.select(baseCols ++ Seq(
       col(tmp).getField("nWords").as("gs_n_words"),
@@ -190,7 +193,7 @@ private[text] object GopherStructural {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  private def spaceTrim(s: String): String = {
+  private[text] def spaceTrim(s: String): String = {
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1

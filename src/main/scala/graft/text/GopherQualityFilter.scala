@@ -100,24 +100,45 @@ class GopherQualityFilter(override val uid: String)
       Seq("gq_mean_word_len_q4", "gq_stop_words")
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val withSig = new GopherRepetition().setInputCol(getInputCol)
-      .transform(
-        new GopherSignals().setInputCol(getInputCol).transform(ds))
-    // the two extra Table-A1 signals come from the same one-pass
-    // structural kernel as GopherSignals (its scaladoc records the
-    // exact Spark-expression semantics each field replicates); the
-    // old HOF aggregate/intersect expressions were interpreted
-    // CodegenFallback per-element lambdas — see GopherSignals
+    import PipelineFunctions.q4
+    // ONE structural-kernel pass per document: the ten gs_* columns
+    // AND the filter's two extra Table-A1 signals all derive from a
+    // single GopherStructural.profile call (running GopherSignals and
+    // then a second kernel call for the extras would double the
+    // word/line/symbol scan of the hot filter — round-13 review);
+    // values and column order are identical to the GopherSignals ∘
+    // GopherRepetition composition, which remains the audit path
     val sw = $(stopWords)
-    val extraUdf = udf { t: String => GopherStructural.profile(t, sw) }
+    val sUdf = udf { t: String => GopherStructural.profile(t, sw) }
+    val withRep = new GopherRepetition().setInputCol(getInputCol)
+      .transform(ds)
     val tmp = graft.core.DatasetExtensions
-      .findUnusedColumnName("gq_struct", withSig.schema)
-    val withExtra = withSig.withColumn(tmp, extraUdf(col(getInputCol)))
-    val full = withExtra.select(
-      withSig.columns.toIndexedSeq.map(col) ++ Seq(
-        PipelineFunctions.q4(col(tmp).getField("wordChars"),
-          col("gs_n_words")).as("gq_mean_word_len_q4"),
-        col(tmp).getField("stopHits").as("gq_stop_words")): _*)
+      .findUnusedColumnName("gq_struct", withRep.schema)
+    val withS = withRep.withColumn(tmp, sUdf(col(getInputCol)))
+    val t = col(tmp)
+    val sigSet = signalColumns.toSet
+    val origCols = ds.toDF().columns.toIndexedSeq
+      .filterNot(sigSet).map(col)
+    val grCols = GopherRepetition.fields.map(f => col(f._1))
+    val full = withS.select(origCols ++ Seq(
+      t.getField("nWords").as("gs_n_words"),
+      t.getField("nAlphaWords").as("gs_n_alpha_words"),
+      q4(t.getField("nAlphaWords"), t.getField("nWords"))
+        .as("gs_alpha_word_q4"),
+      t.getField("nSymbols").as("gs_n_symbols"),
+      q4(t.getField("nSymbols"), t.getField("nWords"))
+        .as("gs_symbol_word_q4"),
+      t.getField("nLines").as("gs_n_lines"),
+      t.getField("nBulletLines").as("gs_n_bullet_lines"),
+      q4(t.getField("nBulletLines"), t.getField("nLines"))
+        .as("gs_bullet_line_q4"),
+      t.getField("nEllipsisLines").as("gs_n_ellipsis_lines"),
+      q4(t.getField("nEllipsisLines"), t.getField("nLines"))
+        .as("gs_ellipsis_line_q4")) ++
+      grCols ++ Seq(
+      q4(t.getField("wordChars"), t.getField("nWords"))
+        .as("gq_mean_word_len_q4"),
+      t.getField("stopHits").as("gq_stop_words")): _*)
     val top = $(maxTopNgramCharQ4)
     val dup = $(maxDupNgramCharQ4)
     require(top.length == 3 && dup.length == 6,

@@ -61,8 +61,11 @@ class GopherRepetition(override val uid: String)
     // tree is large (SCALING.md round 13). The tmp struct column keeps
     // the UDF evaluated once; not re-selecting it is the drop.
     val base = ds.toDF()
+    // replace semantics on re-application (withColumn's old behavior):
+    // pre-existing gr_* columns are superseded, not duplicated
     base.withColumn(tmp, profUdf(col(getInputCol)))
-      .select(base.columns.toIndexedSeq.map(col) ++
+      .select(base.columns.toIndexedSeq
+          .filterNot(GopherRepetition.fields.map(_._1).toSet).map(col) ++
         GopherRepetition.fields.map { case (outName, fieldName) =>
           col(tmp).getField(fieldName).as(outName)
         }: _*)
@@ -142,9 +145,16 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
 
   def profile(text: String): Profile = {
     if (text == null) return Zero
-    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    // SPACE-only trim (GopherStructural.spaceTrim), not Java String.trim:
+    // the DuckDB oracle's trim(l) strips spaces only, and GopherSignals'
+    // line census uses the same rule — Java trim would also strip \t/\r,
+    // so CRLF crawl text would count 'a\r' and 'a' as one line here but
+    // two in the oracle (caught by round-13 review; suite-pinned below)
+    val lines = text.split("\n", -1).map(GopherStructural.spaceTrim)
+      .filter(_.nonEmpty)
     val (nl, lChars, lDup, lDupChars) = dupStats(lines)
-    val paras = text.split("\n{2,}", -1).map(_.trim).filter(_.nonEmpty)
+    val paras = text.split("\n{2,}", -1).map(GopherStructural.spaceTrim)
+      .filter(_.nonEmpty)
     val (np, pChars, pDup, pDupChars) = dupStats(paras)
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val nW = words.length

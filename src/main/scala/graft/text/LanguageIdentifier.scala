@@ -72,7 +72,11 @@ class LanguageIdentifier(override val uid: String)
   def setTrainSample(v: Int): this.type = set(trainSample, v)
 
   override def fit(ds: Dataset[_]): LanguageIdentifierModel = {
-    val df = ds.toDF()
+    // match the label census's na.drop: a null-label row would reach
+    // L-BFGS as a null y and die with an opaque mid-job error (and the
+    // sampled draw's coalesce would happily fill the bounded sample
+    // with unlabeled rows)
+    val df = ds.toDF().filter(col($(labelCol)).isNotNull)
     // bounded collect: one row per LANGUAGE; sorted order makes the
     // label index a pure function of the label set (deterministic)
     val labels = df.select(col($(labelCol)).cast(StringType))
@@ -87,11 +91,18 @@ class LanguageIdentifier(override val uid: String)
     // missed — a rare class, or a mass-duplicated corpus whose top-N
     // collapses onto few distinct documents — gets a per-class top-up
     // draw of its fair share, so no class silently vanishes
+    var cached: Option[DataFrame] = None
     val train = if ($(trainSample) > 0) {
       val h = md5(concat_ws(" ",
         coalesce(col($(labelCol)).cast(StringType), lit("")),
         coalesce(col(getInputCol).cast(StringType), lit(""))))
+      // persist: the TakeOrdered draw scans the WHOLE corpus, and it
+      // feeds both the stats agg and the L-BFGS featurization — without
+      // the cache the corpus pays that scan twice (review round 13).
+      // Bounded by trainSample rows; released after the fit below.
       val sampled = df.orderBy(h).limit($(trainSample))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached = Some(sampled)
       // one bounded agg over the sample: row count (sizes the fit's
       // partitioning below) + which labels the primary draw hit
       val stats = sampled.agg(count(lit(1)).as("n"),
@@ -131,7 +142,8 @@ class LanguageIdentifier(override val uid: String)
       .setInputCol(getInputCol)
     m.set(m.numBits, $(numBits)).set(m.maxGram, $(maxGram))
       .set(m.labels, labels)
-    m.lrModel = lr.fit(prepped)
+    try m.lrModel = lr.fit(prepped)
+    finally cached.foreach(_.unpersist())
     m
   }
   override def transformSchema(schema: StructType): StructType =
@@ -217,14 +229,46 @@ object LanguageIdentifierModel
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
+  private[text] def sparkLower(s: String): String = {
+    var i = 0; var ascii = true
+    while (i < s.length && ascii) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (!ascii) s.toLowerCase
+    else {
+      var j = 0; var changed = false
+      while (j < s.length && !changed) {
+        val c = s.charAt(j)
+        if (c >= 'A' && c <= 'Z') changed = true
+        j += 1
+      }
+      if (!changed) s
+      else {
+        val a = s.toCharArray
+        var k = 0
+        while (k < a.length) {
+          val c = a(k)
+          if (c >= 'A' && c <= 'Z') a(k) = (c + 32).toChar
+          k += 1
+        }
+        new String(a)
+      }
+    }
+  }
+
   private[text] def hashFeatures(text0: String, bits: Int,
       maxGram: Int): org.apache.spark.ml.linalg.SparseVector = {
     val dim = 1 << bits; val mask = dim - 1
     val acc = new java.util.HashMap[Int, Double]()
     if (text0 != null) {
-      // Spark lower() takes UTF8String's non-ASCII path through
-      // String.toLowerCase(); \s+ is the same regex engine either way
-      val canon = Ws.matcher(text0.toLowerCase).replaceAll(" ")
+      // replicate UTF8String.toLowerCase exactly: a locale-INDEPENDENT
+      // A-Z fast path for full-ASCII strings, default-locale
+      // String.toLowerCase for the rest (Spark's own slow path). A bare
+      // text0.toLowerCase would make ASCII featurization locale-
+      // dependent (tr_TR lowers 'I' to dotless ı) and break saved-model
+      // index compatibility; \s+ is the same regex engine either way
+      val canon = Ws.matcher(sparkLower(text0)).replaceAll(" ")
       val cps = canon.codePoints.toArray
       var n = 1
       while (n <= maxGram) {

@@ -45,6 +45,9 @@ object Recipes {
       urlDedupIdCol: Option[String] = None,
       languageMinProb: Double = 0.0)
       : Pipeline = {
+    require(languageGate.isDefined || languageMinProb == 0.0,
+      "languageMinProb only takes effect inside a languageGate — pass " +
+        "languageGate = Some((model, keepLanguages)) or drop the floor")
     val urlDedupStages = urlDedupIdCol.toSeq.flatMap { id =>
       Seq(
         new UrlNormalizer().setInputCol("url").setOutputCol("__url_norm"),

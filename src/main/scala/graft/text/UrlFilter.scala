@@ -98,30 +98,55 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     * site into thousands of subdomain groups. Hosts with fewer labels
     * (bare TLDs, IPs are left as-is) pass through. */
   def registeredDomain(url: Column,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): Column =
+    registeredDomainOfHost(host(url), multiSuffixes)
+
+  /** [[registeredDomain]] for an already-extracted (lowercased,
+    * www-stripped) host string. */
+  def registeredDomainOfHost(h: Column,
       multiSuffixes: Seq[String] = defaultMultiSuffixes): Column = {
-    val h = host(url)
     val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     val three = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     when(two.isin(multiSuffixes: _*) && three =!= "", three).otherwise(two)
   }
 
-  /** Drop every row whose URL's registered domain appears in
-    * `blocklist(domainCol)` — ONE broadcast left-anti hash join on the
-    * zero-shuffle registered-domain key: the fact side never moves, and
-    * a UT1-scale list (a few million domain strings, tens of MB) ships
-    * once per executor. Blocking a registered domain blocks every
-    * subdomain by construction, since the key collapses hosts to their
-    * pay-level domain. Rows with no parseable host (empty key) are
-    * KEPT — the blocklist names domains, and in-plan `blockedTerms`
-    * already handle malformed-URL policy. */
+  /** Drop every row whose URL's host equals, or is a dot-boundary
+    * subdomain of, an entry in `blocklist(domainCol)` — real UT1 lists
+    * mix registered domains with FULL hostnames (`xyz.blogspot.com`),
+    * so keying the whole match on the registered domain would silently
+    * never match the finer entries (round-13 review). Shape: bucket
+    * the blocklist by each ENTRY's registered domain (entries
+    * normalized like [[host]]: lowercased, www-stripped, blanks
+    * dropped), ONE broadcast left join on the fact side's zero-shuffle
+    * registered-domain key, then the exact host-vs-entry dot-boundary
+    * check over the (tiny) per-bucket entry array. The fact side never
+    * moves; a UT1-scale list (a few million strings, tens of MB) ships
+    * once per executor. A registered-domain entry still blocks every
+    * subdomain; an entry FINER than a registered domain blocks only
+    * its own subtree. Entries at or above a public suffix ('co.uk')
+    * only match hosts whose registered domain IS that string — whole-
+    * suffix blocking is out of scope. Rows with no parseable host
+    * (empty key) are KEPT — the blocklist names domains, and in-plan
+    * `blockedTerms` already handle malformed-URL policy. */
   def filterByDomainTable(df: DataFrame, urlCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
-    val key = graft.core.DatasetExtensions
-      .findUnusedColumnName("__uf_domain", df)
-    df.withColumn(key, registeredDomain(col(urlCol)))
-      .join(broadcast(blocklist.select(lower(col(domainCol)).as(key))
-        .distinct()), Seq(key), "left_anti")
-      .drop(key)
+    import graft.core.DatasetExtensions.findUnusedColumnName
+    val hostCol = findUnusedColumnName("__uf_host", df)
+    val key = findUnusedColumnName("__uf_domain", df)
+    val entries = findUnusedColumnName("__uf_entries", df)
+    val e = regexp_replace(trim(lower(col(domainCol))), "^www\\.", "")
+    val buckets = blocklist
+      .select(e.as(hostCol)).filter(col(hostCol) =!= "")
+      .groupBy(registeredDomainOfHost(col(hostCol)).as(key))
+      .agg(collect_set(col(hostCol)).as(entries))
+    df.withColumn(hostCol, host(col(urlCol)))
+      .withColumn(key, registeredDomainOfHost(col(hostCol)))
+      .join(broadcast(buckets), Seq(key), "left")
+      .filter(col(entries).isNull ||
+        !exists(col(entries), en =>
+          col(hostCol) === en ||
+            endswith(col(hostCol), concat(lit("."), en))))
+      .drop(hostCol, key, entries)
   }
 
   /** The keep predicate (true = survives). */

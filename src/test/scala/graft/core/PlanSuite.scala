@@ -55,13 +55,15 @@ class PlanSuite extends TestBase {
 
   test("url_filter_table broadcasts the blocklist side of the anti join") {
     // the UT1-scale contract: the fact side never moves — the only join
-    // is a broadcast hash LEFT ANTI with the blocklist on the built side
+    // is a broadcast hash LEFT OUTER with the bucketed blocklist on the
+    // built side (outer + host-suffix filter, so mixed-granularity
+    // entries match; the drop itself is the post-join filter)
     val joins = planOf("url_filter_table").collect {
       case b: BroadcastHashJoinExec => b
     }
     assert(joins.size == 1, s"expected one broadcast join, got $joins")
-    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti,
-      s"expected LeftAnti, got ${joins.head.joinType}")
+    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter,
+      s"expected LeftOuter, got ${joins.head.joinType}")
     val shuffles = planOf("url_filter_table").collect {
       case s: ShuffleExchangeExec => s
     }

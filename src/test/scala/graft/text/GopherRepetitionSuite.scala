@@ -46,10 +46,19 @@ class GopherRepetitionSuite extends TestBase {
     val zero = Profile(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     assert(GopherRepetition.profile(null) == zero)
     assert(GopherRepetition.profile("") == zero)
-    assert(GopherRepetition.profile("   \n  ") == zero)
+    // SPACE-only trim (the oracle's DuckDB trim): each '\n'-split line
+    // ("   " and "  ") empties, but the single paragraph "   \n  "
+    // trims to "\n" — nonempty, so it COUNTS (Java trim would drop it,
+    // which is exactly the divergence the round-13 review caught)
+    val ws = GopherRepetition.profile("   \n  ")
+    assert(ws == zero.copy(nParas = 1))
     // one word: no grams of any order
     val one = GopherRepetition.profile("solo")
     assert(one.nWords == 1 && one.top2Q4 == 0 && one.dup5Q4 == 0)
+    // CRLF parity with the oracle: 'a\r' and 'a' are DISTINCT lines
+    // (space-only trim keeps the \r, as DuckDB trim does)
+    val crlf = GopherRepetition.profile("a\r\na\nrest.")
+    assert(crlf.nLines == 3 && crlf.dupLineQ4 == 0)
   }
 
   test("transformer emits the full 16-column profile in order") {

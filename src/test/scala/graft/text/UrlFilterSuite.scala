@@ -84,6 +84,25 @@ class UrlFilterSuite extends TestBase {
     assert(both == Set("https://shop.com.au/ok", "not a url"))
   }
 
+  test("blocklist table matches mixed-granularity entries at dot boundaries") {
+    val urls = Seq(
+      "https://xyz.blogspot.com/p",      // exact finer-entry hit
+      "https://a.xyz.blogspot.com/p",    // subdomain of the finer entry
+      "https://abc.blogspot.com/p",      // same registered domain, NOT blocked
+      "https://blogspot.com/p",          // the registered domain itself: kept
+      "https://www.evil.com/p",          // www-normalized registered-domain hit
+      "https://sub.evil.com/p",          // subdomain of a registered-domain entry
+      "not a url").toDF("url")
+    // entries at both granularities + a blank line (real lists have them)
+    val blocklist = Seq("xyz.blogspot.com", "WWW.Evil.com", " ", "")
+      .toDF("domain")
+    val kept = graft.text.UrlFilter
+      .filterByDomainTable(urls, "url", blocklist)
+      .as[String].collect().toSet
+    assert(kept == Set("https://abc.blogspot.com/p",
+      "https://blogspot.com/p", "not a url"))
+  }
+
   test("expressions only, zero shuffle") {
     val plan = f.transform(Seq("https://x.com").toDF("url"))
       .queryExecution.executedPlan.toString
