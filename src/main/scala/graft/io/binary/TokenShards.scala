@@ -85,19 +85,20 @@ object TokenShards {
         seq += 1
         written = 0L
       }
+      // bulk writes in bounded chunks (per-id writeByte calls cost
+      // 2-4 stream dispatches per token on the hot path; one doc-sized
+      // array would overflow Array[Byte] for a pathological >2 GiB
+      // document where the old streaming path kept working — round-13
+      // review). ONE buffer per partition: per-doc allocation would be
+      // a zero-fill per document on the hot path.
+      val chunkIds = 1 << 18
+      val buf = new Array[Byte](chunkIds * w)
       it.foreach { r =>
         val ids = r.getSeq[Int](0)
         require(ids != null, "null token array (filter upstream)")
         val bytes = ids.length.toLong * w
         if (bin == null || (written > 0 && written + bytes > maxShardBytes))
           roll()
-        // bulk writes in bounded chunks (per-id writeByte calls cost
-        // 2-4 stream dispatches per token on the hot path; one
-        // doc-sized array would overflow Array[Byte] for a pathological
-        // >2 GiB document where the old streaming path kept working —
-        // round-13 review)
-        val chunkIds = 1 << 18
-        val buf = new Array[Byte](math.min(bytes, chunkIds.toLong * w).toInt)
         var bi = 0
         ids.foreach { id =>
           if (w == 2) {

@@ -135,9 +135,11 @@ class GopherSignals(override val uid: String) extends Transformer
     val sUdf = udf { t: String => GopherStructural.profile(t, Array.empty) }
     val base = ds.toDF()
     // replace semantics on re-application (withColumn's old behavior):
-    // pre-existing gs_* columns are superseded, not duplicated
+    // pre-existing OUTPUT columns are superseded, not duplicated — by
+    // exact name, never by prefix (a user-owned gs_custom column must
+    // pass through untouched)
     val baseCols = base.columns.toIndexedSeq
-      .filterNot(_.startsWith("gs_")).map(col)
+      .filterNot(GopherSignals.outputColumns.toSet).map(col)
     val counted = base.withColumn(tmp, sUdf(col(getInputCol)))
     counted.select(baseCols ++ Seq(
       col(tmp).getField("nWords").as("gs_n_words"),
@@ -156,15 +158,21 @@ class GopherSignals(override val uid: String) extends Transformer
         .as("gs_ellipsis_line_q4")): _*)
   }
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema ++ Seq(
-      "gs_n_words", "gs_n_alpha_words", "gs_alpha_word_q4",
-      "gs_n_symbols", "gs_symbol_word_q4", "gs_n_lines",
-      "gs_n_bullet_lines", "gs_bullet_line_q4",
-      "gs_n_ellipsis_lines", "gs_ellipsis_line_q4")
-      .map(StructField(_, LongType)))
+    // mirror transform's replace semantics: re-application declares
+    // each output field once, not twice
+    StructType(schema.filterNot(f =>
+      GopherSignals.outputColumns.contains(f.name)) ++
+      GopherSignals.outputColumns.map(StructField(_, LongType)))
   override def copy(extra: ParamMap): GopherSignals = defaultCopy(extra)
 }
-object GopherSignals extends graft.core.GraftReadable[GopherSignals]
+object GopherSignals extends graft.core.GraftReadable[GopherSignals] {
+  /** the ten signal columns, in emission order */
+  val outputColumns: Seq[String] = Seq(
+    "gs_n_words", "gs_n_alpha_words", "gs_alpha_word_q4",
+    "gs_n_symbols", "gs_symbol_word_q4", "gs_n_lines",
+    "gs_n_bullet_lines", "gs_bullet_line_q4",
+    "gs_n_ellipsis_lines", "gs_ellipsis_line_q4")
+}
 
 /** One-pass JVM kernel behind [[GopherSignals]] and
   * [[GopherQualityFilter]]'s two extra Table-A1 signals. Each count

@@ -172,9 +172,13 @@ class GopherQualityFilter(override val uid: String)
   }
 
   override def transformSchema(schema: StructType): StructType =
-    if ($(keepSignals))
-      StructType(schema ++ signalColumns.map(StructField(_, LongType)))
-    else schema
+    if ($(keepSignals)) {
+      // mirror transform's replace semantics on re-application
+      val outs = signalColumns.toSet
+      StructType(schema.filterNot(f => outs.contains(f.name)) ++
+        signalColumns.map(StructField(_, LongType)))
+    } else StructType(schema.filterNot(f =>
+      signalColumns.contains(f.name)))
   override def copy(extra: ParamMap): GopherQualityFilter = defaultCopy(extra)
 }
 object GopherQualityFilter extends GraftReadable[GopherQualityFilter]

@@ -71,10 +71,12 @@ class GopherRepetition(override val uid: String)
         }: _*)
   }
 
-  override def transformSchema(schema: StructType): StructType =
-    StructType(schema ++ GopherRepetition.fields.map {
-      case (outName, _) => StructField(outName, LongType)
-    })
+  override def transformSchema(schema: StructType): StructType = {
+    // mirror transform's replace semantics on re-application
+    val outs = GopherRepetition.fields.map(_._1)
+    StructType(schema.filterNot(f => outs.contains(f.name)) ++
+      outs.map(StructField(_, LongType)))
+  }
   override def copy(extra: ParamMap): GopherRepetition = defaultCopy(extra)
 }
 

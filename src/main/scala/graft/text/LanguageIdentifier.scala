@@ -91,7 +91,11 @@ class LanguageIdentifier(override val uid: String)
     // missed — a rare class, or a mass-duplicated corpus whose top-N
     // collapses onto few distinct documents — gets a per-class top-up
     // draw of its fair share, so no class silently vanishes
+    // everything after the persist sits inside the try: the stats agg,
+    // top-up scans, and fit can all throw, and the cached sample must
+    // not outlive this call either way
     var cached: Option[DataFrame] = None
+    try {
     val train = if ($(trainSample) > 0) {
       val h = md5(concat_ws(" ",
         coalesce(col($(labelCol)).cast(StringType), lit("")),
@@ -142,9 +146,9 @@ class LanguageIdentifier(override val uid: String)
       .setInputCol(getInputCol)
     m.set(m.numBits, $(numBits)).set(m.maxGram, $(maxGram))
       .set(m.labels, labels)
-    try m.lrModel = lr.fit(prepped)
-    finally cached.foreach(_.unpersist())
+    m.lrModel = lr.fit(prepped)
     m
+    } finally cached.foreach(_.unpersist())
   }
   override def transformSchema(schema: StructType): StructType =
     LanguageIdentifierModel.outputSchema(schema)

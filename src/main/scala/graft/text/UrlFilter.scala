@@ -110,43 +110,78 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     when(two.isin(multiSuffixes: _*) && three =!= "", three).otherwise(two)
   }
 
+  private val TwoLabel =
+    java.util.regex.Pattern.compile("([^.]+\\.[^.]+)$")
+  private val ThreeLabel =
+    java.util.regex.Pattern.compile("([^.]+\\.[^.]+\\.[^.]+)$")
+
+  /** JVM replica of [[registeredDomainOfHost]] (same regexes). */
+  private[text] def registeredDomainOfHostJvm(h: String,
+      multiSuffixes: Set[String]): String = {
+    val m2 = TwoLabel.matcher(h)
+    val two = if (m2.find()) m2.group(1) else ""
+    if (two.isEmpty) ""
+    else if (multiSuffixes.contains(two)) {
+      val m3 = ThreeLabel.matcher(h)
+      val three = if (m3.find()) m3.group(1) else ""
+      if (three.nonEmpty) three else two
+    } else two
+  }
+
   /** Drop every row whose URL's host equals, or is a dot-boundary
-    * subdomain of, an entry in `blocklist(domainCol)` — real UT1 lists
-    * mix registered domains with FULL hostnames (`xyz.blogspot.com`),
-    * so keying the whole match on the registered domain would silently
-    * never match the finer entries (round-13 review). Shape: bucket
-    * the blocklist by each ENTRY's registered domain (entries
-    * normalized like [[host]]: lowercased, www-stripped, blanks
-    * dropped), ONE broadcast left join on the fact side's zero-shuffle
-    * registered-domain key, then the exact host-vs-entry dot-boundary
-    * check over the (tiny) per-bucket entry array. The fact side never
-    * moves; a UT1-scale list (a few million strings, tens of MB) ships
-    * once per executor. A registered-domain entry still blocks every
-    * subdomain; an entry FINER than a registered domain blocks only
-    * its own subtree. Entries at or above a public suffix ('co.uk')
-    * only match hosts whose registered domain IS that string — whole-
-    * suffix blocking is out of scope. Rows with no parseable host
-    * (empty key) are KEPT — the blocklist names domains, and in-plan
-    * `blockedTerms` already handle malformed-URL policy. */
+    * subdomain of, an entry in `blocklist(domainCol)` with the same
+    * registered domain — real UT1 lists mix registered domains with
+    * FULL hostnames (`xyz.blogspot.com`), so keying the whole match on
+    * the registered domain alone would silently never match the finer
+    * entries (round-13 review). Shape: the normalized entry set
+    * (lowercased, ALL whitespace stripped — CRLF-saved lists carry \r —
+    * www-stripped, blanks dropped, deduped) is collected and broadcast
+    * ONCE (a few million strings, comparable bytes to the broadcast
+    * hash table the former anti join built), and each fact row probes
+    * it with its host's dot-boundary suffix chain truncated at the
+    * registered domain — O(host labels) hash lookups per row, NEVER a
+    * scan of a per-domain entry bucket (a hot registered domain like
+    * blogspot.com concentrates 10^5+ UT1 entries; any per-bucket scan
+    * is quadratic-shaped on exactly the rows that matter). The fact
+    * side never moves and plans as one UDF filter, no join. A
+    * registered-domain entry still blocks every subdomain; an entry
+    * FINER than a registered domain blocks only its own subtree;
+    * entries at or above a public suffix ('co.uk') only match hosts
+    * whose registered domain IS that string — whole-suffix blocking is
+    * out of scope. Rows with no parseable host are KEPT — the
+    * blocklist names domains, and in-plan `blockedTerms` already
+    * handle malformed-URL policy. */
   def filterByDomainTable(df: DataFrame, urlCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
-    import graft.core.DatasetExtensions.findUnusedColumnName
-    val hostCol = findUnusedColumnName("__uf_host", df)
-    val key = findUnusedColumnName("__uf_domain", df)
-    val entries = findUnusedColumnName("__uf_entries", df)
-    val e = regexp_replace(trim(lower(col(domainCol))), "^www\\.", "")
-    val buckets = blocklist
-      .select(e.as(hostCol)).filter(col(hostCol) =!= "")
-      .groupBy(registeredDomainOfHost(col(hostCol)).as(key))
-      .agg(collect_set(col(hostCol)).as(entries))
-    df.withColumn(hostCol, host(col(urlCol)))
-      .withColumn(key, registeredDomainOfHost(col(hostCol)))
-      .join(broadcast(buckets), Seq(key), "left")
-      .filter(col(entries).isNull ||
-        !exists(col(entries), en =>
-          col(hostCol) === en ||
-            endswith(col(hostCol), concat(lit("."), en))))
-      .drop(hostCol, key, entries)
+    val e = regexp_replace(
+      regexp_replace(lower(col(domainCol)), "\\s", ""), "^www\\.", "")
+    val entries = blocklist.select(e.as("e")).filter(col("e") =!= "")
+      .distinct().collect().map(_.getString(0)).toSet
+    val bset = df.sparkSession.sparkContext.broadcast(entries)
+    val sufs = defaultMultiSuffixes.toSet
+    val blockedUdf = udf { h: String =>
+      if (h == null || h.isEmpty) false
+      else {
+        val set = bset.value
+        val rd = registeredDomainOfHostJvm(h, sufs)
+        if (rd.isEmpty) set.contains(h)
+        else {
+          // dot-boundary suffixes of h, longest first, down to rd
+          var start = 0
+          var hit = false
+          while (!hit && h.length - start >= rd.length) {
+            val s = if (start == 0) h else h.substring(start)
+            if (set.contains(s)) hit = true
+            else {
+              val dot = h.indexOf('.', start)
+              start = if (dot < 0) h.length + 1 else dot + 1
+            }
+          }
+          hit
+        }
+      }
+    }
+    df.filter(!blockedUdf(host(col(urlCol))))
   }
 
   /** The keep predicate (true = survives). */
