@@ -2555,29 +2555,27 @@ object SparkEntry {
     * `gopher_repetition` signal oracle and the `gopher_filter`
     * threshold-rule oracle. */
   private val GopherRepetitionCtes: String =
-    """lraw AS (
+    """dstat AS (
+      |  SELECT doc_id, len(t2) AS dch FROM docs),
+      |lraw AS (
       |  SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM docs),
-      |lf AS (
-      |  SELECT doc_id, len(trim(l)) AS lc,
-      |    count(*) OVER (PARTITION BY doc_id, trim(l)) AS c
-      |  FROM lraw WHERE trim(l) <> ''),
+      |lg AS (
+      |  SELECT doc_id, len(trim(l)) AS lc, count(*) AS c
+      |  FROM lraw WHERE trim(l) <> '' GROUP BY doc_id, trim(l), len(trim(l))),
       |lstat AS (
-      |  SELECT doc_id, count(*) AS nl, sum(lc) AS lch,
-      |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ldup,
-      |    sum(CASE WHEN c > 1 THEN lc ELSE 0 END) AS ldupch
-      |  FROM lf GROUP BY 1),
+      |  SELECT doc_id, sum(c) AS nl,
+      |    sum(c - 1) AS ldup, sum((c - 1) * lc) AS ldupch
+      |  FROM lg GROUP BY 1),
       |praw AS (
       |  SELECT doc_id, unnest(string_split_regex(t2, '\n{2,}')) AS p
       |  FROM docs),
-      |pf AS (
-      |  SELECT doc_id, len(trim(p)) AS pc,
-      |    count(*) OVER (PARTITION BY doc_id, trim(p)) AS c
-      |  FROM praw WHERE trim(p) <> ''),
+      |pg AS (
+      |  SELECT doc_id, len(trim(p)) AS pc, count(*) AS c
+      |  FROM praw WHERE trim(p) <> '' GROUP BY doc_id, trim(p), len(trim(p))),
       |pstat AS (
-      |  SELECT doc_id, count(*) AS np, sum(pc) AS pch,
-      |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS pdup,
-      |    sum(CASE WHEN c > 1 THEN pc ELSE 0 END) AS pdupch
-      |  FROM pf GROUP BY 1),
+      |  SELECT doc_id, sum(c) AS np,
+      |    sum(c - 1) AS pdup, sum((c - 1) * pc) AS pdupch
+      |  FROM pg GROUP BY 1),
       |toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(trim(t2), '\s+'),
@@ -2595,7 +2593,7 @@ object SparkEntry {
       |    AS g
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
       |tp2 AS (SELECT doc_id, tc2 FROM (
-      |  SELECT doc_id, count(*) * (len(g) - 1) AS tc2,
+      |  SELECT doc_id, count(*) * len(g) AS tc2,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY count(*) DESC, g ASC) AS rn
       |  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
@@ -2604,7 +2602,7 @@ object SparkEntry {
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
       |        FROM toks)),
       |tp3 AS (SELECT doc_id, tc3 FROM (
-      |  SELECT doc_id, count(*) * (len(g) - 2) AS tc3,
+      |  SELECT doc_id, count(*) * len(g) AS tc3,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY count(*) DESC, g ASC) AS rn
       |  FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
@@ -2613,7 +2611,7 @@ object SparkEntry {
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
       |        FROM toks)),
       |tp4 AS (SELECT doc_id, tc4 FROM (
-      |  SELECT doc_id, count(*) * (len(g) - 3) AS tc4,
+      |  SELECT doc_id, count(*) * len(g) AS tc4,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY count(*) DESC, g ASC) AS rn
       |  FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
@@ -4999,10 +4997,11 @@ object SparkEntry {
         |FROM w JOIN agg2 ON w.doc_id = agg2.doc_id""".stripMargin,
 
     // rebuilds the gate's synthesized text, then replays every Gopher
-    // repetition signal: line/paragraph duplicate (char) fractions,
-    // top-{2,3,4}-gram char fraction (ties to the binary-smallest
-    // gram), and overlap-aware dup-{5..10}-gram char coverage via
-    // DISTINCT covered word positions
+    // repetition signal at ecosystem (datatrove/Dolma) semantics:
+    // exclude-first line/paragraph duplicate fractions, whole-document
+    // char denominators, top-{2,3,4}-gram char fraction with inner
+    // spaces (ties to the binary-smallest gram), and overlap-aware
+    // dup-{5..10}-gram char coverage via DISTINCT covered word positions
     "gopher_repetition" ->
       ("""WITH docs AS (
         |  SELECT doc_id,
@@ -5030,34 +5029,34 @@ object SparkEntry {
         |  CAST(nl AS BIGINT) AS gr_n_lines,
         |  CAST(floor(CAST(ldup AS DOUBLE) / CAST(nl AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_line_q4,
-        |  CAST(floor(CAST(ldupch AS DOUBLE) / CAST(lch AS DOUBLE)
+        |  CAST(floor(CAST(ldupch AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_line_char_q4,
         |  CAST(np AS BIGINT) AS gr_n_paras,
         |  CAST(floor(CAST(pdup AS DOUBLE) / CAST(np AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_para_q4,
-        |  CAST(floor(CAST(pdupch AS DOUBLE) / CAST(pch AS DOUBLE)
+        |  CAST(floor(CAST(pdupch AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_para_char_q4,
         |  CAST(nw AS BIGINT) AS gr_n_words,
-        |  CAST(floor(CAST(tc2 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(tc2 AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_2gram_char_q4,
-        |  CAST(floor(CAST(tc3 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(tc3 AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_3gram_char_q4,
-        |  CAST(floor(CAST(tc4 AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(tc4 AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_top_4gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc5, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc5, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_5gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc6, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc6, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_6gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc7, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc7, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_7gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc8, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc8, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_8gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc9, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc9, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_9gram_char_q4,
-        |  CAST(floor(CAST(COALESCE(dc10, 0) AS DOUBLE) / CAST(twc AS DOUBLE)
+        |  CAST(floor(CAST(COALESCE(dc10, 0) AS DOUBLE) / CAST(dch AS DOUBLE)
         |    * 10000.0 + 0.5) AS BIGINT) AS gr_dup_10gram_char_q4
         |FROM docs
-        |  JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+        |  JOIN dstat USING (doc_id) JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
         |  JOIN wstat USING (doc_id)
         |  JOIN tp2 USING (doc_id) JOIN tp3 USING (doc_id)
         |  JOIN tp4 USING (doc_id)
@@ -5122,7 +5121,7 @@ object SparkEntry {
         |      AS lns
         |    FROM docs))
         |SELECT doc_id FROM docs
-        |  JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
+        |  JOIN dstat USING (doc_id) JOIN lstat USING (doc_id) JOIN pstat USING (doc_id)
         |  JOIN wstat USING (doc_id) JOIN structc USING (doc_id)
         |  JOIN linec USING (doc_id)
         |  JOIN tp2 USING (doc_id) JOIN tp3 USING (doc_id)
@@ -5139,17 +5138,17 @@ object SparkEntry {
         |  AND nstop >= 2
         |  AND ${q4sql("ldup", "nl")} <= 3000
         |  AND ${q4sql("pdup", "np")} <= 3000
-        |  AND ${q4sql("ldupch", "lch")} <= 2000
-        |  AND ${q4sql("pdupch", "pch")} <= 2000
-        |  AND ${q4sql("tc2", "twc")} <= 2000
-        |  AND ${q4sql("tc3", "twc")} <= 1800
-        |  AND ${q4sql("tc4", "twc")} <= 1600
-        |  AND ${q4sql("COALESCE(dc5, 0)", "twc")} <= 1500
-        |  AND ${q4sql("COALESCE(dc6, 0)", "twc")} <= 1400
-        |  AND ${q4sql("COALESCE(dc7, 0)", "twc")} <= 1300
-        |  AND ${q4sql("COALESCE(dc8, 0)", "twc")} <= 1200
-        |  AND ${q4sql("COALESCE(dc9, 0)", "twc")} <= 1100
-        |  AND ${q4sql("COALESCE(dc10, 0)", "twc")} <= 1000""".stripMargin),
+        |  AND ${q4sql("ldupch", "dch")} <= 2000
+        |  AND ${q4sql("pdupch", "dch")} <= 2000
+        |  AND ${q4sql("tc2", "dch")} <= 2000
+        |  AND ${q4sql("tc3", "dch")} <= 1800
+        |  AND ${q4sql("tc4", "dch")} <= 1600
+        |  AND ${q4sql("COALESCE(dc5, 0)", "dch")} <= 1500
+        |  AND ${q4sql("COALESCE(dc6, 0)", "dch")} <= 1400
+        |  AND ${q4sql("COALESCE(dc7, 0)", "dch")} <= 1300
+        |  AND ${q4sql("COALESCE(dc8, 0)", "dch")} <= 1200
+        |  AND ${q4sql("COALESCE(dc9, 0)", "dch")} <= 1100
+        |  AND ${q4sql("COALESCE(dc10, 0)", "dch")} <= 1000""".stripMargin),
 
     // md5-hex-prefix thresholds: floor(w * 16^8) as 8-hex lowercase;
     // 'g' sorts above every hex digit => weight 1.0 keeps all

@@ -16,7 +16,12 @@ import graft.core._
   * "contains at least `minStopWords` of the stop-word list". Default
   * thresholds are the paper's, expressed in the library's q4 fraction
   * units (0.30 → 3000) so every comparison is exact integer
-  * arithmetic, never a float boundary.
+  * arithmetic, never a float boundary — and the repetition fractions
+  * they compare against follow the de-facto public implementations of
+  * the rule (datatrove/FineWeb, Dolma: exclude-first duplicate
+  * counting, whole-document character denominators — see
+  * [[GopherRepetition]]'s semantics note), so the defaults filter at
+  * ecosystem parity rather than strictly over-filtering.
   *
   * This is the gate [[Recipes.corpusCuration]]'s minWords/bullet
   * subset approximates; compose this transformer in its place for the

@@ -12,20 +12,41 @@ import graft.core._
   * "Scaling Language Models: ... Gopher", Table A1 — the filters
   * RefinedWeb, FineWeb and Dolma reuse): per document,
   *
-  *  - duplicate LINE fraction and the fraction of line characters
+  *  - duplicate LINE fraction and the fraction of document characters
   *    inside duplicated lines (lines = newline-split, trimmed,
   *    blank-dropped); same pair for PARAGRAPHS (blank-line-separated,
-  *    i.e. split on 2+ consecutive newlines);
+  *    i.e. split on 2+ consecutive newlines). Duplicates are counted
+  *    EXCLUDING each group's first occurrence — `x,y,x` scores 1/3,
+  *    the datatrove/Dolma `find_duplicates` convention the published
+  *    thresholds were calibrated against (an all-members count scores
+  *    2/3 and silently over-filters at the same thresholds);
   *  - TOP n-gram character fraction for n in {2,3,4}: occurrences of
-  *    the single most frequent word n-gram times its character length
-  *    over total word characters (ties broken toward the
-  *    codepoint-smallest gram so the statistic is deterministic —
-  *    matches binary-collation `ORDER BY` in the SQL replay);
+  *    the single most frequent word n-gram times that gram's character
+  *    length — inner spaces included, the ecosystem's
+  *    `len(" ".join(gram)) * count` — over total DOCUMENT characters
+  *    (ties broken toward the codepoint-smallest gram so the statistic
+  *    is deterministic — matches binary-collation `ORDER BY` in the
+  *    SQL replay);
   *  - DUPLICATE n-gram character fraction for n in {5..10}: characters
   *    of words covered by any n-gram that occurs more than once,
   *    counting each covered word position ONCE even under overlapping
   *    occurrences (the paper's "taking care not to count characters
-  *    ... more than once").
+  *    ... more than once", which is also Dolma's coverage-mask rule),
+  *    over total document characters.
+  *
+  * Semantics note (round 14): fractions follow the de-facto public
+  * implementations of the rule (datatrove/FineWeb, Dolma) — exclude-
+  * first duplicate counting and whole-document-character denominators
+  * — so [[GopherQualityFilter]]'s paper-default thresholds filter at
+  * ecosystem parity. Two deliberate residual divergences, both
+  * documented rather than replicated: (a) lines/paragraphs are trimmed
+  * and blank-dropped before duplicate counting (blank runs are
+  * structure, not repeated content; datatrove keeps raw splits), and
+  * (b) the dup-n-gram numerator counts covered WORD characters, not
+  * the spaces between covered words (Dolma's character mask includes
+  * them; datatrove instead counts non-overlapping space-free joins) —
+  * strictly smaller by at most the inter-word spaces, i.e. marginally
+  * more lenient, never stricter.
   *
   * All fractions are emitted q4-scaled (`floor(x*10000+0.5)` as long,
   * 0 when the denominator is 0) — the library's convention for
@@ -132,17 +153,21 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
     Integer.compare(a.length - i, b.length - j)
   }
 
-  /** (count, totalChars, dupCount, dupChars) over a trimmed,
-    * blank-dropped item list — the line/paragraph measure. */
-  private def dupStats(items: Array[String]): (Long, Long, Long, Long) = {
+  /** (count, dupCount, dupChars) over a trimmed, blank-dropped item
+    * list — the line/paragraph measure. Duplicates exclude each
+    * group's FIRST occurrence (a group of c copies contributes c-1),
+    * the datatrove/Dolma `find_duplicates` convention. */
+  private def dupStats(items: Array[String]): (Long, Long, Long) = {
     val counts = new java.util.HashMap[String, Int](items.length * 2)
     items.foreach(s => counts.put(s, counts.getOrDefault(s, 0) + 1))
-    var total = 0L; var dupC = 0L; var dupChars = 0L
-    items.foreach { s =>
-      val l = cpLen(s); total += l
-      if (counts.get(s) > 1) { dupC += 1; dupChars += l }
+    var dupC = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > 1) { dupC += c - 1; dupChars += (c - 1) * cpLen(e.getKey) }
     }
-    (items.length.toLong, total, dupC, dupChars)
+    (items.length.toLong, dupC, dupChars)
   }
 
   def profile(text: String): Profile = {
@@ -154,19 +179,22 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
     // two in the oracle (caught by round-13 review; suite-pinned below)
     val lines = text.split("\n", -1).map(GopherStructural.spaceTrim)
       .filter(_.nonEmpty)
-    val (nl, lChars, lDup, lDupChars) = dupStats(lines)
+    val (nl, lDup, lDupChars) = dupStats(lines)
     val paras = text.split("\n{2,}", -1).map(GopherStructural.spaceTrim)
       .filter(_.nonEmpty)
-    val (np, pChars, pDup, pDupChars) = dupStats(paras)
+    val (np, pDup, pDupChars) = dupStats(paras)
+    // char-fraction denominator = the WHOLE document's codepoints (the
+    // ecosystem's len(text)), not the sum of item/word characters
+    val docChars = cpLen(text)
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val nW = words.length
     val wLen = words.map(cpLen)
-    val totalWordChars = wLen.sum
 
-    // most-frequent n-gram's occurrences × its word characters
+    // most-frequent n-gram's occurrences × its characters (spaces
+    // included — the gram string as joined)
     def topQ4(n: Int): Long = {
       val m = nW - n + 1
-      if (m < 1 || totalWordChars == 0) return 0L
+      if (m < 1 || docChars == 0) return 0L
       val counts = new java.util.HashMap[String, Int](m * 2)
       var i = 0
       while (i < m) {
@@ -183,14 +211,14 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
           bestG = g; bestC = c
         }
       }
-      q4(bestC.toLong * (cpLen(bestG) - (n - 1)), totalWordChars)
+      q4(bestC.toLong * cpLen(bestG), docChars)
     }
 
     // characters of word positions covered by any duplicated n-gram,
     // each position counted once (overlap-aware)
     def dupQ4(n: Int): Long = {
       val m = nW - n + 1
-      if (m < 1 || totalWordChars == 0) return 0L
+      if (m < 1 || docChars == 0) return 0L
       val grams = new Array[String](m)
       val counts = new java.util.HashMap[String, Int](m * 2)
       var i = 0
@@ -211,12 +239,12 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
       }
       var dch = 0L; i = 0
       while (i < nW) { if (covered(i)) dch += wLen(i); i += 1 }
-      q4(dch, totalWordChars)
+      q4(dch, docChars)
     }
 
     Profile(
-      nl, q4(lDup, nl), q4(lDupChars, lChars),
-      np, q4(pDup, np), q4(pDupChars, pChars),
+      nl, q4(lDup, nl), q4(lDupChars, docChars),
+      np, q4(pDup, np), q4(pDupChars, docChars),
       nW.toLong,
       topQ4(2), topQ4(3), topQ4(4),
       dupQ4(5), dupQ4(6), dupQ4(7), dupQ4(8), dupQ4(9), dupQ4(10))

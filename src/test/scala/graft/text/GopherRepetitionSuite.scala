@@ -7,38 +7,41 @@ class GopherRepetitionSuite extends TestBase {
   import spark.implicits._
 
   test("overlap-aware duplicate n-gram coverage counts positions once") {
-    // "a a a a a a": the duplicated 5-gram "a a a a a" occurs at
-    // positions 1 and 2 — overlapping — and together covers ALL six
-    // word positions exactly once each
+    // "a a a a a a" (11 document chars): the duplicated 5-gram
+    // "a a a a a" occurs at positions 1 and 2 — overlapping — and
+    // together covers ALL six word positions exactly once each
     val p = GopherRepetition.profile("a a a a a a")
     assert(p.nWords == 6)
-    assert(p.dup5Q4 == 10000)          // 6 covered chars / 6 total
+    assert(p.dup5Q4 == 5455)           // 6 covered word chars / 11 doc
     assert(p.dup6Q4 == 0)              // single 6-gram: not duplicated
     assert(p.dup7Q4 == 0 && p.dup10Q4 == 0)
-    // top 2-gram "a a" occurs 5 times, 2 word chars: q4(10, 6)
-    assert(p.top2Q4 == 16667)
-    assert(p.top3Q4 == 20000)          // 4 * 3 chars / 6
-    assert(p.top4Q4 == 20000)          // 3 * 4 chars / 6
+    // top 2-gram "a a" occurs 5 times, 3 chars INCLUDING the inner
+    // space (the ecosystem's len(" ".join) * count): q4(15, 11)
+    assert(p.top2Q4 == 13636)
+    assert(p.top3Q4 == 18182)          // 4 * 5 chars / 11
+    assert(p.top4Q4 == 19091)          // 3 * 7 chars / 11
     assert(p.nLines == 1 && p.dupLineQ4 == 0)
     assert(p.nParas == 1 && p.dupParaQ4 == 0)
   }
 
-  test("line and paragraph duplicate fractions (chars weighted)") {
-    // lines: x, y, x, P1, P1 -> 4 of 5 duplicated, 6 of 7 chars
-    // paragraphs: "x\ny\nx", P1, P1 -> 2 of 3 duplicated, 4 of 9 chars
+  test("duplicate fractions exclude first occurrences (datatrove rule)") {
+    // 13 document chars. lines: x, y, x, P1, P1 -> groups x:2, P1:2,
+    // exclude-first dup count = 2 of 5; dup chars = 1 + 2 = 3 of the
+    // DOCUMENT's 13 (not of the line-char sum — round-14 semantics)
     val p = GopherRepetition.profile("x\ny\nx\n\nP1\n\nP1")
     assert(p.nLines == 5)
-    assert(p.dupLineQ4 == 8000)
-    assert(p.dupLineCharQ4 == 8571)    // floor(6/7*10000+0.5)
+    assert(p.dupLineQ4 == 4000)        // floor(2/5*10000+0.5)
+    assert(p.dupLineCharQ4 == 2308)    // floor(3/13*10000+0.5)
+    // paragraphs: "x\ny\nx", P1, P1 -> 1 of 3 dup, 2 of 13 chars
     assert(p.nParas == 3)
-    assert(p.dupParaQ4 == 6667)
-    assert(p.dupParaCharQ4 == 4444)    // floor(4/9*10000+0.5)
+    assert(p.dupParaQ4 == 3333)
+    assert(p.dupParaCharQ4 == 1538)    // floor(2/13*10000+0.5)
     assert(p.nWords == 5)
     // all 2-grams unique -> tie broken to the codepoint-smallest gram
-    // "P1 P1" (4 word chars of 7 total)
-    assert(p.top2Q4 == 5714)
-    assert(p.top3Q4 == 7143)           // "x P1 P1": 5 of 7
-    assert(p.top4Q4 == 7143)           // "x y x P1": 5 of 7
+    // "P1 P1" (5 chars with its space, of 13 document chars)
+    assert(p.top2Q4 == 3846)
+    assert(p.top3Q4 == 5385)           // "x P1 P1": 7 of 13
+    assert(p.top4Q4 == 6154)           // "x y x P1": 8 of 13
     assert(p.dup5Q4 == 0)              // the only 5-gram is unique
   }
 
@@ -70,8 +73,8 @@ class GopherRepetitionSuite extends TestBase {
     val r = out.orderBy("doc_id")
       .select("gr_dup_5gram_char_q4", "gr_dup_line_q4", "gr_n_words")
       .as[(Long, Long, Long)].collect()
-    assert(r(0) == ((10000L, 0L, 6L)))
-    assert(r(1) == ((0L, 8000L, 5L)))
+    assert(r(0) == ((5455L, 0L, 6L)))
+    assert(r(1) == ((0L, 4000L, 5L)))
     // a taken gr_profile name must not collide with the temp column
     val clash = df.withColumn("gr_profile",
       org.apache.spark.sql.functions.lit(1))
