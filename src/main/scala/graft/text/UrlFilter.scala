@@ -45,14 +45,29 @@ class UrlFilter(override val uid: String)
 
   /** The UT1-scale path: a blocklist TABLE (millions of registered
     * domains — far past what should ride the plan as a literal array)
-    * anti-joined on the extracted registered domain. Runtime state,
-    * not a Param (the SemDeDup setCorpus convention): the table does
-    * not persist with the stage. */
+    * probed as a broadcast [[graft.core.CompactStringSet]]. Runtime
+    * state, not a Param (the SemDeDup setCorpus convention): the table
+    * does not persist with the stage.
+    *
+    * Driver-memory contract: the distinct normalized entries are
+    * collected to the driver ONCE at transform time and packed —
+    * entry UTF-8 bytes plus ~10 bytes/entry (a 5M-entry UT1 list is
+    * ~150 MB of driver heap and broadcast payload; measured at
+    * nameplate scale in SCALING.md round 14). The collect is bounded
+    * by `maxTableEntries` and fails fast past it — a URL column passed
+    * by mistake dies with a clear message, never a driver OOM. */
   @transient private var blockTable: Option[(DataFrame, String)] = None
   def setBlockedDomainTable(table: DataFrame,
       domainCol: String = "domain"): this.type = {
     blockTable = Some((table, domainCol)); this
   }
+
+  final val maxTableEntries = new IntParam(this, "maxTableEntries",
+    "fail-fast cap on distinct blocklist-table entries collected to " +
+      "the driver (KNN.maxCollectRows convention)",
+    ParamValidators.gt(0))
+  setDefault(maxTableEntries -> 10000000)
+  def setMaxTableEntries(v: Int): this.type = set(maxTableEntries, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
@@ -61,7 +76,8 @@ class UrlFilter(override val uid: String)
     blockTable match {
       case None => base
       case Some((t, dcol)) =>
-        UrlFilter.filterByDomainTable(base, getInputCol, t, dcol)
+        UrlFilter.filterByDomainTable(base, getInputCol, t, dcol,
+          $(maxTableEntries))
     }
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -150,31 +166,53 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     * whose registered domain IS that string — whole-suffix blocking is
     * out of scope. Rows with no parseable host are KEPT — the
     * blocklist names domains, and in-plan `blockedTerms` already
-    * handle malformed-URL policy. */
+    * handle malformed-URL policy.
+    *
+    * The broadcast structure is a [[graft.core.CompactStringSet]]
+    * (entry UTF-8 bytes + ~10 bytes/entry — several-fold under a JVM
+    * `Set[String]` at UT1 scale), probed region-wise over the host's
+    * UTF-8 bytes so the suffix chain allocates nothing per step ('.'
+    * is ASCII, so byte scanning is UTF-8-safe). The driver collect is
+    * bounded: `maxEntries + 1` rows are fetched and one more than the
+    * cap fails fast with a message naming the knob — the
+    * KNN.maxCollectRows convention. */
   def filterByDomainTable(df: DataFrame, urlCol: String,
-      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+      blocklist: DataFrame, domainCol: String = "domain",
+      maxEntries: Int = 10000000): DataFrame = {
     val e = regexp_replace(
       regexp_replace(lower(col(domainCol)), "\\s", ""), "^www\\.", "")
-    val entries = blocklist.select(e.as("e")).filter(col("e") =!= "")
-      .distinct().collect().map(_.getString(0)).toSet
-    val bset = df.sparkSession.sparkContext.broadcast(entries)
+    val collected = blocklist.select(e.as("e")).filter(col("e") =!= "")
+      .distinct().limit(maxEntries + 1).collect()
+    require(collected.length <= maxEntries,
+      s"filterByDomainTable: blocklist '$domainCol' has more than " +
+        s"$maxEntries distinct entries — is it really a domain column? " +
+        "Raise maxEntries (setMaxTableEntries on the stage) if the " +
+        "list is genuinely this large; budget entry bytes + ~10 B/entry " +
+        "of driver heap and broadcast payload")
+    val cset = graft.core.CompactStringSet(
+      collected.iterator.map(_.getString(0)).toSeq)
+    val bset = df.sparkSession.sparkContext.broadcast(cset)
     val sufs = defaultMultiSuffixes.toSet
     val blockedUdf = udf { h: String =>
       if (h == null || h.isEmpty) false
       else {
         val set = bset.value
         val rd = registeredDomainOfHostJvm(h, sufs)
-        if (rd.isEmpty) set.contains(h)
+        val hb = h.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (rd.isEmpty) set.containsRegion(hb, 0, hb.length)
         else {
           // dot-boundary suffixes of h, longest first, down to rd
+          // (rd is a char-suffix of h, so its UTF-8 length bounds the
+          // byte-space chain the same way)
+          val rdLen = utf8Length(rd)
           var start = 0
           var hit = false
-          while (!hit && h.length - start >= rd.length) {
-            val s = if (start == 0) h else h.substring(start)
-            if (set.contains(s)) hit = true
+          while (!hit && hb.length - start >= rdLen) {
+            if (set.containsRegion(hb, start, hb.length - start)) hit = true
             else {
-              val dot = h.indexOf('.', start)
-              start = if (dot < 0) h.length + 1 else dot + 1
+              var dot = start
+              while (dot < hb.length && hb(dot) != '.') dot += 1
+              start = if (dot >= hb.length) hb.length + 1 else dot + 1
             }
           }
           hit
@@ -182,6 +220,18 @@ object UrlFilter extends GraftReadable[UrlFilter] {
       }
     }
     df.filter(!blockedUdf(host(col(urlCol))))
+  }
+
+  /** UTF-8 byte length of a string, allocation-free */
+  private[text] def utf8Length(s: String): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+            else if (cp < 0x10000) 3 else 4)
+      i += Character.charCount(cp)
+    }
+    n
   }
 
   /** The keep predicate (true = survives). */

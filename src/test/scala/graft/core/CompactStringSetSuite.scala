@@ -1,0 +1,53 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactStringSetSuite extends AnyFunSuite {
+
+  test("membership is exact against a reference Set, incl. unicode") {
+    val rnd = new scala.util.Random(7)
+    val entries = (1 to 5000).map { i =>
+      if (i % 17 == 0) s"bücher-$i.xn--de"          // multibyte UTF-8
+      else if (i % 23 == 0) s"例え-$i.jp"
+      else s"host${rnd.nextInt(100000)}.example$i.com"
+    }
+    val ref = entries.toSet
+    val cs = CompactStringSet(entries ++ entries.take(100)) // dup inputs
+    assert(cs.size == ref.size)
+    ref.foreach(e => assert(cs.contains(e), e))
+    assert(!cs.contains("absent.com"))
+    assert(!cs.contains(""))
+    assert(!cs.contains("host.example1.com.suffix"))
+    // near-misses sharing prefixes/suffixes with real entries
+    entries.take(200).foreach { e =>
+      assert(!cs.contains(e + "x"))
+      assert(!cs.contains(e.dropRight(1)))
+    }
+  }
+
+  test("containsRegion probes byte slices without allocation semantics") {
+    val cs = CompactStringSet(Seq("evil.com", "xyz.blogspot.com"))
+    val hb = "a.xyz.blogspot.com".getBytes("UTF-8")
+    assert(!cs.containsRegion(hb, 0, hb.length))
+    assert(cs.containsRegion(hb, 2, hb.length - 2))   // xyz.blogspot.com
+    assert(!cs.containsRegion(hb, 6, hb.length - 6))  // blogspot.com
+    val eb = "evil.com".getBytes("UTF-8")
+    assert(cs.containsRegion(eb, 0, eb.length))
+    assert(!cs.containsRegion(eb, 0, eb.length - 1))
+  }
+
+  test("empty set and survives a serialization round-trip") {
+    val empty = CompactStringSet(Nil)
+    assert(empty.size == 0 && !empty.contains("x"))
+    val cs = CompactStringSet(Seq("a.com", "b.org"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(cs); oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[CompactStringSet]
+    assert(back.contains("a.com") && back.contains("b.org") &&
+      !back.contains("c.net"))
+    assert(cs.packedBytes > 0)
+  }
+}

@@ -103,6 +103,31 @@ class UrlFilterSuite extends TestBase {
       "https://blogspot.com/p", "not a url"))
   }
 
+  test("maxTableEntries fails fast before the driver collect grows") {
+    val urls = Seq("https://x.com/a").toDF("url")
+    val big = (1 to 100).map(i => s"dom$i.com").toDF("domain")
+    val ex = intercept[IllegalArgumentException] {
+      new UrlFilter().setInputCol("url").setMaxTableEntries(99)
+        .setBlockedDomainTable(big).transform(urls)
+    }
+    assert(ex.getMessage.contains("99") &&
+      ex.getMessage.contains("domain column"))
+    // at the cap exactly it proceeds
+    assert(new UrlFilter().setInputCol("url").setMaxTableEntries(100)
+      .setBlockedDomainTable(big).transform(urls).count() == 1)
+  }
+
+  test("blocklist table probes multibyte (IDN) hosts byte-correctly") {
+    val urls = Seq(
+      "https://bücher.example.de/x",      // exact multibyte full-host entry
+      "https://sub.bücher.example.de/x",  // its subdomain
+      "https://other.example.de/x").toDF("url")
+    val blocklist = Seq("bücher.example.de").toDF("domain")
+    val kept = UrlFilter.filterByDomainTable(urls, "url", blocklist)
+      .as[String].collect().toSet
+    assert(kept == Set("https://other.example.de/x"))
+  }
+
   test("expressions only, zero shuffle") {
     val plan = f.transform(Seq("https://x.com").toDF("url"))
       .queryExecution.executedPlan.toString
