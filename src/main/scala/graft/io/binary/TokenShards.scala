@@ -39,6 +39,10 @@ object TokenShards {
 
   private val Magic = "GRFTIDX1".getBytes("US-ASCII")
 
+  /** reader chunk size in ids (visible to the suite so multi-chunk
+    * decode is exercised without a quarter-million-token fixture) */
+  private[binary] val ReadChunkIds = 1 << 18
+
   /** Write `tokensCol` (array<int>) rows as shard pairs under `outDir`. */
   def write(df: DataFrame, outDir: String, tokensCol: String = "tokens",
             width: Int = 4, maxShardBytes: Long = 1L << 30,
@@ -162,21 +166,31 @@ object TokenShards {
           new BufferedInputStream(fsl.open(binPath), 1 << 16))
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => bin.close()))
+        // bulk readFully in bounded chunks + local decode (readFully
+        // throws EOFException instead of masking -1; 4 single-byte
+        // read() calls per id dominated the hot read path). The chunk
+        // mirrors the writer's 1<<18-id buffer: one doc-sized byte
+        // array would overflow Int arithmetic for a >536M-token
+        // document at width 4 — exactly the >2 GiB document the
+        // writer's chunked path was changed to keep supporting
+        // (round-14 ADVICE). ONE buffer per shard, not per doc.
+        val chunk = new Array[Byte](ReadChunkIds * w)
         lengths.iterator.zipWithIndex.map { case (len, ord) =>
-          // one bulk readFully per document + local decode (readFully
-          // throws EOFException instead of masking -1; 4 single-byte
-          // read() calls per id dominated the hot read path)
-          val docBuf = new Array[Byte](len * w)
-          bin.readFully(docBuf)
           val ids = new Array[Int](len)
-          var i = 0
-          while (i < len) {
-            val b = i * w
-            ids(i) =
-              if (w == 2) (docBuf(b) & 0xff) | ((docBuf(b + 1) & 0xff) << 8)
-              else (docBuf(b) & 0xff) | ((docBuf(b + 1) & 0xff) << 8) |
-                ((docBuf(b + 2) & 0xff) << 16) | ((docBuf(b + 3) & 0xff) << 24)
-            i += 1
+          var done = 0
+          while (done < len) {
+            val m = math.min(ReadChunkIds, len - done)
+            bin.readFully(chunk, 0, m * w)
+            var i = 0
+            while (i < m) {
+              val b = i * w
+              ids(done + i) =
+                if (w == 2) (chunk(b) & 0xff) | ((chunk(b + 1) & 0xff) << 8)
+                else (chunk(b) & 0xff) | ((chunk(b + 1) & 0xff) << 8) |
+                  ((chunk(b + 2) & 0xff) << 16) | ((chunk(b + 3) & 0xff) << 24)
+              i += 1
+            }
+            done += m
           }
           Row(p, ord.toLong, ids.toSeq)
         }

@@ -26,6 +26,25 @@ class TokenShardsSuite extends TestBase {
     assert(names.count(_.endsWith(".bin")) == names.count(_.endsWith(".idx")))
   }
 
+  test("a document spanning multiple read chunks decodes exactly") {
+    // ReadChunkIds * 2 + 17 ids forces three readFully chunks for one
+    // doc (the bounded-chunk path that replaced the doc-sized buffer,
+    // which overflowed Int arithmetic past ~536M tokens — round 14);
+    // a trailing small doc pins the chunk-boundary bookkeeping between
+    // documents in the same shard
+    val n = TokenShards.ReadChunkIds * 2 + 17
+    val bigDoc = Array.tabulate(n)(i => (i * 2654435761L).toInt & 0x7fffffff)
+    val docs = Seq(bigDoc.toSeq, Seq(7, 8, 9)).toDF("tokens")
+    val dir = tmp("tokbig")
+    TokenShards.write(docs, dir)
+    val back = TokenShards.read(spark, dir).orderBy("ordinal")
+      .select("tokens").as[Seq[Int]].collect()
+    assert(back.length == 2)
+    assert(back(0).length == n)
+    assert(java.util.Arrays.equals(back(0).toArray, bigDoc))
+    assert(back(1) == Seq(7, 8, 9))
+  }
+
   test("width-2 packs two bytes per id and rejects overflow") {
     val dir = tmp("tok2")
     TokenShards.write(Seq(Seq(0, 1, 65535)).toDF("tokens"), dir, width = 2)
