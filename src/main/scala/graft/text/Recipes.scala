@@ -38,7 +38,15 @@ object Recipes {
     * canonical URL (raw-key — paths stay case-sensitive), keeping the
     * smallest id per page. It sits after the blocklist filter (narrow,
     * shuffle-free drops go first) and before HTML extraction, so
-    * duplicate crawls never pay the extraction chain. */
+    * duplicate crawls never pay the extraction chain.
+    *
+    * Intermediate columns are named per-schema at transform time
+    * (`findUnusedColumnName` — the library convention), so user
+    * columns named `__extracted` and friends survive the recipe
+    * intact (round 14; the old fixed names were silently dropped by
+    * the cleanup stage). The recipe's OUTPUT contract columns remain
+    * fixed by design: `text` (and the gate's transient
+    * `lang_pred`/`lang_prob`) supersede same-named inputs. */
   def webExtraction(blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
       languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None,
@@ -48,33 +56,41 @@ object Recipes {
     require(languageGate.isDefined || languageMinProb == 0.0,
       "languageMinProb only takes effect inside a languageGate — pass " +
         "languageGate = Some((model, keepLanguages)) or drop the floor")
-    val urlDedupStages = urlDedupIdCol.toSeq.flatMap { id =>
-      Seq(
-        new UrlNormalizer().setInputCol("url").setOutputCol("__url_norm"),
-        new graft.dedup.ExactDeduplicator().setInputCol("__url_norm")
-          .setIdCol(id).setRawKey(true),
-        new Lambda().setTransform(_.drop("__url_norm")))
+    import graft.core.DatasetExtensions.findUnusedColumnName
+    val urlDedupStages = urlDedupIdCol.toSeq.map { id =>
+      new Lambda().setTransform { df =>
+        val tmp = findUnusedColumnName("__url_norm", df.schema)
+        val normed = new UrlNormalizer().setInputCol("url")
+          .setOutputCol(tmp).transform(df)
+        new graft.dedup.ExactDeduplicator().setInputCol(tmp)
+          .setIdCol(id).setRawKey(true).transform(normed).drop(tmp)
+      }
     }
-    val langStages = languageGate.toSeq.flatMap { case (m, keep) =>
-      Seq(
-        m.copy(org.apache.spark.ml.param.ParamMap.empty)
-          .setInputCol("__repaired"),
-        new Lambda().setTransform(df => df
-          .filter(col("lang_pred").isin(keep.map(k => k: Any): _*) &&
-            col("lang_prob") >= languageMinProb)
-          .drop("lang_pred", "lang_prob")))
+    val extractStage = new Lambda().setTransform { df =>
+      // distinct bases can never resolve to the same name
+      val ext = findUnusedColumnName("__extracted", df.schema)
+      val repaired = findUnusedColumnName("__repaired", df.schema)
+      val extracted = new HtmlTextExtractor().setInputCol("html")
+        .setOutputCol(ext).transform(df)
+      val fixed = new MojibakeRepair().setInputCol(ext)
+        .setOutputCol(repaired).transform(extracted)
+      val gated = languageGate match {
+        case None => fixed
+        case Some((m, keep)) =>
+          m.copy(org.apache.spark.ml.param.ParamMap.empty)
+            .setInputCol(repaired).transform(fixed)
+            .filter(col("lang_pred").isin(keep.map(k => k: Any): _*) &&
+              col("lang_prob") >= languageMinProb)
+            .drop("lang_pred", "lang_prob")
+      }
+      new C4Filter().setInputCol(repaired).setOutputCol("text")
+        .transform(gated).drop(ext, repaired, "html")
     }
-    new Pipeline().setStages((Seq(
+    new Pipeline().setStages(((
       new UrlFilter().setInputCol("url")
-        .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms)) ++
-      urlDedupStages ++ Seq(
-      new HtmlTextExtractor().setInputCol("html").setOutputCol("__extracted"),
-      new MojibakeRepair().setInputCol("__extracted")
-        .setOutputCol("__repaired")) ++
-      langStages ++ Seq(
-      new C4Filter().setInputCol("__repaired").setOutputCol("text"),
-      new Lambda().setTransform(
-        _.drop("__extracted", "__repaired", "html")))).toArray)
+        .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms)
+        : org.apache.spark.ml.PipelineStage) +:
+      (urlDedupStages :+ extractStage)).toArray)
   }
 
   /** Clean text → training corpus: Gopher structural signals +

@@ -49,6 +49,26 @@ class RecipesSuite extends TestBase {
     assert(!out.columns.contains("__url_norm"))
   }
 
+  test("user columns named like recipe temps survive intact") {
+    def page(body: String) = s"<html><body>$body</body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full sentence number $i with plenty of honest words in it.")
+      .mkString(" ")
+    // every temp name the old fixed-name recipe reserved, user-owned
+    val df = Seq(
+      (1L, "https://site.com/a", page(s"<p>$longPara</p>"),
+        "mine1", "mine2", "mine3"))
+      .toDF("doc_id", "url", "html",
+        "__extracted", "__repaired", "__url_norm")
+    val out = Recipes.webExtraction(urlDedupIdCol = Some("doc_id"))
+      .fit(df).transform(df)
+    assert(out.count() == 1)
+    val r = out.select("__extracted", "__repaired", "__url_norm")
+      .as[(String, String, String)].head()
+    assert(r == (("mine1", "mine2", "mine3")))
+    assert(out.columns.contains("text"))
+  }
+
   test("corpusCuration: gate, dedup, deterministic order") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ")
     val df = Seq(
@@ -68,6 +88,14 @@ class RecipesSuite extends TestBase {
     Recipes.webExtraction(blockedDomains = Seq("evil.com"))
       .write.overwrite().save(p)
     val loaded = org.apache.spark.ml.Pipeline.load(p)
-    assert(loaded.getStages.length == 5)
+    assert(loaded.getStages.length == 2)
+    // the loaded Lambda still transforms (fn rides complex.bin)
+    def page(body: String) = s"<html><body>$body</body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full sentence number $i with plenty of honest words.")
+      .mkString(" ")
+    val df = Seq(("https://ok.com/a", page(s"<p>$longPara</p>")))
+      .toDF("url", "html")
+    assert(loaded.fit(df).transform(df).count() == 1)
   }
 }
