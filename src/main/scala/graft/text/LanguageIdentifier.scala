@@ -31,12 +31,18 @@ import org.apache.spark.sql.types._
   * features; scoring broadcasts the (numLanguages x 2^numBits)
   * coefficient matrix and is one narrow pass — zero shuffle at
   * inference, the property that lets it gate a 100 TB crawl. The
+  * DENSE coefficient matrix is the documented ceiling: numLanguages x
+  * 2^numBits x 8 bytes on the driver and on every executor (176
+  * languages at the default numBits 18 ≈ 370 MB; fit warns past
+  * 256 MB and fails fast past one JVM array — numBits is the knob,
+  * each -1 halves it). The
   * stopword-heuristic `TextAnalysis.languageId` remains the zero-
   * training fallback for report columns; THIS is the recipe gate.
   */
 class LanguageIdentifier(override val uid: String)
     extends Estimator[LanguageIdentifierModel] with HasInputCol
-    with HasLabelCol with graft.core.GraftWritable {
+    with HasLabelCol with graft.core.GraftWritable
+    with org.apache.spark.internal.Logging {
   def this() = this(Identifiable.randomUID("LanguageIdentifier"))
 
   final val numBits = new IntParam(this, "numBits", "log2 feature space",
@@ -83,6 +89,24 @@ class LanguageIdentifier(override val uid: String)
       .na.drop().distinct().collect().map(_.getString(0)).sorted
     require(labels.length >= 2,
       s"need at least 2 languages to train, got ${labels.toSeq}")
+    // coefficient-broadcast budget: multinomial LR materializes (and
+    // scoring broadcasts) a DENSE numLanguages x 2^numBits double
+    // matrix — numBits is the knob (176 languages at the default
+    // numBits 18 is ~370 MB; see the Known-scale-ceilings list in
+    // SCALING.md). Fail fast where the dense matrix stops being
+    // representable as one JVM array (the fit would otherwise die
+    // mid-L-BFGS with an opaque allocation error), warn past 256 MB.
+    val matrixEntries = labels.length.toLong * (1L << $(numBits))
+    require(matrixEntries <= Int.MaxValue,
+      s"${labels.length} languages x 2^${$(numBits)} features = " +
+        s"$matrixEntries coefficient entries exceeds one JVM array — " +
+        "lower numBits (each -1 halves the matrix) or split the label " +
+        "space")
+    if (matrixEntries * 8L > LanguageIdentifier.CoefficientWarnBytes)
+      logWarning(s"language-ID coefficient matrix is ${labels.length} x " +
+        s"2^${$(numBits)} = ${matrixEntries * 8L >> 20} MB; every " +
+        "executor holds a broadcast copy at scoring time — consider a " +
+        "smaller numBits")
     // bounded training sample: TakeOrdered over an md5 of (label, text)
     // — per-partition top-N then one bounded merge, deterministic under
     // any partitioning (hash ties are identical rows, so the selected
@@ -155,7 +179,11 @@ class LanguageIdentifier(override val uid: String)
   override def copy(extra: ParamMap): LanguageIdentifier = defaultCopy(extra)
 }
 
-object LanguageIdentifier extends graft.core.GraftReadable[LanguageIdentifier]
+object LanguageIdentifier extends graft.core.GraftReadable[LanguageIdentifier] {
+  /** warn when the dense coefficient matrix exceeds this (broadcast to
+    * every executor at scoring time) */
+  val CoefficientWarnBytes: Long = 256L << 20
+}
 
 class LanguageIdentifierModel(override val uid: String)
     extends Model[LanguageIdentifierModel] with HasInputCol

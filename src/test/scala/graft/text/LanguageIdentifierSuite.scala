@@ -26,6 +26,54 @@ class LanguageIdentifierSuite extends TestBase {
     assert(m.lrModel.numClasses == 5)
   }
 
+  test("genuinely distinct scripts separate with margin; mixed page is unsure") {
+    // real-script pools (the planted gate fixture is Latin-token-only):
+    // CJK incl. an astral-plane char, Cyrillic, Arabic, Greek — the
+    // codepoint-based grams and murmur hashing must hold outside ASCII
+    val pools = Map(
+      "zh" -> "的 是 不 我 了 人 在 有 他 这 個 們 𠀀好 中 文".split(" "),
+      "ru" -> "и в не на я что он с это как его но по из у".split(" "),
+      "ar" -> "في من على أن هذا إلى كان لا ما هو أو عن مع كل قد".split(" "),
+      "el" -> "και να το που δεν από με για είναι στο των μια τον σε αυτό"
+        .split(" "))
+    def doc(lang: String, seed: Int): String = {
+      val p = pools(lang)
+      (0 until 30).map(i => p((seed * 7 + i) % p.length)).mkString(" ")
+    }
+    val rows = for {
+      lang <- pools.keys.toSeq.sorted
+      s <- 0 until 40
+    } yield (lang, doc(lang, s))
+    val df = rows.toDF("lang", "text")
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(16).setMaxIter(30).fit(df)
+    val scored = m.transform(df)
+    assert(scored.filter(col("lang_pred") =!= col("lang")).count() == 0)
+    val pureMin = scored.agg(min("lang_prob")).as[Double].head()
+    assert(pureMin > 0.7, s"pure-script margin too low: $pureMin")
+    // a half-Cyrillic half-Greek page: argmax lands on one of the two
+    // mixed scripts and confidence drops below every pure page — the
+    // languageMinProb floor exists for exactly this class
+    val mixed = ((0 until 15).map(i => pools("ru")(i)) ++
+      (0 until 15).map(i => pools("el")(i))).mkString(" ")
+    val mr = m.transform(Seq(("??", mixed)).toDF("lang", "text"))
+      .select("lang_pred", "lang_prob").as[(String, Double)].head()
+    assert(Set("ru", "el").contains(mr._1), s"mixed page -> $mr")
+    assert(mr._2 < pureMin, s"mixed confidence $mr not below $pureMin")
+  }
+
+  test("coefficient-matrix ceiling fails fast with numBits named") {
+    // 33 labels x 2^26 = 2.2B dense entries: past one JVM array. The
+    // require fires right after the label census — no L-BFGS runs
+    val df = (0 until 33).map(i => (f"l$i%02d", s"text $i"))
+      .toDF("lang", "text")
+    val ex = intercept[IllegalArgumentException] {
+      new LanguageIdentifier().setInputCol("text").setLabelCol("lang")
+        .setNumBits(26).fit(df)
+    }
+    assert(ex.getMessage.contains("numBits"))
+  }
+
   test("labels index deterministically (sorted), output schema appended") {
     val docs = synth(100)
     val m = new LanguageIdentifier().setInputCol("text")
