@@ -1901,10 +1901,12 @@ object SparkEntry {
     },
 
     // The UT1-scale blocklist-TABLE path: same multi-suffix URL
-    // synthesis as registered_domain, blocklist as a TABLE anti-joined
-    // by broadcast on the extracted registered domain (PlanSuite
-    // asserts the blocklist side broadcasts); oracle replays the
-    // registered-domain extraction + a NOT IN
+    // synthesis as registered_domain; the blocklist TABLE is collected
+    // (bounded), packed as a broadcast CompactStringSet, and each row
+    // probes its host's dot-boundary suffix chain truncated at the
+    // registered domain — no join, no exchange (PlanSuite asserts
+    // both); oracle replays the registered-domain extraction + a
+    // NOT IN over the same normalized entries
     "url_filter_table" -> { (s, dir) =>
       import s.implicits._
       val hosts = array(lit("news.bbc.co.uk"), lit("a.b.example.com"),
