@@ -133,6 +133,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface named loggers at INFO (comma-separated class names) —
+    // used by the scaling tranches to read per-phase driver walls
+    // (e.g. SemDeDup's sample/train split) without global INFO noise
+    sys.env.get("SPARK_GRAFT_INFO_LOGGERS").foreach(_.split(",")
+      .filter(_.nonEmpty).foreach(n =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          n, org.apache.logging.log4j.Level.INFO)))
     @volatile var current: Acc = null
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
