@@ -181,8 +181,11 @@ object UrlFilter extends GraftReadable[UrlFilter] {
       maxEntries: Int = 10000000): DataFrame = {
     val e = regexp_replace(
       regexp_replace(lower(col(domainCol)), "\\s", ""), "^www\\.", "")
+    // +1 saturating (maxEntries = Int.MaxValue must not overflow the
+    // limit to a negative): one row past the cap proves the overflow
+    val fetch = if (maxEntries == Int.MaxValue) maxEntries else maxEntries + 1
     val collected = blocklist.select(e.as("e")).filter(col("e") =!= "")
-      .distinct().limit(maxEntries + 1).collect()
+      .distinct().limit(fetch).collect()
     require(collected.length <= maxEntries,
       s"filterByDomainTable: blocklist '$domainCol' has more than " +
         s"$maxEntries distinct entries — is it really a domain column? " +

@@ -3,6 +3,12 @@ package graft.text
 import graft.TestBase
 import graft.text.GopherRepetition.Profile
 
+object GopherRepetitionSuiteHelper {
+  def q4(num: Long, den: Long): Long =
+    if (den > 0) math.floor(num.toDouble / den * 10000.0 + 0.5).toLong
+    else 0L
+}
+
 class GopherRepetitionSuite extends TestBase {
   import spark.implicits._
 
@@ -62,6 +68,46 @@ class GopherRepetitionSuite extends TestBase {
     // (space-only trim keeps the \r, as DuckDB trim does)
     val crlf = GopherRepetition.profile("a\r\na\nrest.")
     assert(crlf.nLines == 3 && crlf.dupLineQ4 == 0)
+  }
+
+  test("invariants over random repetitive text (exclude-first, coverage)") {
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "你好",
+      "x", "line")
+    def randText(): String = {
+      val n = 1 + rnd.nextInt(120)
+      (0 until n).map { _ =>
+        val w = vocab(rnd.nextInt(vocab.length))
+        val sep = rnd.nextInt(10) match {
+          case 0 => "\n"
+          case 1 => "\n\n"
+          case _ => " "
+        }
+        w + sep
+      }.mkString
+    }
+    (1 to 200).foreach { _ =>
+      val t = randText()
+      val p = GopherRepetition.profile(t)
+      val fracs = Seq(p.dupLineQ4, p.dupLineCharQ4, p.dupParaQ4,
+        p.dupParaCharQ4, p.top2Q4, p.top3Q4, p.top4Q4,
+        p.dup5Q4, p.dup6Q4, p.dup7Q4, p.dup8Q4, p.dup9Q4, p.dup10Q4)
+      assert(fracs.forall(f => f >= 0 && f <= 10000), s"$p\n$t")
+      // exclude-first: even an all-duplicate list scores (n-1)/n < 1
+      if (p.nLines > 0)
+        assert(p.dupLineQ4 <= GopherRepetitionSuiteHelper
+          .q4(p.nLines - 1, p.nLines), s"$p\n$t")
+      if (p.nParas > 0)
+        assert(p.dupParaQ4 <= GopherRepetitionSuiteHelper
+          .q4(p.nParas - 1, p.nParas), s"$p\n$t")
+      // coverage monotonicity: a duplicated (n+1)-gram duplicates its
+      // two constituent n-grams, so covered positions shrink with n
+      val dups = Seq(p.dup5Q4, p.dup6Q4, p.dup7Q4, p.dup8Q4,
+        p.dup9Q4, p.dup10Q4)
+      dups.sliding(2).foreach(w => assert(w(0) >= w(1), s"$dups\n$t"))
+      // pure function
+      assert(GopherRepetition.profile(t) == p)
+    }
   }
 
   test("transformer emits the full 16-column profile in order") {
