@@ -122,6 +122,24 @@ object Bench {
       .foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
   }
 
+  /** (totalJiffies, stealJiffies, busyJiffies) from /proc/stat's cpu
+    * line — None off-Linux. Fields: user nice system idle iowait irq
+    * softirq steal ... */
+  private def readCpuStat(): Option[(Long, Long, Long)] = try {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val total = f.sum
+    val steal = if (f.length > 7) f(7) else 0L
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+    Some((total, steal, total - idle - steal))
+  } catch { case _: Throwable => None }
+
+  private def readLoad1(): String = try {
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0)
+  } catch { case _: Throwable => "0" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,6 +158,7 @@ object Bench {
       .filter(_.nonEmpty).foreach(n =>
         org.apache.logging.log4j.core.config.Configurator.setLevel(
           n, org.apache.logging.log4j.Level.INFO)))
+    val cpuStatAtStart = readCpuStat()
     @volatile var current: Acc = null
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -227,7 +246,23 @@ object Bench {
         } else None
       name -> ((wall, acc, ingest, err))
     }
-    val detail = results.map { case (k, (w, a, ingest, err)) =>
+    // host-contention telemetry for the record's READER: round-14
+    // attribution showed identical back-to-back suite runs differing
+    // 183 vs 257 s from interference invisible to in-VM load. The
+    // /proc/stat delta over the suite (esp. steal) lets any later
+    // reader judge whether a record was taken on a settled box.
+    val envJson = (cpuStatAtStart, readCpuStat()) match {
+      case (Some(a), Some(b)) =>
+        val tot = (b._1 - a._1).toDouble
+        val loc = java.util.Locale.ROOT
+        if (tot <= 0) None
+        else Some(
+          s""""__env":{"steal_pct":${"%.2f".formatLocal(loc,
+            (b._2 - a._2) * 100.0 / tot)},"busy_pct":${"%.2f".formatLocal(loc,
+            (b._3 - a._3) * 100.0 / tot)},"load1":${readLoad1()}}""")
+      case _ => None
+    }
+    val detail = (envJson.toSeq ++ results.map { case (k, (w, a, ingest, err)) =>
       "\"" + k + "\":{\"wall\":" + w +
         ingest.map(i => ",\"ingest_wall\":" + i).getOrElse("") +
         err.map(e => ",\"err\":\"" + e + "\"").getOrElse("") +
@@ -235,7 +270,7 @@ object Bench {
         ",\"shuffle_read\":" + a.shuffleRead.sum +
         ",\"shuffle_write\":" + a.shuffleWrite.sum +
         ",\"spilled\":" + a.spilled.sum + "}"
-    }.mkString("{", ",", "}")
+    }).mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // The driver captures only a stdout tail: the compact contract line
     // {"metric",...,"queries"} must be LAST, and the (2x-larger) stage
