@@ -2513,6 +2513,43 @@ object SparkEntry {
         .setSalt("tmix")
         .transform(docs)
         .select(col("doc_id"))
+    },
+
+    // Token-budget mixture over the same skewed derived domains, with a
+    // synthetic per-doc token count: d0 capped under its total (a real
+    // fractional rate), d1 budgeted far above it (degenerates to
+    // keep-all), d2 budget 0 (dropped), d3 unlisted with the uncapped
+    // default; the oracle recomputes the totals, the min(1, b/t) rate,
+    // and the floor(r*2^32) hex threshold generically
+    "token_budget_mixture" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("dom", concat(lit("d"),
+          least(pmod(col("doc_id"), lit(16)), lit(3)).cast("string")))
+        .withColumn("n_toks", pmod(col("doc_id"), lit(97)) + 20)
+      new graft.text.TokenBudgetSampler().setIdCol("doc_id")
+        .setDomainCol("dom").setTokensCol("n_toks")
+        .setBudgets(Map("d0" -> 4000L, "d1" -> 99999999L, "d2" -> 0L))
+        .setDefaultBudget(-1L).setSalt("tok")
+        .transform(docs)
+        .select(col("doc_id"), col("dom"))
+    },
+
+    // exact mode: md5-ordered greedy prefix per domain under a hard
+    // token cap (keep iff tokens BEFORE the doc are under budget);
+    // d0 capped, d1 budget 0 (dropped), d2/d3 uncapped default; the
+    // oracle replays the window cumulative sum on the same (md5, id)
+    // order
+    "token_budget_exact" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("dom", concat(lit("d"),
+          least(pmod(col("doc_id"), lit(16)), lit(3)).cast("string")))
+        .withColumn("n_toks", pmod(col("doc_id"), lit(97)) + 20)
+      new graft.text.TokenBudgetSampler().setIdCol("doc_id")
+        .setDomainCol("dom").setTokensCol("n_toks")
+        .setBudgets(Map("d0" -> 1000L, "d1" -> 0L))
+        .setDefaultBudget(-1L).setSalt("tok").setExact(true)
+        .transform(docs)
+        .select(col("doc_id"), col("dom"))
     }
   )
 
@@ -5207,6 +5244,51 @@ object SparkEntry {
         |  FROM pw CROSS JOIN z CROSS JOIN tot)
         |SELECT b.doc_id FROM base b JOIN thr ON b.dom = thr.dom
         |WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || ':tmix'), 1, 8)
-        |  < thr.t""".stripMargin
+        |  < thr.t""".stripMargin,
+
+    // replays the token-budget rate: per-domain token totals, rate =
+    // min(1, budget/total) (uncapped budgets and zero-token domains
+    // keep all), then the shared floor(r*2^32) 8-hex threshold rule
+    "token_budget_mixture" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(LEAST(doc_id % 16, 3) AS VARCHAR) AS dom,
+        |    doc_id % 97 + 20 AS toks
+        |  FROM documents),
+        |tot AS (SELECT dom, SUM(toks) AS t FROM base GROUP BY dom),
+        |bud AS (SELECT dom, t,
+        |    CASE dom WHEN 'd0' THEN 4000 WHEN 'd1' THEN 99999999
+        |      WHEN 'd2' THEN 0 ELSE -1 END AS b
+        |  FROM tot),
+        |thr AS (SELECT dom,
+        |    CASE WHEN b < 0 OR t <= 0 THEN 'g'
+        |      WHEN CAST(b AS DOUBLE) / CAST(t AS DOUBLE) >= 1.0 THEN 'g'
+        |      ELSE printf('%08x', CAST(FLOOR(
+        |        CAST(b AS DOUBLE) / CAST(t AS DOUBLE) * 4294967296.0)
+        |        AS BIGINT)) END AS thr
+        |  FROM bud)
+        |SELECT b.doc_id, b.dom FROM base b JOIN thr ON b.dom = thr.dom
+        |WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || ':tok'), 1, 8)
+        |  < thr.thr""".stripMargin,
+
+    // replays the greedy hash-ordered prefix: cumulative tokens BEFORE
+    // each doc in (md5, id-string) order per domain, kept while under
+    // the hard budget; negative budget = uncapped
+    "token_budget_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'd' || CAST(LEAST(doc_id % 16, 3) AS VARCHAR) AS dom,
+        |    doc_id % 97 + 20 AS toks
+        |  FROM documents),
+        |b AS (SELECT *,
+        |    CASE dom WHEN 'd0' THEN 1000 WHEN 'd1' THEN 0 ELSE -1 END
+        |      AS bud
+        |  FROM base),
+        |c AS (SELECT doc_id, dom, bud,
+        |    SUM(toks) OVER (PARTITION BY dom
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':tok'), 1, 8),
+        |        CAST(doc_id AS VARCHAR)) - toks AS before
+        |  FROM b)
+        |SELECT doc_id, dom FROM c WHERE bud < 0 OR before < bud""".stripMargin
   )
 }

@@ -513,6 +513,122 @@ class DomainUpsampler(override val uid: String) extends Transformer
 }
 object DomainUpsampler extends graft.core.GraftReadable[DomainUpsampler]
 
+/** Deterministic per-domain TOKEN-budget sampling — the missing third
+  * axis of mixture control: data cards specify mixtures in TOKENS, not
+  * document fractions or epochs ("300B of web, 30B of code"), and doc
+  * counts are a poor proxy when domains differ 100x in document length.
+  *
+  * Default (approximate) mode is two narrow passes, fit-free:
+  * a map-side-combined per-domain token-total agg (bounded driver
+  * collect, `maxDomains` fail-fast — the [[TemperatureSampler]]
+  * histogram shape), then keep rate r_d = min(1, budget_d / total_d)
+  * realized by the [[DomainMixtureSampler]] md5-threshold rule —
+  * partitioning-independent, SQL-replayable, and at 100 TB one agg
+  * plus one narrow filter. Document-level Bernoulli selection at rate
+  * budget/total is unbiased in token MASS (selection is independent of
+  * document length), so realized tokens converge to the budget with
+  * relative error O(1/√docs-kept) — sub-percent at any real budget.
+  *
+  * `exact` mode instead keeps the md5-ordered greedy PREFIX per domain
+  * (window cumulative token sum; a document is kept iff the tokens
+  * BEFORE it are under the budget, so any positive budget keeps at
+  * least one document and overshoot is bounded by one document). It
+  * needs no totals pass, but the window sends each domain through one
+  * task's sort — the final-assembly / small-corpus path when the
+  * budget is a hard cap, not the 100 TB default.
+  *
+  * Both modes keep the same documents given the same (id, salt) as the
+  * rest of the family: reproducible across runs, cluster sizes, and
+  * partitionings.
+  */
+class TokenBudgetSampler(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("TokenBudgetSampler"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val domainCol = new Param[String](this, "domainCol", "domain column")
+  setDefault(domainCol -> "source")
+  def setDomainCol(v: String): this.type = set(domainCol, v)
+  final val tokensCol = new Param[String](this, "tokensCol",
+    "per-document token count column (null counts as 0)")
+  setDefault(tokensCol -> "n_tokens")
+  def setTokensCol(v: String): this.type = set(tokensCol, v)
+  final val budgets = new Param[Map[String, Long]](this, "budgets",
+    "domain -> token budget (>= 0; 0 drops the domain)")
+  setDefault(budgets -> Map.empty[String, Long])
+  def setBudgets(m: Map[String, Long]): this.type = {
+    require(m.values.forall(_ >= 0L), "token budgets must be >= 0")
+    set(budgets, m)
+  }
+  final val defaultBudget = new LongParam(this, "defaultBudget",
+    "token budget for unlisted domains; -1 = uncapped (keep all)")
+  setDefault(defaultBudget -> -1L)
+  def setDefaultBudget(v: Long): this.type = set(defaultBudget, v)
+  final val salt = new Param[String](this, "salt",
+    "hash salt — vary to draw an independent sample")
+  setDefault(salt -> "tok")
+  def setSalt(v: String): this.type = set(salt, v)
+  final val exact = new BooleanParam(this, "exact",
+    "greedy hash-ordered prefix per domain (hard cap, one-doc " +
+      "overshoot, one window sort) instead of rate sampling")
+  setDefault(exact -> false)
+  def setExact(v: Boolean): this.type = set(exact, v)
+  final val maxDomains = new IntParam(this, "maxDomains",
+    "fail-fast cap on the domain-total collect (approximate mode)",
+    ParamValidators.gt(0))
+  setDefault(maxDomains -> 100000)
+  def setMaxDomains(v: Int): this.type = set(maxDomains, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val dom = col($(domainCol)).cast("string")
+    val toks = coalesce(col($(tokensCol)).cast("long"), lit(0L))
+    def budgetOf(d: String): Long =
+      $(budgets).getOrElse(d, $(defaultBudget))
+    if ($(exact)) {
+      val bMap = $(budgets)
+      val bCol =
+        if (bMap.isEmpty) lit($(defaultBudget))
+        else coalesce(element_at(typedLit(bMap), dom), lit($(defaultBudget)))
+      val h = substring(
+        md5(concat(col($(idCol)).cast("string"), lit(":" + $(salt)))), 1, 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(dom).orderBy(h.asc, col($(idCol)).cast("string").asc)
+      val before = sum(toks).over(w) - toks
+      // window expressions are not allowed inside filter — project first
+      val tmp = graft.core.DatasetExtensions
+        .findUnusedColumnName("__tb_before", df.schema)
+      df.withColumn(tmp, before)
+        .filter(bCol < 0L || col(tmp) < bCol).drop(tmp)
+    } else {
+      // per-domain token totals: map-side combined, bounded collect
+      // (limit cap+1 so the guard costs no extra action); sorted so the
+      // rate map is a pure function of the corpus
+      val totals = df.groupBy(dom.as("__d")).agg(sum(toks).as("__t"))
+        .orderBy(col("__d")).limit($(maxDomains) + 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(totals.length <= $(maxDomains),
+        s"more than ${$(maxDomains)} distinct domains; raise maxDomains " +
+          "only if the driver can hold the totals")
+      val rates = totals.iterator.map { case (d, t) =>
+        val b = budgetOf(d)
+        d -> (if (b < 0L || t <= 0L) 1.0
+              else math.min(1.0, b.toDouble / t.toDouble))
+      }.toMap
+      new DomainMixtureSampler().setIdCol($(idCol))
+        .setDomainCol($(domainCol)).setWeights(rates)
+        .setDefaultWeight(if ($(defaultBudget) < 0L) 1.0 else 0.0)
+        .setSalt($(salt)).transform(df)
+    }
+  }
+  override def transformSchema(schema: StructType): StructType = schema
+  override def copy(extra: ParamMap): TokenBudgetSampler = defaultCopy(extra)
+}
+object TokenBudgetSampler
+    extends graft.core.GraftReadable[TokenBudgetSampler]
+
 object DomainMixtureSampler
     extends graft.core.GraftReadable[DomainMixtureSampler] {
   /** weight -> 8-hex-lowercase threshold; "g" (> every hex char) keeps

@@ -209,6 +209,69 @@ class DataPipelineSuite extends TestBase {
     }
   }
 
+  test("TokenBudgetSampler: realized tokens track the budget, partitioning-free") {
+    // 8000 docs over two domains with very different doc lengths
+    val docs = (0L until 8000L)
+      .map(i => (i, if (i % 2 == 0) "web" else "code", (i % 37 + 5)))
+      .toDF("doc_id", "dom", "n_toks")
+    val totals = docs.groupBy("dom").agg(sum("n_toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    val budget = Map("web" -> totals("web") / 4, "code" -> totals("code"))
+    val s = new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(budget).setSalt("t1")
+    val kept = s.transform(docs).groupBy("dom").agg(sum("n_toks").as("k"))
+      .as[(String, Long)].collect().toMap
+    // web: rate 1/4 — realized token mass within 15% of the budget
+    val web = kept("web").toDouble / budget("web")
+    assert(web > 0.85 && web < 1.15, s"web realized/budget = $web")
+    // code budgeted at its total: keep-all
+    assert(kept("code") == totals("code"))
+    // deterministic + partitioning-independent
+    val a = s.transform(docs).select("doc_id").as[Long].collect().toSet
+    val b = s.transform(docs.repartition(13)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    // unlisted domain: default -1 keeps all, default 0 drops all
+    val extra = Seq((90001L, "new", 10L)).toDF("doc_id", "dom", "n_toks")
+    assert(s.transform(extra).count() == 1)
+    assert(new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setDefaultBudget(0L)
+      .transform(extra).count() == 0)
+  }
+
+  test("TokenBudgetSampler exact: hard cap with one-doc overshoot") {
+    val docs = (0L until 500L).map(i => (i, "d", i % 23 + 7))
+      .toDF("doc_id", "dom", "n_toks")
+    val total = docs.agg(sum("n_toks")).as[Long].head()
+    val bud = 900L
+    val s = new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(Map("d" -> bud)).setExact(true)
+    val out = s.transform(docs)
+    val keptToks = out.agg(sum("n_toks")).as[Long].head()
+    val maxDoc = out.agg(max("n_toks")).as[Long].head()
+    // greedy prefix: reaches the budget, overshoots by less than the
+    // last kept doc
+    assert(keptToks >= bud && keptToks < bud + maxDoc,
+      s"kept $keptToks vs budget $bud (maxDoc $maxDoc)")
+    // the schema passes through untouched (the window temp is dropped)
+    assert(out.columns.toSeq == Seq("doc_id", "dom", "n_toks"))
+    // partitioning-independent
+    assert(s.transform(docs.repartition(11)).select("doc_id")
+      .as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+    // positive budget keeps at least one doc even if every doc is bigger
+    val big = Seq((1L, "d", 500L), (2L, "d", 400L)).toDF("doc_id", "dom", "n_toks")
+    assert(new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(Map("d" -> 10L)).setExact(true)
+      .transform(big).count() == 1)
+    // budget 0 drops the domain; uncapped default keeps all
+    assert(new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(Map("d" -> 0L)).setExact(true)
+      .transform(big).count() == 0)
+    assert(new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setExact(true).transform(big).count() == 2)
+  }
+
   test("DomainUpsampler repeats by floor + deterministic fraction") {
     val docs = (0L until 400L).map(i => (i, s"d${i % 4}"))
       .toDF("doc_id", "dom")
