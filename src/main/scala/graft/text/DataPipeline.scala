@@ -612,7 +612,10 @@ class TokenBudgetSampler(override val uid: String) extends Transformer
       require(totals.length <= $(maxDomains),
         s"more than ${$(maxDomains)} distinct domains; raise maxDomains " +
           "only if the driver can hold the totals")
-      val rates = totals.iterator.map { case (d, t) =>
+      // a null domain cannot key the literal rate map (CreateMap
+      // rejects null keys); those rows fall through to the default
+      // below, same as an unlisted domain
+      val rates = totals.iterator.filter(_._1 != null).map { case (d, t) =>
         val b = budgetOf(d)
         d -> (if (b < 0L || t <= 0L) 1.0
               else math.min(1.0, b.toDouble / t.toDouble))
