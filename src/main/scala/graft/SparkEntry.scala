@@ -2534,6 +2534,17 @@ object SparkEntry {
         .select(col("doc_id"), col("dom"))
     },
 
+    // Deterministic disjoint splits: dyadic fractions make every
+    // cumulative boundary exact in double, so the oracle replays the
+    // thresholds as hex literals; the leftover 12.5% asserts the
+    // explicit NULL (unassigned) band
+    "deterministic_split" -> { (s, dir) =>
+      new graft.text.DeterministicSplitter().setIdCol("doc_id")
+        .setSplits(Map("train" -> 0.75, "val" -> 0.125)).setSalt("sp")
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("split"))
+    },
+
     // exact mode: md5-ordered greedy prefix per domain under a hard
     // token cap (keep iff tokens BEFORE the doc are under budget);
     // d0 capped, d1 budget 0 (dropped), d2/d3 uncapped default; the
@@ -5270,6 +5281,17 @@ object SparkEntry {
         |SELECT b.doc_id, b.dom FROM base b JOIN thr ON b.dom = thr.dom
         |WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || ':tok'), 1, 8)
         |  < thr.thr""".stripMargin,
+
+    // replays the split CASE: name-ascending cumulative boundaries
+    // (train 0.75 -> c0000000, +val 0.125 -> e0000000), leftover NULL
+    "deterministic_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN k < 'c0000000' THEN 'train'
+        |       WHEN k < 'e0000000' THEN 'val'
+        |       ELSE NULL END AS split
+        |FROM (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':sp'), 1, 8) AS k
+        |  FROM documents)""".stripMargin,
 
     // replays the greedy hash-ordered prefix: cumulative tokens BEFORE
     // each doc in (md5, id-string) order per domain, kept while under

@@ -632,6 +632,70 @@ class TokenBudgetSampler(override val uid: String) extends Transformer
 object TokenBudgetSampler
     extends graft.core.GraftReadable[TokenBudgetSampler]
 
+/** Deterministic DISJOINT split assignment — the held-out-split maker.
+  * Spark's `randomSplit` samples per partition, so the same document
+  * can migrate between train and validation across re-runs, cluster
+  * sizes, or upstream re-partitioning — which silently contaminates
+  * every downstream eval. Here the assignment is a pure function of
+  * (id, salt): the md5 8-hex key falls into contiguous cumulative
+  * ranges (the [[DomainMixtureSampler.hexThreshold]] convention),
+  * boundaries accumulated over split names in ASCENDING name order so
+  * the mapping is reproducible from the weights alone.
+  *
+  * Fractions must sum to ≤ 1; rows whose key lands past the last
+  * boundary (the leftover mass when the sum is < 1) get a NULL split —
+  * an explicit "unassigned" a caller can filter or route. Narrow
+  * projection, no shuffle, no state; disjointness is by construction
+  * (one `when` chain over one key).
+  */
+class DeterministicSplitter(override val uid: String) extends Transformer
+    with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("DeterministicSplitter"))
+
+  final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
+  def setIdCol(v: String): this.type = set(idCol, v)
+  final val splits = new Param[Map[String, Double]](this, "splits",
+    "split name -> fraction (>= 0, summing to <= 1)")
+  setDefault(splits -> Map("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+  def setSplits(m: Map[String, Double]): this.type = {
+    require(m.nonEmpty, "at least one split")
+    require(m.values.forall(w => w >= 0.0 && !w.isNaN && !w.isInfinite),
+      "split fractions must be finite and >= 0")
+    require(m.values.sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${m.values.sum} > 1")
+    set(splits, m)
+  }
+  final val salt = new Param[String](this, "salt",
+    "hash salt — vary to draw an independent assignment")
+  setDefault(salt -> "split")
+  def setSalt(v: String): this.type = set(salt, v)
+  final val outputCol = new Param[String](this, "outputCol",
+    "assigned split-name column (null = past the last boundary)")
+  setDefault(outputCol -> "split")
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    require(!df.columns.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
+    val names = $(splits).keys.toSeq.sorted
+    val cums = names.map($(splits)).scanLeft(0.0)(_ + _).tail
+    val key = substring(
+      md5(concat(col($(idCol)).cast("string"), lit(":" + $(salt)))), 1, 8)
+    val chain = names.zip(cums).foldLeft(when(lit(false), lit(""))) {
+      case (acc, (n, c)) =>
+        acc.when(key < lit(DomainMixtureSampler.hexThreshold(c)), n)
+    }.otherwise(lit(null).cast(StringType))
+    df.withColumn($(outputCol), chain)
+  }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema :+ StructField($(outputCol), StringType))
+  override def copy(extra: ParamMap): DeterministicSplitter = defaultCopy(extra)
+}
+object DeterministicSplitter
+    extends graft.core.GraftReadable[DeterministicSplitter]
+
 object DomainMixtureSampler
     extends graft.core.GraftReadable[DomainMixtureSampler] {
   /** weight -> 8-hex-lowercase threshold; "g" (> every hex char) keeps

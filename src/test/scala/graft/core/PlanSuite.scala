@@ -70,6 +70,21 @@ class PlanSuite extends TestBase {
       s"fact side must not shuffle: ${shuffles.size} exchanges")
   }
 
+  test("token_budget_mixture fact plan is a narrow filter, no exchange") {
+    // the two-pass contract: the bounded totals agg runs eagerly at
+    // transform time; the RETURNED plan must be a plain md5-threshold
+    // filter over the input — no join, no exchange, scale = scan splits
+    val shuffles = planOf("token_budget_mixture").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"token-budget fact side must not shuffle: ${shuffles.size}")
+    val joins = planOf("token_budget_mixture").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(joins.isEmpty, s"expected no join, got $joins")
+  }
+
   test("dimension joins broadcast the small side") {
     val broadcasts = planOf("q5_region_revenue").collect {
       case b: BroadcastHashJoinExec => b

@@ -272,6 +272,39 @@ class DataPipelineSuite extends TestBase {
       .setTokensCol("n_toks").setExact(true).transform(big).count() == 2)
   }
 
+  test("DeterministicSplitter: disjoint, stable, partitioning-independent") {
+    val docs = (0L until 10000L).toDF("doc_id")
+    val s = new DeterministicSplitter().setIdCol("doc_id")
+      .setSplits(Map("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .setSalt("s1")
+    val out = s.transform(docs)
+    val byName = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // every row assigned (fractions sum to 1), roughly proportional
+    assert(byName.values.sum == 10000 && !byName.contains(null))
+    assert(byName("train") > 8700 && byName("train") < 9300)
+    assert(byName("val") > 300 && byName("val") < 700)
+    // the SAME doc gets the SAME split under any partitioning — the
+    // property randomSplit lacks
+    val a = out.orderBy("doc_id").as[(Long, String)].collect()
+    val b = s.transform(docs.repartition(17)).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(java.util.Arrays.deepEquals(
+      a.map(x => x: AnyRef), b.map(x => x: AnyRef)))
+    // leftover mass is an explicit null band
+    val partial = new DeterministicSplitter().setIdCol("doc_id")
+      .setSplits(Map("train" -> 0.5)).setSalt("s1").transform(docs)
+    val n = partial.filter(col("split").isNull).count()
+    assert(n > 4600 && n < 5400, s"null band $n")
+    // guards: bad fractions and a taken output column fail fast
+    intercept[IllegalArgumentException] {
+      new DeterministicSplitter().setSplits(Map("a" -> 0.7, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      s.transform(docs.withColumn("split", lit(1)))
+    }
+  }
+
   test("DomainUpsampler repeats by floor + deterministic fraction") {
     val docs = (0L until 400L).map(i => (i, s"d${i % 4}"))
       .toDF("doc_id", "dom")
