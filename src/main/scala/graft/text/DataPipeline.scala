@@ -539,7 +539,9 @@ object DomainUpsampler extends graft.core.GraftReadable[DomainUpsampler]
   *
   * Both modes keep the same documents given the same (id, salt) as the
   * rest of the family: reproducible across runs, cluster sizes, and
-  * partitionings.
+  * partitionings. A per-domain DOCUMENT-COUNT cap (RefinedWeb-style
+  * domain capping) is the degenerate case: point `tokensCol` at a
+  * constant-1 column and the budget is a max-docs-per-domain.
   */
 class TokenBudgetSampler(override val uid: String) extends Transformer
     with graft.core.GraftWritable {
