@@ -129,7 +129,10 @@ object Bench {
     val line = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get("/proc/stat")).get(0)
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    val total = f.sum
+    // sum only the first 8 fields (user nice system idle iowait irq
+    // softirq steal): guest/guest_nice are already inside user/nice
+    // and would double-count on guest-running hosts
+    val total = f.take(8).sum
     val steal = if (f.length > 7) f(7) else 0L
     val idle = f(3) + (if (f.length > 4) f(4) else 0L)
     Some((total, steal, total - idle - steal))

@@ -69,6 +69,28 @@ class RecipesSuite extends TestBase {
     assert(out.columns.contains("text"))
   }
 
+  test("webExtraction with a language gate persists and reloads") {
+    // the gate's fitted LR model now rides a Lambda CLOSURE through
+    // complex.bin (round-14 restructure) — this pins that the
+    // Java-serialization path holds for a real fitted model
+    val docs = Seq(("en", "the cat sat on the mat and the dog barked"),
+      ("fr", "le chat est sur le tapis et le chien aboie"))
+      .flatMap { case (l, t) => (0 until 30).map(i => (l, s"$t $i")) }
+      .toDF("lang", "text")
+    val m = new LanguageIdentifier().setInputCol("text")
+      .setLabelCol("lang").setNumBits(14).setMaxIter(15).fit(docs)
+    val p = java.nio.file.Files.createTempDirectory("lg").toString + "/p"
+    Recipes.webExtraction(languageGate = Some((m, Seq("en"))))
+      .write.overwrite().save(p)
+    val loaded = org.apache.spark.ml.Pipeline.load(p)
+    def page(b: String) = s"<html><body><p>$b</p></body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full honest sentence number $i with plenty of words.")
+      .mkString(" ")
+    val in = Seq(("https://ok.com/a", page(longPara))).toDF("url", "html")
+    assert(loaded.fit(in).transform(in).columns.contains("text"))
+  }
+
   test("corpusCuration: gate, dedup, deterministic order") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ")
     val df = Seq(
