@@ -400,10 +400,14 @@ class TemperatureSampler(override val uid: String) extends Transformer
     // domain histogram: map-side-combined, key space = #domains; the
     // collect is bounded by the fail-fast cap (limit cap+1, not count(),
     // so the guard costs no extra action)
+    // +1 saturating at Int.MaxValue (UrlFilter.filterByDomainTable
+    // convention): a literal cap+1 overflows the limit to a negative
+    val fetch =
+      if ($(maxDomains) == Int.MaxValue) $(maxDomains) else $(maxDomains) + 1
     val counts = df.groupBy(col($(domainCol)).cast("string").as("__d"))
       .agg(count(lit(1)).as("__n"))
       .orderBy(col("__d"))
-      .limit($(maxDomains) + 1)
+      .limit(fetch)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(counts.length <= $(maxDomains),
       s"more than ${$(maxDomains)} distinct domains; raise maxDomains " +
@@ -507,8 +511,13 @@ class DomainUpsampler(override val uid: String) extends Transformer
       when(copies > 0, sequence(lit(0L), copies - 1))
         .otherwise(array().cast(ArrayType(LongType)))))
   }
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    // mirror transform's clash check so a Pipeline with a conflicting
+    // column fails at fit/validation, not late at transform
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
     StructType(schema :+ StructField($(outputCol), LongType, nullable = false))
+  }
   override def copy(extra: ParamMap): DomainUpsampler = defaultCopy(extra)
 }
 object DomainUpsampler extends graft.core.GraftReadable[DomainUpsampler]
@@ -606,25 +615,33 @@ class TokenBudgetSampler(override val uid: String) extends Transformer
         .filter(bCol < 0L || col(tmp) < bCol).drop(tmp)
     } else {
       // per-domain token totals: map-side combined, bounded collect
-      // (limit cap+1 so the guard costs no extra action); sorted so the
-      // rate map is a pure function of the corpus
+      // (limit cap+1 so the guard costs no extra action, saturating at
+      // Int.MaxValue); sorted so the rate map is a pure function of the
+      // corpus
+      val fetch =
+        if ($(maxDomains) == Int.MaxValue) $(maxDomains) else $(maxDomains) + 1
       val totals = df.groupBy(dom.as("__d")).agg(sum(toks).as("__t"))
-        .orderBy(col("__d")).limit($(maxDomains) + 1)
+        .orderBy(col("__d")).limit(fetch)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       require(totals.length <= $(maxDomains),
         s"more than ${$(maxDomains)} distinct domains; raise maxDomains " +
           "only if the driver can hold the totals")
-      // a null domain cannot key the literal rate map (CreateMap
-      // rejects null keys); those rows fall through to the default
-      // below, same as an unlisted domain
+      def rateOf(b: Long, t: Long): Double =
+        if (b < 0L || t <= 0L) 1.0
+        else math.min(1.0, b.toDouble / t.toDouble)
+      // a null domain cannot key the literal rate map (CreateMap rejects
+      // null keys); its group is budgeted through defaultWeight instead —
+      // same rate rule at the null group's own total, mirroring exact
+      // mode, where coalesce hands the null partition the defaultBudget
+      val nullTotal =
+        totals.iterator.collectFirst { case (d, t) if d == null => t }
+          .getOrElse(0L)
       val rates = totals.iterator.filter(_._1 != null).map { case (d, t) =>
-        val b = budgetOf(d)
-        d -> (if (b < 0L || t <= 0L) 1.0
-              else math.min(1.0, b.toDouble / t.toDouble))
+        d -> rateOf(budgetOf(d), t)
       }.toMap
       new DomainMixtureSampler().setIdCol($(idCol))
         .setDomainCol($(domainCol)).setWeights(rates)
-        .setDefaultWeight(if ($(defaultBudget) < 0L) 1.0 else 0.0)
+        .setDefaultWeight(rateOf($(defaultBudget), nullTotal))
         .setSalt($(salt)).transform(df)
     }
   }
@@ -691,8 +708,13 @@ class DeterministicSplitter(override val uid: String) extends Transformer
     }.otherwise(lit(null).cast(StringType))
     df.withColumn($(outputCol), chain)
   }
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    // mirror transform's clash check so a Pipeline with a conflicting
+    // column fails at fit/validation, not late at transform
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
     StructType(schema :+ StructField($(outputCol), StringType))
+  }
   override def copy(extra: ParamMap): DeterministicSplitter = defaultCopy(extra)
 }
 object DeterministicSplitter

@@ -272,6 +272,60 @@ class DataPipelineSuite extends TestBase {
       .setTokensCol("n_toks").setExact(true).transform(big).count() == 2)
   }
 
+  test("TokenBudgetSampler budgets the null-domain group like exact mode") {
+    // null domains can't key the literal rate map; the policy (pinned
+    // round 15) is to budget the null GROUP through defaultWeight at
+    // its own token total — the same rule exact mode realizes via
+    // coalesce(bMap[dom], defaultBudget) over the null partition
+    val docs = ((0L until 2000L).map(i => (i, null: String, i % 31 + 5)) ++
+      (2000L until 3000L).map(i => (i, "web", i % 31 + 5)))
+      .toDF("doc_id", "dom", "n_toks")
+    val nullTotal = docs.filter($"dom".isNull)
+      .agg(sum("n_toks")).as[Long].head()
+    val s = new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(Map("web" -> 999999L))
+      .setDefaultBudget(nullTotal / 4).setSalt("nd")
+    val kept = s.transform(docs).filter($"dom".isNull)
+      .agg(sum("n_toks")).as[Long].head()
+    val ratio = kept.toDouble / (nullTotal / 4)
+    assert(ratio > 0.85 && ratio < 1.15, s"null realized/budget = $ratio")
+    // edges agree with exact mode: 0 drops the group, -1 keeps it all
+    def nullsKept(b: Long, ex: Boolean): Long =
+      new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+        .setTokensCol("n_toks").setDefaultBudget(b).setExact(ex)
+        .transform(docs).filter($"dom".isNull).count()
+    assert(nullsKept(0L, ex = false) == 0 && nullsKept(0L, ex = true) == 0)
+    assert(nullsKept(-1L, ex = false) == 2000 &&
+      nullsKept(-1L, ex = true) == 2000)
+  }
+
+  test("samplers saturate the maxDomains cap at Int.MaxValue") {
+    // limit(cap + 1) must not overflow negative at the uncapped setting
+    // (the UrlFilter.filterByDomainTable saturation, round 15)
+    val docs = (0L until 100L).map(i => (i, s"d${i % 3}", i % 7 + 1))
+      .toDF("doc_id", "dom", "n_toks")
+    assert(new TokenBudgetSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTokensCol("n_toks").setBudgets(Map("d0" -> 1000L))
+      .setMaxDomains(Int.MaxValue).transform(docs).count() > 0)
+    assert(new TemperatureSampler().setIdCol("doc_id").setDomainCol("dom")
+      .setTemperature(0.5).setTargetFraction(0.5)
+      .setMaxDomains(Int.MaxValue).transform(docs).count() > 0)
+  }
+
+  test("output-column clashes fail at transformSchema, not late at transform") {
+    val schema = (0L until 4L).map(i => (i, "d", 0L))
+      .toDF("doc_id", "split", "epoch").schema
+    val e1 = intercept[IllegalArgumentException] {
+      new DeterministicSplitter().setIdCol("doc_id").transformSchema(schema)
+    }
+    assert(e1.getMessage.contains("split"))
+    val e2 = intercept[IllegalArgumentException] {
+      new DomainUpsampler().setIdCol("doc_id").setDomainCol("d")
+        .transformSchema(schema)
+    }
+    assert(e2.getMessage.contains("epoch"))
+  }
+
   test("DeterministicSplitter: disjoint, stable, partitioning-independent") {
     val docs = (0L until 10000L).toDF("doc_id")
     val s = new DeterministicSplitter().setIdCol("doc_id")
