@@ -36,6 +36,29 @@ final class CompactStringSet private (
     containsRegion(b, 0, b.length)
   }
 
+  /** Persist the packed structure so later jobs skip the pack entirely
+    * (the UT1 path's distinct+collect+pack costs ~36 s at the 10M-entry
+    * nameplate — SCALING.md round 14 — and is identical across every
+    * job of a crawl pipeline). Format: magic, version, three
+    * length-prefixed flat arrays — a straight channel write, no object
+    * serialization. Local filesystem path (driver-side artifact, like
+    * the ModelRepo cache). */
+  def save(path: String): Unit = {
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), CREATE, WRITE, TRUNCATE_EXISTING)
+    try {
+      val header = java.nio.ByteBuffer.allocate(20)
+      header.putInt(CompactStringSet.Magic).putInt(1)
+        .putInt(pool.length).putInt(off.length).putInt(idx.length)
+      header.flip()
+      while (header.hasRemaining) ch.write(header)
+      CompactStringSet.writeAll(ch, java.nio.ByteBuffer.wrap(pool))
+      CompactStringSet.writeInts(ch, off)
+      CompactStringSet.writeInts(ch, idx)
+    } finally ch.close()
+  }
+
   /** membership of `bytes[from, from+len)` — allocation-free */
   def containsRegion(bytes: Array[Byte], from: Int, len: Int): Boolean = {
     if (size == 0) return false
@@ -110,6 +133,96 @@ object CompactStringSet {
       s += 1
     }
     new CompactStringSet(pool, off, idx)
+  }
+
+  private[core] val Magic = 0x47435353 // "GCSS"
+
+  /** Load a [[save]]d set. The structural invariants are re-validated
+    * (cheap linear scans) so a truncated or foreign file fails with a
+    * message, never a wrong membership answer. */
+  def load(path: String): CompactStringSet = {
+    import java.nio.file.StandardOpenOption.READ
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), READ)
+    try {
+      val header = java.nio.ByteBuffer.allocate(20)
+      readAll(ch, header, path)
+      header.flip()
+      val magic = header.getInt(); val version = header.getInt()
+      require(magic == Magic && version == 1,
+        s"CompactStringSet.load($path): not a v1 CompactStringSet file")
+      val poolLen = header.getInt()
+      val offLen = header.getInt()
+      val idxLen = header.getInt()
+      require(poolLen >= 0 && offLen >= 1 && idxLen >= 8 &&
+        Integer.bitCount(idxLen) == 1,
+        s"CompactStringSet.load($path): corrupt header " +
+          s"($poolLen/$offLen/$idxLen)")
+      val pool = new Array[Byte](poolLen)
+      readAll(ch, java.nio.ByteBuffer.wrap(pool), path)
+      val off = readInts(ch, offLen, path)
+      val idx = readInts(ch, idxLen, path)
+      require(ch.position() == ch.size(),
+        s"CompactStringSet.load($path): trailing bytes")
+      require(off(0) == 0 && off(offLen - 1) == poolLen,
+        s"CompactStringSet.load($path): corrupt offset table bounds")
+      var i = 1
+      while (i < offLen) {
+        require(off(i) >= off(i - 1),
+          s"CompactStringSet.load($path): offset table not monotone")
+        i += 1
+      }
+      var s = 0
+      while (s < idxLen) {
+        require(idx(s) >= 0 && idx(s) < offLen,
+          s"CompactStringSet.load($path): index entry out of range")
+        s += 1
+      }
+      new CompactStringSet(pool, off, idx)
+    } finally ch.close()
+  }
+
+  private def writeAll(ch: java.nio.channels.FileChannel,
+      buf: java.nio.ByteBuffer): Unit =
+    while (buf.hasRemaining) ch.write(buf)
+
+  private def writeInts(ch: java.nio.channels.FileChannel,
+      a: Array[Int]): Unit = {
+    val buf = java.nio.ByteBuffer.allocate(1 << 16)
+    var i = 0
+    while (i < a.length) {
+      buf.clear()
+      val n = math.min(a.length - i, buf.capacity() / 4)
+      buf.asIntBuffer().put(a, i, n)
+      buf.limit(n * 4)
+      writeAll(ch, buf)
+      i += n
+    }
+  }
+
+  private def readAll(ch: java.nio.channels.FileChannel,
+      buf: java.nio.ByteBuffer, path: String): Unit = {
+    while (buf.hasRemaining) {
+      require(ch.read(buf) >= 0,
+        s"CompactStringSet.load($path): truncated file")
+    }
+  }
+
+  private def readInts(ch: java.nio.channels.FileChannel, n: Int,
+      path: String): Array[Int] = {
+    val a = new Array[Int](n)
+    val buf = java.nio.ByteBuffer.allocate(1 << 16)
+    var i = 0
+    while (i < n) {
+      buf.clear()
+      val k = math.min(n - i, buf.capacity() / 4)
+      buf.limit(k * 4)
+      readAll(ch, buf, path)
+      buf.flip()
+      buf.asIntBuffer().get(a, i, k)
+      i += k
+    }
+    a
   }
 
   /** 64-bit FNV-1a over a byte region */

@@ -62,6 +62,21 @@ class UrlFilter(override val uid: String)
     blockTable = Some((table, domainCol)); this
   }
 
+  /** Pre-packed alternative to [[setBlockedDomainTable]]: hand the stage
+    * an already-packed [[graft.core.CompactStringSet]] (from
+    * [[UrlFilter.packDomainTable]] once per pipeline, or
+    * [[graft.core.CompactStringSet.load]] of a saved pack) so repeated
+    * transform calls / separate jobs skip the per-call
+    * distinct+collect+pack (~36 s at the 10M-entry nameplate,
+    * SCALING.md round 14). Entries must be normalized the way
+    * `packDomainTable` normalizes (lowercased, whitespace-stripped,
+    * leading `www.` removed). Takes precedence over a blocklist table
+    * when both are set. */
+  @transient private var blockSet: Option[graft.core.CompactStringSet] = None
+  def setBlockedDomainSet(packed: graft.core.CompactStringSet): this.type = {
+    blockSet = Some(packed); this
+  }
+
   final val maxTableEntries = new IntParam(this, "maxTableEntries",
     "fail-fast cap on distinct blocklist-table entries collected to " +
       "the driver (KNN.maxCollectRows convention)",
@@ -69,15 +84,25 @@ class UrlFilter(override val uid: String)
   setDefault(maxTableEntries -> 10000000)
   def setMaxTableEntries(v: Int): this.type = set(maxTableEntries, v)
 
+  final val multiSuffixes = new StringArrayParam(this, "multiSuffixes",
+    "multi-label public suffixes for registered-domain extraction on " +
+      "the blocklist-table path (deployments supply the full PSL here)")
+  setDefault(multiSuffixes -> UrlFilter.defaultMultiSuffixes.toArray)
+  def setMultiSuffixes(v: Seq[String]): this.type =
+    set(multiSuffixes, v.toArray)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val base = df.filter(UrlFilter.keeps(col(getInputCol),
       $(blockedDomains).toIndexedSeq, $(blockedTerms).toIndexedSeq))
-    blockTable match {
+    val packed = blockSet.orElse(blockTable.map { case (t, dcol) =>
+      UrlFilter.packDomainTable(t, dcol, $(maxTableEntries))
+    })
+    packed match {
       case None => base
-      case Some((t, dcol)) =>
-        UrlFilter.filterByDomainTable(base, getInputCol, t, dcol,
-          $(maxTableEntries))
+      case Some(cset) =>
+        UrlFilter.filterByDomainSet(base, getInputCol, cset,
+          $(multiSuffixes).toIndexedSeq)
     }
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -178,7 +203,19 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     * KNN.maxCollectRows convention. */
   def filterByDomainTable(df: DataFrame, urlCol: String,
       blocklist: DataFrame, domainCol: String = "domain",
-      maxEntries: Int = 10000000): DataFrame = {
+      maxEntries: Int = 10000000,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame =
+    filterByDomainSet(df, urlCol,
+      packDomainTable(blocklist, domainCol, maxEntries), multiSuffixes)
+
+  /** The pack half of [[filterByDomainTable]], exposed so a pipeline of
+    * N jobs pays the distinct+collect+pack ONCE (then
+    * [[graft.core.CompactStringSet.save]]s it, or holds it and calls
+    * [[filterByDomainSet]] / `setBlockedDomainSet` per job): normalize
+    * (lowercase, strip ALL whitespace — CRLF-saved lists carry \r —
+    * drop leading `www.`, drop blanks), distinct, bounded collect, pack. */
+  def packDomainTable(blocklist: DataFrame, domainCol: String = "domain",
+      maxEntries: Int = 10000000): graft.core.CompactStringSet = {
     val e = regexp_replace(
       regexp_replace(lower(col(domainCol)), "\\s", ""), "^www\\.", "")
     // +1 saturating (maxEntries = Int.MaxValue must not overflow the
@@ -187,15 +224,28 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     val collected = blocklist.select(e.as("e")).filter(col("e") =!= "")
       .distinct().limit(fetch).collect()
     require(collected.length <= maxEntries,
-      s"filterByDomainTable: blocklist '$domainCol' has more than " +
+      s"packDomainTable: blocklist '$domainCol' has more than " +
         s"$maxEntries distinct entries — is it really a domain column? " +
         "Raise maxEntries (setMaxTableEntries on the stage) if the " +
         "list is genuinely this large; budget entry bytes + ~10 B/entry " +
         "of driver heap and broadcast payload")
-    val cset = graft.core.CompactStringSet(
+    graft.core.CompactStringSet(
       collected.iterator.map(_.getString(0)).toSeq)
-    val bset = df.sparkSession.sparkContext.broadcast(cset)
-    val sufs = defaultMultiSuffixes.toSet
+  }
+
+  /** The probe half of [[filterByDomainTable]] over an already-packed
+    * entry set (same matching semantics — see that method's doc).
+    * `multiSuffixes` is the same custom-PSL hook the rest of the
+    * registered-domain API takes: under the default list an UNLISTED
+    * multi-label suffix (e.g. `com.ng`) is treated as a registered
+    * domain, so a blocklist entry equal to the bare suffix would block
+    * the whole suffix — list it here and the probe chain stops at the
+    * true three-label registered domain instead. */
+  def filterByDomainSet(df: DataFrame, urlCol: String,
+      packed: graft.core.CompactStringSet,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame = {
+    val bset = df.sparkSession.sparkContext.broadcast(packed)
+    val sufs = multiSuffixes.toSet
     val blockedUdf = udf { h: String =>
       if (h == null || h.isEmpty) false
       else {

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * Prints ONE JSON line: entries, packed MB, collect+pack wall (the
   * driver cost the round-13 verdict flagged as unmeasured), filter
-  * wall, rows and kept counts.
+  * wall, the SECOND-use filter wall off the pre-packed handle plus
+  * save/load walls (round 15: the amortization path — N jobs pay the
+  * pack once), rows and kept counts.
   *
   * Usage: graft.tools.Ut1Probe <sfDir> [entries=3500000]
   */
@@ -87,6 +89,27 @@ object Ut1Probe {
       .count()
     val t3 = System.nanoTime()
 
+    // phase 3 (round 15): SECOND use — the pre-packed handle skips the
+    // per-call distinct+collect+pack, so a crawl pipeline of N jobs
+    // pays phase 1 once; this wall is the amortized steady state
+    val kept2 = graft.text.UrlFilter
+      .filterByDomainSet(urls, "url", cset)
+      .count()
+    val t4 = System.nanoTime()
+
+    // phase 4 (round 15): cross-JOB amortization — save/load of the
+    // packed structure (three flat arrays, straight channel I/O)
+    val packPath = java.nio.file.Files
+      .createTempDirectory("ut1probe").resolve("ut1.gcss").toString
+    cset.save(packPath)
+    val t5 = System.nanoTime()
+    val loaded = graft.core.CompactStringSet.load(packPath)
+    val t6 = System.nanoTime()
+    require(loaded.size == cset.size && kept2 == kept,
+      s"round-trip mismatch: size ${loaded.size}/${cset.size} " +
+        s"kept $kept2/$kept")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(packPath))
+
     if (sys.env.contains("UT1_DEBUG")) {
       graft.text.UrlFilter.filterByDomainTable(
         urls.withColumn("cls", d % 10), "url", blocklist)
@@ -99,6 +122,9 @@ object Ut1Probe {
       f""""packedMB":${cset.packedBytes / 1048576.0}%.1f,""" +
       f""""collectPackSec":${(t1 - t0) / 1e9}%.2f,""" +
       f""""filterSec":${(t3 - t2) / 1e9}%.2f,""" +
+      f""""prepackedFilterSec":${(t4 - t3) / 1e9}%.2f,""" +
+      f""""saveSec":${(t5 - t4) / 1e9}%.2f,""" +
+      f""""loadSec":${(t6 - t5) / 1e9}%.2f,""" +
       f""""rows":$rows,"kept":$kept}""")
     spark.stop()
   }

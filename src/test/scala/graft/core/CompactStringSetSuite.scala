@@ -36,6 +36,41 @@ class CompactStringSetSuite extends AnyFunSuite {
     assert(!cs.containsRegion(eb, 0, eb.length - 1))
   }
 
+  test("save/load round-trips bit-exact membership, rejects corrupt files") {
+    val dir = java.nio.file.Files.createTempDirectory("csets").toString
+    val entries = (1 to 3000).map(i =>
+      if (i % 13 == 0) s"bücher-$i.例え.jp" else s"dom$i.example.com")
+    val cs = CompactStringSet(entries)
+    val path = s"$dir/pack.gcss"
+    cs.save(path)
+    val back = CompactStringSet.load(path)
+    assert(back.size == cs.size && back.packedBytes == cs.packedBytes)
+    entries.foreach(e => assert(back.contains(e), e))
+    assert(!back.contains("absent.com") && !back.contains("dom1.example.co"))
+    // empty set round-trips too
+    val emptyPath = s"$dir/empty.gcss"
+    CompactStringSet(Nil).save(emptyPath)
+    assert(CompactStringSet.load(emptyPath).size == 0)
+    // truncated file fails with a message, never wrong membership
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val truncPath = s"$dir/trunc.gcss"
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncPath),
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val e1 = intercept[IllegalArgumentException] {
+      CompactStringSet.load(truncPath)
+    }
+    assert(e1.getMessage.contains("truncated"))
+    // a foreign file fails on the magic
+    val junkPath = s"$dir/junk.gcss"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junkPath),
+      Array.fill[Byte](64)(42))
+    val e2 = intercept[IllegalArgumentException] {
+      CompactStringSet.load(junkPath)
+    }
+    assert(e2.getMessage.contains("not a v1"))
+  }
+
   test("empty set and survives a serialization round-trip") {
     val empty = CompactStringSet(Nil)
     assert(empty.size == 0 && !empty.contains("x"))

@@ -117,6 +117,62 @@ class UrlFilterSuite extends TestBase {
       .setBlockedDomainTable(big).transform(urls).count() == 1)
   }
 
+  test("pre-packed blocklist handle and save/load skip the per-call pack") {
+    val urls = Seq(
+      "https://news.bbc.co.uk/story",
+      "https://deep.sub.example.com/x",
+      "https://foo.org/ok").toDF("url")
+    val blocklist = Seq("example.com", "bbc.co.uk").toDF("domain")
+    val viaTable = new UrlFilter().setInputCol("url")
+      .setBlockedDomainTable(blocklist)
+      .transform(urls).as[String].collect().toSet
+    // pack once, reuse: the stage handle, the static helper, and a
+    // save/load round-trip all reproduce the table path exactly
+    val packed = UrlFilter.packDomainTable(blocklist)
+    assert(packed.size == 2)
+    val viaHandle = new UrlFilter().setInputCol("url")
+      .setBlockedDomainSet(packed)
+      .transform(urls).as[String].collect().toSet
+    val viaHelper = UrlFilter.filterByDomainSet(urls, "url", packed)
+      .as[String].collect().toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("ut1pack").resolve("ut1.gcss").toString
+    packed.save(path)
+    val viaLoaded = new UrlFilter().setInputCol("url")
+      .setBlockedDomainSet(graft.core.CompactStringSet.load(path))
+      .transform(urls).as[String].collect().toSet
+    assert(viaTable == Set("https://foo.org/ok"))
+    assert(viaHandle == viaTable && viaHelper == viaTable &&
+      viaLoaded == viaTable)
+  }
+
+  test("custom multiSuffixes stop a bare-suffix entry from blocking the suffix") {
+    val urls = Seq(
+      "https://site.com.ng/x",   // rd under the custom PSL: site.com.ng
+      "https://listed.com.ng/x", // an actually-listed registered domain
+      "https://a.listed.com.ng/x").toDF("url")
+    // `com.ng` in the LIST is a data error a real UT1 list can carry;
+    // with com.ng declared a public suffix the probe chain truncates at
+    // the three-label registered domain and never probes the bare
+    // suffix — no whole-suffix blocking
+    val blocklist = Seq("com.ng", "listed.com.ng").toDF("domain")
+    val sufs = UrlFilter.defaultMultiSuffixes :+ "com.ng"
+    val keptCustom = UrlFilter.filterByDomainTable(urls, "url", blocklist,
+      multiSuffixes = sufs).as[String].collect().toSet
+    assert(keptCustom == Set("https://site.com.ng/x"))
+    // stage-level plumbing of the same knob
+    val keptStage = new UrlFilter().setInputCol("url")
+      .setMultiSuffixes(sufs).setBlockedDomainTable(blocklist)
+      .transform(urls).as[String].collect().toSet
+    assert(keptStage == keptCustom)
+    // under the DEFAULT list com.ng is treated as a registered domain,
+    // so the bare-suffix entry blocks every *.com.ng — the documented
+    // hazard the custom PSL exists to remove
+    val keptDefault = UrlFilter.filterByDomainTable(urls, "url", blocklist)
+      .as[String].collect().toSet
+    assert(keptDefault.isEmpty)
+  }
+
   test("blocklist table probes multibyte (IDN) hosts byte-correctly") {
     val urls = Seq(
       "https://bücher.example.de/x",      // exact multibyte full-host entry
