@@ -56,12 +56,15 @@ import graft.core._
   *
   * Scale shape: per-document one-pass UDF — a narrow projection, no
   * shuffle, no explode; scan splits are the parallelism source. Inside
-  * the row the pass is O(words) per gram order (hash-map counts + a
-  * boolean coverage array for the overlap rule), ~O(54·words) total
-  * across the nine orders. The builtin-expression formulation was
-  * rejected for exactly this operator class in round 12 (winnowing
-  * sweep: 16.7x allocation/GC tax when the operator IS the kernel —
-  * SCALING.md round-12 tranche 3).
+  * the row the pass is O(words) per gram order: words are interned to
+  * dense ids once and each order counts id WINDOWS in a reused
+  * open-addressed table ([[GopherRepetition.GramIndex]], round 15) —
+  * exact, zero per-window allocation; the round-14 kernel's
+  * mkString-per-window formulation was rebuilt after measuring as the
+  * library's slowest map-only wall @100x. The builtin-expression
+  * formulation was rejected for exactly this operator class in round
+  * 12 (winnowing sweep: 16.7x allocation/GC tax when the operator IS
+  * the kernel — SCALING.md round-12 tranche 3).
   *
   * Tokenization spec (shared with the SQL oracle): words = whitespace
   * runs split on `\s+` after trim, empties dropped — the RE2∩Java
@@ -142,8 +145,10 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
 
   /** Codepoint-order comparison — equals DuckDB's binary VARCHAR
     * collation (UTF-8 byte order), unlike String.compareTo which is
-    * UTF-16-unit order and disagrees on supplementary characters. */
-  private def cpCompare(a: String, b: String): Int = {
+    * UTF-16-unit order and disagrees on supplementary characters.
+    * (Retained as the reference comparator [[GramIndex.compareGrams]]
+    * must agree with over joined gram strings; suite-pinned.) */
+  private[text] def cpCompare(a: String, b: String): Int = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i); val cb = b.codePointAt(j)
@@ -187,66 +192,178 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
     // ecosystem's len(text)), not the sum of item/word characters
     val docChars = cpLen(text)
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
-    val nW = words.length
-    val wLen = words.map(cpLen)
+    val gi = new GramIndex(words)
 
-    // most-frequent n-gram's occurrences × its characters (spaces
-    // included — the gram string as joined)
-    def topQ4(n: Int): Long = {
-      val m = nW - n + 1
-      if (m < 1 || docChars == 0) return 0L
-      val counts = new java.util.HashMap[String, Int](m * 2)
+    Profile(
+      nl, q4(lDup, nl), q4(lDupChars, docChars),
+      np, q4(pDup, np), q4(pDupChars, docChars),
+      words.length.toLong,
+      gi.topQ4(2, docChars), gi.topQ4(3, docChars), gi.topQ4(4, docChars),
+      gi.dupQ4(5, docChars), gi.dupQ4(6, docChars), gi.dupQ4(7, docChars),
+      gi.dupQ4(8, docChars), gi.dupQ4(9, docChars), gi.dupQ4(10, docChars))
+  }
+
+  /** Shared per-document scratch for the nine per-order n-gram passes.
+    * Round 14's kernel built a fresh `mkString(" ")` String per window
+    * per order (~9m gram Strings a document) and hashed their chars —
+    * the allocation tax made `gopher_repetition` the slowest map-only
+    * wall in the library (122.9 s @100x, round-14 SCALING.md). Here
+    * words are interned to dense ids ONCE, so a gram is an id window:
+    * counting is an open-addressed table keyed by (FNV-mix over the id
+    * window) with id-window equality on probe — EXACT (the join with a
+    * single-space separator over space-free words is injective at fixed
+    * n, so id-window equality ⇔ gram-string equality; never
+    * fingerprint-only), and zero per-window allocation. The table,
+    * per-position slot map, and coverage mask are allocated once at the
+    * n=2 size and reused across orders via fill-reset. Top-gram ties
+    * are broken by [[compareGrams]] — the joined strings' codepoint
+    * order computed over the word windows without building either
+    * string. */
+  private final class GramIndex(words: Array[String]) {
+    private val nW = words.length
+    private val wLen: Array[Long] = words.map(cpLen)
+    // dense word ids: gram equality becomes id-window equality
+    private val ids = new Array[Int](nW)
+    locally {
+      val m = new java.util.HashMap[String, Integer](nW * 2)
       var i = 0
-      while (i < m) {
-        val g = words.slice(i, i + n).mkString(" ")
-        counts.put(g, counts.getOrDefault(g, 0) + 1)
+      while (i < nW) {
+        var id = m.get(words(i))
+        if (id == null) { id = Integer.valueOf(m.size); m.put(words(i), id) }
+        ids(i) = id.intValue()
         i += 1
       }
-      var bestG: String = null; var bestC = 0
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val g = e.getKey; val c = e.getValue
-        if (c > bestC || (c == bestC && cpCompare(g, bestG) < 0)) {
-          bestG = g; bestC = c
-        }
-      }
-      q4(bestC.toLong * cpLen(bestG), docChars)
+    }
+    private val maxM = math.max(nW - 1, 0) // window count at n=2
+    private val maxCap = tableCap(maxM)
+    private val tblPos = new Array[Int](maxCap) // entry position + 1; 0 empty
+    private val tblCnt = new Array[Int](maxCap)
+    private val slotOf = new Array[Int](math.max(maxM, 1))
+    private val covered = new Array[Boolean](math.max(nW, 1))
+
+    private def tableCap(m: Int): Int = {
+      var cap = 8
+      while (cap < m.toLong * 10 / 7 + 1) cap <<= 1
+      cap
     }
 
-    // characters of word positions covered by any duplicated n-gram,
-    // each position counted once (overlap-aware)
-    def dupQ4(n: Int): Long = {
+    private def sameWindow(a: Int, b: Int, n: Int): Boolean = {
+      var k = 0
+      while (k < n) {
+        if (ids(a + k) != ids(b + k)) return false
+        k += 1
+      }
+      true
+    }
+
+    /** count all id windows of order n into the shared table; returns
+      * the table capacity in use (windows exist iff caller checked
+      * m >= 1) */
+    private def count(n: Int): Int = {
       val m = nW - n + 1
-      if (m < 1 || docChars == 0) return 0L
-      val grams = new Array[String](m)
-      val counts = new java.util.HashMap[String, Int](m * 2)
+      val cap = tableCap(m)
+      java.util.Arrays.fill(tblPos, 0, cap, 0)
+      val mask = cap - 1
       var i = 0
       while (i < m) {
-        val g = words.slice(i, i + n).mkString(" ")
-        grams(i) = g
-        counts.put(g, counts.getOrDefault(g, 0) + 1)
+        // FNV-1a over the id window + the CompactStringSet finalizer
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = i + n
+        while (j < end) {
+          h ^= ids(j).toLong & 0xffffffffL
+          h *= 0x100000001b3L
+          j += 1
+        }
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        var slot = (h & mask.toLong).toInt
+        var done = false
+        while (!done) {
+          val e = tblPos(slot)
+          if (e == 0) {
+            tblPos(slot) = i + 1; tblCnt(slot) = 1; slotOf(i) = slot
+            done = true
+          } else if (sameWindow(e - 1, i, n)) {
+            tblCnt(slot) += 1; slotOf(i) = slot
+            done = true
+          } else slot = (slot + 1) & mask
+        }
         i += 1
       }
-      val covered = new Array[Boolean](nW)
-      i = 0
+      cap
+    }
+
+    /** codepoint order of the space-joined grams at word positions a
+      * and b — equals cpCompare over the two mkString(" ") strings
+      * without building either. Words contain no ASCII space (split on
+      * \s+), so the virtual separator never ties a real character. */
+    private def compareGrams(a: Int, b: Int, n: Int): Int = {
+      var k = 0
+      while (k < n) {
+        val u = words(a + k); val v = words(b + k)
+        var i = 0; var j = 0
+        while (i < u.length && j < v.length) {
+          val cu = u.codePointAt(i); val cv = v.codePointAt(j)
+          if (cu != cv) return Integer.compare(cu, cv)
+          i += Character.charCount(cu); j += Character.charCount(cv)
+        }
+        if (i < u.length) {
+          // v's word ended first: its next joined char is ' ', or
+          // end-of-string on the last word (prefix ⇒ smaller)
+          return if (k == n - 1) 1 else Integer.compare(u.codePointAt(i), 32)
+        }
+        if (j < v.length) {
+          return if (k == n - 1) -1 else Integer.compare(32, v.codePointAt(j))
+        }
+        k += 1
+      }
+      0
+    }
+
+    /** most-frequent n-gram's occurrences × its characters (spaces
+      * included — the gram string as joined), q4 over docChars */
+    def topQ4(n: Int, docChars: Long): Long = {
+      val m = nW - n + 1
+      if (m < 1 || docChars == 0) return 0L
+      val cap = count(n)
+      var bestPos = -1; var bestC = 0
+      var s = 0
+      while (s < cap) {
+        val e = tblPos(s)
+        if (e != 0) {
+          val c = tblCnt(s)
+          if (c > bestC ||
+              (c == bestC && compareGrams(e - 1, bestPos, n) < 0)) {
+            bestC = c; bestPos = e - 1
+          }
+        }
+        s += 1
+      }
+      var chars = (n - 1).toLong // the joined gram's inner spaces
+      var k = 0
+      while (k < n) { chars += wLen(bestPos + k); k += 1 }
+      q4(bestC.toLong * chars, docChars)
+    }
+
+    /** characters of word positions covered by any duplicated n-gram,
+      * each position counted once (overlap-aware), q4 over docChars */
+    def dupQ4(n: Int, docChars: Long): Long = {
+      val m = nW - n + 1
+      if (m < 1 || docChars == 0) return 0L
+      count(n)
+      java.util.Arrays.fill(covered, 0, nW, false)
+      var i = 0
       while (i < m) {
-        if (counts.get(grams(i)) > 1) {
+        if (tblCnt(slotOf(i)) > 1) {
           var j = i
           while (j < i + n) { covered(j) = true; j += 1 }
         }
         i += 1
       }
-      var dch = 0L; i = 0
+      var dch = 0L
+      i = 0
       while (i < nW) { if (covered(i)) dch += wLen(i); i += 1 }
       q4(dch, docChars)
     }
-
-    Profile(
-      nl, q4(lDup, nl), q4(lDupChars, docChars),
-      np, q4(pDup, np), q4(pDupChars, docChars),
-      nW.toLong,
-      topQ4(2), topQ4(3), topQ4(4),
-      dupQ4(5), dupQ4(6), dupQ4(7), dupQ4(8), dupQ4(9), dupQ4(10))
   }
 }

@@ -110,6 +110,55 @@ class GopherRepetitionSuite extends TestBase {
     }
   }
 
+  test("id-window kernel matches the naive string-built reference") {
+    // the round-15 GramIndex (interned ids + open-addressed window
+    // table + virtual-join tie-break) must be value-identical to the
+    // round-14 mkString(" ") kernel, replicated here as the oracle
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+    def q4(num: Long, den: Long): Long =
+      GopherRepetitionSuiteHelper.q4(num, den)
+    def naive(text: String, n: Int): (Long, Long) = {
+      val docChars = cpLen(text)
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      val nW = words.length
+      val m = nW - n + 1
+      if (m < 1 || docChars == 0) return (0L, 0L)
+      val grams = Array.tabulate(m)(i => words.slice(i, i + n).mkString(" "))
+      val counts = grams.groupBy(identity).map { case (g, o) => g -> o.length }
+      // the codepoint-smallest among max-count grams, the way the old
+      // kernel's cpCompare loop broke ties
+      val maxC = counts.values.max
+      val smallest = counts.filter(_._2 == maxC).keys.toSeq
+        .sortWith((a, b) => GopherRepetition.cpCompare(a, b) < 0).head
+      val top = q4(maxC.toLong * cpLen(smallest), docChars)
+      val covered = new Array[Boolean](nW)
+      (0 until m).foreach { i =>
+        if (counts(grams(i)) > 1) (i until i + n).foreach(covered(_) = true)
+      }
+      val dch = (0 until nW).filter(covered)
+        .map(i => cpLen(words(i))).sum
+      (top, q4(dch, docChars))
+    }
+    // adversarial vocab: supplementary codepoints (astral — UTF-16 vs
+    // codepoint order diverges), a control char below ' ', words that
+    // are prefixes of each other (exercises the virtual-space branch),
+    // and multibyte
+    val vocab = Array("a", "ab", "a\u0001", "😀",
+      "😀x", "z", "你好", "你", "b")
+    val rnd = new scala.util.Random(15L)
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val t = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      val p = GopherRepetition.profile(t)
+      val got = Seq(p.top2Q4, p.top3Q4, p.top4Q4) ++
+        Seq(p.dup5Q4, p.dup6Q4, p.dup7Q4, p.dup8Q4, p.dup9Q4, p.dup10Q4)
+      val want = (2 to 4).map(naive(t, _)._1) ++
+        (5 to 10).map(naive(t, _)._2)
+      assert(got == want, s"text: $t")
+    }
+  }
+
   test("transformer emits the full 16-column profile in order") {
     val df = Seq((1L, "a a a a a a"), (2L, "x\ny\nx\n\nP1\n\nP1"))
       .toDF("doc_id", "text")
