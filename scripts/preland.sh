@@ -30,6 +30,9 @@ else
   fi
 fi
 
+echo "== preland: bench settled-band gate (BENCH_FULL.json refresh)"
+scripts/bench_guard.sh
+
 echo "== preland 3/3: sbt test (full suite)"
 if ! sbt -batch test >/tmp/preland_sbt_test.log 2>&1; then
   echo "preland: FAIL sbt test (tail of /tmp/preland_sbt_test.log follows)"

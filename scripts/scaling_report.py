@@ -17,7 +17,9 @@ def load(tag):
         bench = json.load(f)
     with open(os.path.join(out, f"detail_{tag}.json")) as f:
         detail = json.load(f)
-    return bench["queries"], detail
+    # round-15 detail format nests per-query records under "queries"
+    # (env telemetry is a top-level sibling); older files are flat
+    return bench["queries"], detail.get("queries", detail)
 
 w01, d01 = load("sf0.1")
 w10, d10 = load("x10")

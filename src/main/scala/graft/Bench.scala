@@ -260,12 +260,15 @@ object Bench {
         val loc = java.util.Locale.ROOT
         if (tot <= 0) None
         else Some(
-          s""""__env":{"steal_pct":${"%.2f".formatLocal(loc,
+          s"""{"steal_pct":${"%.2f".formatLocal(loc,
             (b._2 - a._2) * 100.0 / tot)},"busy_pct":${"%.2f".formatLocal(loc,
             (b._3 - a._3) * 100.0 / tot)},"load1":${readLoad1()}}""")
       case _ => None
     }
-    val detail = (envJson.toSeq ++ results.map { case (k, (w, a, ingest, err)) =>
+    // env is a TOP-LEVEL sibling of the query map (round 15): as a
+    // magic "__env" key inside it, any consumer iterating query names
+    // read a query with no "wall" field
+    val detailQs = results.map { case (k, (w, a, ingest, err)) =>
       "\"" + k + "\":{\"wall\":" + w +
         ingest.map(i => ",\"ingest_wall\":" + i).getOrElse("") +
         err.map(e => ",\"err\":\"" + e + "\"").getOrElse("") +
@@ -273,7 +276,10 @@ object Bench {
         ",\"shuffle_read\":" + a.shuffleRead.sum +
         ",\"shuffle_write\":" + a.shuffleWrite.sum +
         ",\"spilled\":" + a.spilled.sum + "}"
-    }).mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val detail = "{" +
+      envJson.map(e => "\"env\":" + e + ",").getOrElse("") +
+      "\"queries\":" + detailQs + "}"
     val total = results.map(_._2._1).sum
     // The driver captures only a stdout tail: the compact contract line
     // {"metric",...,"queries"} must be LAST, and the (2x-larger) stage
@@ -295,8 +301,12 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val fullQs = namedWalls.sortBy(_._1)
       .map { case (k, w) => "\"" + k + "\":" + fmt(w) }.mkString("{", ",", "}")
+    // the full-resolution record carries the host-contention telemetry
+    // too, so the COMMITTED record (BENCH_FULL.json) is self-describing
+    // and scripts/bench_guard.sh can gate refreshes on it
+    val envField = envJson.map(e => s""","env":$e""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs$envField,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_contract_full.json"), fullLine)
