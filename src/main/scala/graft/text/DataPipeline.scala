@@ -544,7 +544,13 @@ object DomainUpsampler extends graft.core.GraftReadable[DomainUpsampler]
   * least one document and overshoot is bounded by one document). It
   * needs no totals pass, but the window sends each domain through one
   * task's sort — the final-assembly / small-corpus path when the
-  * budget is a hard cap, not the 100 TB default.
+  * budget is a hard cap, not the 100 TB default. (Design note, should
+  * a hard-cap-at-scale case appear: the [[SequencePacker]]
+  * per-(group, shard) trick parallelizes it — split each domain into S
+  * md5-range shards with sub-budget budget/S, run the same windowed
+  * prefix per (domain, shard); S× the parallelism for ≤S documents of
+  * overshoot, converging on the global greedy prefix as the md5 key
+  * distributes token mass evenly across shards.)
   *
   * Both modes keep the same documents given the same (id, salt) as the
   * rest of the family: reproducible across runs, cluster sizes, and

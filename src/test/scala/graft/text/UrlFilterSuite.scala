@@ -144,6 +144,13 @@ class UrlFilterSuite extends TestBase {
     assert(viaTable == Set("https://foo.org/ok"))
     assert(viaHandle == viaTable && viaHelper == viaTable &&
       viaLoaded == viaTable)
+    // repeated transform on one stage hits the reference-keyed pack
+    // cache (no second collect) and stays value-identical
+    val stage = new UrlFilter().setInputCol("url")
+      .setBlockedDomainTable(blocklist)
+    val first = stage.transform(urls).as[String].collect().toSet
+    assert(stage.transform(urls).as[String].collect().toSet == first &&
+      first == viaTable)
   }
 
   test("custom multiSuffixes stop a bare-suffix entry from blocking the suffix") {
