@@ -213,25 +213,33 @@ private[text] object GopherStructural {
 
   def profile(text0: String, stops: Array[String]): S = {
     val text = if (text0 == null) "" else text0
+    profileOfWords(text, GopherRepetition.splitWords(text), stops)
+  }
+
+  /** [[profile]] over an already-split word array (the
+    * [[GopherRepetition.splitWords]] tokenization, which produces the
+    * same whitespace-run tokens the former inline `Ws.split` loop
+    * consumed) — lets [[GopherQualityFilter]]'s fused kernel split each
+    * document once for both signal families. */
+  private[text] def profileOfWords(text: String, words: Array[String],
+      stops: Array[String]): S = {
     // words
     var nWords = 0L; var nAlpha = 0L; var wordChars = 0L
     val lowered = if (stops.nonEmpty)
       new java.util.HashSet[String]() else null
-    Ws.split(text).foreach { w =>
-      if (w.nonEmpty) {
-        nWords += 1
-        wordChars += w.codePointCount(0, w.length)
-        var i = 0; var hasAlpha = false
-        while (i < w.length && !hasAlpha) {
-          val c = w.charAt(i)
-          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
-            hasAlpha = true
-          i += 1
-        }
-        if (hasAlpha) nAlpha += 1
-        if (lowered != null)
-          lowered.add(w.toLowerCase(java.util.Locale.ROOT))
+    words.foreach { w =>
+      nWords += 1
+      wordChars += w.codePointCount(0, w.length)
+      var i = 0; var hasAlpha = false
+      while (i < w.length && !hasAlpha) {
+        val c = w.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+          hasAlpha = true
+        i += 1
       }
+      if (hasAlpha) nAlpha += 1
+      if (lowered != null)
+        lowered.add(w.toLowerCase(java.util.Locale.ROOT))
     }
     var stopHits = 0L
     if (lowered != null) stops.foreach { s =>

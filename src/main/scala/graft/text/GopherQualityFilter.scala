@@ -106,25 +106,34 @@ class GopherQualityFilter(override val uid: String)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import PipelineFunctions.q4
-    // ONE structural-kernel pass per document: the ten gs_* columns
-    // AND the filter's two extra Table-A1 signals all derive from a
-    // single GopherStructural.profile call (running GopherSignals and
-    // then a second kernel call for the extras would double the
-    // word/line/symbol scan of the hot filter — round-13 review);
-    // values and column order are identical to the GopherSignals ∘
-    // GopherRepetition composition, which remains the audit path
+    // ONE fused kernel pass per document (round 15): the repetition
+    // Profile and the structural S both derive from a single UDF call
+    // that tokenizes the text ONCE and hands the shared word array to
+    // both kernels — the former two-UDF chain deserialized the text
+    // column and regex-split it twice per row (round-13 review had
+    // already collapsed the structural side to one call; this removes
+    // the remaining duplicate scan). Values and column order are
+    // identical to the GopherSignals ∘ GopherRepetition composition,
+    // which remains the audit path.
     val sw = $(stopWords)
-    val sUdf = udf { t: String => GopherStructural.profile(t, sw) }
-    val withRep = new GopherRepetition().setInputCol(getInputCol)
-      .transform(ds)
+    val fUdf = udf { t: String =>
+      val text = if (t == null) "" else t
+      val words = GopherRepetition.splitWords(text)
+      GopherQualityFilter.Fused(
+        GopherRepetition.profileOfWords(text, words),
+        GopherStructural.profileOfWords(text, words, sw))
+    }
     val tmp = graft.core.DatasetExtensions
-      .findUnusedColumnName("gq_struct", withRep.schema)
-    val withS = withRep.withColumn(tmp, sUdf(col(getInputCol)))
-    val t = col(tmp)
+      .findUnusedColumnName("gq_fused", ds.schema)
+    val withS = ds.toDF().withColumn(tmp, fUdf(col(getInputCol)))
+    val t = col(tmp).getField("s")
+    val rep = col(tmp).getField("rep")
     val sigSet = signalColumns.toSet
     val origCols = ds.toDF().columns.toIndexedSeq
       .filterNot(sigSet).map(col)
-    val grCols = GopherRepetition.fields.map(f => col(f._1))
+    val grCols = GopherRepetition.fields.map { case (outName, fieldName) =>
+      rep.getField(fieldName).as(outName)
+    }
     val full = withS.select(origCols ++ Seq(
       t.getField("nWords").as("gs_n_words"),
       t.getField("nAlphaWords").as("gs_n_alpha_words"),
@@ -186,4 +195,9 @@ class GopherQualityFilter(override val uid: String)
       signalColumns.contains(f.name)))
   override def copy(extra: ParamMap): GopherQualityFilter = defaultCopy(extra)
 }
-object GopherQualityFilter extends GraftReadable[GopherQualityFilter]
+object GopherQualityFilter extends GraftReadable[GopherQualityFilter] {
+  /** fused per-document kernel output: both signal families from one
+    * text deserialization and one tokenization */
+  private[text] case class Fused(
+      rep: GopherRepetition.Profile, s: GopherStructural.S)
+}

@@ -175,8 +175,17 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
     (items.length.toLong, dupC, dupChars)
   }
 
-  def profile(text: String): Profile = {
-    if (text == null) return Zero
+  def profile(text: String): Profile =
+    if (text == null) Zero
+    else profileOfWords(text, splitWords(text))
+
+  /** whitespace-run tokenization, shared with [[GopherStructural]] so
+    * [[GopherQualityFilter]]'s fused kernel splits each document ONCE */
+  private[text] def splitWords(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  private[text] def profileOfWords(
+      text: String, words: Array[String]): Profile = {
     // SPACE-only trim (GopherStructural.spaceTrim), not Java String.trim:
     // the DuckDB oracle's trim(l) strips spaces only, and GopherSignals'
     // line census uses the same rule — Java trim would also strip \t/\r,
@@ -191,7 +200,6 @@ object GopherRepetition extends GraftReadable[GopherRepetition] {
     // char-fraction denominator = the WHOLE document's codepoints (the
     // ecosystem's len(text)), not the sum of item/word characters
     val docChars = cpLen(text)
-    val words = text.trim.split("\\s+").filter(_.nonEmpty)
     val gi = new GramIndex(words)
 
     Profile(
