@@ -158,6 +158,11 @@ object CompactStringSet {
         Integer.bitCount(idxLen) == 1,
         s"CompactStringSet.load($path): corrupt header " +
           s"($poolLen/$offLen/$idxLen)")
+      // the header must account for the file exactly BEFORE any array
+      // is sized from it — a corrupt length would otherwise attempt a
+      // giant allocation just to fail as truncated afterwards
+      require(20L + poolLen + 4L * offLen + 4L * idxLen == ch.size(),
+        s"CompactStringSet.load($path): header/file-size mismatch")
       val pool = new Array[Byte](poolLen)
       readAll(ch, java.nio.ByteBuffer.wrap(pool), path)
       val off = readInts(ch, offLen, path)

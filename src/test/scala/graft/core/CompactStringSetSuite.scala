@@ -60,7 +60,8 @@ class CompactStringSetSuite extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       CompactStringSet.load(truncPath)
     }
-    assert(e1.getMessage.contains("truncated"))
+    assert(e1.getMessage.contains("mismatch") ||
+      e1.getMessage.contains("truncated"))
     // a foreign file fails on the magic
     val junkPath = s"$dir/junk.gcss"
     java.nio.file.Files.write(java.nio.file.Paths.get(junkPath),
@@ -69,6 +70,36 @@ class CompactStringSetSuite extends AnyFunSuite {
       CompactStringSet.load(junkPath)
     }
     assert(e2.getMessage.contains("not a v1"))
+  }
+
+  test("load fuzz: byte-mutated files fail cleanly or stay probe-safe") {
+    // single-byte corruption anywhere in the file must either trip a
+    // validation require (IllegalArgumentException with the path) or —
+    // when the mutation lands in the pool, which IS the entry data —
+    // load a structurally-valid different set whose probes terminate
+    val dir = java.nio.file.Files.createTempDirectory("csfz")
+    val cs = CompactStringSet((1 to 500).map(i => s"dom$i.example.com"))
+    val path = dir.resolve("base.gcss")
+    cs.save(path.toString)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val rnd = new scala.util.Random(42)
+    val mutPath = dir.resolve("mut.gcss").toString
+    (1 to 100).foreach { _ =>
+      val b = bytes.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      java.nio.file.Files.write(java.nio.file.Paths.get(mutPath), b)
+      try {
+        val loaded = CompactStringSet.load(mutPath)
+        // probes over hit/miss/multibyte keys must terminate normally
+        loaded.contains("dom1.example.com")
+        loaded.contains("absent.org")
+        loaded.contains("bücher.例え.jp")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains(mutPath))
+      }
+    }
   }
 
   test("empty set and survives a serialization round-trip") {
