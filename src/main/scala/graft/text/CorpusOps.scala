@@ -199,8 +199,6 @@ private[text] object GopherStructural {
       nLines: Long, nBulletLines: Long, nEllipsisLines: Long,
       wordChars: Long, stopHits: Long)
 
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
-
   private[text] def spaceTrim(s: String): String = {
     var b = 0; var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
@@ -218,7 +216,7 @@ private[text] object GopherStructural {
 
   /** [[profile]] over an already-split word array (the
     * [[GopherRepetition.splitWords]] tokenization, which produces the
-    * same whitespace-run tokens the former inline `Ws.split` loop
+    * same whitespace-run tokens the former inline `\s+` split loop
     * consumed) — lets [[GopherQualityFilter]]'s fused kernel split each
     * document once for both signal families. */
   private[text] def profileOfWords(text: String, words: Array[String],
