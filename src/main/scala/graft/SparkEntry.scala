@@ -2362,6 +2362,28 @@ object SparkEntry {
           col("ld_text"))
     },
 
+    // SITE-scoped boilerplate removal with document-frequency counting
+    // (round 15): `sitebp-<source>` repeats across every doc of a
+    // source -> removed; `xdom-<doc_id/20>` is unique within each
+    // source but shared ACROSS all 20 sources -> kept (corpus-wide
+    // counting would kill it); `twice-<doc_id>` appears twice inside
+    // ONE doc only -> kept under docs-once counting (raw occurrences
+    // would kill both copies); `unique-<doc_id>` always kept
+    "line_dedup_scoped" -> { (s, dir) =>
+      val t2 = concat_ws("\n", col("text"),
+        concat(lit("sitebp-"), col("source")),
+        concat(lit("xdom-"),
+          floor(col("doc_id") / 20).cast("long").cast("string")),
+        concat(lit("twice-"), col("doc_id").cast("string")),
+        concat(lit("twice-"), col("doc_id").cast("string")),
+        concat(lit("unique-"), col("doc_id").cast("string")))
+      new graft.text.LineDeduplicator().setInputCol("__t2")
+        .setScopeCol("source").setCountDocsOnce(true)
+        .transform(tbl(s, dir, "documents").withColumn("__t2", t2))
+        .select(col("doc_id"), col("ld_n_lines"), col("ld_n_dup_lines"),
+          col("ld_text"))
+    },
+
     // deterministic global training-order shuffle: dense positions in
     // md5(id || ':' || seed) order — the hash is the public contract, so
     // the oracle reproduces the exact permutation
@@ -4923,6 +4945,44 @@ object SparkEntry {
         |        FROM ln)),
         |dup AS (SELECT line FROM ex GROUP BY line HAVING COUNT(*) >= 2),
         |m AS (SELECT e.doc_id, e.pos FROM ex e JOIN dup USING (line)),
+        |dw AS (SELECT doc_id, COUNT(*) AS nd FROM m GROUP BY doc_id),
+        |kept AS (SELECT e.doc_id,
+        |    COALESCE(string_agg(e.line, chr(10) ORDER BY e.pos), '') AS txt
+        |  FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |      WHERE m.doc_id = e.doc_id AND m.pos = e.pos)
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(ln.l) AS BIGINT) AS ld_n_lines,
+        |  CAST(COALESCE(dw.nd, 0) AS BIGINT) AS ld_n_dup_lines,
+        |  COALESCE(kept.txt, '') AS ld_text
+        |FROM documents d
+        |JOIN ln ON ln.doc_id = d.doc_id
+        |LEFT JOIN dw ON dw.doc_id = d.doc_id
+        |LEFT JOIN kept ON kept.doc_id = d.doc_id""".stripMargin,
+
+    // per-source scoping + document-frequency counting replayed: dup
+    // groups by (source, line) over DISTINCT doc_ids
+    "line_dedup_scoped" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text
+        |    || chr(10) || 'sitebp-' || source
+        |    || chr(10) || 'xdom-' || CAST(CAST(floor(doc_id / 20)
+        |         AS BIGINT) AS VARCHAR)
+        |    || chr(10) || 'twice-' || doc_id
+        |    || chr(10) || 'twice-' || doc_id
+        |    || chr(10) || 'unique-' || doc_id AS t2
+        |  FROM documents),
+        |ln AS (SELECT doc_id, source, list_filter(list_transform(
+        |    string_split(t2, chr(10)), x -> trim(x)), x -> x <> '') AS l
+        |  FROM base),
+        |ex AS (SELECT doc_id, source, i - 1 AS pos, l[i] AS line
+        |  FROM (SELECT doc_id, source, l, unnest(range(1, len(l) + 1)) AS i
+        |        FROM ln)),
+        |dup AS (SELECT source, line FROM ex GROUP BY source, line
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT e.doc_id, e.pos FROM ex e
+        |  JOIN dup USING (source, line)),
         |dw AS (SELECT doc_id, COUNT(*) AS nd FROM m GROUP BY doc_id),
         |kept AS (SELECT e.doc_id,
         |    COALESCE(string_agg(e.line, chr(10) ORDER BY e.pos), '') AS txt

@@ -46,31 +46,65 @@ class LineDeduplicator(override val uid: String)
   def setDelimiter(v: String): this.type = set(delimiter, v)
 
   final val minOccurrences = new IntParam(this, "minOccurrences",
-    "corpus-wide occurrence threshold for a line to count as boilerplate",
+    "occurrence threshold for a line to count as boilerplate",
     ParamValidators.gt(1))
   setDefault(minOccurrences -> 2)
   def setMinOccurrences(v: Int): this.type = set(minOccurrences, v)
+
+  /** Boilerplate is usually SITE-scoped (a nav bar repeats within one
+    * site, not across the web): with `scopeCol` set (e.g. the
+    * [[UrlFilter.registeredDomain]] column), occurrences are counted
+    * within each scope value and a line is only removed from documents
+    * of scopes where it crosses the threshold — a common sentence
+    * shared by unrelated sites survives. Empty (default) = corpus-wide,
+    * the CCNet shard convention. Null scopes group with the empty
+    * string. Same shuffle volume either way (the count key gains the
+    * scope). */
+  final val scopeCol = new Param[String](this, "scopeCol",
+    "optional scope column: count occurrences per scope value instead " +
+      "of corpus-wide ('' = corpus-wide)")
+  setDefault(scopeCol -> "")
+  def setScopeCol(v: String): this.type = set(scopeCol, v)
+
+  /** Document-frequency counting (the CCNet/Dolma convention): each
+    * document contributes at most ONE occurrence per distinct line, so
+    * a line repeated inside a single page does not reach the threshold
+    * by itself ([[WithinDocLineDeduplicator]] owns the in-page case).
+    * Default false preserves the raw-occurrence semantics. */
+  final val countDocsOnce = new BooleanParam(this, "countDocsOnce",
+    "count each document once per distinct line (document frequency) " +
+      "instead of raw occurrences")
+  setDefault(countDocsOnce -> false)
+  def setCountDocsOnce(v: Boolean): this.type = set(countDocsOnce, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val id = $(idCol)
     require(df.columns.contains(id), s"idCol '$id' not in input")
+    require($(scopeCol).isEmpty || df.columns.contains($(scopeCol)),
+      s"scopeCol '${$(scopeCol)}' not in input")
     val lines = filter(
       org.apache.spark.sql.functions.transform(
         split(coalesce(col(getInputCol), lit("")), $(delimiter)),
         l => trim(l)),
       l => length(l) > 0)
 
+    val scope =
+      if ($(scopeCol).isEmpty) lit("")
+      else coalesce(col($(scopeCol)).cast("string"), lit(""))
     val exploded = df
-      .select(col(id).as("__ld_id"), posexplode(lines))
-      .toDF("__ld_id", "__ld_pos", "__ld_line")
-      .select(col("__ld_id"), col("__ld_pos"),
+      .select(col(id).as("__ld_id"), scope.as("__ld_s"), posexplode(lines))
+      .toDF("__ld_id", "__ld_s", "__ld_pos", "__ld_line")
+      .select(col("__ld_id"), col("__ld_s"), col("__ld_pos"),
         xxhash64(col("__ld_line")).as("__ld_h"))
-    val dup = exploded.groupBy("__ld_h")
-      .agg(count(lit(1)).as("__ld_c"))
+    val occ =
+      if ($(countDocsOnce)) countDistinct(col("__ld_id"))
+      else count(lit(1))
+    val dup = exploded.groupBy("__ld_s", "__ld_h")
+      .agg(occ.as("__ld_c"))
       .where(col("__ld_c") >= $(minOccurrences))
-      .select("__ld_h")
-    val matches = exploded.join(dup, "__ld_h")
+      .select("__ld_s", "__ld_h")
+    val matches = exploded.join(dup, Seq("__ld_h", "__ld_s"))
       .groupBy("__ld_id")
       .agg(collect_list(col("__ld_pos")).as("__ld_dup"))
 

@@ -28,6 +28,44 @@ class LineShuffleOpsSuite extends TestBase {
     assert(got(5L) == ((5L, 0L, 0L, "")))
   }
 
+  test("LineDeduplicator scopeCol + countDocsOnce: site-scoped document frequency") {
+    val docs = Seq(
+      // nav line repeats across site A's docs -> removed from A only
+      (1L, "a.com", "nav menu\nbody one"),
+      (2L, "a.com", "nav menu\nbody two"),
+      // the SAME line on an unrelated site, once -> kept there
+      (3L, "b.com", "nav menu\nbody three"),
+      // repeated only WITHIN one doc: docs-once keeps both copies
+      (4L, "b.com", "echo\necho\nbody four"),
+      // null scope groups with empty-string scope
+      (5L, null, "shared-null\nbody five"),
+      (6L, "", "shared-null\nbody six"))
+      .toDF("doc_id", "site", "text")
+    val got = new LineDeduplicator().setInputCol("text")
+      .setScopeCol("site").setCountDocsOnce(true)
+      .transform(docs)
+      .select("doc_id", "ld_n_dup_lines", "ld_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, "body one")))
+    assert(got(2L) == ((2L, 1L, "body two")))
+    assert(got(3L) == ((3L, 0L, "nav menu\nbody three")))
+    assert(got(4L) == ((4L, 0L, "echo\necho\nbody four")))
+    assert(got(5L) == ((5L, 1L, "body five")))
+    assert(got(6L) == ((6L, 1L, "body six")))
+    // raw-occurrence counting (docs-once off) kills the in-doc repeat
+    val raw = new LineDeduplicator().setInputCol("text")
+      .setScopeCol("site")
+      .transform(docs)
+      .select("doc_id", "ld_text").as[(Long, String)].collect().toMap
+    assert(raw(4L) == "body four")
+    // unknown scope column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      new LineDeduplicator().setInputCol("text").setScopeCol("nope")
+        .transform(docs)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("LineDeduplicator is partitioning-independent") {
     val docs = (0L until 60L).map(i =>
       (i, s"head $i\nshared-${i % 4}\ntail $i")).toDF("doc_id", "text")
