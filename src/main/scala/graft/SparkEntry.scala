@@ -705,6 +705,28 @@ object SparkEntry {
         .select(col("query_id"), explode(col("neighbors.id")).as("neighbor_id"))
     },
 
+    // Dense-head scoring over precomputed embeddings (round 15): the
+    // features are dyadic-quantized (floor(e*64)/64) and the planted
+    // 64->4->1 ReLU head's weights are quarters, so every product and
+    // running sum is EXACT in both engines' float/double paths and the
+    // score emits as an exact integer at 1024x scale — no float-order
+    // tolerance needed
+    "mlp_score" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val x = transform(col("embedding"),
+        e => floor(e * 64) / 64)
+      val (d, h) = (64, 4)
+      val w1 = Array.tabulate(h, d)((i, j) => ((i * 3 + j * 5) % 7 - 3) / 4.0)
+      val b1 = Array.tabulate(h)(i => (i % 3 - 1) / 4.0)
+      val v = Array(Array.tabulate(h)(i => ((i * 2) % 5 - 2) / 4.0))
+      new graft.nn.MLPScorer().setInputCol("__x").setOutputCol("__score")
+        .setLayers(Seq(graft.nn.DenseLayer(w1, b1),
+          graft.nn.DenseLayer(v, Array(0.25))))
+        .transform(emb.withColumn("__x", x))
+        .select(col("vec_id"),
+          (col("__score") * 1024).cast("long").as("score_q"))
+    },
+
     "knn_balltree" -> { (s, dir) => // rows-only: exact ball-tree KNN
       val emb = tbl(s, dir, "embeddings")
       val model = new graft.nn.KNN().setInputCol("embedding")
@@ -3917,6 +3939,27 @@ object SparkEntry {
         |ranked AS (SELECT query_id, id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY score DESC, id) AS rn FROM scored)
         |SELECT query_id, id AS neighbor_id FROM ranked WHERE rn <= 5""".stripMargin,
+
+    // the planted 64->4->1 ReLU head replayed literally: the same
+    // dyadic weights as the fixture, generated per unit (quarters and
+    // 64th-quantized features make every term exact — see the gate)
+    "mlp_score" -> {
+      val (d, h) = (64, 4)
+      val hidden = (0 until h).map { i =>
+        val terms = (0 until d).map { j =>
+          s"(${((i * 3 + j * 5) % 7 - 3) / 4.0})*x[${j + 1}]"
+        }.mkString(" + ")
+        s"GREATEST(0, ${(i % 3 - 1) / 4.0} + $terms)"
+      }
+      val out = (0 until h).map { i =>
+        s"(${((i * 2) % 5 - 2) / 4.0})*(${hidden(i)})"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, e -> floor(e * 64) / 64) AS x
+         |  FROM embeddings)
+         |SELECT vec_id, CAST((0.25 + $out) * 1024 AS BIGINT) AS score_q
+         |FROM q""".stripMargin
+    },
 
     // full recall is the expected steady state at 1-bit banding; any ANN
     // regression (banding, bucket join, top-k) breaks the hash
