@@ -2206,6 +2206,14 @@ object SparkEntry {
         .transform(tbl(s, dir, "documents"))
     },
 
+    // composition-table mode (round 15): one exact-integer report row
+    // per language — the data card's per-source breakdown
+    "corpus_report_grouped" -> { (s, dir) =>
+      new graft.text.CorpusReport().setInputCol("text")
+        .setGroupByCol("lang")
+        .transform(tbl(s, dir, "documents"))
+    },
+
     // top-fraction quality pruning, exact mode (deterministic global
     // rank with (score desc, id asc) ties) — the SQL-replayable path;
     // the approx quantile-sketch mode is the 100 TB path, suite-covered
@@ -4690,6 +4698,29 @@ object SparkEntry {
         |    AS BIGINT) AS n_empty_docs,
         |  CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_exact_dups
         |FROM b""".stripMargin,
+
+    // the same report arithmetic per language group
+    "corpus_report_grouped" ->
+      """WITH b AS (
+        |  SELECT length(text) AS chars,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS ntok,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct,
+        |    lang, source
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(DISTINCT ct) AS BIGINT) AS n_unique_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_domains,
+        |  CAST(COALESCE(MIN(ntok), 0) AS BIGINT) AS min_tokens,
+        |  CAST(COALESCE(MAX(ntok), 0) AS BIGINT) AS max_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_empty_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_exact_dups
+        |FROM b GROUP BY lang""".stripMargin,
 
     "score_select_domain" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -24,6 +24,36 @@ class CorpusReportSuite extends TestBase {
     assert(m("n_chars") == (5 + 6 + 3 + 3))
   }
 
+  test("composition-table mode: one exact row per group, nulls kept") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "A  b C", "en", "web"),     // exact dup of 1 within the group
+      (3L, "d e", "fr", "book"),
+      (4L, "a b c", "fr", "web"),      // dup TEXT but in another group
+      (5L, "x", null, "web"))          // null group -> its own row
+      .toDF("doc_id", "text", "lang", "source")
+    val out = new CorpusReport().setInputCol("text").setGroupByCol("lang")
+      .transform(docs)
+    assert(out.columns.head == "lang")
+    val rows = out.collect().map { r =>
+      Option(r.getString(0)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique_docs"),
+          r.getAs[Long]("n_exact_dups"), r.getAs[Long]("n_tokens"))
+    }.toMap
+    assert(rows(Some("en")) == ((2L, 1L, 1L, 6L)))
+    // text dup of doc 1 lives in ANOTHER group: not a dup within fr
+    assert(rows(Some("fr")) == ((2L, 2L, 0L, 5L)))
+    assert(rows(None) == ((1L, 1L, 0L, 1L)))
+    // unknown group column fails loudly; '' stays the one-row report
+    val e = intercept[IllegalArgumentException] {
+      new CorpusReport().setInputCol("text").setGroupByCol("nope")
+        .transform(docs)
+    }
+    assert(e.getMessage.contains("nope"))
+    assert(new CorpusReport().setInputCol("text").transform(docs)
+      .count() == 1)
+  }
+
   test("partitioning-independent on the sf fixture") {
     val docs = sfTable("documents")
     val op = new CorpusReport().setInputCol("text")
