@@ -14,6 +14,10 @@ case class DenseLayer(w: Array[Array[Double]], b: Array[Double]) {
     "layer weight rows must be non-empty and equal-length")
   require(b.length == w.length,
     s"bias length ${b.length} != ${w.length} units")
+  require(w.forall(_.forall(java.lang.Double.isFinite)) &&
+    b.forall(java.lang.Double.isFinite),
+    "layer weights and biases must be finite (a NaN/Inf head scores " +
+      "every document NaN — fail at construction, not after a full pass)")
   def inputDim: Int = w.head.length
   def units: Int = w.length
 }

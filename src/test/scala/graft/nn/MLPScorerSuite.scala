@@ -69,6 +69,11 @@ class MLPScorerSuite extends TestBase {
         .transform(Seq((1L, Seq(1.0))).toDF("doc_id", "emb"))
     }
     assert(e4.getMessage.contains("setLayers"))
+    // non-finite weights fail at construction, not after a full pass
+    val e5 = intercept[IllegalArgumentException] {
+      DenseLayer(Array(Array(Double.NaN)), Array(0.0))
+    }
+    assert(e5.getMessage.contains("finite"))
   }
 
   test("plans as a narrow zero-exchange projection") {
