@@ -2214,6 +2214,21 @@ object SparkEntry {
         .transform(tbl(s, dir, "documents"))
     },
 
+    // feature-hashed signed-random-projection embeddings (round 15):
+    // un-normalized count weighting makes every accumulator an exact
+    // INTEGER (sum of ±tf), and the md5 sign bits replay in SQL — the
+    // gate explodes the 16-dim vectors to (doc_id, dim, val) rows
+    "hashed_embedding" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      new graft.text.HashedEmbedder().setInputCol("text")
+        .setOutputCol("__e").setDim(16).setSalt("e15")
+        .setNormalize(false)
+        .transform(docs)
+        .select(col("doc_id"), posexplode(col("__e")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").cast("long").as("val"))
+    },
+
     // top-fraction quality pruning, exact mode (deterministic global
     // rank with (score desc, id asc) ties) — the SQL-replayable path;
     // the approx quantile-sketch mode is the 100 TB path, suite-covered
@@ -4698,6 +4713,31 @@ object SparkEntry {
         |    AS BIGINT) AS n_empty_docs,
         |  CAST(COUNT(*) - COUNT(DISTINCT ct) AS BIGINT) AS n_exact_dups
         |FROM b""".stripMargin,
+
+    // the md5 sign-bit arithmetic replayed: bit j of the digest via
+    // hex-char strpos + shift, summed as ±tf per (doc, dim); docs with
+    // zero tokens emit all-zero dims in both engines (LEFT JOIN +
+    // COALESCE mirrors the UDF's zero accumulator)
+    "hashed_embedding" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY doc_id, t),
+        |sig AS (SELECT doc_id, c, md5(t || ':e15') AS h FROM tok),
+        |r AS (SELECT unnest(range(16)) AS j)
+        |SELECT d.doc_id, CAST(r.j AS BIGINT) AS dim,
+        |  CAST(COALESCE(SUM(sig.c * (CASE WHEN
+        |    ((strpos('0123456789abcdef',
+        |        substr(sig.h, (r.j // 4) + 1, 1)) - 1)
+        |      >> (3 - (r.j % 4))) & 1 = 1
+        |    THEN 1 ELSE -1 END)), 0) AS BIGINT) AS val
+        |FROM documents d CROSS JOIN r
+        |LEFT JOIN sig ON sig.doc_id = d.doc_id
+        |WHERE d.text IS NOT NULL
+        |GROUP BY d.doc_id, r.j""".stripMargin,
 
     // the same report arithmetic per language group
     "corpus_report_grouped" ->
