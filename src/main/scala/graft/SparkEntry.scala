@@ -1945,6 +1945,25 @@ object SparkEntry {
         .transform(urls)
     },
 
+    // allow mode (round 15): the same table becomes a curated-seed
+    // ALLOWLIST — only documents whose host sits under a listed domain
+    // survive (the OpenWebText-style pipeline)
+    "url_filter_allow" -> { (s, dir) =>
+      import s.implicits._
+      val hosts = array(lit("news.bbc.co.uk"), lit("a.b.example.com"),
+        lit("www.example.com"), lit("shop.com.au"), lit("sub.x.co.jp"),
+        lit("foo.org"), lit("co.uk"))
+      val urls = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 7 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      val allowlist = Seq("example.com", "bbc.co.uk", "x.co.jp")
+        .toDF("domain")
+      new graft.text.UrlFilter().setInputCol("url")
+        .setBlockedDomainTable(allowlist).setTableMode("allow")
+        .transform(urls)
+    },
+
     // Registered-domain extraction (the per-domain grouping key):
     // two-label tail, or three when the tail is a listed public
     // suffix; oracle replays both regexps and the suffix CASE
@@ -4392,6 +4411,32 @@ object SparkEntry {
          |       ELSE two END AS domain FROM p)
          |SELECT doc_id, url FROM rd
          |WHERE domain NOT IN ('example.com', 'bbc.co.uk', 'x.co.jp')"""
+        .stripMargin
+    },
+
+    // the same registered-domain chain, membership flipped to IN
+    "url_filter_allow" -> {
+      val sufs = graft.text.UrlFilter.defaultMultiSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+         |  'https://' ||
+         |  (['news.bbc.co.uk','a.b.example.com','www.example.com',
+         |    'shop.com.au','sub.x.co.jp','foo.org','co.uk'])
+         |    [CAST(doc_id % 7 + 1 AS INTEGER)] ||
+         |  '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |h AS (SELECT doc_id, url,
+         |  regexp_replace(regexp_extract(lower(url),
+         |    '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1),
+         |    '^www\\.', '') AS host FROM u),
+         |p AS (SELECT doc_id, url,
+         |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS two,
+         |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three
+         |  FROM h),
+         |rd AS (SELECT doc_id, url,
+         |  CASE WHEN two IN ($sufs) AND three <> '' THEN three
+         |       ELSE two END AS domain FROM p)
+         |SELECT doc_id, url FROM rd
+         |WHERE domain IN ('example.com', 'bbc.co.uk', 'x.co.jp')"""
         .stripMargin
     },
 

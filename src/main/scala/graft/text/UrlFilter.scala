@@ -91,6 +91,21 @@ class UrlFilter(override val uid: String)
   def setMultiSuffixes(v: Seq[String]): this.type =
     set(multiSuffixes, v.toArray)
 
+  /** Domain-table semantics: `block` (default) drops matching rows —
+    * the UT1 pipeline; `allow` KEEPS ONLY matching rows — the
+    * curated-seed pipeline (OpenWebText-style: only documents from a
+    * vetted domain list enter the corpus). Matching is identical in
+    * both modes (exact host or dot-boundary subtree of an entry); in
+    * allow mode rows with no parseable host are dropped — they cannot
+    * be on the list. The in-plan `blockedDomains`/`blockedTerms` rules
+    * stay block-semantics and apply first. */
+  final val tableMode = new Param[String](this, "tableMode",
+    "domain-table semantics: block (drop matches) or allow (keep " +
+      "only matches)",
+    ParamValidators.inArray(Array("block", "allow")))
+  setDefault(tableMode -> "block")
+  def setTableMode(v: String): this.type = set(tableMode, v)
+
   // pack-once cache for the table path: repeated transform calls on the
   // SAME table reference (and knobs) reuse the pack instead of paying
   // the distinct+collect+pack again (~25 s at the 10M-entry nameplate)
@@ -115,7 +130,7 @@ class UrlFilter(override val uid: String)
       case None => base
       case Some(cset) =>
         UrlFilter.filterByDomainSet(base, getInputCol, cset,
-          $(multiSuffixes).toIndexedSeq)
+          $(multiSuffixes).toIndexedSeq, $(tableMode))
     }
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -217,9 +232,11 @@ object UrlFilter extends GraftReadable[UrlFilter] {
   def filterByDomainTable(df: DataFrame, urlCol: String,
       blocklist: DataFrame, domainCol: String = "domain",
       maxEntries: Int = 10000000,
-      multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame =
+      multiSuffixes: Seq[String] = defaultMultiSuffixes,
+      mode: String = "block"): DataFrame =
     filterByDomainSet(df, urlCol,
-      packDomainTable(blocklist, domainCol, maxEntries), multiSuffixes)
+      packDomainTable(blocklist, domainCol, maxEntries), multiSuffixes,
+      mode)
 
   /** The pack half of [[filterByDomainTable]], exposed so a pipeline of
     * N jobs pays the distinct+collect+pack ONCE (then
@@ -256,7 +273,10 @@ object UrlFilter extends GraftReadable[UrlFilter] {
     * true three-label registered domain instead. */
   def filterByDomainSet(df: DataFrame, urlCol: String,
       packed: graft.core.CompactStringSet,
-      multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame = {
+      multiSuffixes: Seq[String] = defaultMultiSuffixes,
+      mode: String = "block"): DataFrame = {
+    require(mode == "block" || mode == "allow",
+      s"mode must be block or allow, got '$mode'")
     val bset = df.sparkSession.sparkContext.broadcast(packed)
     val sufs = multiSuffixes.toSet
     val blockedUdf = udf { h: String =>
@@ -285,7 +305,10 @@ object UrlFilter extends GraftReadable[UrlFilter] {
         }
       }
     }
-    df.filter(!blockedUdf(host(col(urlCol))))
+    val hit = blockedUdf(host(col(urlCol)))
+    // allow mode keeps ONLY matches (a hostless row cannot be on the
+    // list, so the udf's false drops it — the curated-seed semantic)
+    if (mode == "allow") df.filter(hit) else df.filter(!hit)
   }
 
   /** UTF-8 byte length of a string, allocation-free */

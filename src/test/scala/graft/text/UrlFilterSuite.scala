@@ -180,6 +180,28 @@ class UrlFilterSuite extends TestBase {
     assert(keptDefault.isEmpty)
   }
 
+  test("allow mode keeps only listed subtrees, drops hostless rows") {
+    val urls = Seq(
+      "https://news.bbc.co.uk/story",   // subtree of a listed domain
+      "https://bbc.co.uk/front",        // the listed domain itself
+      "https://notbbc.co.uk/x",         // same suffix, unlisted domain
+      "https://foo.org/x",              // unlisted
+      "not a url")                      // no host: cannot be listed
+      .toDF("url")
+    val allowlist = Seq("bbc.co.uk").toDF("domain")
+    val kept = new UrlFilter().setInputCol("url")
+      .setBlockedDomainTable(allowlist).setTableMode("allow")
+      .transform(urls).as[String].collect().toSet
+    assert(kept == Set("https://news.bbc.co.uk/story",
+      "https://bbc.co.uk/front"))
+    // the helper takes the same knob; block stays the default
+    assert(UrlFilter.filterByDomainTable(urls, "url", allowlist,
+      mode = "allow").as[String].collect().toSet == kept)
+    assert(new UrlFilter().setInputCol("url")
+      .setBlockedDomainTable(allowlist)
+      .transform(urls).count() == 3)
+  }
+
   test("blocklist table probes multibyte (IDN) hosts byte-correctly") {
     val urls = Seq(
       "https://bücher.example.de/x",      // exact multibyte full-host entry
