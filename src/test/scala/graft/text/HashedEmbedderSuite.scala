@@ -84,6 +84,26 @@ class HashedEmbedderSuite extends TestBase {
     }
   }
 
+  test("closes the loop: documents -> HashedEmbedder -> SemDeDup") {
+    // no external model anywhere: near-duplicate pages collapse under
+    // semantic dedup over the library's own embeddings
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " today"),                         // near-dup of 0
+      (2L, "tax filing deadlines for small business owners this year"),
+      (3L, "tax filing deadlines for most small business owners this year"),
+      (4L, "completely different material about orbital mechanics"))
+      .toDF("doc_id", "text")
+    val withE = new HashedEmbedder().setInputCol("text").setDim(128)
+      .transform(docs)
+    val kept = new graft.dedup.SemDeDup().setInputCol("embedding")
+      .setIdCol("doc_id").setNClusters(1).setThreshold(0.9)
+      .setKeepRule("minId").transform(withE)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L, 4L), s"kept $kept")
+  }
+
   test("feeds the embedding consumers end-to-end (MLPScorer)") {
     val docs = Seq((1L, "some page text"), (2L, "other page text"))
       .toDF("doc_id", "text")
