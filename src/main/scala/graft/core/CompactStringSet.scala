@@ -178,11 +178,25 @@ object CompactStringSet {
         i += 1
       }
       var s = 0
+      var occupied = 0L
       while (s < idxLen) {
         require(idx(s) >= 0 && idx(s) < offLen,
           s"CompactStringSet.load($path): index entry out of range")
+        if (idx(s) != 0) occupied += 1
         s += 1
       }
+      // probe-termination invariant (round-15 advice): open-addressed
+      // probing only stops at a zero slot, so a table with NO empty slot
+      // would hang containsRegion forever on any miss. A well-formed v1
+      // file has exactly offLen-1 occupied slots (one per entry) and the
+      // builder caps load factor at 0.7 — enforce both so a crafted/
+      // corrupt full table is rejected with a message, not a hang.
+      require(occupied == offLen - 1,
+        s"CompactStringSet.load($path): index occupancy $occupied != " +
+          s"entry count ${offLen - 1}")
+      require(occupied <= (idxLen.toLong * 7) / 10,
+        s"CompactStringSet.load($path): index over the 0.7 load-factor " +
+          "bound — probing could fail to terminate")
       new CompactStringSet(pool, off, idx)
     } finally ch.close()
   }

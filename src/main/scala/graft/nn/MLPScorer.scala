@@ -36,13 +36,18 @@ case class DenseLayer(w: Array[Array[Double]], b: Array[Double]) {
   * exactly this head — embeddings are computed once upstream, heads are
   * retrained and re-applied per experiment.
   *
-  * Weights are driver-held runtime state (the SemDeDup `setCorpus`
-  * convention — not persisted with the stage) and broadcast ONCE per
-  * transform; the kernel is a per-row loop over layers (ReLU between
-  * layers, configurable output activation). Scale shape: narrow
+  * Weights live in a complex Param, so they PERSIST with the stage
+  * through [[graft.core.GraftWritable]]'s `complex.bin` (the
+  * reference's ComplexParams pattern — `/root/reference/core/src/main/
+  * scala/org/apache/spark/ml/param/DataFrameParam.scala:1-142` exists
+  * precisely so fitted/complex state survives save/load; a head is a
+  * few KB of doubles, far below any payload concern) and are broadcast
+  * ONCE per transform; the kernel is a per-row loop over layers (ReLU
+  * between layers, configurable output activation). Scale shape: narrow
   * map-only projection, zero shuffle, broadcast = the head's own few
-  * KB-MB. Null embeddings score null; a wrong-length embedding fails
-  * fast with the expected/actual dims.
+  * KB-MB. Null embeddings — and embeddings containing a null ELEMENT,
+  * which carry no scoreable vector either — score null; a wrong-length
+  * embedding fails fast with the expected/actual dims.
   */
 class MLPScorer(override val uid: String)
     extends Transformer with HasInputCol with GraftWritable {
@@ -60,12 +65,16 @@ class MLPScorer(override val uid: String)
   setDefault(outputActivation -> "linear")
   def setOutputActivation(v: String): this.type = set(outputActivation, v)
 
-  @transient private var layers: Seq[DenseLayer] = Seq.empty
+  /** The head's weights as a complex Param (Java-serialized into
+    * `complex.bin` by [[graft.core.GraftWriter]]), so a saved pipeline
+    * reloads a scorer that still scores — round-15 shipped this as
+    * transient runtime state and a reloaded head failed fast instead. */
+  final val layers = new Param[Seq[DenseLayer]](this, "layers",
+    "the head's dense layers, first to last")
 
   /** The head's layers, first to last; each layer's inputDim must equal
     * the previous layer's units (the first, the embedding dim); the
-    * last layer must have exactly one unit. Runtime state, not a Param
-    * — weights do not persist with the stage. */
+    * last layer must have exactly one unit. */
   def setLayers(ls: Seq[DenseLayer]): this.type = {
     require(ls.nonEmpty, "at least one layer")
     ls.sliding(2).foreach {
@@ -76,22 +85,31 @@ class MLPScorer(override val uid: String)
     }
     require(ls.last.units == 1,
       s"last layer has ${ls.last.units} units; a scorer emits one value")
-    layers = ls; this
+    // toList: a concrete immutable, Java-serializable realization (the
+    // caller may hand us a lazy or array-backed wrapper)
+    set(layers, ls.toList)
   }
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    require(layers.nonEmpty, "call setLayers before transform")
-    val ls = layers
+    require(isSet(layers) && $(layers).nonEmpty,
+      "call setLayers before transform")
+    val ls = $(layers)
     val sigmoid = $(outputActivation) == "sigmoid"
     val bls = ds.sparkSession.sparkContext.broadcast(ls)
-    val scoreUdf = udf { x: Seq[Double] =>
-      if (x == null) null
+    // boxed elements: an array with a null ELEMENT carries no scoreable
+    // vector either — it scores null like a null embedding (a primitive
+    // Seq[Double] would NPE opaquely at unboxing instead)
+    val scoreUdf = udf { x: Seq[java.lang.Double] =>
+      if (x == null || x.exists(_ eq null)) null
       else {
         val lsv = bls.value
         require(x.length == lsv.head.inputDim,
           s"embedding length ${x.length} != head input dim " +
             s"${lsv.head.inputDim}")
-        var cur = x.toArray
+        val cur0 = new Array[Double](x.length)
+        var xi = 0
+        while (xi < cur0.length) { cur0(xi) = x(xi).doubleValue; xi += 1 }
+        var cur = cur0
         var li = 0
         while (li < lsv.length) {
           val l = lsv(li)
@@ -119,12 +137,14 @@ class MLPScorer(override val uid: String)
       scoreUdf(col(getInputCol).cast(ArrayType(DoubleType))))
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    // the round-15 convention (DeterministicSplitter/DomainUpsampler): a
+    // same-named input column would be silently overwritten at transform
+    // — fail at pipeline validation instead
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
     StructType(schema :+ StructField($(outputCol), DoubleType))
-  override def copy(extra: ParamMap): MLPScorer = {
-    val c = defaultCopy[MLPScorer](extra)
-    c.layers = layers
-    c
   }
+  override def copy(extra: ParamMap): MLPScorer = defaultCopy(extra)
 }
 object MLPScorer extends GraftReadable[MLPScorer]

@@ -73,7 +73,7 @@ class HashedEmbedder(override val uid: String)
     val embUdf = udf { text: String =>
       if (text == null) null
       else {
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        val toks = HashedEmbedder.simpleLower(text.trim)
           .split("\\s+").filter(_.nonEmpty)
         val tf = new java.util.HashMap[String, Int](toks.length * 2)
         toks.foreach(t => tf.put(t, tf.getOrDefault(t, 0) + 1))
@@ -120,12 +120,44 @@ class HashedEmbedder(override val uid: String)
     ds.toDF().withColumn($(outputCol), embUdf(col(getInputCol)))
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    // the round-15 convention: a same-named input column would be
+    // silently overwritten at transform — fail at validation instead
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"input already has a column named '${$(outputCol)}'")
     StructType(schema :+ StructField($(outputCol), ArrayType(FloatType)))
+  }
   override def copy(extra: ParamMap): HashedEmbedder = defaultCopy(extra)
 }
 
 object HashedEmbedder extends GraftReadable[HashedEmbedder] {
+  /** Per-codepoint SIMPLE lowercase (Character.toLowerCase) — the
+    * mapping SQL `lower()` applies, so the md5 sign bits the SQL oracle
+    * replays stay byte-identical on non-ASCII input. JVM
+    * String.toLowerCase applies the FULL context-sensitive mapping
+    * ('Σ' at token end → 'ς', 'İ' → "i̇") and would silently diverge
+    * token-by-token (round-15 advice). */
+  private[text] def simpleLower(s: String): String = {
+    var i = 0
+    // ASCII-or-already-lower fast path: no allocation for the common case
+    var simple = true
+    while (simple && i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') simple = false
+      else if (c >= 0x80) simple = false
+      i += 1
+    }
+    if (simple) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   // one digest instance per executor thread: getInstance per token was
   // the kernel's dominant allocation (digest() leaves the instance
   // reset, so reuse is safe)

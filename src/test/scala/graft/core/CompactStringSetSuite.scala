@@ -102,6 +102,30 @@ class CompactStringSetSuite extends AnyFunSuite {
     }
   }
 
+  test("a crafted FULL index (no zero slot) is rejected, not probed") {
+    // probing only stops at a zero slot: a v1 file whose idx array has
+    // no empty slot would send containsRegion into an infinite loop on
+    // any miss (round-15 advice) — load must reject it with a message
+    val dir = java.nio.file.Files.createTempDirectory("csfull")
+    val cs = CompactStringSet(Seq("only.example.com"))
+    val path = dir.resolve("full.gcss")
+    cs.save(path.toString)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    // layout: 20-byte header, pool, (n+1) offsets, idx — fill every idx
+    // slot with entry reference 1 (in range, so the old per-slot range
+    // check passed and the load hung at first miss)
+    val poolLen = "only.example.com".getBytes("UTF-8").length
+    val idxStart = 20 + poolLen + 4 * 2
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    ((idxStart until bytes.length) by 4).foreach(p => buf.putInt(p, 1))
+    java.nio.file.Files.write(path, bytes)
+    val e = intercept[IllegalArgumentException] {
+      CompactStringSet.load(path.toString)
+    }
+    assert(e.getMessage.contains("occupancy") ||
+      e.getMessage.contains("load-factor"))
+  }
+
   test("empty set and survives a serialization round-trip") {
     val empty = CompactStringSet(Nil)
     assert(empty.size == 0 && !empty.contains("x"))

@@ -83,4 +83,44 @@ class MLPScorerSuite extends TestBase {
       .transform(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("embeddings with a null ELEMENT score null, like null embeddings") {
+    val docs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, null)),
+      (3L, null.asInstanceOf[Seq[java.lang.Double]]))
+      .toDF("doc_id", "emb")
+    val got = scorer(Seq(DenseLayer(Array(Array(1.0, 1.0)), Array(0.0))))
+      .transform(docs)
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(3.0) && got(2L).isEmpty && got(3L).isEmpty)
+  }
+
+  test("transformSchema fails on an output-column clash") {
+    val e = intercept[IllegalArgumentException] {
+      scorer(Seq(DenseLayer(Array(Array(1.0)), Array(0.0))))
+        .setOutputCol("emb")
+        .transformSchema(Seq((1L, Seq(1.0))).toDF("doc_id", "emb").schema)
+    }
+    assert(e.getMessage.contains("already has a column"))
+  }
+
+  test("save/load round-trips the head: a reloaded scorer still scores") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mlp_io").toString + "/head"
+    val w1 = Array(Array(1.0, -1.0), Array(0.5, 0.5))
+    val orig = scorer(Seq(DenseLayer(w1, Array(0.0, -0.25)),
+        DenseLayer(Array(Array(2.0, 4.0)), Array(0.125))))
+      .setOutputActivation("sigmoid")
+    orig.write.overwrite().save(dir)
+    val back = MLPScorer.load(dir)
+    assert(back.get(back.outputActivation).contains("sigmoid"))
+    val docs = Seq((1L, Seq(1.0, 0.5)), (2L, Seq(-1.0, 1.0)))
+      .toDF("doc_id", "emb")
+    val a = orig.transform(docs).select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    val b = back.transform(docs).select("doc_id", "score")
+      .as[(Long, Double)].collect().toMap
+    assert(a == b && a(1L) > 0.9)
+  }
 }

@@ -104,6 +104,33 @@ class HashedEmbedderSuite extends TestBase {
     assert(kept == Seq(0L, 2L, 4L), s"kept $kept")
   }
 
+  test("lowercasing is the SIMPLE per-codepoint mapping, like SQL lower()") {
+    // full JVM String.toLowerCase maps final 'Σ' -> 'ς' and 'İ' -> "i̇"
+    // (context-sensitive/expanding); engine lower() applies the simple
+    // codepoint map — the embedder must match the oracle's mapping
+    assert(HashedEmbedder.simpleLower("ΟΔΟΣ") == "οδοσ")
+    assert(HashedEmbedder.simpleLower("İ") == "i̇".take(1) ||
+      HashedEmbedder.simpleLower("İ").length == 1) // single codepoint out
+    assert(HashedEmbedder.simpleLower("MiXeD ascii") == "mixed ascii")
+    // fast path: already-lower ASCII returns the same instance
+    val s = "already lower"
+    assert(HashedEmbedder.simpleLower(s) eq s)
+    // tokens therefore hash identically to the simple-lowered form
+    val e1 = emb(Seq((1L, "ΟΔΟΣ")).toDF("doc_id", "text"),
+      new HashedEmbedder().setNormalize(false))(1L).get
+    val e2 = emb(Seq((1L, "οδοσ")).toDF("doc_id", "text"),
+      new HashedEmbedder().setNormalize(false))(1L).get
+    assert(e1 == e2)
+  }
+
+  test("transformSchema fails on an output-column clash") {
+    val e = intercept[IllegalArgumentException] {
+      new HashedEmbedder().setInputCol("text").setOutputCol("text")
+        .transformSchema(Seq((1L, "a")).toDF("doc_id", "text").schema)
+    }
+    assert(e.getMessage.contains("already has a column"))
+  }
+
   test("feeds the embedding consumers end-to-end (MLPScorer)") {
     val docs = Seq((1L, "some page text"), (2L, "other page text"))
       .toDF("doc_id", "text")
