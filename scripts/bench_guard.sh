@@ -5,34 +5,61 @@
 # identical back-to-back suite runs 183 -> 257 s (same commit, same
 # box), and every bench record now carries /proc/stat steal/busy
 # telemetry. This guard makes the round-14 discipline ("committed
-# records only from the settled band") mechanical: a working-tree
-# refresh of BENCH_FULL.json is only kept when the run's telemetry says
-# the box was settled (steal_pct <= 0.15) and the total lands inside
-# the demonstrated settled band; otherwise the committed record is
-# restored from HEAD and the refusal is printed. A genuine perf shift
-# that moves the total outside the band is landed by widening the band
-# explicitly: GRAFT_BENCH_BAND="<lo> <hi>" scripts/bench_guard.sh
-# (the override is printed, so the round log records it).
+# records only from the settled band") mechanical: a working-tree OR
+# staged refresh of BENCH_FULL.json is only kept when the run's
+# telemetry says the box was settled (steal_pct <= 0.15) and the total
+# lands inside the settled band; otherwise the committed record is
+# restored from HEAD and the refusal is printed.
+#
+# The band is DERIVED from HEAD's committed record (round-15 advice —
+# a hardcoded band drifts stale as the suite grows):
+#   base = HEAD total - HEAD seconds of queries the candidate dropped
+#   band = [0.9 * base, 1.1 * base + 3.0 * (queries added)]
+# so a legitimate +N-query refresh fits without an override while a
+# contended 1.5x run still refuses. A genuine perf shift outside that
+# is landed by widening the band explicitly:
+# GRAFT_BENCH_BAND="<lo> <hi>" scripts/bench_guard.sh (the override is
+# printed, so the round log records it). If HEAD carries no readable
+# record (fresh repo), the demonstrated static band [160, 195] applies.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-BAND_LO=160
-BAND_HI=195
-if [ -n "${GRAFT_BENCH_BAND:-}" ]; then
-  read -r BAND_LO BAND_HI <<<"$GRAFT_BENCH_BAND"
-  echo "bench_guard: band OVERRIDE [$BAND_LO, $BAND_HI] (GRAFT_BENCH_BAND)"
-fi
-
-if git diff --quiet -- BENCH_FULL.json; then
-  echo "bench_guard: BENCH_FULL.json unchanged — nothing to gate"
+# staged refreshes are gated too: diff against HEAD, not the index
+# (round-15 advice — `git add`ed records used to bypass the gate)
+if git diff --quiet HEAD -- BENCH_FULL.json; then
+  echo "bench_guard: BENCH_FULL.json unchanged vs HEAD — nothing to gate"
   exit 0
 fi
 
-if python3 - "$BAND_LO" "$BAND_HI" <<'EOF'
-import json, sys
-lo, hi = float(sys.argv[1]), float(sys.argv[2])
+HEAD_REC="$(git show HEAD:BENCH_FULL.json 2>/dev/null || true)"
+
+if HEAD_REC="$HEAD_REC" python3 - <<'EOF'
+import json, os, sys
 rec = json.load(open("BENCH_FULL.json"))
 total = float(rec["value"])
+cand_q = rec.get("queries") or {}
+
+override = os.environ.get("GRAFT_BENCH_BAND", "")
+if override:
+    lo, hi = (float(x) for x in override.split())
+    print(f"bench_guard: band OVERRIDE [{lo}, {hi}] (GRAFT_BENCH_BAND)")
+else:
+    try:
+        head = json.loads(os.environ["HEAD_REC"])
+        head_total = float(head["value"])
+        head_q = head.get("queries") or {}
+        removed = sum(float(v) for k, v in head_q.items() if k not in cand_q)
+        added = sum(1 for k in cand_q if k not in head_q)
+        base = head_total - removed
+        lo, hi = 0.9 * base, 1.1 * base + 3.0 * added
+        print(f"bench_guard: band [{lo:.1f}, {hi:.1f}] from HEAD record "
+              f"(total {head_total}, -{removed:.1f}s removed, "
+              f"+{added} queries)")
+    except Exception as e:
+        lo, hi = 160.0, 195.0
+        print(f"bench_guard: no readable HEAD record ({e.__class__.__name__})"
+              f" — static band [{lo}, {hi}]")
+
 env = rec.get("env") or {}
 bad = []
 if "steal_pct" not in env:
@@ -40,7 +67,7 @@ if "steal_pct" not in env:
 elif float(env["steal_pct"]) > 0.15:
     bad.append(f"steal_pct {env['steal_pct']} > 0.15 (contended box)")
 if not (lo <= total <= hi):
-    bad.append(f"total {total} outside the settled band [{lo}, {hi}]")
+    bad.append(f"total {total} outside the settled band [{lo:.1f}, {hi:.1f}]")
 if bad:
     print("bench_guard: REFUSING refresh of BENCH_FULL.json: "
           + "; ".join(bad))
@@ -51,7 +78,7 @@ EOF
 then
   exit 0
 else
-  git checkout -- BENCH_FULL.json
+  git checkout HEAD -- BENCH_FULL.json
   echo "bench_guard: restored the committed BENCH_FULL.json from HEAD;" \
     "re-run the full bench on a settled box (or override the band) to refresh"
   exit 0
