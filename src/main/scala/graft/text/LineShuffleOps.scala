@@ -24,6 +24,15 @@ import org.apache.spark.sql.types._
   * state. A 64-bit hash collision can only FALSELY REMOVE a line
   * (~W^2/2^64 expected over W corpus lines); the driver oracle replays
   * with exact line text, so the gate catches any collision at test scale.
+  * AT NAMEPLATE that bound is no longer negligible corpus-wide: a 100 TB
+  * crawl holds ~10^12 lines, so W^2/2^64 ~ 5*10^4 expected
+  * falsely-removed lines. Harmless for boilerplate cleanup, and
+  * `scopeCol` collapses W to per-site counts (the recommended mode) —
+  * but when every line matters corpus-wide, set `use128BitKeys`: the
+  * count key becomes the exact-dedup family's independently-seeded
+  * 128-bit fingerprint pair ([[graft.dedup.ExactDeduplicator]]'s
+  * convention), dropping expected false removals to ~10^-14 at the
+  * same W for 8 extra bytes per key on the two narrow shuffles.
   *
   * Contract: lines are `delimiter`-split then trimmed; empty-after-trim
   * lines are dropped; `ld_text` re-joins the kept trimmed lines with
@@ -77,6 +86,15 @@ class LineDeduplicator(override val uid: String)
   setDefault(countDocsOnce -> false)
   def setCountDocsOnce(v: Boolean): this.type = set(countDocsOnce, v)
 
+  /** 128-bit occurrence keys (the class scaladoc's nameplate analysis):
+    * two independently seeded xxhash64 of the trimmed line, the
+    * [[graft.dedup.ExactDeduplicator]] fingerprint-pair convention. */
+  final val use128BitKeys = new BooleanParam(this, "use128BitKeys",
+    "key occurrence counting on a 128-bit fingerprint pair instead of " +
+      "one 64-bit hash (for corpus-wide dedup at 10^12-line scale)")
+  setDefault(use128BitKeys -> false)
+  def setUse128BitKeys(v: Boolean): this.type = set(use128BitKeys, v)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val id = $(idCol)
@@ -92,19 +110,28 @@ class LineDeduplicator(override val uid: String)
     val scope =
       if ($(scopeCol).isEmpty) lit("")
       else coalesce(col($(scopeCol)).cast("string"), lit(""))
+    // key columns: one 64-bit hash, or the seeded pair when the caller
+    // opted into nameplate-exact keys (see the class scaladoc)
+    val hashCols =
+      if ($(use128BitKeys))
+        Seq(xxhash64(col("__ld_line")).as("__ld_h"),
+          xxhash64(lit(0x9e3779b9L), col("__ld_line")).as("__ld_h2"))
+      else Seq(xxhash64(col("__ld_line")).as("__ld_h"))
+    val keyNames = "__ld_s" +: hashCols.indices
+      .map(i => if (i == 0) "__ld_h" else "__ld_h2")
     val exploded = df
       .select(col(id).as("__ld_id"), scope.as("__ld_s"), posexplode(lines))
       .toDF("__ld_id", "__ld_s", "__ld_pos", "__ld_line")
-      .select(col("__ld_id"), col("__ld_s"), col("__ld_pos"),
-        xxhash64(col("__ld_line")).as("__ld_h"))
+      .select(Seq(col("__ld_id"), col("__ld_s"), col("__ld_pos")) ++
+        hashCols: _*)
     val occ =
       if ($(countDocsOnce)) countDistinct(col("__ld_id"))
       else count(lit(1))
-    val dup = exploded.groupBy("__ld_s", "__ld_h")
+    val dup = exploded.groupBy(keyNames.map(col): _*)
       .agg(occ.as("__ld_c"))
       .where(col("__ld_c") >= $(minOccurrences))
-      .select("__ld_s", "__ld_h")
-    val matches = exploded.join(dup, Seq("__ld_h", "__ld_s"))
+      .select(keyNames.map(col): _*)
+    val matches = exploded.join(dup, keyNames)
       .groupBy("__ld_id")
       .agg(collect_list(col("__ld_pos")).as("__ld_dup"))
 

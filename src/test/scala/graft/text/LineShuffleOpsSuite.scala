@@ -76,6 +76,31 @@ class LineShuffleOpsSuite extends TestBase {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("LineDeduplicator use128BitKeys matches the 64-bit path exactly") {
+    // the fingerprint-pair key is a collision-probability upgrade, not a
+    // semantics change: on any collision-free corpus (i.e. every corpus
+    // at test scale) the two key widths must agree byte-for-byte across
+    // scope/docs-once combinations
+    val docs = (0L until 80L).map { i =>
+      val site = s"s${i % 5}.com"
+      (i, site, s"head $i\nshared-${i % 4}\nsite-of-${i % 5}\ntail $i")
+    }.toDF("doc_id", "site", "text")
+    def run(wide: Boolean, scoped: Boolean, docsOnce: Boolean) = {
+      val ld = new LineDeduplicator().setInputCol("text")
+        .setUse128BitKeys(wide).setCountDocsOnce(docsOnce)
+      (if (scoped) ld.setScopeCol("site") else ld).transform(docs)
+        .select("doc_id", "ld_n_lines", "ld_n_dup_lines", "ld_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    }
+    for (scoped <- Seq(false, true); docsOnce <- Seq(false, true)) {
+      assert(run(wide = true, scoped, docsOnce) ==
+        run(wide = false, scoped, docsOnce), s"($scoped, $docsOnce)")
+    }
+    // and the wide path does remove the planted boilerplate
+    val wide = run(wide = true, scoped = true, docsOnce = true)
+    assert(wide.forall(_._3 >= 2L)) // shared-{i%4} + site-of-{i%5} lines
+  }
+
   test("CorpusShuffler assigns a dense deterministic permutation") {
     val df = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = new CorpusShuffler().setIdCol("doc_id").transform(df)
