@@ -2248,6 +2248,52 @@ object SparkEntry {
           col("col").cast("long").as("val"))
     },
 
+    // LEARNED embeddings (round 16): skip-gram vectors fit in-library on
+    // the planted-multilingual fixture, then 5-way nearest-centroid
+    // recovery of the planted class — the language_id planted-rule
+    // pattern (the k-means partition itself is not SQL-replayable, the
+    // recovered labels are). Word pools are disjoint across classes, so
+    // skip-gram only ever sees same-pool contexts and the pooled doc
+    // vectors cluster by class with a wide margin (margins + save/load
+    // + SemDeDup composition are suite-asserted in TrainedEmbedderSuite)
+    "trained_embedding" -> { (s, dir) =>
+      val synth = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("text", LanguageGateFixture.textCol)
+      val m = new graft.text.TrainedEmbedder().setInputCol("text")
+        .setDim(32).setMinCount(1).setMaxIter(4).setTrainSample(4096)
+        .fit(synth.filter(col("doc_id") % 3 =!= 0))
+      val emb = m.transform(synth)
+      // class centroids from the train split (bounded collect: 5 x 32)
+      val cents = emb.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") % 5).cast("int").as("__c"),
+          posexplode(col("embedding")))
+        .groupBy("__c", "pos").agg(avg(col("col")).as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      val bc = emb.sparkSession.sparkContext.broadcast(
+        (0 until 5).map(cents(_)).toArray)
+      val assignUdf = udf { e: Seq[Float] =>
+        val cs = bc.value
+        var best = 0; var bestS = Double.MinValue
+        var c = 0
+        while (c < cs.length) {
+          var s0 = 0.0; var ss = 0.0
+          var j = 0
+          while (j < cs(c).length) {
+            s0 += e(j) * cs(c)(j); ss += cs(c)(j) * cs(c)(j); j += 1
+          }
+          val sim = if (ss > 0) s0 / math.sqrt(ss) else 0.0
+          if (sim > bestS) { bestS = sim; best = c }
+          c += 1
+        }
+        best.toLong
+      }
+      emb.select(col("doc_id"), assignUdf(col("embedding")).as("pred_class"))
+    },
+
     // top-fraction quality pruning, exact mode (deterministic global
     // rank with (score desc, id asc) ties) — the SQL-replayable path;
     // the approx quantile-sketch mode is the 100 TB path, suite-covered
@@ -4783,6 +4829,13 @@ object SparkEntry {
         |LEFT JOIN sig ON sig.doc_id = d.doc_id
         |WHERE d.text IS NOT NULL
         |GROUP BY d.doc_id, r.j""".stripMargin,
+
+    // the planted-class rule itself (the language_id pattern): the gate
+    // passes iff nearest-centroid assignment over the learned embedding
+    // space recovers every planted class
+    "trained_embedding" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS pred_class
+        |FROM documents""".stripMargin,
 
     // the same report arithmetic per language group
     "corpus_report_grouped" ->
