@@ -908,6 +908,56 @@ object SparkEntry {
           col("token_id"))
     },
 
+    // FineWeb-shaped quality gating spliced INTO the extraction recipe
+    // (round 16): URL blocklist -> HTML extract -> mojibake repair ->
+    // C4 -> HashedEmbedder (un-normalized count mode: exact integer
+    // dims) -> planted dyadic 16->4->1 head -> threshold at 0. One
+    // narrow zero-exchange plan (PlanSuite-asserted); every stage's
+    // arithmetic is exact dyadic in both engines, so survivorship
+    // replays in SQL with no float tolerance. The html construction is
+    // recipe_e2e's (its oracle already pins extraction+repair), so the
+    // oracle constructs the post-extraction text directly and replays
+    // embed -> head -> threshold
+    "recipe_embed_e2e" -> { (s, dir) =>
+      import graft.text.MojibakeRepair.moji
+      val domains = array(lit("good.com"), lit("evil.com"), lit("fine.org"),
+        lit("nice.net"), lit("ok.io"))
+      val page = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(domains, (col("doc_id") % 5 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<html><head><script>if (1 < 2) { f(); }</script></head>" +
+            "<body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit(s" caf${moji("é")} ends here. and this sentence too. " +
+            "plus a third one. also a fourth sentence. finally the " +
+            "fifth.</p>"),
+          when(col("doc_id") % 13 === 0,
+            lit("<p>lorem ipsum dolor sit amet.</p>"))
+            .otherwise(lit("<p>a clean closing line.</p>")),
+          lit("</body></html>")).as("html"))
+      val (d, h) = (16, 4)
+      val w1 = Array.tabulate(h, d)((i, j) => ((i * 3 + j * 5) % 7 - 3) / 4.0)
+      val b1 = Array.tabulate(h)(i => (i % 3 - 1) / 4.0)
+      val v = Array(Array.tabulate(h)(i => ((i * 2) % 5 - 2) / 4.0))
+      val emb = new graft.text.HashedEmbedder().setDim(d).setSalt("e16")
+        .setNormalize(false).setOutputCol("__emb16")
+      val head = new graft.nn.MLPScorer().setOutputCol("__q16")
+        .setLayers(Seq(graft.nn.DenseLayer(w1, b1),
+          graft.nn.DenseLayer(v, Array(0.25))))
+      // threshold 12 sits near the score median at every sf (~52% keep),
+      // so both branches are populated; scores land ON dyadic values and
+      // the arithmetic is exact in both engines, so >= 12 cannot flip
+      val web = graft.text.Recipes.webExtraction(
+        blockedDomains = Seq("evil.com"),
+        qualityHead = Some((emb, head, 12.0)))
+        .fit(page).transform(page)
+      web.select(regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+        .as("doc_id"))
+    },
+
     // C4 cleaning rules (Raffel 2020 §2.2) over synthesized multi-line
     // text: per doc, planted lines exercise every rule — a no-terminal-
     // punct line (id%3), a 2-word line (id%4), a javascript line (id%5),
@@ -5255,6 +5305,50 @@ object SparkEntry {
         |  FROM wf JOIN v USING (w))
         |SELECT doc_id, shuffle_pos, CAST(dense - 1 AS INTEGER) AS pos,
         |  CAST(id AS INTEGER) AS token_id FROM ranked""".stripMargin,
+
+    // the FineWeb splice replayed: expected post-extraction text
+    // constructed directly (recipe_e2e's convention — extraction/repair
+    // have their own replay gates), then the hashed_embedding md5
+    // sign-bit arithmetic at salt e16 feeds the mlp_score dyadic head;
+    // every term is exact, so >= 0 is engine-independent
+    "recipe_embed_e2e" -> {
+      val (d, h) = (16, 4)
+      val hidden = (0 until h).map { i =>
+        val terms = (0 until d).map { j =>
+          s"(${((i * 3 + j * 5) % 7 - 3) / 4.0})*x[${j + 1}]"
+        }.mkString(" + ")
+        s"GREATEST(0, ${(i % 3 - 1) / 4.0} + $terms)"
+      }
+      val out = (0 until h).map { i =>
+        s"(${((i * 2) % 5 - 2) / 4.0})*(${hidden(i)})"
+      }.mkString(" + ")
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    text || ' café ends here. and this sentence too. plus a ' ||
+         |    'third one. also a fourth sentence. finally the fifth.' ||
+         |    chr(10) || 'a clean closing line.' AS t
+         |  FROM documents
+         |  WHERE doc_id % 5 <> 1 AND doc_id % 13 <> 0),
+         |tok AS (SELECT doc_id, tk, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      string_split_regex(lower(trim(t)), '\\s+'), x -> x <> '')) AS tk
+         |    FROM synth) GROUP BY doc_id, tk),
+         |sig AS (SELECT doc_id, c, md5(tk || ':e16') AS hh FROM tok),
+         |r AS (SELECT unnest(range($d)) AS j),
+         |emb AS (SELECT sy.doc_id, r.j,
+         |    CAST(COALESCE(SUM(sig.c * (CASE WHEN
+         |      ((strpos('0123456789abcdef',
+         |          substr(sig.hh, (r.j // 4) + 1, 1)) - 1)
+         |        >> (3 - (r.j % 4))) & 1 = 1
+         |      THEN 1 ELSE -1 END)), 0) AS DOUBLE) AS v
+         |  FROM synth sy CROSS JOIN r
+         |  LEFT JOIN sig ON sig.doc_id = sy.doc_id
+         |  GROUP BY sy.doc_id, r.j),
+         |xs AS (SELECT doc_id, list(v ORDER BY j) AS x FROM emb
+         |  GROUP BY doc_id)
+         |SELECT doc_id FROM xs
+         |WHERE 0.25 + $out >= 12.0""".stripMargin
+    },
 
     "corpus_shuffle" ->
       """SELECT doc_id, CAST(row_number() OVER (

@@ -46,12 +46,27 @@ object Recipes {
     * intact (round 14; the old fixed names were silently dropped by
     * the cleanup stage). The recipe's OUTPUT contract columns remain
     * fixed by design: `text` (and the gate's transient
-    * `lang_pred`/`lang_prob`) supersede same-named inputs. */
+    * `lang_pred`/`lang_prob`) supersede same-named inputs.
+    *
+    * `qualityHead` is the FineWeb-Edu position for model-based quality
+    * gating (extract → embed → head-score → threshold; public recipe:
+    * Penedo et al. 2024, FineWeb): pass an embedder stage (any
+    * transformer with inputCol/outputCol params emitting `Array`
+    * vectors — [[HashedEmbedder]] or a fitted
+    * [[TrainedEmbedderModel]]), a [[graft.nn.MLPScorer]] head, and the
+    * keep threshold. The recipe wires the embedder to `text`, the head
+    * to the embedder's output, keeps docs scoring AT OR ABOVE the
+    * threshold, and drops both transient columns — a pure narrow chain,
+    * zero added exchanges. Embedding once and re-thresholding per
+    * experiment is the 100 TB workflow; re-running the whole recipe
+    * re-embeds, so pipelines that sweep thresholds should split here. */
   def webExtraction(blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
       languageGate: Option[(LanguageIdentifierModel, Seq[String])] = None,
       urlDedupIdCol: Option[String] = None,
-      languageMinProb: Double = 0.0)
+      languageMinProb: Double = 0.0,
+      qualityHead: Option[(org.apache.spark.ml.Transformer,
+        graft.nn.MLPScorer, Double)] = None)
       : Pipeline = {
     require(languageGate.isDefined || languageMinProb == 0.0,
       "languageMinProb only takes effect inside a languageGate — pass " +
@@ -86,11 +101,26 @@ object Recipes {
       new C4Filter().setInputCol(repaired).setOutputCol("text")
         .transform(gated).drop(ext, repaired, "html")
     }
+    val headStages = qualityHead.toSeq.map { case (embedder, head, thr) =>
+      new Lambda().setTransform { df =>
+        // wire copies (never the caller's instances) to the recipe's
+        // contract columns; both stages' outputCol params name the
+        // transient columns this stage drops after thresholding
+        val e = embedder.copy(org.apache.spark.ml.param.ParamMap.empty)
+        e.set(e.getParam("inputCol"), "text")
+        val eOut = e.getOrDefault(e.getParam("outputCol")).toString
+        val h = head.copy(org.apache.spark.ml.param.ParamMap.empty)
+        h.set(h.getParam("inputCol"), eOut)
+        val hOut = h.getOrDefault(h.getParam("outputCol")).toString
+        h.transform(e.transform(df))
+          .filter(col(hOut) >= thr).drop(eOut, hOut)
+      }
+    }
     new Pipeline().setStages(((
       new UrlFilter().setInputCol("url")
         .setBlockedDomains(blockedDomains).setBlockedTerms(blockedTerms)
         : org.apache.spark.ml.PipelineStage) +:
-      (urlDedupStages :+ extractStage)).toArray)
+      (urlDedupStages ++ (extractStage +: headStages))).toArray)
   }
 
   /** Clean text → training corpus: Gopher structural signals +

@@ -85,6 +85,17 @@ class PlanSuite extends TestBase {
     assert(joins.isEmpty, s"expected no join, got $joins")
   }
 
+  test("recipe_embed_e2e plans as one narrow chain, zero exchanges") {
+    // the FineWeb splice (extract -> embed -> head-score -> threshold)
+    // adds NO exchange beyond the recipe's none: blocklist filter, html
+    // extraction, embedding, and the head are all per-row projections
+    val shuffles = planOf("recipe_embed_e2e").collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"embed-gated extraction recipe must not shuffle: ${shuffles.size}")
+  }
+
   test("dimension joins broadcast the small side") {
     val broadcasts = planOf("q5_region_revenue").collect {
       case b: BroadcastHashJoinExec => b

@@ -91,6 +91,97 @@ class RecipesSuite extends TestBase {
     assert(loaded.fit(in).transform(in).columns.contains("text"))
   }
 
+  test("webExtraction qualityHead: embed -> head-score -> threshold splice") {
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    val longPara = (1 to 6).map(i =>
+      s"This is a full sentence number $i with plenty of honest words in it.")
+      .mkString(" ")
+    val df = Seq(
+      ("https://ok.com/a", page(s"goodtoken $longPara")),
+      ("https://ok.com/b", page(longPara)))
+      .toDF("url", "html")
+    // a head that scores exactly the 'goodtoken' signed contribution:
+    // dim-1 hashed embedding, weight picks its sign
+    val emb = new HashedEmbedder().setDim(1).setSalt("qh")
+      .setNormalize(false).setOutputCol("__e")
+    val sign = {
+      val w = HashedEmbedder.signBits("goodtoken:qh")
+      if (((w(0) >>> 63) & 1L) == 1L) 1.0 else -1.0
+    }
+    val head = new graft.nn.MLPScorer().setOutputCol("__s")
+      .setLayers(Seq(graft.nn.DenseLayer(Array(Array(sign)), Array(0.0))))
+    // threshold chosen so only the goodtoken page clears it: both pages
+    // share longPara's contribution c, the first adds sign*sign=+1
+    val base = Recipes.webExtraction().fit(df).transform(df)
+    assert(base.count() == 2)
+    val common = new graft.nn.MLPScorer().setInputCol("__e")
+      .setOutputCol("__s")
+      .setLayers(Seq(graft.nn.DenseLayer(Array(Array(sign)), Array(0.0))))
+      .transform(emb.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setInputCol("text").transform(base))
+      .filter(col("url") === "https://ok.com/b")
+      .select("__s").as[Double].head()
+    val out = Recipes.webExtraction(
+      qualityHead = Some((emb, head, common + 0.5)))
+      .fit(df).transform(df)
+    // only the goodtoken page survives, and the transient columns drop
+    assert(out.columns.toSeq == Seq("url", "text"))
+    assert(out.select("url").as[String].collect().toSeq ==
+      Seq("https://ok.com/a"))
+  }
+
+  test("webExtraction qualityHead composes with TrainedEmbedderModel") {
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    // corpus: two disjoint-topic pools; head = mean of topic-A word
+    // vector directions via a trained model — the FineWeb shape with a
+    // LEARNED embedder in the same splice
+    val poolA = Seq("stellar", "orbit", "comet", "nebula", "quasar",
+      "galaxy", "photon", "plasma")
+    val poolB = Seq("ledger", "audit", "invoice", "payroll", "tax",
+      "budget", "equity", "asset")
+    val corpus = (0 until 60).map { i =>
+      val pool = if (i % 2 == 0) poolA else poolB
+      (i.toLong, (0 until 12).map(j => pool((i + j * 3) % 8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = new TrainedEmbedder().setInputCol("text").setDim(12)
+      .setMinCount(1).setMaxIter(4).fit(corpus)
+    // head weights = the A-centroid direction: A-pages score high
+    val ca = {
+      val embs = m.transform(corpus.filter(col("doc_id") % 2 === 0))
+        .select("embedding").as[Seq[Float]].collect()
+      val c = new Array[Double](12)
+      embs.foreach(v => (0 until 12).foreach(j => c(j) += v(j)))
+      c.map(_ / embs.length)
+    }
+    val head = new graft.nn.MLPScorer().setOutputCol("__s")
+      .setLayers(Seq(graft.nn.DenseLayer(Array(ca), Array(0.0))))
+    val sentence = "These are honest filler words to pass cleaning rules."
+    val bodyA = s"stellar orbit comet nebula quasar galaxy photon " +
+      s"plasma. $sentence $sentence $sentence $sentence $sentence"
+    val bodyB = s"ledger audit invoice payroll tax budget equity " +
+      s"asset. $sentence $sentence $sentence $sentence $sentence"
+    // self-calibrating threshold: score both page texts directly (the
+    // extracted text IS the paragraph body), split at the midpoint —
+    // robust to training noise while still requiring real separation
+    def score(t: String) = head.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setInputCol("embedding")
+      .transform(m.transform(Seq((1L, t)).toDF("doc_id", "text")))
+      .select("__s").as[Double].head()
+    val (sa, sb) = (score(bodyA), score(bodyB))
+    assert(sa > sb + 0.1, s"topic-A page should outscore B: $sa vs $sb")
+    val df = Seq(
+      ("https://a.com/1", page(bodyA)),
+      ("https://b.com/2", page(bodyB)))
+      .toDF("url", "html")
+    val out = Recipes.webExtraction(
+      qualityHead = Some((m, head, (sa + sb) / 2)))
+      .fit(df).transform(df)
+    assert(out.select("url").as[String].collect().toSeq ==
+      Seq("https://a.com/1"))
+  }
+
   test("corpusCuration: gate, dedup, deterministic order") {
     val body = (1 to 60).map(i => s"word$i").mkString(" ")
     val df = Seq(
