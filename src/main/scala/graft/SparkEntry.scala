@@ -680,6 +680,29 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // THE FULL EMBEDDING CHAIN as one plan (round 16): raw text ->
+    // HashedEmbedder -> SemDeDup at its auto-k operating point — the
+    // self-contained semantic-dedup recipe a 100 TB pipeline runs, with
+    // no external model anywhere. Rows-only by design (the k-means
+    // partition is not SQL-replayable); the chain's links have their own
+    // hash gates (hashed_embedding exact-integer; semdedup_exact
+    // all-pairs). This is also the SCALING.md chain row's handle.
+    "embed_chain" -> { (s, dir) =>
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 500L
+        case "sf0.1" => 5000L
+        case _ => 0L
+      }
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = new graft.text.HashedEmbedder().setInputCol("text")
+        .setDim(64).setSalt("chain").transform(docs)
+      new graft.dedup.SemDeDup().setInputCol("embedding")
+        .setIdCol("doc_id").setThreshold(0.9)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
+        .transform(emb)
+        .select(col("doc_id"))
+    },
+
     // SemDeDup exactness gate: nClusters=1 is the exhaustive setting —
     // every pair is compared, so the result IS exact pairwise cosine
     // dedup and the oracle replays it all-pairs (the knn_ivf_recall

