@@ -29,6 +29,18 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), loaded.transform(df))
   }
 
+  test("TrainedEmbedderModel save/load") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta gamma delta alpha beta"
+        else "omega sigma theta kappa omega sigma")).toDF("doc_id", "text")
+    val m = new graft.text.TrainedEmbedder().setInputCol("text")
+      .setDim(6).setMinCount(1).fit(df)
+    val p = tmp("temb")
+    m.write.overwrite().save(p)
+    val back = graft.text.TrainedEmbedderModel.load(p)
+    roundTrip(m.transform(df), back.transform(df))
+  }
+
   test("UnigramLMModel save/load") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val m = new graft.text.UnigramLM().setInputCol("text").setVocabSize(2)
