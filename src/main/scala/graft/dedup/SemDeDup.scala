@@ -67,6 +67,12 @@ import org.apache.spark.sql.types._
   * driver gate's SQL-replayable companion (the `knn_ivf_recall` pattern:
   * the exhaustive setting of the approximate operator equals the exact
   * oracle).
+  *
+  * Null embeddings are never candidates and always survive (they carry
+  * no vector to compare). Zero-NORM embeddings follow Spark comparison
+  * semantics for their NaN cosine (NaN orders above every number), so a
+  * zero-norm pair sharing a cluster counts as duplicates — unchanged
+  * from the expression-based verify this class used before round 16.
   */
 class SemDeDup(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable
@@ -270,7 +276,12 @@ class SemDeDup(override val uid: String) extends Transformer
     // <uid>_dropped.dropped_candidates) and the paper's pairwise verify
     // + keep rule run inside each capped buffer — each vector crosses
     // the wire once, never per pair (see the class scaladoc)
+    // null embeddings carry no vector to compare: they are never
+    // candidates and always survive (the row itself is kept — the
+    // anti-join only removes ids the verify emitted). Before round 16
+    // a null embedding was an opaque NPE inside the assignment UDF.
     val assigned = narrow
+      .where(col("__v").isNotNull)
       .select(col("__id"), col("__v"), assignUdf(col("__v")).as("__a"))
       .select(col("__id"), col("__v"),
         col("__a._1").as("__cell"), col("__a._2").as("__csim"))

@@ -117,9 +117,14 @@ class TrainedEmbedder(override val uid: String)
     require(sampled.nonEmpty,
       s"TrainedEmbedder: no non-null '$getInputCol' rows to fit on")
     // single fixed-order partition + fixed seed = reproducible vectors
-    // (see the class scaladoc for why this beats a distributed fit here)
+    // (see the class scaladoc for why this beats a distributed fit
+    // here). coalesce, NOT repartition: a repartition shuffle fetches
+    // blocks in load-balanced (non-deterministic) order on a real
+    // cluster, which would silently reorder the training stream;
+    // coalesce merges the local partitions in index order, preserving
+    // the collected sample's order exactly
     val train = spark.createDataset(sampled.toIndexedSeq)
-      .repartition(1).toDF("__toks")
+      .coalesce(1).toDF("__toks")
     val w2v = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize($(dim)).setWindowSize($(windowSize))

@@ -147,6 +147,26 @@ class SemDeDupSuite extends TestBase {
     assert(exact.toSet.subsetOf(a.toSet))
   }
 
+  test("null embeddings survive; zero-norm pairs keep Spark NaN semantics") {
+    // null: no vector to compare -> never a candidate, row kept (was an
+    // opaque NPE before round 16). zero-norm: cosine against ANYTHING is
+    // NaN, and Spark comparison semantics order NaN above every number,
+    // so a zero-norm vector collapses against whatever shares its
+    // cluster — the grouped verify must mirror the expression-based
+    // filter it replaced (here ids 6 and 7 both fold into id 0).
+    val df = Seq(
+      (0L, Array(1.0, 0.02, 0.0, 0.0)),
+      (1L, Array(1.0, 0.05, 0.0, 0.0)),            // near-dup of 0
+      (5L, null.asInstanceOf[Array[Double]]),       // survives untouched
+      (6L, Array(0.0, 0.0, 0.0, 0.0)),              // zero-norm ->
+      (7L, Array(0.0, 0.0, 0.0, 0.0)))              //   NaN vs everything
+      .toDF("vec_id", "embedding")
+    val out = ids(new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(1).setThreshold(0.99).setKeepRule("minId")
+      .transform(df))
+    assert(out == Seq(0L, 5L), s"got $out")
+  }
+
   test("maxClusterSize cap degrades gracefully, never errors") {
     val out = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
       .setNClusters(1).setThreshold(0.99).setMaxClusterSize(2)
