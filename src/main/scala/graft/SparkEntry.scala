@@ -82,6 +82,45 @@ private[graft] object LanguageGateFixture {
     }
 }
 
+/** Shared tail of the trained-embedding gates: 5-way nearest-centroid
+  * recovery of the planted class (the language_id planted-rule pattern
+  * over embedding space — the clustering itself is not SQL-replayable,
+  * the recovered labels are). Centroids come from the train split
+  * (doc_id % 3 != 0; bounded collect of 5 × dim means). */
+private[graft] object EmbedGateSupport {
+  def nearestCentroidRecovery(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = emb.filter(col("doc_id") % 3 =!= 0)
+      .select((col("doc_id") % 5).cast("int").as("__c"),
+        posexplode(col("embedding")))
+      .groupBy("__c", "pos").agg(avg(col("col")).as("v"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val bc = emb.sparkSession.sparkContext.broadcast(
+      (0 until 5).map(cents(_)).toArray)
+    val assignUdf = udf { e: Seq[Float] =>
+      val cs = bc.value
+      var best = 0; var bestS = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        var s0 = 0.0; var ss = 0.0
+        var j = 0
+        while (j < cs(c).length) {
+          s0 += e(j) * cs(c)(j); ss += cs(c)(j) * cs(c)(j); j += 1
+        }
+        val sim = if (ss > 0) s0 / math.sqrt(ss) else 0.0
+        if (sim > bestS) { bestS = sim; best = c }
+        c += 1
+      }
+      best.toLong
+    }
+    emb.select(col("doc_id"), assignUdf(col("embedding")).as("pred_class"))
+  }
+}
+
 /** Ranking train/validation-split gate fixture shared by the ranking_tvs
   * query and RecoSuite's margin test. Constructed so JACCARD similarity
   * strictly beats LIFT on held-out NDCG@5, deterministically:
@@ -2335,36 +2374,24 @@ object SparkEntry {
       val m = new graft.text.TrainedEmbedder().setInputCol("text")
         .setDim(32).setMinCount(1).setMaxIter(4).setTrainSample(4096)
         .fit(synth.filter(col("doc_id") % 3 =!= 0))
-      val emb = m.transform(synth)
-      // class centroids from the train split (bounded collect: 5 x 32)
-      val cents = emb.filter(col("doc_id") % 3 =!= 0)
-        .select((col("doc_id") % 5).cast("int").as("__c"),
-          posexplode(col("embedding")))
-        .groupBy("__c", "pos").agg(avg(col("col")).as("v"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rs) =>
-          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
-        }
-      val bc = emb.sparkSession.sparkContext.broadcast(
-        (0 until 5).map(cents(_)).toArray)
-      val assignUdf = udf { e: Seq[Float] =>
-        val cs = bc.value
-        var best = 0; var bestS = Double.MinValue
-        var c = 0
-        while (c < cs.length) {
-          var s0 = 0.0; var ss = 0.0
-          var j = 0
-          while (j < cs(c).length) {
-            s0 += e(j) * cs(c)(j); ss += cs(c)(j) * cs(c)(j); j += 1
-          }
-          val sim = if (ss > 0) s0 / math.sqrt(ss) else 0.0
-          if (sim > bestS) { bestS = sim; best = c }
-          c += 1
-        }
-        best.toLong
-      }
-      emb.select(col("doc_id"), assignUdf(col("embedding")).as("pred_class"))
+      EmbedGateSupport.nearestCentroidRecovery(m.transform(synth))
+    },
+
+    // the SIF pooling path under adversarial conditions: every doc
+    // carries a 16-token shared stopword that dominates a flat mean;
+    // the a/(a+p(w)) weights collapse it, so nearest-centroid recovery
+    // of the planted class stays exact (the sif-beats-mean margin on
+    // this fixture shape is suite-asserted in TrainedEmbedderSuite)
+    "trained_embedding_sif" -> { (s, dir) =>
+      val stop = (1 to 16).map(_ => "zzcommon").mkString(" ")
+      val synth = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("text",
+          concat(LanguageGateFixture.textCol, lit(" " + stop)))
+      val m = new graft.text.TrainedEmbedder().setInputCol("text")
+        .setDim(32).setMinCount(1).setMaxIter(4).setTrainSample(4096)
+        .setPooling("sif")
+        .fit(synth.filter(col("doc_id") % 3 =!= 0))
+      EmbedGateSupport.nearestCentroidRecovery(m.transform(synth))
     },
 
     // top-fraction quality pruning, exact mode (deterministic global
@@ -4907,6 +4934,12 @@ object SparkEntry {
     // passes iff nearest-centroid assignment over the learned embedding
     // space recovers every planted class
     "trained_embedding" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS pred_class
+        |FROM documents""".stripMargin,
+
+    // same planted rule; the gate's Spark side must recover it THROUGH
+    // the 16-token stopword flood via SIF weighting
+    "trained_embedding_sif" ->
       """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS pred_class
         |FROM documents""".stripMargin,
 

@@ -46,6 +46,13 @@ import org.apache.spark.sql.types._
   * OOV tokens are skipped; a doc with no in-vocabulary token embeds as
   * the zero vector (the HashedEmbedder empty-text convention); null
   * text embeds null.
+  *
+  * Pooling: flat `mean` (default) or `sif` — smooth-inverse-frequency
+  * weighting a/(a+p(w)) (Arora, Liang & Ma 2017, "A Simple but
+  * Tough-to-Beat Baseline for Sentence Embeddings", ICLR — public
+  * literature), which downweights stopword-frequency tokens so content
+  * words drive the document vector; p(w) is the unigram frequency over
+  * the SAME training sample, persisted with the model.
   */
 class TrainedEmbedder(override val uid: String)
     extends Estimator[TrainedEmbedderModel] with HasInputCol
@@ -100,6 +107,21 @@ class TrainedEmbedder(override val uid: String)
   setDefault(normalize -> true)
   def setNormalize(v: Boolean): this.type = set(normalize, v)
 
+  final val pooling = new Param[String](this, "pooling",
+    "token-vector pooling: 'mean' (flat average) or 'sif' (smooth " +
+      "inverse frequency a/(a+p(w)) weighting, Arora et al. 2017 — " +
+      "downweights stopword-frequency tokens so content words drive " +
+      "the document vector)",
+    ParamValidators.inArray(Array("mean", "sif")))
+  setDefault(pooling -> "mean")
+  def setPooling(v: String): this.type = set(pooling, v)
+
+  final val sifA = new DoubleParam(this, "sifA",
+    "SIF smoothing constant a (the paper's 1e-3..1e-4 band)",
+    ParamValidators.gt(0.0))
+  setDefault(sifA -> 1e-3)
+  def setSifA(v: Double): this.type = set(sifA, v)
+
   override def fit(ds: Dataset[_]): TrainedEmbedderModel = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -150,10 +172,22 @@ class TrainedEmbedder(override val uid: String)
     require(vecs.length <= $(maxVocab),
       s"TrainedEmbedder: fitted vocabulary ${vecs.length} exceeds " +
         s"maxVocab ${$(maxVocab)} — raise minCount or the cap")
+    // unigram frequencies over the SAME sample the vectors trained on
+    // (driver-side — the sample is already collected), kept for vocab
+    // words only: the SIF weight of an OOV token is moot (skipped)
+    val counts = new java.util.HashMap[String, Long]()
+    var totalToks = 0L
+    sampled.foreach(_.foreach { t =>
+      counts.merge(t, 1L, (a, b) => a + b); totalToks += 1
+    })
+    val freqs = vecs.map { case (w, _) =>
+      w -> counts.getOrDefault(w, 0L).toDouble / math.max(1L, totalToks)
+    }
     val m = new TrainedEmbedderModel(uid + "_model")
       .setInputCol(getInputCol).setOutputCol($(outputCol))
-      .setNormalize($(normalize))
+      .setNormalize($(normalize)).setPooling($(pooling)).setSifA($(sifA))
     m.set(m.wordVectors, vecs.toSeq)
+    m.set(m.wordFreqs, freqs.toSeq)
     m.setParent(this)
   }
 
@@ -188,10 +222,26 @@ class TrainedEmbedderModel(override val uid: String)
   setDefault(normalize -> true)
   def setNormalize(v: Boolean): this.type = set(normalize, v)
 
+  final val pooling = new Param[String](this, "pooling",
+    "token-vector pooling: 'mean' or 'sif' (a/(a+p(w)) weights)",
+    ParamValidators.inArray(Array("mean", "sif")))
+  setDefault(pooling -> "mean")
+  def setPooling(v: String): this.type = set(pooling, v)
+
+  final val sifA = new DoubleParam(this, "sifA",
+    "SIF smoothing constant a", ParamValidators.gt(0.0))
+  setDefault(sifA -> 1e-3)
+  def setSifA(v: Double): this.type = set(sifA, v)
+
   /** Fitted vocabulary, word-sorted; a complex Param so save/load
     * round-trips the whole model. */
   final val wordVectors = new Param[Seq[(String, Array[Float])]](this,
     "wordVectors", "fitted (word, vector) table, word-sorted")
+
+  /** Sample unigram frequencies of the vocabulary words (the SIF
+    * weights' p(w)); persisted alongside the vectors. */
+  final val wordFreqs = new Param[Seq[(String, Double)]](this,
+    "wordFreqs", "fitted (word, sample frequency) table")
 
   def vocabSize: Int = $(wordVectors).size
   def dim: Int = $(wordVectors).headOption.map(_._2.length).getOrElse(0)
@@ -201,10 +251,23 @@ class TrainedEmbedderModel(override val uid: String)
       "model has no word vectors (not fitted / loaded?)")
     val d = dim
     val norm = $(normalize)
+    val sif = $(pooling) == "sif"
+    val a = $(sifA)
+    require(!sif || isSet(wordFreqs),
+      "pooling=sif needs the fitted word frequencies (refit, or a " +
+        "pre-round-16 save lacks them — pooling=mean still works)")
+    val freqByWord: Map[String, Double] =
+      if (sif) $(wordFreqs).toMap else Map.empty
     val table = ds.sparkSession.sparkContext.broadcast {
-      val m = new java.util.HashMap[String, Array[Float]](
+      val m = new java.util.HashMap[String, (Array[Float], Double)](
         $(wordVectors).size * 2)
-      $(wordVectors).foreach { case (w, v) => m.put(w, v) }
+      // per-word SIF weight precomputed once on the driver: the
+      // transform kernel then pays one map lookup per token either way
+      $(wordVectors).foreach { case (w, v) =>
+        val weight =
+          if (sif) a / (a + freqByWord.getOrElse(w, 0.0)) else 1.0
+        m.put(w, (v, weight))
+      }
       m
     }
     val embUdf = udf { text: String =>
@@ -214,15 +277,18 @@ class TrainedEmbedderModel(override val uid: String)
         val acc = new Array[Double](d)
         var n = 0
         toks.foreach { t =>
-          val v = table.value.get(t)
-          if (v != null) {
+          val e = table.value.get(t)
+          if (e != null) {
+            val (v, w) = e
             var j = 0
-            while (j < d) { acc(j) += v(j); j += 1 }
+            while (j < d) { acc(j) += w * v(j); j += 1 }
             n += 1
           }
         }
         val out = new Array[Float](d)
         if (n > 0) {
+          // both modes divide by the in-vocab token count: flat mean at
+          // weight 1, the paper's (1/|d|) Σ a/(a+p(w)) v_w for SIF
           var j = 0
           while (j < d) { acc(j) /= n; j += 1 }
           if (norm) {

@@ -123,6 +123,43 @@ class TrainedEmbedderSuite extends TestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("SIF pooling downweights a planted stopword; persists with the model") {
+    // every doc carries a heavy shared stopword; two docs sharing ONLY
+    // it must look less similar under sif than under flat mean
+    val stop = Array.fill(8)("zzfiller").mkString(" ")
+    val docs = (0 until 80).map { i =>
+      val pool = if (i % 2 == 0) poolA else poolB
+      val words = (0 until 8).map(j => pool((i * 7 + j * 13) % 12))
+      (i.toLong, s"$stop ${words.mkString(" ")}")
+    }.toDF("doc_id", "text")
+    def cosAt(m: TrainedEmbedderModel): Double = {
+      val e = m.transform(docs).select("doc_id", "embedding")
+        .as[(Long, Seq[Float])].collect().toMap
+      cos(e(0L), e(1L)) // cross-topic pair: shares only the stopword
+    }
+    val base = new TrainedEmbedder().setInputCol("text").setDim(24)
+      .setMinCount(1).setMaxIter(4)
+    val mean = base.fit(docs)
+    val sif = base.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setPooling("sif").fit(docs)
+    val (cm, cs) = (cosAt(mean), cosAt(sif))
+    assert(cs < cm - 0.1,
+      s"sif cross-topic cosine $cs should sit well under mean's $cm")
+    // frequencies persist: a reloaded sif model pools identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sif").toString + "/m"
+    sif.write.overwrite().save(dir)
+    assert(cosAt(TrainedEmbedderModel.load(dir)) == cs)
+    // a model missing frequencies fails fast when asked for sif
+    val crippled = mean.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setPooling("sif")
+    crippled.clear(crippled.wordFreqs)
+    val e = intercept[IllegalArgumentException] {
+      crippled.transform(docs)
+    }
+    assert(e.getMessage.contains("frequencies"))
+  }
+
   test("closes the loop semantically: TrainedEmbedder -> SemDeDup") {
     // the HashedEmbedderSuite end-to-end proof re-run over the trained
     // path: near-duplicate pages collapse under semantic dedup over the
