@@ -157,6 +157,24 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted-cluster fixture shared by `embed_cluster`/`topic_balance`:
+    * dim-8 embeddings with one dominant planted direction per
+    * doc_id % 6 group plus tiny deterministic jitter — separable enough
+    * that the seeded spherical k-means recovers the partition EXACTLY
+    * at every SF (the quality_classifier planted-rule pattern). Returns
+    * the fitted assignment (doc_id, cluster). */
+  private def plantedClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "documents").select(col("doc_id"),
+      array((0 until 8).map(d =>
+        when(col("doc_id") % 6 === d, lit(10.0))
+          .otherwise(pmod(col("doc_id") * (d + 7), lit(13))
+            .cast("double") / 100.0)): _*).as("emb"))
+    new graft.sim.EmbeddingClusterer().setInputCol("emb")
+      .setIdCol("doc_id").setK(6).setSeed(7L)
+      .fit(emb).transform(emb)
+      .select(col("doc_id"), col("cluster"))
+  }
+
   /** Directory to hand a FileStreamSource for table `name`: the
     * driver's testdata stores each table as a SINGLE parquet file (the
     * source wants a directory — expose the file through a temp-dir
@@ -755,6 +773,66 @@ object SparkEntry {
         .setMaxClusterSize(4096)
         .transform(tbl(s, dir, "embeddings"))
         .select(col("vec_id"))
+    },
+
+    // ---- topic clustering + cluster-balanced curation ----------------
+    // EmbeddingClusterer gated on EXACT recovery of a planted partition:
+    // 6 orthogonal planted directions (one per doc_id % 6) with tiny
+    // deterministic jitter; spherical k-means must reproduce the
+    // partition, and the arbitrary k-means labels are canonicalized to
+    // each cluster's min doc_id so the oracle replays label-free.
+    "embed_cluster" -> { (s, dir) =>
+      val assigned = SparkEntry.plantedClusters(s, dir)
+      val rep = assigned.groupBy("cluster")
+        .agg(min(col("doc_id")).as("cluster_rep"))
+      assigned.join(rep, "cluster").select(col("doc_id"), col("cluster_rep"))
+    },
+
+    // deterministic per-group doc-count cap (the quota half of
+    // cluster-balanced curation): 10 docs per source by the family's
+    // md5(id:salt) draw — the oracle replays the window-rank rule the
+    // bottom-k aggregator is provably equivalent to
+    "group_quota" -> { (s, dir) =>
+      new graft.text.GroupQuotaSampler().setGroupCol("source")
+        .setIdCol("doc_id").setCap(10)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("source"))
+    },
+
+    // the COMPOSED capability (DataComp-LM topic rebalancing): planted
+    // clusters -> per-cluster quota, one plan; survivors and their
+    // canonical cluster rep both replayed in SQL
+    "topic_balance" -> { (s, dir) =>
+      val assigned = SparkEntry.plantedClusters(s, dir)
+      val kept = new graft.text.GroupQuotaSampler().setGroupCol("cluster")
+        .setIdCol("doc_id").setCap(15).setSalt("balance")
+        .transform(assigned)
+      val rep = kept.groupBy("cluster")
+        .agg(min(col("doc_id")).as("cluster_rep"))
+      kept.join(rep, "cluster").select(col("doc_id"), col("cluster_rep"))
+    },
+
+    // ---- soft dedup (n-gram commonness reweighting) ------------------
+    // integer sufficient statistics only (distinct-3-gram count and the
+    // sum of their document frequencies) — the weight itself is a pure
+    // function of per-gram dfs and stays suite-pinned, so no
+    // cross-engine float sum ordering ever reaches the hash gate
+    "soft_dedup" -> { (s, dir) =>
+      new graft.text.SoftDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setN(3)
+        .transform(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("sd_n_grams"), col("sd_sum_df"))
+    },
+
+    // the 100 TB path: CountMinSketch dfs, map-only weight pass. On the
+    // bounded fixture (doc_id < 300) the 5x2^20 sketch is collision-free,
+    // so the estimates ARE the exact dfs and the exact-mode oracle
+    // applies verbatim (the dedup_bloom_approx pattern)
+    "soft_dedup_sketch" -> { (s, dir) =>
+      new graft.text.SoftDeduplicator().setInputCol("text")
+        .setIdCol("doc_id").setN(3).setMode("sketch")
+        .transform(tbl(s, dir, "documents").where(col("doc_id") < 300))
+        .select(col("doc_id"), col("sd_n_grams"), col("sd_sum_df"))
     },
 
     // ---- similarity search (LLM-pipeline) ---------------------------
@@ -4982,6 +5060,71 @@ object SparkEntry {
         |    COUNT(*) OVER () AS n
         |  FROM documents)
         |WHERE rn <= CEIL(0.25 * n)""".stripMargin,
+
+    // planted-partition recovery, label-free: the oracle is the planted
+    // grouping itself, canonicalized to each group's min doc_id
+    "embed_cluster" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 6)
+        |  AS cluster_rep FROM documents""".stripMargin,
+
+    // the bottom-k aggregator's keep set == the window-rank rule
+    "group_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id)
+        |    AS rn FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+
+    "topic_balance" ->
+      """WITH kept AS (
+        |  SELECT doc_id, doc_id % 6 AS grp FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 6
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':balance'), doc_id)
+        |      AS rn FROM documents) WHERE rn <= 15)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS cluster_rep
+        |FROM kept""".stripMargin,
+
+    // distinct-3-gram document frequencies, integer statistics only
+    // (the sd_weight double is a pure function of the per-gram dfs and
+    // stays suite-pinned off the hash gate)
+    "soft_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+        |    AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i, i+2), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(df) AS sum_df
+        |  FROM grams JOIN dfreq USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS sd_n_grams,
+        |  CAST(COALESCE(sc.sum_df, 0) AS BIGINT) AS sd_sum_df
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // collision-free sketch == exact dfs on the bounded fixture, so the
+    // exact SQL applies verbatim (the dedup_bloom_approx pattern)
+    "soft_dedup_sketch" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+        |    AS t FROM docs),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, i, i+2), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(df) AS sum_df
+        |  FROM grams JOIN dfreq USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS sd_n_grams,
+        |  CAST(COALESCE(sc.sum_df, 0) AS BIGINT) AS sd_sum_df
+        |FROM docs d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "concat_chunk" ->
       """WITH tok AS (
