@@ -824,14 +824,17 @@ object SparkEntry {
         .select(col("doc_id"), col("sd_n_grams"), col("sd_sum_df"))
     },
 
-    // the 100 TB path: CountMinSketch dfs, map-only weight pass. On the
-    // bounded fixture (doc_id < 300) the 5x2^20 sketch is collision-free,
-    // so the estimates ARE the exact dfs and the exact-mode oracle
-    // applies verbatim (the dedup_bloom_approx pattern)
+    // the 100 TB path: CountMinSketch dfs, map-only weight pass. At the
+    // sf0.01 correctness fixture the 5x2^20 sketch is collision-free
+    // (expected all-5-row collisions ~G·(G/w)^5 ≈ 1e-3, verified, and
+    // deterministic for fixed data+seed), so the estimates ARE the exact
+    // dfs and the exact-mode oracle applies verbatim (the
+    // dedup_bloom_approx pattern). Unbounded on purpose: this gate is
+    // also the SCALING.md handle for the map-only path
     "soft_dedup_sketch" -> { (s, dir) =>
       new graft.text.SoftDeduplicator().setInputCol("text")
         .setIdCol("doc_id").setN(3).setMode("sketch")
-        .transform(tbl(s, dir, "documents").where(col("doc_id") < 300))
+        .transform(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("sd_n_grams"), col("sd_sum_df"))
     },
 
@@ -5105,14 +5108,13 @@ object SparkEntry {
         |  CAST(COALESCE(sc.sum_df, 0) AS BIGINT) AS sd_sum_df
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
-    // collision-free sketch == exact dfs on the bounded fixture, so the
-    // exact SQL applies verbatim (the dedup_bloom_approx pattern)
+    // collision-free sketch == exact dfs at the correctness fixture, so
+    // the exact SQL applies verbatim (the dedup_bloom_approx pattern)
     "soft_dedup_sketch" ->
-      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 300),
-        |toks AS (
+      """WITH toks AS (
         |  SELECT doc_id, list_filter(
         |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
-        |    AS t FROM docs),
+        |    AS t FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(list_slice(t, i, i+2), ' ') AS g
@@ -5124,7 +5126,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS sd_n_grams,
         |  CAST(COALESCE(sc.sum_df, 0) AS BIGINT) AS sd_sum_df
-        |FROM docs d LEFT JOIN sc USING (doc_id)""".stripMargin,
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     "concat_chunk" ->
       """WITH tok AS (
