@@ -140,4 +140,23 @@ object Recipes {
       new graft.dedup.ExactDeduplicator().setInputCol("text")
         .setIdCol("doc_id"),
       new CorpusShuffler().setIdCol("doc_id").setSeed(seed)))
+
+  /** Cluster-balanced retention (the DataComp-LM / Nemotron topic-
+    * rebalance shape, public recipes): embed → k-means topic clusters →
+    * deterministic per-cluster doc cap. Expects `doc_id` and `text`;
+    * survivors keep their `cluster` and `centroid_sim_q4` columns so a
+    * downstream mixture report ([[CorpusReport]] `groupByCol`) can card
+    * the balanced composition. Swap the fit-free [[HashedEmbedder]] for
+    * [[TrainedEmbedder]] when semantic (not lexical) topics matter —
+    * same `Array[Float]` contract, same plan shape. One narrow embed
+    * pass + one bounded driver-side fit + the quota's bottom-k shuffle;
+    * the corpus text is never globally sorted. */
+  def clusterBalance(dim: Int = 64, k: Int = 64, capPerCluster: Int = 1000,
+      salt: String = "balance"): Pipeline =
+    new Pipeline().setStages(Array(
+      new HashedEmbedder().setInputCol("text").setDim(dim),
+      new graft.sim.EmbeddingClusterer().setInputCol("embedding")
+        .setIdCol("doc_id").setK(k),
+      new GroupQuotaSampler().setGroupCol("cluster").setIdCol("doc_id")
+        .setCap(capPerCluster).setSalt(salt)))
 }

@@ -196,6 +196,25 @@ class RecipesSuite extends TestBase {
     assertDFEq(out, again)
   }
 
+  test("clusterBalance: per-cluster cap holds, assignments ride along") {
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+      concat(lit("topic"), pmod(col("id"), lit(3)),
+        lit(" body words repeated "), col("id")).as("text"))
+    val out = Recipes.clusterBalance(dim = 16, k = 3, capPerCluster = 10)
+      .fit(docs).transform(docs)
+    assert(out.columns.contains("cluster") &&
+      out.columns.contains("centroid_sim_q4"))
+    val sizes = out.groupBy("cluster").count().select("count")
+      .as[Long].collect()
+    assert(sizes.forall(_ <= 10), sizes.toSeq)
+    assert(out.count() > 0)
+    // deterministic end-to-end
+    val again = Recipes.clusterBalance(dim = 16, k = 3, capPerCluster = 10)
+      .fit(docs).transform(docs)
+    assertDFEq(out.select("doc_id", "cluster"),
+      again.select("doc_id", "cluster"))
+  }
+
   test("recipes persist as Pipelines (Lambda fn rides complex params)") {
     val p = java.nio.file.Files.createTempDirectory("recipe").toString + "/p"
     Recipes.webExtraction(blockedDomains = Seq("evil.com"))
