@@ -74,6 +74,29 @@ class EmbeddingClustererSuite extends TestBase {
       "centroid_sim_q4"))
   }
 
+  test("prototypicality pruning composes: drop the most centroid-hugging " +
+      "half per cluster (SSL-prototypes rule, Sorscher et al. 2022)") {
+    val assigned = fitModel.transform(planted)
+      // keep the LEAST prototypical: rank by negated centroid similarity
+      .withColumn("atypicality", -col("centroid_sim_q4"))
+    val kept = new graft.text.ScoreSelector().setScoreCol("atypicality")
+      .setIdCol("doc_id").setFraction(0.5).setMode("exact")
+      .setPartitionCol("cluster").transform(assigned)
+    val perCluster = kept.groupBy("cluster").count()
+      .select("count").as[Long].collect()
+    assert(perCluster.forall(_ == 10), perCluster.toSeq) // ceil(20 * 0.5)
+    // within every cluster, each survivor is no more prototypical than
+    // every dropped doc (ties broken by id, so compare with tolerance 0)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val all = assigned.select("doc_id", "cluster", "centroid_sim_q4")
+      .as[(Long, Int, Long)].collect()
+    all.groupBy(_._2).foreach { case (_, docs) =>
+      val (k, d) = docs.partition(x => keptIds.contains(x._1))
+      assert(k.map(_._3).max <= d.map(_._3).min + 1,
+        "a kept doc hugs the centroid tighter than a dropped one")
+    }
+  }
+
   test("output-column clash fails at transformSchema") {
     intercept[IllegalArgumentException] {
       fitModel.transformSchema(
