@@ -782,10 +782,11 @@ object SparkEntry {
     // partition, and the arbitrary k-means labels are canonicalized to
     // each cluster's min doc_id so the oracle replays label-free.
     "embed_cluster" -> { (s, dir) =>
-      val assigned = SparkEntry.plantedClusters(s, dir)
-      val rep = assigned.groupBy("cluster")
-        .agg(min(col("doc_id")).as("cluster_rep"))
-      assigned.join(rep, "cluster").select(col("doc_id"), col("cluster_rep"))
+      // window min, not a self-join: the assignment UDF runs ONCE
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      SparkEntry.plantedClusters(s, dir)
+        .withColumn("cluster_rep", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_rep"))
     },
 
     // deterministic per-group doc-count cap (the quota half of
@@ -807,9 +808,11 @@ object SparkEntry {
       val kept = new graft.text.GroupQuotaSampler().setGroupCol("cluster")
         .setIdCol("doc_id").setCap(15).setSalt("balance")
         .transform(assigned)
-      val rep = kept.groupBy("cluster")
-        .agg(min(col("doc_id")).as("cluster_rep"))
-      kept.join(rep, "cluster").select(col("doc_id"), col("cluster_rep"))
+      // window min over the post-quota survivors (tiny frame), no re-run
+      // of the assignment + quota lineage through a self-join
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      kept.withColumn("cluster_rep", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_rep"))
     },
 
     // ---- soft dedup (n-gram commonness reweighting) ------------------

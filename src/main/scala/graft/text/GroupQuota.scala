@@ -34,6 +34,11 @@ import org.apache.spark.sql.types._
   * [[DomainMixtureSampler]] keeps a deterministic FRACTION per group;
   * this keeps a deterministic COUNT, the knob cluster-balance recipes
   * specify.
+  *
+  * The input lineage is evaluated twice (the quota draw and the
+  * semi-join probe) — `localCheckpoint()` an expensive upstream (an
+  * embedder or k-means assignment) before sampling, the
+  * [[graft.dedup.SemDeDup]] convention.
   */
 class GroupQuotaSampler(override val uid: String) extends Transformer
     with graft.core.GraftWritable {
