@@ -27,8 +27,14 @@ import org.apache.spark.sql.types._
   * appears in ~150 documents weighs 150^-lambda. Documents with fewer
   * than n tokens carry no n-gram evidence and weigh 1.0.
   *
-  * Tokenization is the corpus-stats family convention: lowercase, trim,
-  * split on whitespace runs ([[FrequentNGrams]], [[StupidBackoffLM]]).
+  * Tokenization is the corpus-stats family convention: trim, lowercase
+  * (per-codepoint simple mapping — [[HashedEmbedder.simpleLower]]),
+  * split on whitespace runs. Both modes run it through ONE typed kernel
+  * ([[SoftDeduplicator.gramHashes]]) that emits distinct-gram xxhash64
+  * keys directly, so gram strings never enter the plan: the column-HOF
+  * formulation this replaced was interpreted (higher-order functions
+  * don't codegen) and re-evaluated per row by the inferred
+  * `size(grams) > 0` generate filter — 22.9 s → ~1 s at the sf0.1 gate.
   *
   * Two modes, one contract:
   *   - `exact`: distinct per-doc grams are hashed to 64-bit keys
@@ -37,12 +43,12 @@ import org.apache.spark.sql.types._
   *     collisions ~G²/2⁶⁵ ≈ 27k false merges at a 10¹²-gram nameplate
   *     corpus, each perturbing one df by one doc count — negligible for
   *     a reweighting signal, and the grams themselves never ride the
-  *     shuffle). Plan: row-local gram build + array_distinct (no
-  *     distinct shuffle) → hash-aggregate df per key (map-side combine,
-  *     8-byte keys) → one join back on the key → per-doc stats. The
-  *     per-doc log-sum folds over the SORTED df list (ascending), so
-  *     commonness is bit-identical across partitionings and runs —
-  *     float sums over shuffle arrival order would not be.
+  *     shuffle). Plan: row-local kernel (no distinct shuffle) →
+  *     hash-aggregate df per key (map-side combine, 8-byte keys) → one
+  *     join back on the key → per-doc stats. The per-doc log-sum folds
+  *     over the SORTED df list (ascending), so commonness is
+  *     bit-identical across partitionings and runs — float sums over
+  *     shuffle arrival order would not be.
   *   - `sketch`: the 100 TB path. One pass builds a CountMinSketch
   *     (Cormode & Muthukrishnan 2005) of df over the same 64-bit keys
   *     (`DataFrameStatFunctions.countMinSketch` — treeAggregate of
@@ -100,23 +106,26 @@ class SoftDeduplicator(override val uid: String) extends Transformer
   setDefault(seed -> 42)
   def setSeed(v: Int): this.type = set(seed, v)
 
-  /** Row-local distinct n-gram array of the tokenized input — no shuffle,
-    * no per-window re-split (tokens materialize once per row). */
-  private def distinctGrams(input: Column): Column = {
-    val toks = filter(split(lower(trim(input)), "\\s+"), t => t =!= "")
-    array_distinct(PipelineFunctions.wordNGrams(toks, $(n)))
-  }
-
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val grams = distinctGrams(col(getInputCol))
+    val order = $(n)
+    // One-pass typed kernel (the GopherRepetition interned-kernel
+    // precedent, round 13/15): tokenize → build → string-distinct →
+    // hash, emitting ONLY the 8-byte keys into the plan. The previous
+    // HOF formulation (filter/split/transform/array_distinct columns)
+    // was interpreted (HigherOrderFunctions don't codegen) AND
+    // re-evaluated up to four extra times per row by the
+    // InferFiltersFromGenerate condition that predicate pushdown inlines
+    // back through the projections — 22.9 s at the sf0.1 gate; the
+    // kernel runs the text exactly once per evaluation site.
+    val kernel = udf((text: String) =>
+      SoftDeduplicator.gramHashes(text, order))
     $(mode) match {
       case "exact" =>
-        val narrow = df.select(col($(idCol)).as("__sd_id"),
-          grams.as("__sd_g"))
-        val exploded = narrow
-          .select(col("__sd_id"), explode(col("__sd_g")).as("__sd_gram"))
-          .select(col("__sd_id"), xxhash64(col("__sd_gram")).as("__sd_h"))
+        val exploded = df
+          .select(col($(idCol)).as("__sd_id"),
+            kernel(col(getInputCol)).as("__sd_hs"))
+          .select(col("__sd_id"), explode(col("__sd_hs")).as("__sd_h"))
         // df(g): grams are already distinct within each doc, so a plain
         // count per key IS the document frequency; map-side combine on
         // 8-byte keys
@@ -133,17 +142,16 @@ class SoftDeduplicator(override val uid: String) extends Transformer
         SoftDeduplicator.finishColumns(out, $(lambda))
       case "sketch" =>
         val spark = df.sparkSession
-        val keyed = df.select(explode(grams).as("__sd_gram"))
-          .select(xxhash64(col("__sd_gram")).as("__sd_h"))
+        val keyed = df
+          .select(explode(kernel(col(getInputCol))).as("__sd_h"))
         val cms = keyed.stat.countMinSketch(col("__sd_h"),
           $(sketchDepth), $(sketchWidth), $(seed))
         val bc = spark.sparkContext.broadcast(cms)
-        // map-only weight pass: per-row grams → sorted estimate fold;
-        // the sketch is read-only on executors
-        val statsUdf = udf((gs: Seq[String]) => {
+        // map-only weight pass: per-row gram keys → sorted estimate
+        // fold; the sketch is read-only on executors
+        val statsUdf = udf((hs: Seq[Long]) => {
           val sk = bc.value
-          val dfs = gs.map(g => sk.estimateCount(
-            SoftDeduplicator.hash64(g))).sorted.toArray
+          val dfs = hs.map(h => sk.estimateCount(h)).sorted.toArray
           var sumDf = 0L
           var sumLog = 0.0
           var i = 0
@@ -152,7 +160,7 @@ class SoftDeduplicator(override val uid: String) extends Transformer
           }
           (dfs.length.toLong, sumDf, sumLog)
         })
-        val out = df.withColumn("__sd_st", statsUdf(grams))
+        val out = df.withColumn("__sd_st", statsUdf(kernel(col(getInputCol))))
           .withColumn("sd_n_grams", col("__sd_st._1"))
           .withColumn("sd_sum_df", col("__sd_st._2"))
           .withColumn("__sd_sumlog", col("__sd_st._3"))
@@ -175,6 +183,42 @@ class SoftDeduplicator(override val uid: String) extends Transformer
 }
 
 object SoftDeduplicator extends graft.core.GraftReadable[SoftDeduplicator] {
+  /** One-pass gram kernel: trim → simple per-codepoint lowercase (the
+    * [[HashedEmbedder.simpleLower]] convention — matches engine `lower()`
+    * on the simple mapping, round-15 advice) → `\s+` split → word
+    * n-grams, deduplicated BY STRING (the `array_distinct` semantics the
+    * oracle replays; a 64-bit collision between two distinct grams in
+    * one doc therefore still contributes two key rows, exactly like the
+    * previous post-distinct `xxhash64` column) → xxhash64 keys, sorted
+    * for a deterministic array. Null text and sub-n docs return an empty
+    * array (no gram evidence → weight 1.0 downstream). */
+  private[text] def gramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val words = HashedEmbedder.simpleLower(text.trim)
+      .split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array.emptyLongArray
+    val seen = new java.util.HashSet[String](words.length * 2)
+    val out = new Array[Long](words.length - n + 1)
+    var m = 0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen.add(g)) { out(m) = hash64(g); m += 1 }
+      i += 1
+    }
+    val arr = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** xxhash64 of a UTF-8 string with Spark's column seed (42) — the same
     * value `xxhash64(col)` computes, so sketch build and sketch probe
     * agree bit-for-bit. */
