@@ -244,6 +244,58 @@ object SparkEntry {
     baos.toByteArray
   }
 
+  /** Deterministic 64×48 grayscale 24-bit BMP for the perceptual-hash
+    * dedup gate. Groups of four consecutive ids share one base pattern
+    * (8×8-pixel blocks, each a splitmix64-derived gray in [40, 190] —
+    * pseudo-random per (group, block), so distinct groups are ~32 pHash
+    * bits apart); within a group, `id % 4` selects the re-encode pHash
+    * is designed to survive: 0 = base, 1 = +24 brightness, 2 = ×9/8
+    * contrast, 3 = both (+12 then ×17/16). All variants stay in
+    * [40, 226] so no clamping perturbs the affine relation, and the
+    * within/cross-group Hamming margins are pinned by
+    * PerceptualHashSuite. */
+  private[graft] def testBmpBytes(id: Long): Array[Byte] = {
+    val w = 64; val h = 48
+    val group = id >>> 2
+    val variant = (id & 3L).toInt
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val rowBytes = w * 3 // 192 — already a multiple of 4, no padding
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putInt(0).putInt(54)                 // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)       // BITMAPINFOHEADER
+      .putShort(1).putShort(24)             // planes, bpp
+      .putInt(0).putInt(rowBytes * h)       // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val block = (y / 8) * (w / 8) + (x / 8)
+        val base =
+          40 + java.lang.Math.floorMod(mix(group * 97L + block), 151L).toInt
+        val v = variant match {
+          case 0 => base
+          case 1 => base + 24
+          case 2 => base * 9 / 8
+          case _ => (base + 12) * 17 / 16
+        }
+        val vb = v.toByte
+        b.put(vb).put(vb).put(vb)
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
+  }
+
   /** Planted-region image fixture for the ImageLIME gate: 32×32 BGR,
     * all black except one all-white 16×16 quadrant selected by
     * `id % 4` in SLIC grid order (TL, TR, BL, BR) — with numSegments=4
@@ -1987,6 +2039,27 @@ object SparkEntry {
           round(element_at(col("media_features"), 6) * 255)
             .cast("long").as("luma255"))
       image.unionAll(audio).unionAll(video)
+    },
+
+    // Perceptual-hash image near-dedup (the LAION-pipeline multimodal
+    // dedup shape): deterministic synthetic BMPs — four per planted
+    // group: base pattern, +24 brightness, ×9/8 contrast, both — run
+    // the REAL pure-JVM path (ImageIO decode → bilinear 32×32 gray →
+    // DCT pHash) and dedup at hamming ≤ 6 via the Manku pigeonhole.
+    // Brightness/contrast re-encodes leave the AC signs intact so
+    // within-group hammings sit ≤ 4 while cross-group pseudo-random
+    // patterns sit ≥ 10 bits away (PHashProbe over all sf0.1 ids;
+    // PerceptualHashSuite pins the margins) — byte-exact dedup would
+    // keep all four. Survivors = min doc_id per group — closed-form,
+    // label-free SQL
+    "image_phash_dedup" -> { (s, dir) =>
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      new graft.image.ImagePHashDeduplicator().setInputCol("payload")
+        .setIdCol("doc_id").setMaxHamming(6).setBlocks(8)
+        .transform(docs)
+        .select(col("doc_id"))
     },
 
     // ---- spectral-residual saliency (§2.12, Ren et al. KDD'19) ------
@@ -4437,6 +4510,11 @@ object SparkEntry {
         |  CAST(250 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
         |  CAST(64 * (doc_id % 4) AS BIGINT) AS luma255
         |FROM documents""".stripMargin,
+
+    // survivors = min id per planted 4-id group (testBmpBytes: base /
+    // brightness / contrast / both variants of one pattern per group)
+    "image_phash_dedup" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
 
     "sessionize" ->
       """SELECT event_id, user_id,

@@ -185,6 +185,43 @@ object DedupFunctions {
     joinCandidatePayload(pairs, payload, payloadCol, restrict)
       .filter(keep)
       .select(col("__id_r").as("__dup_id")).distinct()
+
+  /** Duplicate ids within a Hamming ball over any 64-bit fingerprint
+    * column, via the Manku block-permutation pigeonhole (see
+    * [[SimHashDeduplicator]]'s scaladoc for the block/combination
+    * analysis — this is that machinery, extracted so every 64-bit
+    * fingerprint family (SimHash text, perceptual image hashes) shares
+    * one implementation). `withFp` must carry `fpCol` (non-null — a
+    * null fingerprint is "no evidence" and must be filtered by the
+    * caller) plus the id; returns the distinct one-column `__dup_id`
+    * frame (every id that verified within `maxHamming` of a smaller
+    * id). */
+  private[graft] def hammingDupIds(withFp: DataFrame, id: Column,
+      fpCol: String, maxHamming: Int, nBlocks: Int, maxBucket: Int,
+      metricName: String): DataFrame = {
+    require(nBlocks > maxHamming,
+      s"blocks ($nBlocks) must exceed maxHamming ($maxHamming)")
+    // block i covers width w_i bits at offset_i; widths differ by ≤1
+    val base = 64 / nBlocks; val rem = 64 % nBlocks
+    val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(fp: Column, i: Int): Column =
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    val keyCols = combos.zipWithIndex.map { case (bs, ci) =>
+      xxhash64((lit(ci) +: bs.map(blockVal(col(fpCol), _))): _*)
+    }
+    val keyed = withFp.select(id.cast("long").as("__id"),
+      explode(array(keyCols: _*)).as("__key"))
+    val pairs = candidatePairs(keyed, maxBucket, metricName)
+    // verification joins the (tiny, 16-byte) fingerprints back by id —
+    // the payload is already narrow, restriction has nothing to save
+    val fp = withFp.select(id.cast("long").as("__id"),
+      col(fpCol).as("__fp"))
+    dupIdsOf(pairs, fp, "__fp",
+      hamming64(col("__fp_l"), col("__fp_r")) <= maxHamming,
+      restrict = false)
+  }
 }
 
 /** Exact deduplication: keep one row (smallest id) per group of rows whose
@@ -362,27 +399,9 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
     val df = ds.toDF()
     val id = col($(idCol))
     val nBlocks = $(blocks)
-    require(nBlocks > $(maxHamming),
-      s"blocks ($nBlocks) must exceed maxHamming (${$(maxHamming)})")
-    // block i covers width w_i bits at offset_i; widths differ by ≤1
-    val base = 64 / nBlocks; val rem = 64 % nBlocks
-    val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def blockVal(fp: Column, i: Int): Column =
-      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val combos = (0 until nBlocks).combinations(nBlocks - $(maxHamming)).toSeq
     val withFp = df.withColumn("__fp", simHash64(col(getInputCol)))
-    val keyCols = combos.zipWithIndex.map { case (bs, ci) =>
-      xxhash64((lit(ci) +: bs.map(blockVal(col("__fp"), _))): _*)
-    }
-    val keyed = withFp.select(id.cast("long").as("__id"),
-      explode(array(keyCols: _*)).as("__key"))
-    val pairs = candidatePairs(keyed, $(maxBucketSize), s"${uid}_dropped")
-    // verification joins the (tiny, 16-byte) fingerprints back by id —
-    // the payload is already narrow, restriction has nothing to save
-    val fp = withFp.select(id.cast("long").as("__id"), col("__fp"))
-    val dupIds = dupIdsOf(pairs, fp, "__fp",
-      hamming64(col("__fp_l"), col("__fp_r")) <= $(maxHamming), restrict = false)
+    val dupIds = hammingDupIds(withFp, id, "__fp", $(maxHamming), nBlocks,
+      $(maxBucketSize), s"${uid}_dropped")
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
   override def transformSchema(schema: StructType): StructType = schema

@@ -1,0 +1,46 @@
+package graft.tools
+
+/** Margin probe for the image_phash_dedup planted fixture: per-group
+  * max within-group Hamming and global min cross-group Hamming over the
+  * first `n` ids (driver-side, no Spark). Usage: PHashProbe [n] */
+object PHashProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 5000
+    val hashes = (0 until n).map { id =>
+      val h = graft.image.PerceptualHash.phash64(
+        graft.SparkEntry.testBmpBytes(id.toLong))
+      require(h != null, s"id $id undecodable")
+      h.longValue()
+    }.toArray
+    var maxWithin = -1; var maxWithinAt = -1
+    val withinHist = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && (j >>> 2) == (i >>> 2)) {
+        val d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+        withinHist(d) += 1
+        if (d > maxWithin) { maxWithin = d; maxWithinAt = i }
+        j += 1
+      }
+      i += 1
+    }
+    var minCross = 65; var minCrossAt = -1
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if ((j >>> 2) != (i >>> 2)) {
+          val d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+          if (d < minCross) { minCross = d; minCrossAt = i * 100000 + j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    println(s"n=$n maxWithin=$maxWithin (near id $maxWithinAt) " +
+      s"minCross=$minCross (pair code $minCrossAt) hash0=${hashes(0)}L")
+    println("within hist: " + withinHist.zipWithIndex
+      .filter(_._1 > 0).map { case (c, d) => s"$d:$c" }.mkString(" "))
+  }
+}

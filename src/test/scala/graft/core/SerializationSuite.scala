@@ -41,6 +41,24 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), back.transform(df))
   }
 
+  test("EmbeddingClustererModel save/load") {
+    val df = (0 until 40).map { i =>
+      val base =
+        if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.1)
+        else Array(0.0, 1.0, 0.1, 0.0)
+      (i.toLong, base.map(_ + (i % 5) * 0.01).toSeq)
+    }.toDF("doc_id", "embedding")
+    val m = new graft.sim.EmbeddingClusterer().setInputCol("embedding")
+      .setK(2).setSeed(7L).fit(df)
+    val p = tmp("eclu"); m.write.overwrite().save(p)
+    val back = graft.sim.EmbeddingClustererModel.load(p)
+    assert(back.centroids.length == m.centroids.length &&
+      back.centroids.zip(m.centroids).forall { case (a, b) =>
+        a.sameElements(b)
+      })
+    roundTrip(m.transform(df), back.transform(df))
+  }
+
   test("UnigramLMModel save/load") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val m = new graft.text.UnigramLM().setInputCol("text").setVocabSize(2)
