@@ -221,6 +221,51 @@ object SparkEntry {
     b.array()
   }
 
+  /** Deterministic WAV fixture for the audio-fingerprint dedup gate:
+    * 8 kHz mono 16-bit, 64 segments × 125 samples (1 s), each segment a
+    * ±a square wave whose amplitude a = 512·(2 + mix(group, seg) mod
+    * 14) is drawn per (group = id/4, segment) from a 512-step grid.
+    * `id % 4` selects the volume re-encode: ×1, ×3/4, ×5/8, ×9/8 — all
+    * EXACT on the 512-multiple grid (384/320/576·(k+2)), so window
+    * energies scale uniformly and the energy-contour fingerprint is
+    * bit-identical within a group, while cross-group grids are
+    * independent draws (margins pinned in AudioFingerprintSuite). */
+  private[graft] def testFpWavBytes(id: Long): Array[Byte] = {
+    val segs = 64; val perSeg = 125
+    val group = id >>> 2
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val frames = segs * perSeg
+    val dataLen = frames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(16000)         // sample rate, byte rate
+      .putShort(2).putShort(16)           // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      val base =
+        1024 + 512 * java.lang.Math.floorMod(mix(group * 131L + i / perSeg), 14L).toInt
+      val a = ((id & 3L).toInt match {
+        case 0 => base
+        case 1 => base * 3 / 4
+        case 2 => base * 5 / 8
+        case _ => base * 9 / 8
+      }).toShort
+      b.putShort(if (i % 2 == 0) a else (-a).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
   /** Deterministic Y4M fixture for the multimodal video gate: 8×8
     * C420jpeg at 8 fps, `2 * (1 + id % 4)` frames of constant luma
     * `64 * (id % 4)`. Every field the decoder reports is closed-form:
@@ -2045,7 +2090,9 @@ object SparkEntry {
     // dedup shape): deterministic synthetic BMPs — four per planted
     // group: base pattern, +24 brightness, ×9/8 contrast, both — run
     // the REAL pure-JVM path (ImageIO decode → bilinear 32×32 gray →
-    // DCT pHash) and dedup at hamming ≤ 6 via the Manku pigeonhole.
+    // DCT pHash) and dedup at the default hamming ≤ 4 via the Manku
+    // pigeonhole (blocks 6 → 21-bit bucket keys — the scale-safe point;
+    // the first (6, 8) sweep spilled 54.8 GB at 100x on 16-bit keys).
     // Brightness/contrast re-encodes leave the AC signs intact so
     // within-group hammings sit ≤ 4 while cross-group pseudo-random
     // patterns sit ≥ 10 bits away (PHashProbe over all sf0.1 ids;
@@ -2057,7 +2104,25 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
         .withColumn("payload", bmp(col("doc_id")))
       new graft.image.ImagePHashDeduplicator().setInputCol("payload")
-        .setIdCol("doc_id").setMaxHamming(6).setBlocks(8)
+        .setIdCol("doc_id")
+        .transform(docs)
+        .select(col("doc_id"))
+    },
+
+    // Energy-contour audio near-dedup — the audio member of the
+    // multimodal dedup family (image pHash above; same pigeonhole, same
+    // min-id survivor rule). Groups of four WAVs share one 64-segment
+    // amplitude grid; variants are exact volume re-encodes (×3/4, ×5/8,
+    // ×9/8 on the 512-multiple grid), so within-group fingerprints are
+    // bit-identical BY CONSTRUCTION while cross-group contours are
+    // independent coin flips (AudioFingerprintSuite pins the margins).
+    // Closed-form survivors: min doc_id per group
+    "audio_fp_dedup" -> { (s, dir) =>
+      val wav = udf((id: Long) => SparkEntry.testFpWavBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", wav(col("doc_id")))
+      new graft.io.binary.AudioFingerprintDeduplicator()
+        .setInputCol("payload").setIdCol("doc_id")
         .transform(docs)
         .select(col("doc_id"))
     },
@@ -4514,6 +4579,11 @@ object SparkEntry {
     // survivors = min id per planted 4-id group (testBmpBytes: base /
     // brightness / contrast / both variants of one pattern per group)
     "image_phash_dedup" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
+
+    // survivors = min id per planted 4-id group (testFpWavBytes: one
+    // amplitude grid per group, exact volume re-encode variants)
+    "audio_fp_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
 
     "sessionize" ->

@@ -140,20 +140,23 @@ class ImagePHashDeduplicator(override val uid: String) extends Transformer
   final val idCol = new Param[String](this, "idCol", "unique row id column")
   def setIdCol(v: String): this.type = set(idCol, v)
   /** pHash re-encode noise (resize rounding, mild contrast) lands a few
-    * bits wide of zero, so the image default (6) sits above SimHash's
-    * text default (3); blocks=8 keeps C(8,2)=28 bucket tables whose keys
-    * still carry ~16 fingerprint bits. Raising maxHamming further costs
-    * combinatorially more tables AND narrower keys — at billion-image
-    * scale prefer tightening the hash (larger DCT window) over widening
-    * the ball. */
+    * bits wide of zero, so the image default (4) sits above SimHash's
+    * text default (3). The BLOCK count is the scale lever, not a recall
+    * knob: blocks=6 buckets on blocks−maxHamming=2 agreeing blocks ≈ 21
+    * fingerprint bits across C(6,2)=15 tables. The first sweep of this
+    * operator ran (6, 8) — 16-bit keys — and the 100x corpus (500k
+    * images) flooded the combo tables with false candidates: 5.8 GB of
+    * shuffle, 54.8 GB of spill, alpha 1.23 (SCALING.md round 16). At
+    * billion-image scale prefer tightening the hash (a larger DCT
+    * window) over widening the ball past what the keys can pay for. */
   final val maxHamming = new IntParam(this, "maxHamming",
     "hamming cutoff", ParamValidators.gtEq(0))
-  setDefault(maxHamming -> 6)
+  setDefault(maxHamming -> 4)
   def setMaxHamming(v: Int): this.type = set(maxHamming, v)
   final val blocks = new IntParam(this, "blocks",
     "pigeonhole blocks (> maxHamming; key width grows with blocks-maxHamming)",
     ParamValidators.gt(0))
-  setDefault(blocks -> 8)
+  setDefault(blocks -> 6)
   def setBlocks(v: Int): this.type = set(blocks, v)
   final val maxBucketSize = new IntParam(this, "maxBucketSize",
     "per-bucket candidate cap (skew guard)", ParamValidators.gt(0))

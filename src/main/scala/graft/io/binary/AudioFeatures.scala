@@ -29,8 +29,12 @@ object AudioFeatures {
     * allocate unboundedly. */
   val MaxSamples: Long = 64L * 1024 * 1024
 
-  def decodeWavFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
-    if (bytes == null || bytes.length < 12 || dim < 5) return None
+  /** Decode to mono [-1, 1] samples + (rate, channels) — the shared
+    * front half of [[decodeWavFeatures]] and
+    * [[AudioFingerprint.fp64]]. None for anything undecodable. */
+  private[binary] def decodeMono(
+      bytes: Array[Byte]): Option[(Array[Double], Float, Int)] = {
+    if (bytes == null || bytes.length < 12) return None
     var in: AudioInputStream = null
     var pcm: AudioInputStream = null
     try {
@@ -62,8 +66,20 @@ object AudioFeatures {
         mono(f) = acc / channels
         f += 1
       }
+      Some((mono, target.getSampleRate, channels))
+    } catch {
+      case _: Exception => None
+    } finally {
+      if (pcm != null && (pcm ne in)) pcm.close()
+      if (in != null) in.close()
+    }
+  }
+
+  def decodeWavFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 5) return None
+    decodeMono(bytes).map { case (mono, rate, channels) =>
+      val n = mono.length
       val out = new Array[Float](dim)
-      val rate = target.getSampleRate
       out(0) = (n / rate)
       out(1) = rate
       out(2) = channels.toFloat
@@ -82,12 +98,7 @@ object AudioFeatures {
         out(4 + s) = if (hi > lo) math.sqrt(acc / (hi - lo)).toFloat else 0f
         s += 1
       }
-      Some(out)
-    } catch {
-      case _: Exception => None
-    } finally {
-      if (pcm != null && (pcm ne in)) pcm.close()
-      if (in != null) in.close()
+      out
     }
   }
 }

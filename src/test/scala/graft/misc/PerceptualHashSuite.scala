@@ -45,7 +45,8 @@ class PerceptualHashSuite extends TestBase {
 
   test("brightness/contrast variants stay within the gate's ball") {
     // groups of 4 ids share a pattern; variants are +24 brightness,
-    // x9/8 contrast, both (see testBmpBytes). The gate runs maxHamming=6
+    // x9/8 contrast, both (see testBmpBytes). The gate runs the default
+    // maxHamming=4, so 4 IS the ball edge — this pin guards it
     val maxWithin = (0L until 200L).flatMap { i =>
       ((i + 1) until 200L).collect {
         case j if (j >> 2) == (i >> 2) => ham(ph(i), ph(j))
