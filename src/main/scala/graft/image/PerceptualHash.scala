@@ -163,14 +163,35 @@ class ImagePHashDeduplicator(override val uid: String) extends Transformer
   setDefault(maxBucketSize -> 1000)
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
+  /** Image decode+DCT is CPU-heavy (~0.5 ms/image), so when the scan
+    * yields fewer splits than the cluster has slots, shuffling the
+    * (id, bytes) frame to every slot beats decoding on a handful of
+    * cores — measured at the 100x corpus: 331 → 261 s (SCALING.md
+    * round 16). The same spread HURTS the cheaper audio contour decode
+    * (its deduplicator defaults false); flip this off when payloads are
+    * huge relative to decode cost. No-op when the scan already fans
+    * out. */
+  final val spreadDecode = new BooleanParam(this, "spreadDecode",
+    "repartition (id, bytes) across all slots before decoding when the " +
+      "scan gave fewer partitions than slots")
+  setDefault(spreadDecode -> true)
+  def setSpreadDecode(v: Boolean): this.type = set(spreadDecode, v)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     import graft.dedup.DedupFunctions._
     val df = ds.toDF()
     val id = col($(idCol))
     val pUdf = udf((b: Array[Byte]) => PerceptualHash.phash64(b))
     // decode exactly once: narrow (id, fp), null fps (no evidence) out
-    val fps = df
-      .select(id.cast("long").as("__id"), pUdf(col(getInputCol)).as("__fp"))
+    val narrow = df.select(id.cast("long").as("__id"),
+      col(getInputCol).as("__bytes"))
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if ($(spreadDecode) && narrow.rdd.getNumPartitions < slots)
+        narrow.repartition(slots)
+      else narrow
+    val fps = spread
+      .select(col("__id"), pUdf(col("__bytes")).as("__fp"))
       .filter(col("__fp").isNotNull)
       .localCheckpoint()
     val dupIds = hammingDupIds(fps, col("__id"), "__fp", $(maxHamming),

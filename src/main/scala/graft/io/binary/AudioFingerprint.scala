@@ -106,13 +106,31 @@ class AudioFingerprintDeduplicator(override val uid: String)
   setDefault(maxBucketSize -> 1000)
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
 
+  /** Default FALSE, unlike [[graft.image.ImagePHashDeduplicator]]: the
+    * contour decode is one cheap pass over the samples, and shuffling
+    * full audio payloads to gain parallelism was measured to LOSE at
+    * the 100x corpus (154 → 311 s, SCALING.md round 16). Flip on for
+    * genuinely few-split scans of expensive-to-decode formats. */
+  final val spreadDecode = new BooleanParam(this, "spreadDecode",
+    "repartition (id, bytes) across all slots before decoding when the " +
+      "scan gave fewer partitions than slots")
+  setDefault(spreadDecode -> false)
+  def setSpreadDecode(v: Boolean): this.type = set(spreadDecode, v)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     import graft.dedup.DedupFunctions._
     val df = ds.toDF()
     val id = col($(idCol))
     val fpUdf = udf((b: Array[Byte]) => AudioFingerprint.fp64(b))
-    val fps = df
-      .select(id.cast("long").as("__id"), fpUdf(col(getInputCol)).as("__fp"))
+    val narrow = df.select(id.cast("long").as("__id"),
+      col(getInputCol).as("__bytes"))
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if ($(spreadDecode) && narrow.rdd.getNumPartitions < slots)
+        narrow.repartition(slots)
+      else narrow
+    val fps = spread
+      .select(col("__id"), fpUdf(col("__bytes")).as("__fp"))
       .filter(col("__fp").isNotNull)
       .localCheckpoint()
     val dupIds = hammingDupIds(fps, col("__id"), "__fp", $(maxHamming),
