@@ -66,6 +66,16 @@ if "steal_pct" not in env:
     bad.append("record carries no env telemetry (pre-round-15 format?)")
 elif float(env["steal_pct"]) > 0.15:
     bad.append(f"steal_pct {env['steal_pct']} > 0.15 (contended box)")
+# cross-SF refresh guard (round 16: an sf0.001 smoke run clobbered the
+# sf0.1 record) — compare basenames so absolute vs relative paths agree
+if not override:
+    try:
+        head_sf = os.path.basename(json.loads(os.environ["HEAD_REC"])["sf"].rstrip("/"))
+        cand_sf = os.path.basename(str(rec.get("sf", "")).rstrip("/"))
+        if head_sf and cand_sf and head_sf != cand_sf:
+            bad.append(f"candidate sf '{cand_sf}' != committed sf '{head_sf}'")
+    except Exception:
+        pass
 if not (lo <= total <= hi):
     bad.append(f"total {total} outside the settled band [{lo:.1f}, {hi:.1f}]")
 if bad:

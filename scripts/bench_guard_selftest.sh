@@ -14,14 +14,14 @@ cd "$TMP"
 git init -q
 git config user.email t@t && git config user.name t
 
-rec() { # total steal n_queries -> JSON record on stdout
-  python3 - "$1" "$2" "$3" <<'EOF'
+rec() { # total steal n_queries [sfdir] -> JSON record on stdout
+  python3 - "$1" "$2" "$3" "${4:-/data/sf0.1}" <<'EOF'
 import json, sys
 total, steal, n = float(sys.argv[1]), float(sys.argv[2]), int(sys.argv[3])
 print(json.dumps({
     "metric": "suite_seconds", "value": total, "unit": "sec",
     "queries": {f"q{i}": round(total / n, 3) for i in range(n)},
-    "env": {"steal_pct": steal, "busy_pct": 1.0}}))
+    "env": {"steal_pct": steal, "busy_pct": 1.0}, "sf": sys.argv[4]}))
 EOF
 }
 
@@ -64,4 +64,12 @@ GRAFT_BENCH_BAND="240 260" scripts/bench_guard.sh >out.txt 2>&1 \
 grep -q "OVERRIDE" out.txt && grep -q "OK to refresh" out.txt \
   || { cat out.txt; fail "override ignored"; }
 
-echo "bench_guard selftest: all 5 cases pass"
+# 6. cross-SF refresh (round 16: an sf0.001 smoke run clobbered the
+# sf0.1 record): refused on basename mismatch even inside the band
+rec 180.0 0.03 149 relative/sf0.001 > BENCH_FULL.json
+scripts/bench_guard.sh >out.txt 2>&1 || fail "guard errored (case 6)"
+grep -q "REFUSING.*sf0.001" out.txt || { cat out.txt; fail "cross-sf refresh accepted"; }
+python3 -c "import json; assert json.load(open('BENCH_FULL.json'))['value'] == 177.0" \
+  || fail "cross-sf record not restored from HEAD"
+
+echo "bench_guard selftest: all 6 cases pass"

@@ -315,8 +315,12 @@ object Bench {
     // contract line drops sub-threshold walls into an "omitted" count,
     // so without this file those queries' walls had no repo-resident
     // record at all (round-12 verdict). Subset runs (bench args) skip it
-    // so an isolation probe can't overwrite the suite-wide record.
-    if (only.isEmpty)
+    // so an isolation probe can't overwrite the suite-wide record, and
+    // only the driver's bench scale (sf0.1) lands it — a round-16
+    // sf0.001 smoke run clobbered the committed sf0.1 record before
+    // this guard existed (bench_guard now also refuses cross-sf
+    // refreshes as the second line of defense).
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
     spark.stop()
