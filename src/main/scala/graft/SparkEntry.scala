@@ -2109,6 +2109,42 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // In-library image SIMILARITY SEARCH: ImageEmbedder (the DCT AC
+    // block, L2-normalized — brightness- AND contrast-invariant) feeds
+    // the same exact-KNN operator the text embeddings use. Every
+    // image's nearest non-self neighbor must land inside its planted
+    // 4-id group (within-group cosine ≈ 1, cross-group ≈ 0 on
+    // independent patterns); mismatches are counted and the oracle is
+    // the constant 0 (the sr_anomalies / dedup_simhash_exact
+    // convention). Queries are bounded to 200 (the knn_bruteforce
+    // convention — 63-dim DCT vectors give a ball tree little to prune,
+    // so all-pairs at sf0.1 is quadratic); at corpus scale the
+    // composition swaps NearestNeighbors for PartitionedKNN/IVF
+    // unchanged — same Array[Float] contract
+    "image_knn" -> { (s, dir) =>
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      // localCheckpoint BEFORE the KNN: NearestNeighbors is a broadcast
+      // nested-loop join, and an un-materialized UDF embedding column
+      // re-decodes once per JOINED PAIR under it (measured: 349 s at
+      // sf0.1 — 200 × 5000 decodes) — the SemDeDup expensive-upstream
+      // convention, 63 floats/doc materialized
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+        .localCheckpoint()
+      val knn = new NearestNeighbors().setInputCol("image_embedding")
+        .setIdCol("doc_id").setK(2)
+        .setQueries(emb.filter(col("doc_id") < 200),
+          "doc_id", "image_embedding")
+        .transform(emb)
+      knn.select(col("query_id"), explode(col("neighbors.id")).as("nid"))
+        .filter(col("nid") =!= col("query_id"))
+        .filter((col("nid") / lit(4)).cast("long") =!=
+          (col("query_id") / lit(4)).cast("long"))
+        .agg(count(lit(1)).cast("long").as("mismatches"))
+    },
+
     // Energy-contour audio near-dedup — the audio member of the
     // multimodal dedup family (image pHash above; same pigeonhole, same
     // min-id survivor rule). Groups of four WAVs share one 64-segment
@@ -4585,6 +4621,10 @@ object SparkEntry {
     // amplitude grid per group, exact volume re-encode variants)
     "audio_fp_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
+
+    // every image's nearest non-self neighbor lands in its own planted
+    // group — the mismatch count is identically zero
+    "image_knn" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
 
     "sessionize" ->
       """SELECT event_id, user_id,

@@ -44,54 +44,120 @@ object PerceptualHash {
     Array.tabulate(N, N)((u, y) =>
       math.cos(math.Pi * (2 * y + 1) * u / (2.0 * N)))
 
+  /** The 63 low-frequency AC coefficients (row-major 8×8 block minus
+    * DC) of the decoded 32×32 grayscale — the shared front half of
+    * [[phash64]] (median-threshold bits) and [[ImageEmbedder]] (the
+    * coefficients themselves as a dense feature vector). None for null
+    * or undecodable input. */
+  private[image] def acCoeffs(bytes: Array[Byte]): Option[Array[Double]] =
+    ImageFeatures.decodeResizeGray(bytes, N, N).map { px =>
+      // separable low-frequency DCT: rows for u < K, then columns —
+      // O(K·N² + K²·N) multiplies per image
+      val t = Array.ofDim[Double](K, N)
+      var u = 0
+      while (u < K) {
+        var x = 0
+        while (x < N) {
+          var s = 0.0
+          var y = 0
+          while (y < N) { s += px(y * N + x) * cosT(u)(y); y += 1 }
+          t(u)(x) = s
+          x += 1
+        }
+        u += 1
+      }
+      val ac = new Array[Double](K * K - 1)
+      var j = 0
+      u = 0
+      while (u < K) {
+        var v = 0
+        while (v < K) {
+          if (u != 0 || v != 0) {
+            var s = 0.0
+            var x = 0
+            while (x < N) { s += t(u)(x) * cosT(v)(x); x += 1 }
+            ac(j) = s
+            j += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      ac
+    }
+
   /** pHash of encoded image bytes; null for null or undecodable input
     * (no evidence — callers must treat null as "keep"). */
   def phash64(bytes: Array[Byte]): java.lang.Long =
-    ImageFeatures.decodeResizeGray(bytes, N, N) match {
+    acCoeffs(bytes) match {
       case None => null
-      case Some(px) =>
-        // separable low-frequency DCT: rows for u < K, then columns —
-        // O(K·N² + K²·N) multiplies per image
-        val t = Array.ofDim[Double](K, N)
-        var u = 0
-        while (u < K) {
-          var x = 0
-          while (x < N) {
-            var s = 0.0
-            var y = 0
-            while (y < N) { s += px(y * N + x) * cosT(u)(y); y += 1 }
-            t(u)(x) = s
-            x += 1
-          }
-          u += 1
-        }
-        val ac = new Array[Double](K * K - 1)
-        var j = 0
-        u = 0
-        while (u < K) {
-          var v = 0
-          while (v < K) {
-            if (u != 0 || v != 0) {
-              var s = 0.0
-              var x = 0
-              while (x < N) { s += t(u)(x) * cosT(v)(x); x += 1 }
-              ac(j) = s
-              j += 1
-            }
-            v += 1
-          }
-          u += 1
-        }
+      case Some(ac) =>
         // median of 63 = the unique 32nd-smallest — no tie-averaging
         val sorted = ac.clone()
         java.util.Arrays.sort(sorted)
         val med = sorted(31)
         var bits = 0L
-        j = 0
+        var j = 0
         while (j < 63) { if (ac(j) > med) bits |= 1L << j; j += 1 }
         java.lang.Long.valueOf(bits)
     }
 }
+
+/** Appends an in-library dense image embedding: the 63 low-frequency
+  * DCT AC coefficients behind [[PerceptualHash]], L2-normalized —
+  * brightness-invariant (no DC term) and contrast-invariant (the
+  * normalization divides the uniform scale out), cosine-ready. Emits
+  * the same `Array[Float]` contract as [[graft.text.HashedEmbedder]] /
+  * [[graft.text.TrainedEmbedder]], so the whole embedding-consumer
+  * family — [[graft.nn.NearestNeighbors]] and the ANN variants,
+  * [[graft.dedup.SemDeDupDeduplicator]],
+  * [[graft.sim.EmbeddingClusterer]] — runs over images unchanged:
+  * in-library image similarity search and semantic image dedup with no
+  * external model (the classical slice of the reference's
+  * ImageFeaturizer capability — deep-learning/.../ImageFeaturizer
+  * .scala:1-197 — whose DNN backbone stays out of scope offline). Null
+  * or undecodable payloads embed as null. One narrow map, no shuffle.
+  */
+class ImageEmbedder(override val uid: String) extends Transformer
+    with HasInputCol with HasOutputCol with GraftWritable {
+  def this() = this(Identifiable.randomUID("ImageEmbedder"))
+  setDefault(outputCol -> "image_embedding")
+
+  final val normalize = new BooleanParam(this, "normalize",
+    "L2-normalize (cosine-ready, contrast-invariant); raw DCT " +
+      "coefficients when false")
+  setDefault(normalize -> true)
+  def setNormalize(v: Boolean): this.type = set(normalize, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val norm = $(normalize)
+    val embUdf = udf((b: Array[Byte]) =>
+      PerceptualHash.acCoeffs(b) match {
+        case None => null
+        case Some(ac) =>
+          val out = new Array[Float](ac.length)
+          var inv = 1.0
+          if (norm) {
+            var ss = 0.0
+            var i = 0
+            while (i < ac.length) { ss += ac(i) * ac(i); i += 1 }
+            inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 0.0
+          }
+          var i = 0
+          while (i < ac.length) { out(i) = (ac(i) * inv).toFloat; i += 1 }
+          out
+      })
+    ds.toDF().withColumn(getOutputCol, embUdf(col(getInputCol)))
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(getOutputCol),
+      s"input already has a column named '$getOutputCol'")
+    StructType(schema :+ StructField(getOutputCol, ArrayType(FloatType)))
+  }
+  override def copy(extra: ParamMap): ImageEmbedder = defaultCopy(extra)
+}
+object ImageEmbedder extends GraftReadable[ImageEmbedder]
 
 /** Appends the [[PerceptualHash.phash64]] of a binary image column as a
   * nullable long — one narrow map, no shuffle; compose with

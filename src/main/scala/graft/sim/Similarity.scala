@@ -70,6 +70,12 @@ class TopKAggregator(k: Int)
   * against the full corpus. Plan: broadcast-nested-loop join (corpus never
   * shuffles) → cosine expression → top-k Aggregator grouped by query id.
   * This is the exact baseline; `LSHNearestNeighbors` is the scale path.
+  *
+  * Input-cost caveat: the BNL join duplicates every corpus row once per
+  * query, and Catalyst evaluates an un-materialized expensive input
+  * column (an embedding UDF) per JOINED PAIR — `localCheckpoint()` such
+  * an upstream first (measured in the image_knn gate: 349 → 5 s; the
+  * [[graft.dedup.SemDeDupDeduplicator]] convention).
   */
 class NearestNeighbors(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable {

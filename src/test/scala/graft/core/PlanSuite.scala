@@ -134,6 +134,8 @@ class PlanSuite extends TestBase {
     // global-stats cross joins
     val allowedBnl = Set("knn_bruteforce", "knn_lsh", "knn_ivf",
       "knn_lsh_recall", "knn_ivf_recall", "knn_ivfpq_recall", // brute-force reference sides
+      "image_knn", // same NearestNeighbors broadcast-query BNL over the
+      // checkpointed image embeddings — 200 queries by design
       "knn_graph", "knn_graph_recall", // brute mode IS all-pairs: the
       // constant-cell key folds away and the broadcast nested loop is
       // the designed oracle-baseline plan; ivf mode joins on a real

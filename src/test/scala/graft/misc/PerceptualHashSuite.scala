@@ -104,6 +104,39 @@ class PerceptualHashSuite extends TestBase {
     assert(kept.toSeq == expected.sorted)
   }
 
+  test("ImageEmbedder: unit norms, re-encode invariance, group margins") {
+    def emb(id: Long): Array[Float] = {
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(id, bmp(id))),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("img", BinaryType))))
+      new graft.image.ImageEmbedder().setInputCol("img")
+        .transform(df).select("image_embedding")
+        .head.getSeq[Float](0).toArray
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val base = emb(0L)
+    assert(base.length == 63)
+    assert(math.abs(cos(base, base) - 1.0) < 1e-5, "unit norm")
+    // variants of the same pattern (brightness/contrast re-encodes)
+    // stay essentially colinear; independent patterns point elsewhere
+    (1L to 3L).foreach { v =>
+      assert(cos(base, emb(v)) > 0.995, s"variant $v drifted")
+    }
+    (1L to 5L).foreach { g =>
+      assert(cos(base, emb(4 * g)) < 0.9, s"group $g too close")
+    }
+    // null/undecodable embed as null
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "junk".getBytes("UTF-8")), Row(2L, null)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("img", BinaryType))))
+    assert(new graft.image.ImageEmbedder().setInputCol("img")
+      .transform(df).filter(org.apache.spark.sql.functions
+        .col("image_embedding").isNull).count() == 2)
+  }
+
   test("widening the ball past blocks fails fast") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(1L, bmp(0L))),
