@@ -23,9 +23,26 @@ class AudioFingerprintSuite extends TestBase {
   test("null, undecodable, and sub-window clips fingerprint to null") {
     assert(AudioFingerprint.fp64(null) == null)
     assert(AudioFingerprint.fp64("not audio".getBytes("UTF-8")) == null)
-    // a real but 32-sample clip (< 64 windows) carries no contour
-    val tiny = graft.SparkEntry.testWavBytes(0L)
-    assert(AudioFingerprint.fp64(tiny) != null) // 2000 frames: fine
+    // a real but sub-64-sample clip decodes fine yet carries no contour
+    assert(AudioFingerprint.fp64(tinyWav(32)) == null)
+    assert(AudioFingerprint.fp64(tinyWav(64)) != null) // exactly enough
+    // a normal-length decodable clip fingerprints
+    assert(AudioFingerprint.fp64(graft.SparkEntry.testWavBytes(0L)) != null)
+  }
+
+  /** Minimal valid 8 kHz mono 16-bit WAV with `frames` samples. */
+  private def tinyWav(frames: Int): Array[Byte] = {
+    val dataLen = frames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until frames).foreach(i => b.putShort(if (i % 2 == 0) 1000 else -1000))
+    b.array()
   }
 
   test("golden value pins the construction against silent drift") {
