@@ -39,13 +39,23 @@ rec = json.load(open("BENCH_FULL.json"))
 total = float(rec["value"])
 cand_q = rec.get("queries") or {}
 
+# parse the committed record ONCE; both the band derivation and the
+# cross-SF check read it, and a parse failure must be LOUD (a silent
+# skip would disable exactly the defenses this script exists for)
+try:
+    head = json.loads(os.environ["HEAD_REC"])
+except Exception as e:
+    head = None
+    print(f"bench_guard: no parseable HEAD record ({e.__class__.__name__})")
+
 override = os.environ.get("GRAFT_BENCH_BAND", "")
 if override:
     lo, hi = (float(x) for x in override.split())
     print(f"bench_guard: band OVERRIDE [{lo}, {hi}] (GRAFT_BENCH_BAND)")
 else:
     try:
-        head = json.loads(os.environ["HEAD_REC"])
+        if head is None:
+            raise ValueError("no HEAD record")
         head_total = float(head["value"])
         head_q = head.get("queries") or {}
         removed = sum(float(v) for k, v in head_q.items() if k not in cand_q)
@@ -67,15 +77,17 @@ if "steal_pct" not in env:
 elif float(env["steal_pct"]) > 0.15:
     bad.append(f"steal_pct {env['steal_pct']} > 0.15 (contended box)")
 # cross-SF refresh guard (round 16: an sf0.001 smoke run clobbered the
-# sf0.1 record) — compare basenames so absolute vs relative paths agree
+# sf0.1 record) — compare basenames so absolute vs relative paths agree.
+# A record without an sf field is noted, never silently waved through
 if not override:
-    try:
-        head_sf = os.path.basename(json.loads(os.environ["HEAD_REC"])["sf"].rstrip("/"))
+    if head is None or "sf" not in head:
+        print("bench_guard: note — committed record carries no sf field; "
+              "cross-SF check unavailable")
+    else:
+        head_sf = os.path.basename(str(head["sf"]).rstrip("/"))
         cand_sf = os.path.basename(str(rec.get("sf", "")).rstrip("/"))
         if head_sf and cand_sf and head_sf != cand_sf:
             bad.append(f"candidate sf '{cand_sf}' != committed sf '{head_sf}'")
-    except Exception:
-        pass
 if not (lo <= total <= hi):
     bad.append(f"total {total} outside the settled band [{lo:.1f}, {hi:.1f}]")
 if bad:

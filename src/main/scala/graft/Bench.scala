@@ -323,6 +323,11 @@ object Bench {
     if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullLine)
+    else if (only.isEmpty)
+      // make the skip VISIBLE: a full-suite run at another scale
+      // completing silently would read as "record refreshed" in a log
+      System.err.println(s"[bench] full-suite run at $sfDir: " +
+        "BENCH_FULL.json NOT refreshed (committed record is sf0.1-only)")
     spark.stop()
     MockServices.stopAll()
     sys.exit(0)

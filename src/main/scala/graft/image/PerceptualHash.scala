@@ -199,72 +199,23 @@ object ImagePHash extends GraftReadable[ImagePHash]
   * everything after is the 8-byte-key machinery the text family
   * already proved sublinear.
   */
-class ImagePHashDeduplicator(override val uid: String) extends Transformer
-    with HasInputCol with GraftWritable {
+class ImagePHashDeduplicator(override val uid: String)
+    extends graft.dedup.FingerprintDeduplicatorBase {
   def this() = this(Identifiable.randomUID("ImagePHashDeduplicator"))
 
-  final val idCol = new Param[String](this, "idCol", "unique row id column")
-  def setIdCol(v: String): this.type = set(idCol, v)
   /** pHash re-encode noise (resize rounding, mild contrast) lands a few
-    * bits wide of zero, so the image default (4) sits above SimHash's
-    * text default (3). The BLOCK count is the scale lever, not a recall
-    * knob: blocks=6 buckets on blocks−maxHamming=2 agreeing blocks ≈ 21
-    * fingerprint bits across C(6,2)=15 tables. The first sweep of this
-    * operator ran (6, 8) — 16-bit keys — and the 100x corpus (500k
-    * images) flooded the combo tables with false candidates: 5.8 GB of
-    * shuffle, 54.8 GB of spill, alpha 1.23 (SCALING.md round 16). At
-    * billion-image scale prefer tightening the hash (a larger DCT
-    * window) over widening the ball past what the keys can pay for. */
-  final val maxHamming = new IntParam(this, "maxHamming",
-    "hamming cutoff", ParamValidators.gtEq(0))
-  setDefault(maxHamming -> 4)
-  def setMaxHamming(v: Int): this.type = set(maxHamming, v)
-  final val blocks = new IntParam(this, "blocks",
-    "pigeonhole blocks (> maxHamming; key width grows with blocks-maxHamming)",
-    ParamValidators.gt(0))
-  setDefault(blocks -> 6)
-  def setBlocks(v: Int): this.type = set(blocks, v)
-  final val maxBucketSize = new IntParam(this, "maxBucketSize",
-    "per-bucket candidate cap (skew guard)", ParamValidators.gt(0))
-  setDefault(maxBucketSize -> 1000)
-  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
-
-  /** Image decode+DCT is CPU-heavy (~0.5 ms/image), so when the scan
-    * yields fewer splits than the cluster has slots, shuffling the
-    * (id, bytes) frame to every slot beats decoding on a handful of
-    * cores — measured at the 100x corpus: 331 → 261 s (SCALING.md
-    * round 16). The same spread HURTS the cheaper audio contour decode
-    * (its deduplicator defaults false); flip this off when payloads are
-    * huge relative to decode cost. No-op when the scan already fans
-    * out. */
-  final val spreadDecode = new BooleanParam(this, "spreadDecode",
-    "repartition (id, bytes) across all slots before decoding when the " +
-      "scan gave fewer partitions than slots")
+    * bits wide of zero, so the inherited maxHamming default (4) sits
+    * above SimHash's text default (3); see the base's `blocks` scaladoc
+    * for the key-width analysis this operator's 100x sweep produced.
+    *
+    * spreadDecode defaults TRUE here: image decode+DCT is CPU-heavy
+    * (~0.5 ms/image) and shuffling the (id, bytes) frame to every slot
+    * was measured to beat decoding on a handful of cores at the 100x
+    * corpus — 331 → 261 s (SCALING.md round 16). */
   setDefault(spreadDecode -> true)
-  def setSpreadDecode(v: Boolean): this.type = set(spreadDecode, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    import graft.dedup.DedupFunctions._
-    val df = ds.toDF()
-    val id = col($(idCol))
-    val pUdf = udf((b: Array[Byte]) => PerceptualHash.phash64(b))
-    // decode exactly once: narrow (id, fp), null fps (no evidence) out
-    val narrow = df.select(id.cast("long").as("__id"),
-      col(getInputCol).as("__bytes"))
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if ($(spreadDecode) && narrow.rdd.getNumPartitions < slots)
-        narrow.repartition(slots)
-      else narrow
-    val fps = spread
-      .select(col("__id"), pUdf(col("__bytes")).as("__fp"))
-      .filter(col("__fp").isNotNull)
-      .localCheckpoint()
-    val dupIds = hammingDupIds(fps, col("__id"), "__fp", $(maxHamming),
-      $(blocks), $(maxBucketSize), s"${uid}_dropped")
-    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
-  }
-  override def transformSchema(schema: StructType): StructType = schema
+  override protected def fingerprint(bytes: Array[Byte]): java.lang.Long =
+    PerceptualHash.phash64(bytes)
   override def copy(extra: ParamMap): ImagePHashDeduplicator =
     defaultCopy(extra)
 }

@@ -83,61 +83,23 @@ object AudioFingerprint extends GraftReadable[AudioFingerprint] {
   * shape — decode is the expensive step; 16 bytes/row ride the
   * machinery). Undecodable or null payloads are always KEPT. */
 class AudioFingerprintDeduplicator(override val uid: String)
-    extends Transformer with HasInputCol with GraftWritable {
+    extends graft.dedup.FingerprintDeduplicatorBase {
   def this() = this(Identifiable.randomUID("AudioFingerprintDeduplicator"))
 
-  final val idCol = new Param[String](this, "idCol", "unique row id column")
-  def setIdCol(v: String): this.type = set(idCol, v)
   /** Volume re-encodes land at hamming 0 by construction, so the
-    * default ball is tighter than the image family's (6): 4 tolerates
-    * mild clipping/requantization noise while keeping C(6,2)=15 bucket
-    * tables with ~21-bit keys. */
-  final val maxHamming = new IntParam(this, "maxHamming",
-    "hamming cutoff", ParamValidators.gtEq(0))
-  setDefault(maxHamming -> 4)
-  def setMaxHamming(v: Int): this.type = set(maxHamming, v)
-  final val blocks = new IntParam(this, "blocks",
-    "pigeonhole blocks (> maxHamming; key width grows with blocks-maxHamming)",
-    ParamValidators.gt(0))
-  setDefault(blocks -> 6)
-  def setBlocks(v: Int): this.type = set(blocks, v)
-  final val maxBucketSize = new IntParam(this, "maxBucketSize",
-    "per-bucket candidate cap (skew guard)", ParamValidators.gt(0))
-  setDefault(maxBucketSize -> 1000)
-  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
-
-  /** Default FALSE, unlike [[graft.image.ImagePHashDeduplicator]]: the
-    * contour decode is one cheap pass over the samples, and shuffling
-    * full audio payloads to gain parallelism was measured to LOSE at
-    * the 100x corpus (154 → 311 s, SCALING.md round 16). Flip on for
-    * genuinely few-split scans of expensive-to-decode formats. */
-  final val spreadDecode = new BooleanParam(this, "spreadDecode",
-    "repartition (id, bytes) across all slots before decoding when the " +
-      "scan gave fewer partitions than slots")
+    * inherited maxHamming default (4) tolerates mild
+    * clipping/requantization noise with margin.
+    *
+    * spreadDecode defaults FALSE, unlike
+    * [[graft.image.ImagePHashDeduplicator]]: the contour decode is one
+    * cheap pass over the samples, and shuffling full audio payloads to
+    * gain parallelism was measured to LOSE at the 100x corpus
+    * (154 → 311 s, SCALING.md round 16). Flip on for genuinely
+    * few-split scans of expensive-to-decode formats. */
   setDefault(spreadDecode -> false)
-  def setSpreadDecode(v: Boolean): this.type = set(spreadDecode, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    import graft.dedup.DedupFunctions._
-    val df = ds.toDF()
-    val id = col($(idCol))
-    val fpUdf = udf((b: Array[Byte]) => AudioFingerprint.fp64(b))
-    val narrow = df.select(id.cast("long").as("__id"),
-      col(getInputCol).as("__bytes"))
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if ($(spreadDecode) && narrow.rdd.getNumPartitions < slots)
-        narrow.repartition(slots)
-      else narrow
-    val fps = spread
-      .select(col("__id"), fpUdf(col("__bytes")).as("__fp"))
-      .filter(col("__fp").isNotNull)
-      .localCheckpoint()
-    val dupIds = hammingDupIds(fps, col("__id"), "__fp", $(maxHamming),
-      $(blocks), $(maxBucketSize), s"${uid}_dropped")
-    df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
-  }
-  override def transformSchema(schema: StructType): StructType = schema
+  override protected def fingerprint(bytes: Array[Byte]): java.lang.Long =
+    AudioFingerprint.fp64(bytes)
   override def copy(extra: ParamMap): AudioFingerprintDeduplicator =
     defaultCopy(extra)
 }

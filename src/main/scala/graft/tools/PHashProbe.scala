@@ -30,21 +30,22 @@ object PHashProbe {
       }
       i += 1
     }
-    var minCross = 65; var minCrossAt = -1
+    var minCross = 65; var minCrossI = -1; var minCrossJ = -1
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
         if ((j >>> 2) != (i >>> 2)) {
           val d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
-          if (d < minCross) { minCross = d; minCrossAt = i * 100000 + j }
+          if (d < minCross) { minCross = d; minCrossI = i; minCrossJ = j }
         }
         j += 1
       }
       i += 1
     }
     println(s"n=$n maxWithin=$maxWithin (near id $maxWithinAt) " +
-      s"minCross=$minCross (pair code $minCrossAt) hash0=${hashes(0)}L")
+      s"minCross=$minCross (pair $minCrossI,$minCrossJ) " +
+      s"hash0=${hashes(0)}L")
     println("within hist: " + withinHist.zipWithIndex
       .filter(_._1 > 0).map { case (c, d) => s"$d:$c" }.mkString(" "))
   }
