@@ -266,6 +266,41 @@ object SparkEntry {
     b.array()
   }
 
+  /** Deterministic Y4M fixture for the video-fingerprint dedup gate:
+    * 8×8 Cmono at 8 fps, 128 frames = 64 two-frame contour windows,
+    * each window a constant luma 16·(2 + mix(group, window) mod 12)
+    * from a 16-step grid (so ×3/4, ×5/8, ×9/8 brightness re-grades are
+    * EXACT: 12/10/18·(2+r)); `id % 4` selects the re-grade, making
+    * within-group luma contours bit-identical by construction while
+    * cross-group grids are independent draws. */
+  private[graft] def testFpY4mBytes(id: Long): Array[Byte] = {
+    val frames = 128
+    val group = id >>> 2
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val baos = new java.io.ByteArrayOutputStream(40 + 70 * frames)
+    baos.write("YUV4MPEG2 W8 H8 F8:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      baos.write("FRAME\n".getBytes("US-ASCII"))
+      val base = 2 + java.lang.Math.floorMod(mix(group * 151L + f / 2), 12L).toInt
+      val v = ((id & 3L).toInt match {
+        case 0 => 16 * base
+        case 1 => 12 * base
+        case 2 => 10 * base
+        case _ => 18 * base
+      }).toByte
+      var i = 0
+      while (i < 64) { baos.write(v); i += 1 }
+      f += 1
+    }
+    baos.toByteArray
+  }
+
   /** Deterministic Y4M fixture for the multimodal video gate: 8×8
     * C420jpeg at 8 fps, `2 * (1 + id % 4)` frames of constant luma
     * `64 * (id % 4)`. Every field the decoder reports is closed-form:
@@ -2158,6 +2193,24 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
         .withColumn("payload", wav(col("doc_id")))
       new graft.io.binary.AudioFingerprintDeduplicator()
+        .setInputCol("payload").setIdCol("doc_id")
+        .transform(docs)
+        .select(col("doc_id"))
+    },
+
+    // Luma-contour video near-dedup — completes the multimodal dedup
+    // family (text/image/audio above; one shared pigeonhole shell).
+    // Groups of four Y4M clips share one 64-window luma grid; variants
+    // are exact brightness re-grades (×3/4, ×5/8, ×9/8 on the 16-step
+    // grid), so within-group fingerprints are bit-identical BY
+    // CONSTRUCTION while cross-group contours are independent coin
+    // flips (VideoFingerprintSuite pins the margins). Closed-form
+    // survivors: min doc_id per group
+    "video_fp_dedup" -> { (s, dir) =>
+      val y4m = udf((id: Long) => SparkEntry.testFpY4mBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", y4m(col("doc_id")))
+      new graft.io.binary.VideoFingerprintDeduplicator()
         .setInputCol("payload").setIdCol("doc_id")
         .transform(docs)
         .select(col("doc_id"))
@@ -4625,6 +4678,11 @@ object SparkEntry {
     // every image's nearest non-self neighbor lands in its own planted
     // group — the mismatch count is identically zero
     "image_knn" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+
+    // survivors = min id per planted 4-id group (testFpY4mBytes: one
+    // luma grid per group, exact brightness re-grade variants)
+    "video_fp_dedup" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
 
     "sessionize" ->
       """SELECT event_id, user_id,

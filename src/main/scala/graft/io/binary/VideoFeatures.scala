@@ -42,8 +42,12 @@ object VideoFeatures {
     if (i < max) i else -1
   }
 
-  def decodeY4mFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
-    if (bytes == null || bytes.length < 16 || dim < 7) return None
+  /** Frame-walk front half shared by [[decodeY4mFeatures]] and
+    * [[VideoFingerprint.fp64]]: per-frame mean luma in [0, 1] plus
+    * (fps, width, height). None for anything structurally invalid. */
+  private[binary] def frameLumaMeans(
+      bytes: Array[Byte]): Option[(Array[Double], Double, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
     try {
       val headEnd = lineEnd(bytes, 0, 2048)
       if (headEnd < 0) return None
@@ -96,6 +100,16 @@ object VideoFeatures {
       val n = frameMeans.length
       if (n == 0) return None
       val fps = fpsNum.toDouble / fpsDen
+      Some((frameMeans.toArray, fps, w, h))
+    } catch {
+      case _: Exception => None
+    }
+  }
+
+  def decodeY4mFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 7) return None
+    frameLumaMeans(bytes).map { case (frameMeans, fps, w, h) =>
+      val n = frameMeans.length
       val out = new Array[Float](dim)
       out(0) = (n / fps).toFloat
       out(1) = fps.toFloat
@@ -114,9 +128,7 @@ object VideoFeatures {
         out(6 + s) = if (hi > lo) (acc / (hi - lo)).toFloat else 0f
         s += 1
       }
-      Some(out)
-    } catch {
-      case _: Exception => None
+      out
     }
   }
 }

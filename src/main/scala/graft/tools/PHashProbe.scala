@@ -3,17 +3,20 @@ package graft.tools
 /** Margin probe for the planted multimodal-dedup fixtures: per-group
   * max within-group Hamming and global min cross-group Hamming over the
   * first `n` ids (driver-side, no Spark).
-  * Usage: PHashProbe [n [image|audio]] */
+  * Usage: PHashProbe [n [image|audio|video]] */
 object PHashProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 5000
-    val audio = args.length > 1 && args(1) == "audio"
+    val mode = if (args.length > 1) args(1) else "image"
     val hashes = (0 until n).map { id =>
-      val h =
-        if (audio) graft.io.binary.AudioFingerprint.fp64(
+      val h = mode match {
+        case "audio" => graft.io.binary.AudioFingerprint.fp64(
           graft.SparkEntry.testFpWavBytes(id.toLong))
-        else graft.image.PerceptualHash.phash64(
+        case "video" => graft.io.binary.VideoFingerprint.fp64(
+          graft.SparkEntry.testFpY4mBytes(id.toLong))
+        case _ => graft.image.PerceptualHash.phash64(
           graft.SparkEntry.testBmpBytes(id.toLong))
+      }
       require(h != null, s"id $id undecodable")
       h.longValue()
     }.toArray
