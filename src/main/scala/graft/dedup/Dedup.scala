@@ -201,12 +201,17 @@ object DedupFunctions {
       metricName: String): DataFrame = {
     require(nBlocks > maxHamming,
       s"blocks ($nBlocks) must exceed maxHamming ($maxHamming)")
-    // block i covers width w_i bits at offset_i; widths differ by ≤1
+    // block i covers width w_i bits at offset_i; widths differ by ≤1.
+    // The mask is width-64-safe (`-1L >>> (64 - w)`, all-ones at w=64):
+    // `(1L << 64) - 1` overflows to 0, which at nBlocks=1/maxHamming=0
+    // — a legal parameterization of every fingerprint deduper — would
+    // collapse every key into ONE bucket, where the maxBucket skew
+    // guard then silently drops all candidates (round-16 advice)
     val base = 64 / nBlocks; val rem = 64 % nBlocks
     val widths = (0 until nBlocks).map(i => base + (if (i < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def blockVal(fp: Column, i: Int): Column =
-      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+      shiftright(fp, offsets(i)).bitwiseAND(lit(-1L >>> (64 - widths(i))))
     val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
     val keyCols = combos.zipWithIndex.map { case (bs, ci) =>
       xxhash64((lit(ci) +: bs.map(blockVal(col(fpCol), _))): _*)

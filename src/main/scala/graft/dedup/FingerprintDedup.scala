@@ -23,6 +23,7 @@ abstract class FingerprintDeduplicatorBase extends Transformer
     with graft.core.HasInputCol with graft.core.GraftWritable {
 
   final val idCol = new Param[String](this, "idCol", "unique row id column")
+  setDefault(idCol -> "doc_id")
   def setIdCol(v: String): this.type = set(idCol, v)
   final val maxHamming = new IntParam(this, "maxHamming",
     "hamming cutoff", ParamValidators.gtEq(0))
@@ -61,6 +62,7 @@ abstract class FingerprintDeduplicatorBase extends Transformer
     // validate BEFORE the eager checkpoint decodes the corpus — the
     // require inside hammingDupIds would otherwise fire after minutes
     // of decode work at a 100x corpus
+    transformSchema(ds.schema)
     require($(blocks) > $(maxHamming),
       s"blocks (${$(blocks)}) must exceed maxHamming (${$(maxHamming)})")
     val df = ds.toDF()
@@ -81,5 +83,15 @@ abstract class FingerprintDeduplicatorBase extends Transformer
       $(blocks), $(maxBucketSize), s"${uid}_dropped")
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    // fail at plan-construction time with a named column, not minutes
+    // into the decode with a raw unresolved-column error (round-16
+    // advice: a forgotten setIdCol used to surface mid-transform)
+    require(schema.fieldNames.contains($(idCol)),
+      s"idCol '${$(idCol)}' not found in ${schema.fieldNames.mkString(", ")}")
+    require(schema.fieldNames.contains(getInputCol),
+      s"inputCol '$getInputCol' not found in " +
+        schema.fieldNames.mkString(", "))
+    schema
+  }
 }

@@ -110,7 +110,7 @@ object PerceptualHash {
   * the same `Array[Float]` contract as [[graft.text.HashedEmbedder]] /
   * [[graft.text.TrainedEmbedder]], so the whole embedding-consumer
   * family — [[graft.nn.NearestNeighbors]] and the ANN variants,
-  * [[graft.dedup.SemDeDupDeduplicator]],
+  * [[graft.dedup.SemDeDup]],
   * [[graft.sim.EmbeddingClusterer]] — runs over images unchanged:
   * in-library image similarity search and semantic image dedup with no
   * external model (the classical slice of the reference's

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * 2024): k-means the document embeddings, attach the cluster id, and
   * let downstream quotas ([[graft.text.GroupQuotaSampler]]) or reports
   * ([[graft.text.CorpusReport]] `groupByCol`) rebalance the mixture.
-  * [[graft.dedup.SemDeDupDeduplicator]] embeds the same construction
+  * [[graft.dedup.SemDeDup]] embeds the same construction
   * privately as its candidate generator; this stage exposes the cluster
   * assignment itself as a first-class column.
   *

@@ -75,7 +75,7 @@ class TopKAggregator(k: Int)
   * query, and Catalyst evaluates an un-materialized expensive input
   * column (an embedding UDF) per JOINED PAIR — `localCheckpoint()` such
   * an upstream first (measured in the image_knn gate: 349 → 5 s; the
-  * [[graft.dedup.SemDeDupDeduplicator]] convention).
+  * [[graft.dedup.SemDeDup]] convention).
   */
 class NearestNeighbors(override val uid: String) extends Transformer
     with HasInputCol with graft.core.GraftWritable {
