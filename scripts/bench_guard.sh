@@ -16,7 +16,12 @@
 #   base = HEAD total - HEAD seconds of queries the candidate dropped
 #   band = [0.9 * base, 1.1 * base + 3.0 * (queries added)]
 # so a legitimate +N-query refresh fits without an override while a
-# contended 1.5x run still refuses. A genuine perf shift outside that
+# contended 1.5x run still refuses. Two further checks run REGARDLESS
+# of any band override: the cross-SF clobber check (candidate and HEAD
+# records must come from the same sf dir) and the per-query drift check
+# (no query present in both records may exceed 1.5x its HEAD wall —
+# exempt intentionally-changed queries by name via
+# GRAFT_BENCH_TOUCHED="qa qb"). A genuine perf shift outside the band
 # is landed by widening the band explicitly:
 # GRAFT_BENCH_BAND="<lo> <hi>" scripts/bench_guard.sh (the override is
 # printed, so the round log records it). If HEAD carries no readable
@@ -78,16 +83,39 @@ elif float(env["steal_pct"]) > 0.15:
     bad.append(f"steal_pct {env['steal_pct']} > 0.15 (contended box)")
 # cross-SF refresh guard (round 16: an sf0.001 smoke run clobbered the
 # sf0.1 record) — compare basenames so absolute vs relative paths agree.
-# A record without an sf field is noted, never silently waved through
-if not override:
-    if head is None or "sf" not in head:
-        print("bench_guard: note — committed record carries no sf field; "
-              "cross-SF check unavailable")
-    else:
-        head_sf = os.path.basename(str(head["sf"]).rstrip("/"))
-        cand_sf = os.path.basename(str(rec.get("sf", "")).rstrip("/"))
-        if head_sf and cand_sf and head_sf != cand_sf:
-            bad.append(f"candidate sf '{cand_sf}' != committed sf '{head_sf}'")
+# A record without an sf field is noted, never silently waved through.
+# Runs UNCONDITIONALLY (round-16 advice: it used to sit inside the band
+# override, so widening the band also waived the clobber protection)
+if head is None or "sf" not in head:
+    print("bench_guard: note — committed record carries no sf field; "
+          "cross-SF check unavailable")
+else:
+    head_sf = os.path.basename(str(head["sf"]).rstrip("/"))
+    cand_sf = os.path.basename(str(rec.get("sf", "")).rstrip("/"))
+    if head_sf and cand_sf and head_sf != cand_sf:
+        bad.append(f"candidate sf '{cand_sf}' != committed sf '{head_sf}'")
+# per-query drift guard (round-16 verdict: a refresh whose TOTAL sat
+# inside the band carried four untouched queries at 1.7-2.1x their
+# committed walls — box noise the aggregate band can't see). Queries
+# present in BOTH records must stay under 1.5x their HEAD wall (with a
+# 1 s absolute floor so sub-second jitter never flags); queries the
+# round's code intentionally changed are exempted BY NAME via
+# GRAFT_BENCH_TOUCHED="qa qb" so the exemption is recorded in the round
+# log. Independent of the band override for the same reason the
+# cross-SF check is.
+touched = set(os.environ.get("GRAFT_BENCH_TOUCHED", "").split())
+head_queries = (head or {}).get("queries") or {}
+drift = [
+    f"{k} {head_queries[k]:.2f}->{float(v):.2f}s"
+    for k, v in sorted(cand_q.items())
+    if k in head_queries and k not in touched
+    and float(v) > 1.5 * float(head_queries[k])
+    and float(v) - float(head_queries[k]) > 1.0]
+if drift:
+    bad.append("per-query drift >1.5x on untouched queries ("
+               + ", ".join(drift)
+               + ") — noisy box, or list intentionally-changed queries "
+                 "in GRAFT_BENCH_TOUCHED")
 if not (lo <= total <= hi):
     bad.append(f"total {total} outside the settled band [{lo:.1f}, {hi:.1f}]")
 if bad:

@@ -72,4 +72,49 @@ grep -q "REFUSING.*sf0.001" out.txt || { cat out.txt; fail "cross-sf refresh acc
 python3 -c "import json; assert json.load(open('BENCH_FULL.json'))['value'] == 177.0" \
   || fail "cross-sf record not restored from HEAD"
 
-echo "bench_guard selftest: all 6 cases pass"
+# 7. single-query drift: one untouched query at 2x its HEAD wall while
+# the TOTAL stays inside the band (round-16 verdict What's-wrong #1):
+# refused, restored
+python3 - <<'EOF' > BENCH_FULL.json
+import json
+n = 149
+q = {f"q{i}": round(177.0 / n, 3) for i in range(n)}
+q["q7"] = round(2 * 177.0 / n + 1.5, 3)   # 2x + past the 1s floor
+print(json.dumps({
+    "metric": "suite_seconds", "value": round(sum(q.values()), 2),
+    "unit": "sec", "queries": q,
+    "env": {"steal_pct": 0.03, "busy_pct": 1.0}, "sf": "/data/sf0.1"}))
+EOF
+scripts/bench_guard.sh >out.txt 2>&1 || fail "guard errored (case 7)"
+grep -q "REFUSING.*per-query drift.*q7" out.txt \
+  || { cat out.txt; fail "single-query 2x drift accepted"; }
+python3 -c "import json; assert json.load(open('BENCH_FULL.json'))['value'] == 177.0" \
+  || fail "drifted record not restored from HEAD"
+
+# 8. the same record with the drifted query declared touched: accepted
+python3 - <<'EOF' > BENCH_FULL.json
+import json
+n = 149
+q = {f"q{i}": round(177.0 / n, 3) for i in range(n)}
+q["q7"] = round(2 * 177.0 / n + 1.5, 3)
+print(json.dumps({
+    "metric": "suite_seconds", "value": round(sum(q.values()), 2),
+    "unit": "sec", "queries": q,
+    "env": {"steal_pct": 0.03, "busy_pct": 1.0}, "sf": "/data/sf0.1"}))
+EOF
+GRAFT_BENCH_TOUCHED="q7" scripts/bench_guard.sh >out.txt 2>&1 \
+  || fail "guard errored (case 8)"
+grep -q "OK to refresh" out.txt \
+  || { cat out.txt; fail "declared-touched drift refused"; }
+
+# 9. a band override must NOT waive the cross-SF check (round-16 advice:
+# it used to sit inside `if not override`)
+rec 180.0 0.03 149 relative/sf0.001 > BENCH_FULL.json
+GRAFT_BENCH_BAND="160 200" scripts/bench_guard.sh >out.txt 2>&1 \
+  || fail "guard errored (case 9)"
+grep -q "REFUSING.*sf0.001" out.txt \
+  || { cat out.txt; fail "band override waived the cross-sf check"; }
+python3 -c "import json; assert json.load(open('BENCH_FULL.json'))['value'] == 177.0" \
+  || fail "cross-sf override record not restored from HEAD"
+
+echo "bench_guard selftest: all 9 cases pass"
