@@ -82,6 +82,54 @@ private[graft] object LanguageGateFixture {
     }
 }
 
+/** Planted fixture for the subword_embedding gate: 5 classes whose word
+  * pools draw from DISJOINT 5-letter alphabets, so character n-grams —
+  * the subword evidence — never cross classes by construction. Train
+  * docs (doc_id % 3 != 0) use the 12 base words of their class
+  * (doc_id % 5); TEST docs (doc_id % 3 == 0) use morphological
+  * variants (base + a 2-letter class-alphabet suffix) absent from
+  * every training document — all-OOV, so the word-lookup path pools
+  * them to ZERO (the round-16 verdict's 100 TB vocabulary-drift hole)
+  * and only the fastText-style subword fallback can recover the
+  * class. Word synthesis is pure integer arithmetic on doc_id, so the
+  * fixture is replayable anywhere; the ORACLE only needs the planted
+  * label (the trained_embedding convention). */
+private[graft] object SubwordGateFixture {
+  private val Alphabets: Seq[String] =
+    Seq("abcde", "fghij", "klmno", "pqrst", "uvwxy")
+  /** 12 distinct 5-letter base words per class (chars j%5, (j/5)%5,
+    * (j*3)%5, (j*2+1)%5, (j+2)%5 of the class alphabet — any two j
+    * differ in char 0 or char 1). */
+  val Pools: Seq[Seq[String]] = Alphabets.map { al =>
+    (0 until 12).map { j =>
+      Seq(j % 5, (j / 5) % 5, (j * 3) % 5, (j * 2 + 1) % 5, (j + 2) % 5)
+        .map(al(_)).mkString
+    }
+  }
+  /** The held-out morphological variants: base + the class alphabet's
+    * first two letters (7 letters, so no variant collides with any
+    * 5-letter base word; same-alphabet suffix keeps the n-gram
+    * evidence class-pure). */
+  val VariantPools: Seq[Seq[String]] =
+    Pools.zip(Alphabets).map { case (pool, al) =>
+      pool.map(_ + al.substring(0, 2))
+    }
+
+  private def poolText(pool: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(15)),
+      i => element_at(typedLit(pool),
+        ((col("doc_id") * 7 + i * 13) % 12 + 1).cast("int"))))
+
+  def textCol: org.apache.spark.sql.Column =
+    (0 until 5).foldLeft(
+      lit(null).cast(org.apache.spark.sql.types.StringType)) {
+      case (acc, c) =>
+        when(col("doc_id") % 5 === c,
+          when(col("doc_id") % 3 === 0, poolText(VariantPools(c)))
+            .otherwise(poolText(Pools(c)))).otherwise(acc)
+    }
+}
+
 /** Shared tail of the trained-embedding gates: 5-way nearest-centroid
   * recovery of the planted class (the language_id planted-rule pattern
   * over embedding space — the clustering itself is not SQL-replayable,
@@ -2705,6 +2753,23 @@ object SparkEntry {
       EmbedGateSupport.nearestCentroidRecovery(m.transform(synth))
     },
 
+    // the fastText-style subword fallback (round 17) under the fixture
+    // the word-lookup path FAILS: every test doc (doc_id % 3 == 0) is
+    // written in morphological variants absent from the fit sample —
+    // all-OOV, zero vector, unrecoverable without subwords — and the
+    // char-n-gram bucket vectors must still recover the planted class
+    // exactly (alphabet-disjoint pools keep the gram evidence
+    // class-pure; see SubwordGateFixture)
+    "subword_embedding" -> { (s, dir) =>
+      val synth = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("text", SubwordGateFixture.textCol)
+      val m = new graft.text.TrainedEmbedder().setInputCol("text")
+        .setDim(32).setMinCount(1).setMaxIter(4).setTrainSample(4096)
+        .setSubwordBits(18)
+        .fit(synth.filter(col("doc_id") % 3 =!= 0))
+      EmbedGateSupport.nearestCentroidRecovery(m.transform(synth))
+    },
+
     // top-fraction quality pruning, exact mode (deterministic global
     // rank with (score desc, id asc) ties) — the SQL-replayable path;
     // the approx quantile-sketch mode is the 100 TB path, suite-covered
@@ -5270,6 +5335,13 @@ object SparkEntry {
     // same planted rule; the gate's Spark side must recover it THROUGH
     // the 16-token stopword flood via SIF weighting
     "trained_embedding_sif" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS pred_class
+        |FROM documents""".stripMargin,
+
+    // same planted rule again; here the test docs (doc_id % 3 = 0) are
+    // all-OOV morphological variants, so recovery proves the subword
+    // fallback (the word-lookup path pools them to zero)
+    "subword_embedding" ->
       """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS pred_class
         |FROM documents""".stripMargin,
 

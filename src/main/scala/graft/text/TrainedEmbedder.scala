@@ -53,6 +53,29 @@ import org.apache.spark.sql.types._
   * literature), which downweights stopword-frequency tokens so content
   * words drive the document vector; p(w) is the unigram frequency over
   * the SAME training sample, persisted with the model.
+  *
+  * Subwords (`subwordBits` > 0): the fastText construction (Bojanowski
+  * et al. 2017, "Enriching Word Vectors with Subword Information",
+  * TACL — public literature) closes the OOV hole that matters at
+  * 100 TB — with word-lookup-only vectors, any document whose
+  * vocabulary drifted from the bounded fit sample pools toward the
+  * ZERO vector, which is exactly the kind of document a downstream
+  * quality head most needs to score. At fit time each vocabulary
+  * word's boundary-marked character 3-6-grams (`<where>` → `<wh`,
+  * `whe`, …, `re>`) are hashed into `2^subwordBits` buckets and each
+  * bucket vector is the mean of the word vectors containing it — the
+  * closed-form bag-of-subwords derivation (Zhao, Mudgal & Liang 2018,
+  * "Generalizing Word Embeddings using Bag of Subwords", EMNLP)
+  * rather than fastText's joint training, so the in-vocabulary path —
+  * and every committed gate over it — is BIT-IDENTICAL with subwords
+  * on or off. At inference an out-of-vocabulary token embeds as the
+  * mean of its grams' bucket vectors (grams whose bucket no vocabulary
+  * word touched are skipped; a token with no hit at all is skipped as
+  * before), so morphological variants of known words land near their
+  * stems instead of vanishing. Under `sif` an OOV token weighs
+  * a/(a+0) = 1 — unseen means rare, the weighting's own convention.
+  * The bucket table adds ≤ 2^subwordBits × dim floats to the broadcast
+  * and is persisted with the model.
   */
 class TrainedEmbedder(override val uid: String)
     extends Estimator[TrainedEmbedderModel] with HasInputCol
@@ -122,6 +145,27 @@ class TrainedEmbedder(override val uid: String)
   setDefault(sifA -> 1e-3)
   def setSifA(v: Double): this.type = set(sifA, v)
 
+  final val subwordBits = new IntParam(this, "subwordBits",
+    "0 = word-lookup only (OOV tokens are skipped); >0 = fastText-style " +
+      "subword fallback — char minGram..maxGram-grams of vocabulary " +
+      "words hash into 2^subwordBits buckets whose vectors embed " +
+      "out-of-vocabulary tokens (see the class scaladoc)",
+    ParamValidators.inRange(0, 28))
+  setDefault(subwordBits -> 0)
+  def setSubwordBits(v: Int): this.type = set(subwordBits, v)
+
+  final val minGram = new IntParam(this, "minGram",
+    "smallest char n-gram over the boundary-marked word (fastText's 3)",
+    ParamValidators.gt(0))
+  setDefault(minGram -> 3)
+  def setMinGram(v: Int): this.type = set(minGram, v)
+
+  final val maxGram = new IntParam(this, "maxGram",
+    "largest char n-gram over the boundary-marked word (fastText's 6)",
+    ParamValidators.gt(0))
+  setDefault(maxGram -> 6)
+  def setMaxGram(v: Int): this.type = set(maxGram, v)
+
   override def fit(ds: Dataset[_]): TrainedEmbedderModel = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -188,6 +232,36 @@ class TrainedEmbedder(override val uid: String)
       .setNormalize($(normalize)).setPooling($(pooling)).setSifA($(sifA))
     m.set(m.wordVectors, vecs.toSeq)
     m.set(m.wordFreqs, freqs.toSeq)
+    if ($(subwordBits) > 0) {
+      require($(maxGram) >= $(minGram),
+        s"maxGram (${$(maxGram)}) must be >= minGram (${$(minGram)})")
+      // closed-form bag-of-subwords derivation (Zhao et al. 2018; class
+      // scaladoc): bucket vector = mean of the fitted vectors of every
+      // vocabulary word containing an n-gram hashing to that bucket.
+      // Driver-side over the (bounded) vocabulary — O(vocab × grams).
+      val mask = (1 << $(subwordBits)) - 1
+      val dimN = vecs.headOption.map(_._2.length).getOrElse(0)
+      val sums = new java.util.HashMap[Int, Array[Double]]()
+      val cnts = new java.util.HashMap[Int, Long]()
+      vecs.foreach { case (w, v) =>
+        TrainedEmbedder.charGrams(w, $(minGram), $(maxGram)).foreach { g =>
+          val b = SoftDeduplicator.hash64(g).toInt & mask
+          val acc = sums.computeIfAbsent(b, _ => new Array[Double](dimN))
+          var j = 0
+          while (j < dimN) { acc(j) += v(j); j += 1 }
+          cnts.merge(b, 1L, (a0, b0) => a0 + b0)
+        }
+      }
+      val buckets = new scala.collection.mutable.ArrayBuffer[
+        (Int, Array[Float])](sums.size)
+      sums.forEach { (b, acc) =>
+        val n = cnts.get(b).toDouble
+        buckets += b -> acc.map(x => (x / n).toFloat)
+      }
+      m.set(m.subwordVectors, buckets.sortBy(_._1).toSeq)
+      m.setSubwordBits($(subwordBits))
+        .setMinGram($(minGram)).setMaxGram($(maxGram))
+    }
     m.setParent(this)
   }
 
@@ -206,6 +280,26 @@ object TrainedEmbedder extends GraftReadable[TrainedEmbedder] {
     if (text == null) Seq.empty
     else HashedEmbedder.simpleLower(text.trim)
       .split("\\s+").filter(_.nonEmpty).toSeq
+
+  /** fastText's boundary-marked character n-grams: `<where>` at 3..6 →
+    * `<wh`, `whe`, …, `here>`, `<where`, `where>` (the multiset — a
+    * gram recurring inside one word counts each occurrence, matching
+    * the paper's sum over gram POSITIONS). Grams are UTF-16 code-unit
+    * windows, fine for the lowercased tokenizer output and
+    * deterministic everywhere. A token shorter than minGram-2 yields
+    * nothing — no evidence, the caller skips it. */
+  private[text] def charGrams(token: String, minN: Int, maxN: Int)
+      : Seq[String] = {
+    val w = "<" + token + ">"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var n = minN
+    while (n <= maxN) {
+      var i = 0
+      while (i + n <= w.length) { out += w.substring(i, i + n); i += 1 }
+      n += 1
+    }
+    out.toSeq
+  }
 }
 
 /** Fitted [[TrainedEmbedder]]: a (word → vector) table, persisted with
@@ -243,6 +337,26 @@ class TrainedEmbedderModel(override val uid: String)
   final val wordFreqs = new Param[Seq[(String, Double)]](this,
     "wordFreqs", "fitted (word, sample frequency) table")
 
+  final val subwordBits = new IntParam(this, "subwordBits",
+    "0 = word-lookup only; >0 = subword OOV fallback over 2^bits buckets",
+    ParamValidators.inRange(0, 28))
+  setDefault(subwordBits -> 0)
+  def setSubwordBits(v: Int): this.type = set(subwordBits, v)
+  final val minGram = new IntParam(this, "minGram",
+    "smallest char n-gram", ParamValidators.gt(0))
+  setDefault(minGram -> 3)
+  def setMinGram(v: Int): this.type = set(minGram, v)
+  final val maxGram = new IntParam(this, "maxGram",
+    "largest char n-gram", ParamValidators.gt(0))
+  setDefault(maxGram -> 6)
+  def setMaxGram(v: Int): this.type = set(maxGram, v)
+
+  /** Derived subword bucket vectors (bucket-sorted, sparse — only
+    * buckets some vocabulary gram touched); a complex Param persisted
+    * with the vectors. */
+  final val subwordVectors = new Param[Seq[(Int, Array[Float])]](this,
+    "subwordVectors", "derived (bucket, vector) table, bucket-sorted")
+
   def vocabSize: Int = $(wordVectors).size
   def dim: Int = $(wordVectors).headOption.map(_._2.length).getOrElse(0)
 
@@ -258,6 +372,9 @@ class TrainedEmbedderModel(override val uid: String)
         "pre-round-16 save lacks them — pooling=mean still works)")
     val freqByWord: Map[String, Double] =
       if (sif) $(wordFreqs).toMap else Map.empty
+    val useSub = $(subwordBits) > 0 && isSet(subwordVectors) &&
+      $(subwordVectors).nonEmpty
+    val (minN, maxN) = ($(minGram), $(maxGram))
     val table = ds.sparkSession.sparkContext.broadcast {
       val m = new java.util.HashMap[String, (Array[Float], Double)](
         $(wordVectors).size * 2)
@@ -270,6 +387,13 @@ class TrainedEmbedderModel(override val uid: String)
       }
       m
     }
+    val subTable = ds.sparkSession.sparkContext.broadcast {
+      val m = new java.util.HashMap[Integer, Array[Float]](
+        if (useSub) $(subwordVectors).size * 2 else 0)
+      if (useSub) $(subwordVectors).foreach { case (b, v) => m.put(b, v) }
+      m
+    }
+    val mask = (1 << $(subwordBits)) - 1
     val embUdf = udf { text: String =>
       if (text == null) null
       else {
@@ -283,6 +407,29 @@ class TrainedEmbedderModel(override val uid: String)
             var j = 0
             while (j < d) { acc(j) += w * v(j); j += 1 }
             n += 1
+          } else if (useSub) {
+            // OOV fallback: mean of the token's grams' bucket vectors
+            // (buckets no vocabulary gram touched are skipped). SIF
+            // weight of an unseen token is a/(a+0) = 1 — unseen means
+            // rare, the weighting's own convention — so the bucket
+            // mean adds in unweighted, exactly like a minimum-p(w)
+            // content word.
+            val sub = new Array[Double](d)
+            var hits = 0
+            TrainedEmbedder.charGrams(t, minN, maxN).foreach { g =>
+              val bv = subTable.value.get(
+                SoftDeduplicator.hash64(g).toInt & mask)
+              if (bv != null) {
+                var j = 0
+                while (j < d) { sub(j) += bv(j); j += 1 }
+                hits += 1
+              }
+            }
+            if (hits > 0) {
+              var j = 0
+              while (j < d) { acc(j) += sub(j) / hits; j += 1 }
+              n += 1
+            }
           }
         }
         val out = new Array[Float](d)

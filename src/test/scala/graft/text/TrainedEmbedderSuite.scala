@@ -160,6 +160,68 @@ class TrainedEmbedderSuite extends TestBase {
     assert(e.getMessage.contains("frequencies"))
   }
 
+  test("subwords embed OOV morphological variants near their stems") {
+    val docs = synth(120)
+    val base = new TrainedEmbedder().setInputCol("text").setDim(24)
+      .setMinCount(1).setMaxIter(4)
+    val plain = base.fit(docs)
+    val sub = base.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setSubwordBits(18).fit(docs)
+    // variant docs: every token is a suffixed form ABSENT from the fit
+    // vocabulary — the word-lookup path must pool them to zero, the
+    // subword path must recover the topic
+    val variants = Seq(
+      (0L, 0, poolA.map(_ + "ly").mkString(" ")),
+      (1L, 1, poolB.map(_ + "ly").mkString(" "))).toDF(
+      "doc_id", "label", "text")
+    val zeroed = plain.transform(variants).select("embedding")
+      .as[Seq[Float]].collect()
+    assert(zeroed.forall(_.forall(_ == 0.0f)),
+      "word-lookup path should pool all-OOV docs to zero")
+    // topic centroids from the in-vocabulary docs (either model: the
+    // in-vocab path is identical — asserted below)
+    val embs = sub.transform(docs).select("label", "embedding")
+      .as[(Int, Seq[Float])].collect()
+    def centroid(l: Int) = {
+      val xs = embs.filter(_._1 == l).map(_._2)
+      val c = new Array[Double](24)
+      xs.foreach(v => (0 until 24).foreach(j => c(j) += v(j)))
+      c.map(x => (x / xs.size).toFloat).toSeq
+    }
+    val (ca, cb) = (centroid(0), centroid(1))
+    val got = sub.transform(variants).select("label", "embedding")
+      .as[(Int, Seq[Float])].collect()
+    got.foreach { case (l, e) =>
+      assert(e.exists(_ != 0.0f), "subword path left the variant at zero")
+      val (own, other) = if (l == 0) (ca, cb) else (cb, ca)
+      assert(cos(e, own) > cos(e, other) + 0.2,
+        s"variant of topic $l not recovered: own ${cos(e, own)} " +
+          s"other ${cos(e, other)}")
+    }
+    // the in-vocabulary path is bit-identical with subwords on or off
+    val a = plain.transform(docs).select("doc_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val b = sub.transform(docs).select("doc_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("subword vectors persist: a reloaded model embeds OOV identically") {
+    val docs = synth(80)
+    val m = new TrainedEmbedder().setInputCol("text").setDim(16)
+      .setMinCount(1).setMaxIter(2).setSubwordBits(16).fit(docs)
+    assert(m.get(m.subwordVectors).exists(_.nonEmpty))
+    val oov = Seq((0L, "stellarly orbiting cometish")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sub").toString + "/m"
+    m.write.overwrite().save(dir)
+    val back = TrainedEmbedderModel.load(dir)
+    def emb(mm: TrainedEmbedderModel) = mm.transform(oov)
+      .select("embedding").as[Seq[Float]].collect().head
+    assert(emb(m).exists(_ != 0.0f))
+    assert(emb(m) == emb(back))
+  }
+
   test("closes the loop semantically: TrainedEmbedder -> SemDeDup") {
     // the HashedEmbedderSuite end-to-end proof re-run over the trained
     // path: near-duplicate pages collapse under semantic dedup over the
