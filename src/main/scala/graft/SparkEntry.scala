@@ -2228,6 +2228,89 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("mismatches"))
     },
 
+    // THE FULL IMAGE EMBEDDING CHAIN as one plan (round 17 — the text
+    // embed_chain discipline applied to images, where round 16 found
+    // the decode-heavy upstream is exactly where re-execution traps
+    // hide): raw payload -> ImageEmbedder -> SemDeDup at its auto-k
+    // operating point. SemDeDup's internal localCheckpoint of the
+    // narrow (id, vector) frame is what keeps the decode at ONE pass —
+    // without it the count/sample/assign passes would re-decode the
+    // corpus 4x. Rows-only by design (the k-means partition is not
+    // SQL-replayable); the exactness companion below replays the same
+    // semantics all-pairs. Threshold 0.9 sits in a wide measured gap
+    // of the planted fixture's cosine spectrum (PHashProbe embed mode,
+    // all 5000 sf0.1 ids: min within-group 0.99989, max cross-group
+    // 0.68908). Also the SCALING.md image-chain row's handle.
+    "image_embed_chain" -> { (s, dir) =>
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 500L
+        case "sf0.1" => 5000L
+        case _ => 0L
+      }
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+      new graft.dedup.SemDeDup().setInputCol("image_embedding")
+        .setIdCol("doc_id").setThreshold(0.9)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
+        .transform(emb)
+        .select(col("doc_id"))
+    },
+
+    // the image chain's exactness companion (the semdedup_exact
+    // pattern): nClusters=1 compares every pair, so the survivor set
+    // is closed-form — brightness/contrast re-encodes within a planted
+    // group sit at cosine ≥ 0.99989, independent cross-group patterns
+    // at ≤ 0.68908, and the 0.9 cutoff cannot flip either side; minId
+    // keeps the smallest id per group
+    "image_embed_chain_exact" -> { (s, dir) =>
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+      new graft.dedup.SemDeDup().setInputCol("image_embedding")
+        .setIdCol("doc_id").setNClusters(1).setThreshold(0.9)
+        .setKeepRule("minId").setMaxClusterSize(8192)
+        .transform(emb)
+        .select(col("doc_id"))
+    },
+
+    // the billion-image serving path, asserted by a gate instead of
+    // prose (round-16 verdict next-round #5): ImageEmbedder -> IVF at
+    // nProbe == nLists, where every cell is probed, so the cell
+    // partition cannot lose a neighbor and the result must equal the
+    // brute-force reference EXACTLY — per-query hit count is the
+    // constant k (the knn_ivf_recall pattern over image vectors)
+    "image_ivf_recall" -> { (s, dir) =>
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      // localCheckpoint: the image_knn convention — the brute side is
+      // a broadcast nested-loop join, and an un-materialized decode UDF
+      // under it re-decodes once per joined pair
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+        .localCheckpoint()
+      val queries = emb.filter(col("doc_id") < 20)
+      val ivf = new IVFNearestNeighbors().setInputCol("image_embedding")
+        .setIdCol("doc_id").setNLists(8).fit(emb)
+        .setK(5).setNProbe(8)
+        .setQueries(queries, "doc_id", "image_embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      val bf = new NearestNeighbors().setInputCol("image_embedding")
+        .setIdCol("doc_id").setK(5)
+        .setQueries(queries, "doc_id", "image_embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      bf.join(ivf, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .select(col("query_id"), col("hits"), lit(5L).as("k"))
+    },
+
     // Energy-contour audio near-dedup — the audio member of the
     // multimodal dedup family (image pHash above; same pigeonhole, same
     // min-id survivor rule). Groups of four WAVs share one 64-segment
@@ -4734,6 +4817,18 @@ object SparkEntry {
     // brightness / contrast / both variants of one pattern per group)
     "image_phash_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
+
+    // exhaustive image-chain companion: every within-group pair sits
+    // at cosine >= 0.99989 (dup), every cross-group pair <= 0.68908
+    // (not), so minId survivors are min per planted 4-id group
+    "image_embed_chain_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
+
+    // exhaustive probe == brute force, so hits is the constant k
+    "image_ivf_recall" ->
+      """SELECT doc_id AS query_id, CAST(5 AS BIGINT) AS hits,
+        |  CAST(5 AS BIGINT) AS k
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     // survivors = min id per planted 4-id group (testFpWavBytes: one
     // amplitude grid per group, exact volume re-encode variants)

@@ -49,7 +49,7 @@ object PerceptualHash {
     * [[phash64]] (median-threshold bits) and [[ImageEmbedder]] (the
     * coefficients themselves as a dense feature vector). None for null
     * or undecodable input. */
-  private[image] def acCoeffs(bytes: Array[Byte]): Option[Array[Double]] =
+  private[graft] def acCoeffs(bytes: Array[Byte]): Option[Array[Double]] =
     ImageFeatures.decodeResizeGray(bytes, N, N).map { px =>
       // separable low-frequency DCT: rows for u < K, then columns —
       // O(K·N² + K²·N) multiplies per image

@@ -136,6 +136,7 @@ class PlanSuite extends TestBase {
       "knn_lsh_recall", "knn_ivf_recall", "knn_ivfpq_recall", // brute-force reference sides
       "image_knn", // same NearestNeighbors broadcast-query BNL over the
       // checkpointed image embeddings — 200 queries by design
+      "image_ivf_recall", // its brute-force reference side, 20 queries
       "knn_graph", "knn_graph_recall", // brute mode IS all-pairs: the
       // constant-cell key folds away and the broadcast nested loop is
       // the designed oracle-baseline plan; ivf mode joins on a real
