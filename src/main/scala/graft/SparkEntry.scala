@@ -2028,6 +2028,47 @@ object SparkEntry {
         .select(graft.dedup.DedupFunctions.canonical(col("text")).as("ct"))
     },
 
+    // Streaming PERCEPTUAL dedup — the fingerprint family's streaming
+    // face (round 17; mirrors dedup_exact_stream): the corpus index
+    // holds every member of the EVEN planted audio groups; the stream
+    // carries two exact re-encodes (members 0 and 1) of EVERY group.
+    // Even-group rows must be dropped by the pigeonhole index probe
+    // (their fingerprints sit at hamming 0 of the index; cross-group
+    // contours are >= 12 bits away, AudioFingerprintSuite margins) and
+    // odd-group pairs collapse in-stream (exact re-encodes are
+    // bit-identical by construction) — survivors are ONE row per odd
+    // group. The gate emits the group id, not the surviving doc_id:
+    // which member of a bit-identical pair arrives first is
+    // order-dependent, the surviving GROUP SET is not.
+    "audio_fp_dedup_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val wav = udf((id: Long) => SparkEntry.testFpWavBytes(id))
+      val corpus = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter((col("doc_id") / 4).cast("long") % 2 === 0)
+        .withColumn("payload", wav(col("doc_id")))
+      val idx = graft.streaming.StreamingFingerprintDeduplicator
+        .fingerprintIndex(corpus, "payload", "audio")
+      val stream = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "documents", "audiofp_stream"))
+        .filter(col("doc_id") % 4 <= 1)
+        .select(col("doc_id"))
+        .withColumn("payload", wav(col("doc_id")))
+        .withColumn("ts",
+          to_timestamp(from_unixtime(col("doc_id") + lit(1700000000L))))
+      val dedup = new graft.streaming.StreamingFingerprintDeduplicator()
+        .setModality("audio").setInputCol("payload").setTimeCol("ts")
+        .setWatermarkDelay("3650 days").setCorpusIndex(idx)
+        .transform(stream)
+      val qname = s"audiofp_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select((col("doc_id") / 4).cast("long").as("group_id"))
+    },
+
     // Stateful sessionization executed through the Structured Streaming
     // ENGINE: file source → flatMapGroupsWithState (NoTimeout: timeouts
     // spin perpetual empty micro-batches, incompatible with a bounded
@@ -5362,6 +5403,13 @@ object SparkEntry {
       """SELECT DISTINCT
         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
         |FROM documents""".stripMargin,
+
+    // streaming survivors = exactly the odd planted groups (even groups
+    // are in the corpus index; in-stream bit-identical pairs collapse
+    // to one row per group)
+    "audio_fp_dedup_stream" ->
+      """SELECT DISTINCT doc_id // 4 AS group_id
+        |FROM documents WHERE (doc_id // 4) % 2 = 1""".stripMargin,
 
     "line_dedup_within" ->
       """WITH b AS (

@@ -156,4 +156,72 @@ class StreamingSuite extends TestBase {
       assert(rows(0) == SessionizeStream.ClosedSession(1L, 1000L, 1030L, 2))
     } finally q.stop()
   }
+
+  test("StreamingFingerprintDeduplicator: index near-dup probe + " +
+    "in-stream exact + null passthrough (batch parity)") {
+    // planted audio fixture: groups of 4 ids share one contour (exact
+    // re-encodes -> bit-identical fps); cross-group hamming >= 12
+    val wav = (id: Long) => graft.SparkEntry.testFpWavBytes(id)
+    val corpus = Seq(0L, 1L, 2L, 3L).map(id => (id, wav(id)))
+      .toDF("doc_id", "payload")
+    val idx = StreamingFingerprintDeduplicator.fingerprintIndex(
+      corpus, "payload", "audio")
+    assert(idx.count() == 1) // four bit-identical re-encodes, one fp
+    val batch = Seq(
+      (10L, wav(1L)),                       // in index (exact)
+      (11L, wav(4L)), (12L, wav(5L)),       // fresh group; same fp
+      (13L, null.asInstanceOf[Array[Byte]]),// no evidence
+      (14L, Array[Byte](1, 2, 3)))          // undecodable -> null fp
+      .toDF("doc_id", "payload")
+    val out = new StreamingFingerprintDeduplicator().setModality("audio")
+      .setInputCol("payload").setCorpusIndex(idx)
+      .transform(batch).select("doc_id").as[Long].collect().sorted
+    // 10 dropped by the probe; 11/12 collapse to one; nulls both kept
+    assert(out.length == 3 && out.contains(13L) && out.contains(14L))
+    assert(out.contains(11L) || out.contains(12L))
+  }
+
+  test("StreamingFingerprintDeduplicator dedups a stream against the " +
+    "persisted index and within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val wav = (id: Long) => graft.SparkEntry.testFpWavBytes(id)
+    val idx = StreamingFingerprintDeduplicator.fingerprintIndex(
+      Seq((0L, wav(0L))).toDF("doc_id", "payload"), "payload", "audio")
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val withPayload = mem.toDF().toDF("ts", "doc_id")
+      .withColumn("payload", udf(wav).apply(col("doc_id")))
+    val dedup = new StreamingFingerprintDeduplicator().setModality("audio")
+      .setInputCol("payload").setTimeCol("ts")
+      .setWatermarkDelay("10 minutes").setCorpusIndex(idx)
+      .transform(withPayload)
+    val q = dedup.writeStream.format("memory").queryName("streamfpdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L), // = idx fp
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 4L)) // fresh
+      q.processAllAvailable()
+      mem.addData( // 4's exact re-encode, inside the watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 5L))
+      q.processAllAvailable()
+      val ids = spark.table("streamfpdedup").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(4L))
+    } finally q.stop()
+  }
+
+  test("StreamingFingerprintDeduplicator maxIndexEntries fails fast") {
+    val wav = (id: Long) => graft.SparkEntry.testFpWavBytes(id)
+    // ids 0,4,8,12: four distinct groups -> four distinct fps
+    val corpus = Seq(0L, 4L, 8L, 12L).map(id => (id, wav(id)))
+      .toDF("doc_id", "payload")
+    val idx = StreamingFingerprintDeduplicator.fingerprintIndex(
+      corpus, "payload", "audio")
+    val e = intercept[IllegalArgumentException] {
+      new StreamingFingerprintDeduplicator().setModality("audio")
+        .setInputCol("payload").setMaxIndexEntries(2).setCorpusIndex(idx)
+        .transform(corpus)
+    }
+    assert(e.getMessage.contains("maxIndexEntries"))
+  }
 }
