@@ -940,6 +940,40 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // THE LEARNED CHAIN (round 17): fit TrainedEmbedder (with the
+    // fastText subword fallback) INSIDE the plan, embed, SemDeDup at
+    // auto-k — the semantic-dedup recipe with in-library LEARNED
+    // vectors, no external model anywhere. Runs over the planted
+    // 5-class fixture, NOT the raw synthetic text: tools.EmbedChainProbe
+    // measured the raw corpus's learned-vector cosine floor at 0.9861
+    // (tiny shared vocabulary — every doc is every doc's near-dup, a
+    // fixture property, so a chain over it is degenerate); the planted
+    // pools give the space real topic structure (within-class ≈ 1,
+    // cross-class low). Rows-only by design like embed_chain (the
+    // k-means partition is not SQL-replayable); the links have their
+    // own hash gates (trained_embedding / subword_embedding planted
+    // recovery; semdedup_exact all-pairs). Also the SCALING.md
+    // learned-chain row: fit (bounded) + transform (linear, zero
+    // shuffle) + dedup in one wall.
+    "trained_embed_chain" -> { (s, dir) =>
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 500L
+        case "sf0.1" => 5000L
+        case _ => 0L
+      }
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("text", LanguageGateFixture.textCol)
+      val m = new graft.text.TrainedEmbedder().setInputCol("text")
+        .setDim(32).setMinCount(1).setMaxIter(1).setTrainSample(4096)
+        .setSubwordBits(16)
+        .fit(docs)
+      new graft.dedup.SemDeDup().setInputCol("embedding")
+        .setIdCol("doc_id").setThreshold(0.9)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
+        .transform(m.transform(docs))
+        .select(col("doc_id"))
+    },
+
     // SemDeDup exactness gate: nClusters=1 is the exhaustive setting —
     // every pair is compared, so the result IS exact pairwise cosine
     // dedup and the oracle replays it all-pairs (the knn_ivf_recall

@@ -137,6 +137,40 @@ class PerceptualHashSuite extends TestBase {
         .col("image_embedding").isNull).count() == 2)
   }
 
+  test("pHash survives a lossy JPEG re-encode inside the dedup ball") {
+    // the real-pipeline case the planted BMP re-encodes stand in for:
+    // the same image saved through an actual lossy codec must stay
+    // within the gate's hamming <= 4 of its source — pHash reads only
+    // the low-frequency DCT signs, which JPEG quantization preserves
+    def jpeg(src: Array[Byte], quality: Float): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(src))
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    (0L until 40L).foreach { id =>
+      val j = PerceptualHash.phash64(jpeg(bmp(id), 0.9f))
+      assert(j != null, s"id $id jpeg undecodable")
+      val d = ham(ph(id), j.longValue())
+      assert(d <= 4, s"id $id: jpeg(q=0.9) re-encode drifted $d bits")
+    }
+    // and a jpeg re-encode still sits far from OTHER groups
+    val j0 = PerceptualHash.phash64(jpeg(bmp(0L), 0.9f)).longValue()
+    (1L until 10L).foreach { g =>
+      assert(ham(j0, ph(g * 4)) >= 10,
+        s"jpeg of group 0 too close to group $g")
+    }
+  }
+
   test("widening the ball past blocks fails fast") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(1L, bmp(0L))),
