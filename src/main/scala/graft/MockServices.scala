@@ -21,6 +21,7 @@ object MockServices {
   /** `POST /len {"text": ...}` → `{"length": N}`. Returns the port. */
   def lenServicePort(): Int = synchronized {
     if (lenPort < 0) {
+      graft.core.ServerTuning.ensure()
       val server = HttpServer.create(new InetSocketAddress("localhost", 0), 1024)
       server.createContext("/len", new HttpHandler {
         private val TextRe = """"text"\s*:\s*"((?:[^"\\]|\\.)*)"""".r

@@ -38,7 +38,10 @@ object DistributedServingState {
     // concurrent setup tasks emits a given batch (others see a lost claim);
     // deterministic on recompute because the winner re-runs with its id
     val batchClaims = TrieMap.empty[String, Int]
-    val server: HttpServer = HttpServer.create(new InetSocketAddress(host, 0), 0)
+    val server: HttpServer = {
+      graft.core.ServerTuning.ensure()
+      HttpServer.create(new InetSocketAddress(host, 0), 0)
+    }
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit =
         queue.add((counter.getAndIncrement(), ex))

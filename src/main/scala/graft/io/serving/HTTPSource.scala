@@ -40,6 +40,7 @@ object ServingState {
     val api = apply(name)
     synchronized {
       if (api.server == null) {
+        graft.core.ServerTuning.ensure()
         val server = HttpServer.create(new InetSocketAddress(host, port), 0)
         server.createContext(path, new HttpHandler {
           def handle(ex: HttpExchange): Unit = {
