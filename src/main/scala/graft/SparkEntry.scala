@@ -2062,6 +2062,54 @@ object SparkEntry {
         .select(graft.dedup.DedupFunctions.canonical(col("text")).as("ct"))
     },
 
+    // Streaming NEAR-dup text dedup (round 17) — the MinHash family's
+    // streaming face, completing the streaming dedup story (exact text
+    // / perceptual media / near-dup text). Same fixture as
+    // dedup_incremental_minhash_sig, run through the REAL engine: the
+    // corpus (doc_id % 4 != 0) persists its signature index; the stream
+    // carries the %4==0 docs plus id-offset VERBATIM copies of corpus
+    // docs. Offset copies must drop via the broadcast band probe
+    // (signature agreement 1); %4==0 docs drop iff a corpus doc sits at
+    // estimate >= 0.85 — replayable with EXACT Jaccard because
+    // SigModeProbe measured every candidate pair of this fixture >=
+    // 0.035 from the cutoff on BOTH spectra (zero estimate-vs-exact
+    // flips, all three sf dirs). The gate emits the DISTINCT surviving
+    // CANONICAL-TEXT set (the dedup_exact_stream convention — which
+    // copy of canonically-equal rows survives the in-stream state is
+    // engine-arbitrary, the set is not).
+    "dedup_minhash_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpus = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.streaming.StreamingMinHashDeduplicator
+        .signatureIndex(corpus, "doc_id", "text", 3, 128)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "documents", "mh_stream"))
+      val stream = src().filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(src().filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(src().filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .withColumn("ts", to_timestamp(from_unixtime(
+          col("doc_id") % 1000000L + lit(1700000000L))))
+      val dedup = new graft.streaming.StreamingMinHashDeduplicator()
+        .setInputCol("text").setTimeCol("ts")
+        .setWatermarkDelay("3650 days").setThreshold(0.85)
+        .setCorpusIndex(idx)
+        .transform(stream)
+      val qname = s"mh_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(graft.dedup.DedupFunctions.canonical(col("text")).as("ct"))
+        .distinct()
+    },
+
     // Streaming PERCEPTUAL dedup — the fingerprint family's streaming
     // face (round 17; mirrors dedup_exact_stream): the corpus index
     // holds every member of the EVEN planted audio groups; the stream
@@ -5444,6 +5492,47 @@ object SparkEntry {
     "audio_fp_dedup_stream" ->
       """SELECT DISTINCT doc_id // 4 AS group_id
         |FROM documents WHERE (doc_id // 4) % 2 = 1""".stripMargin,
+
+    // exact-Jaccard replay of the streaming near-dup decisions (sound:
+    // SigModeProbe margins — see the query's comment), then the
+    // surviving DISTINCT canonical-text set (in-stream exact dedup).
+    // The n=0 rule mirrors the engine: an empty-shingle doc carries the
+    // all-sentinel signature and matches other empty docs exactly
+    "dedup_minhash_stream" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT doc_id, text, list_filter(string_split_regex(lower(text),
+        |    '[\t\n\x0B\f\r\x1C-\x1F \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    list_distinct([array_to_string(
+        |      toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ')
+        |      for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM c),
+        |corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 4 <> 0),
+        |bat AS (
+        |  SELECT doc_id, text, sh FROM s WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, sh FROM s WHERE doc_id % 8 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, sh FROM s WHERE doc_id % 8 = 4),
+        |bsz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM bat),
+        |csz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM corp),
+        |bex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM bat),
+        |cex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM corp),
+        |cd AS (
+        |  SELECT q.bid AS r FROM (
+        |    SELECT b.doc_id AS bid, cx.doc_id AS cid, count(*) AS inter
+        |    FROM bex b JOIN cex cx ON b.g = cx.g GROUP BY 1, 2) q
+        |  JOIN bsz ON bsz.doc_id = q.bid
+        |  JOIN csz ON csz.doc_id = q.cid
+        |  WHERE CAST(q.inter AS DOUBLE) / (bsz.n + csz.n - q.inter) >= 0.85
+        |  UNION ALL
+        |  SELECT b.doc_id FROM bsz b
+        |  WHERE b.n = 0 AND EXISTS (SELECT 1 FROM csz WHERE n = 0))
+        |SELECT DISTINCT
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
+        |FROM bat WHERE doc_id NOT IN (SELECT r FROM cd)""".stripMargin,
 
     "line_dedup_within" ->
       """WITH b AS (

@@ -435,3 +435,186 @@ object StreamingFingerprintDeduplicator
   }
 }
 
+/** Streaming face of the MinHash NEAR-dup family for continuous text
+  * ingestion — completes the streaming dedup story
+  * ([[StreamingDeduplicator]] = exact text,
+  * [[StreamingFingerprintDeduplicator]] = perceptual media, this =
+  * near-dup text). The [[graft.dedup.IncrementalMinHashDeduplicator]]
+  * signature-mode contract transplanted to the engine:
+  *
+  *  - **against the persisted corpus**: each stream document's MinHash
+  *    signature (the SAME `minHashSignature(hashedShingles(...))`
+  *    column expressions the batch family computes, so one persisted
+  *    [[graft.dedup.IncrementalMinHashDeduplicator.signatureIndex]]
+  *    serves batch re-runs AND the stream) probes a broadcast
+  *    (band-key → candidate signatures) table; a candidate whose
+  *    signature-agreement estimate reaches `threshold` drops the row.
+  *    Map-only per micro-batch, zero shuffle. The broadcast holds the
+  *    full signatures (`numHashes` longs ≈ 1 KB/doc at the default), so
+  *    the `maxIndexEntries` ceiling is lower than the fingerprint
+  *    face's (default 2¹⁹ ≈ 512 MB); past it, shard the stream with one
+  *    index per shard or fold micro-batches through the batch band
+  *    join — the fail-fast names both.
+  *  - **within the stream**: EXACT canonical-text repeats drop inside
+  *    the watermark horizon (the [[StreamingDeduplicator]] 128-bit
+  *    state shape). In-stream NEAR-dup pairs are caught at the next
+  *    index fold — the family's steady-state refresh contract.
+  *
+  * Empty/short documents (no `shingleSize`-shingle) carry the
+  * all-sentinel signature and MATCH other empty documents (agreement
+  * 1) — the batch family's semantics, kept identical so the streaming
+  * and batch paths decide the same rows. Null text is no evidence and
+  * always passes. */
+class StreamingMinHashDeduplicator(override val uid: String)
+    extends Transformer with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("StreamingMinHashDeduplicator"))
+
+  final val timeCol = new Param[String](this, "timeCol", "event-time column")
+  setDefault(timeCol -> "ts")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val watermarkDelay = new Param[String](this, "watermarkDelay",
+    "how long in-stream canonical fingerprints are remembered")
+  setDefault(watermarkDelay -> "1 hour")
+  def setWatermarkDelay(v: String): this.type = set(watermarkDelay, v)
+  final val shingleSize = new IntParam(this, "shingleSize", "word shingle k",
+    ParamValidators.gt(0))
+  setDefault(shingleSize -> 3)
+  def setShingleSize(v: Int): this.type = set(shingleSize, v)
+  final val numHashes = new IntParam(this, "numHashes", "signature length",
+    ParamValidators.gt(0))
+  setDefault(numHashes -> 128)
+  def setNumHashes(v: Int): this.type = set(numHashes, v)
+  final val bands = new IntParam(this, "bands", "LSH bands",
+    ParamValidators.gt(0))
+  setDefault(bands -> 32)
+  def setBands(v: Int): this.type = set(bands, v)
+  final val threshold = new DoubleParam(this, "threshold",
+    "Jaccard cutoff (signature-agreement estimate)",
+    ParamValidators.inRange(0.0, 1.0))
+  setDefault(threshold -> 0.8)
+  def setThreshold(v: Double): this.type = set(threshold, v)
+  final val maxIndexEntries = new IntParam(this, "maxIndexEntries",
+    "fail-fast cap on corpus index entries (full signatures are " +
+      "broadcast — see the class scaladoc for the scale paths past it)",
+    ParamValidators.gt(0))
+  setDefault(maxIndexEntries -> (1 << 19))
+  def setMaxIndexEntries(v: Int): this.type = set(maxIndexEntries, v)
+
+  /** Persisted corpus `(__id, __sig)` signature index — the batch
+    * family's [[graft.dedup.IncrementalMinHashDeduplicator.signatureIndex]]. */
+  private var corpusIndex: DataFrame = _
+  def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    import graft.dedup.DedupFunctions._
+    val df = ds.toDF()
+    val r = $(numHashes) / $(bands)
+    require(r > 0, s"numHashes (${$(numHashes)}) must be >= bands (${$(bands)})")
+    val withSig = df.withColumn("__sig",
+      minHashSignature(hashedShingles(col(getInputCol), $(shingleSize)),
+        $(numHashes)))
+    val cleared =
+      if (corpusIndex == null) withSig
+      else {
+        val sigs: Array[Array[Long]] = corpusIndex
+          .select(col("__sig").cast(ArrayType(LongType)))
+          .na.drop().distinct()
+          .limit($(maxIndexEntries) + 1)
+          .collect().map(_.getSeq[Long](0).toArray)
+        require(sigs.length <= $(maxIndexEntries),
+          s"corpus index exceeds maxIndexEntries ${$(maxIndexEntries)} — " +
+            "shard the stream (one index per shard) or fold micro-batches " +
+            "through the batch band join instead of broadcasting")
+        val nb = $(bands); val rr = r
+        val buckets = new java.util.HashMap[java.lang.Long,
+          scala.collection.mutable.ArrayBuffer[Int]]()
+        var i = 0
+        while (i < sigs.length) {
+          var b = 0
+          while (b < nb) {
+            val k = StreamingMinHashDeduplicator.bandKey(sigs(i), b, rr)
+            val buf = buckets.computeIfAbsent(k,
+              _ => scala.collection.mutable.ArrayBuffer.empty[Int])
+            buf += i
+            b += 1
+          }
+          i += 1
+        }
+        val packed = new java.util.HashMap[java.lang.Long, Array[Int]](
+          buckets.size * 2)
+        buckets.forEach((k, b) => packed.put(k, b.toArray))
+        val bc = df.sparkSession.sparkContext.broadcast((sigs, packed))
+        val thr = $(threshold)
+        val hitUdf = udf { sig: Seq[Long] =>
+          val s = sig.toArray
+          val (table, idx) = (bc.value._1, bc.value._2)
+          var hit = false
+          var b = 0
+          while (b < nb && !hit) {
+            val cands = idx.get(
+              StreamingMinHashDeduplicator.bandKey(s, b, rr))
+            if (cands != null) {
+              var j = 0
+              while (j < cands.length && !hit) {
+                val c = table(cands(j))
+                var agree = 0
+                var t = 0
+                val m = math.min(s.length, c.length)
+                while (t < m) { if (s(t) == c(t)) agree += 1; t += 1 }
+                if (agree.toDouble / m >= thr) hit = true
+                j += 1
+              }
+            }
+            b += 1
+          }
+          hit
+        }
+        withSig.filter(col("__sig").isNull || !hitUdf(col("__sig")))
+      }
+    // in-stream exact canonical dedup (the StreamingDeduplicator state
+    // shape); null text bypasses the state — no evidence, always kept
+    val canon = canonical(col(getInputCol))
+    val withFp = cleared
+      .withColumn("__fp", xxhash64(canon))
+      .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), canon))
+    val nn = withFp.filter(col("__fp").isNotNull)
+    val nulls = withFp.filter(col("__fp").isNull)
+    val deduped =
+      if (df.isStreaming)
+        nn.withWatermark($(timeCol), $(watermarkDelay))
+          .dropDuplicatesWithinWatermark("__fp", "__fp2")
+      else nn.dropDuplicates("__fp", "__fp2")
+    deduped.unionByName(nulls).drop("__sig", "__fp", "__fp2")
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains(getInputCol),
+      s"inputCol '$getInputCol' not found in " +
+        schema.fieldNames.mkString(", "))
+    schema
+  }
+  override def copy(extra: ParamMap): StreamingMinHashDeduplicator =
+    defaultCopy(extra)
+}
+object StreamingMinHashDeduplicator
+    extends graft.core.GraftReadable[StreamingMinHashDeduplicator] {
+  /** One persisted index, both engines — delegates to the batch
+    * family's builder. */
+  def signatureIndex(df: DataFrame, idCol: String, inputCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    graft.dedup.IncrementalMinHashDeduplicator.signatureIndex(
+      df, idCol, inputCol, shingleSize, numHashes)
+
+  /** Band key of signature entries [b·r, b·r+r): xxhash64-chained.
+    * Self-consistent between index build and probe; NOT bit-compatible
+    * with the batch column `bandHashes` and doesn't need to be (the
+    * probe never joins the batch frames). */
+  private[graft] def bandKey(sig: Array[Long], b: Int, r: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = XXH64.hashLong(b.toLong, 42L)
+    var i = b * r
+    val end = math.min(sig.length, i + r)
+    while (i < end) { h = XXH64.hashLong(sig(i), h); i += 1 }
+    h
+  }
+}
+

@@ -210,6 +210,74 @@ class StreamingSuite extends TestBase {
     } finally q.stop()
   }
 
+  test("StreamingMinHashDeduplicator: near-dup probe vs index + in-stream " +
+    "exact + null passthrough (batch parity)") {
+    // corpus doc = 20 words; near-dup = same + one appended word
+    // (3-shingles: 18 shared of 19 -> exact J = 18/19 ~ 0.947, estimate
+    // well over the 0.8 cutoff); fresh doc shares nothing
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 3, 128)
+    val batch = Seq(
+      (10L, base + " extra"),                  // near-dup of corpus
+      (11L, (1 to 20).map(i => s"z$i").mkString(" ")), // fresh
+      (12L, (1 to 20).map(i => s"z$i").mkString(" ")), // exact repeat
+      (13L, null.asInstanceOf[String]))        // no evidence
+      .toDF("doc_id", "text")
+    val out = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setThreshold(0.8).setCorpusIndex(idx)
+      .transform(batch).select("doc_id").as[Long].collect().sorted
+    assert(out.length == 2 && out.contains(13L))
+    assert(out.contains(11L) || out.contains(12L))
+  }
+
+  test("StreamingMinHashDeduplicator empty-shingle docs match the batch " +
+    "family's semantics (empty matches empty)") {
+    val corpus = Seq((1L, "too short")).toDF("doc_id", "text") // < 3 tokens
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 3, 128)
+    val batch = Seq((10L, "also tiny"), (11L, (1 to 9).map(i => s"w$i")
+      .mkString(" "))).toDF("doc_id", "text")
+    val out = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setCorpusIndex(idx).transform(batch)
+      .select("doc_id").as[Long].collect().toSeq
+    // the empty-shingle doc matches the corpus's empty-shingle doc
+    // (agreement 1 on the sentinel signature — the batch rule); the
+    // real doc survives
+    assert(out == Seq(11L))
+  }
+
+  test("StreamingMinHashDeduplicator dedups a stream against the " +
+    "persisted index and exactly within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", 3, 128)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .setThreshold(0.8).setCorpusIndex(idx)
+      .transform(mem.toDF().toDF("ts", "text"))
+    val q = dedup.writeStream.format("memory").queryName("streammhdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+          base + " extra"),                       // near-dup of corpus
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"),
+          (1 to 20).map(i => s"z$i").mkString(" "))) // fresh
+      q.processAllAvailable()
+      mem.addData( // canonically equal repeat, inside the watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"),
+          "  " + (1 to 20).map(i => s"z$i").mkString("  ") + " "))
+      q.processAllAvailable()
+      val texts = spark.table("streammhdedup").collect().map(_.getString(1))
+      assert(texts.length == 1 && texts.head.startsWith("z1"),
+        s"got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("StreamingFingerprintDeduplicator maxIndexEntries fails fast") {
     val wav = (id: Long) => graft.SparkEntry.testFpWavBytes(id)
     // ids 0,4,8,12: four distinct groups -> four distinct fps
