@@ -222,6 +222,22 @@ class TrainedEmbedderSuite extends TestBase {
     assert(emb(m) == emb(back))
   }
 
+  test("charGrams: boundary-marked multiset with the fastText count") {
+    import TrainedEmbedder.charGrams
+    val g = charGrams("where", 3, 6)
+    // "<where>" is 7 chars — past maxGram 6, so the full padded form is
+    // not a gram at the fastText defaults (it is at maxGram 7)
+    assert(g.contains("<wh") && g.contains("re>") && g.contains("where>"))
+    assert(!g.contains("<where>"))
+    assert(charGrams("where", 3, 7).contains("<where>"))
+    // |<w>| = L+2; count = sum over n of max(0, (L+2) - n + 1)
+    def count(len: Int, minN: Int, maxN: Int) =
+      (minN to maxN).map(n => math.max(0, len + 2 - n + 1)).sum
+    assert(g.length == count(5, 3, 6))
+    assert(charGrams("a", 3, 6).length == count(1, 3, 6))
+    assert(charGrams("", 3, 6).isEmpty) // "<>" is shorter than minN
+  }
+
   test("closes the loop semantically: TrainedEmbedder -> SemDeDup") {
     // the HashedEmbedderSuite end-to-end proof re-run over the trained
     // path: near-duplicate pages collapse under semantic dedup over the
