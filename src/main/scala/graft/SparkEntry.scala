@@ -2067,9 +2067,12 @@ object SparkEntry {
     // / perceptual media / near-dup text). Same fixture as
     // dedup_incremental_minhash_sig, run through the REAL engine: the
     // corpus (doc_id % 4 != 0) persists its signature index; the stream
-    // carries the %4==0 docs plus id-offset VERBATIM copies of corpus
-    // docs. Offset copies must drop via the broadcast band probe
-    // (signature agreement 1); %4==0 docs drop iff a corpus doc sits at
+    // carries the %4==0 docs plus id-offset VERBATIM copies — the
+    // %8==1 copies duplicate CORPUS docs and must drop via the
+    // broadcast band probe (signature agreement 1), while the %8==4
+    // copies duplicate %4==0 STREAM docs and exercise the IN-STREAM
+    // exact state instead (their canonical twin rides the same run).
+    // %4==0 docs drop iff a corpus doc sits at
     // estimate >= 0.85 — replayable with EXACT Jaccard because
     // SigModeProbe measured every candidate pair of this fixture >=
     // 0.035 from the cutoff on BOTH spectra (zero estimate-vs-exact

@@ -320,6 +320,7 @@ class StreamingFingerprintDeduplicator(override val uid: String)
   def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     require($(blocks) > $(maxHamming),
       s"blocks (${$(blocks)}) must exceed maxHamming (${$(maxHamming)})")
     val df = ds.toDF()
@@ -387,6 +388,8 @@ class StreamingFingerprintDeduplicator(override val uid: String)
     require(schema.fieldNames.contains(getInputCol),
       s"inputCol '$getInputCol' not found in " +
         schema.fieldNames.mkString(", "))
+    require(!schema.fieldNames.contains("__fp"),
+      "input already has a column named '__fp' (reserved internally)")
     schema
   }
   override def copy(extra: ParamMap): StreamingFingerprintDeduplicator =
@@ -507,6 +510,7 @@ class StreamingMinHashDeduplicator(override val uid: String)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import graft.dedup.DedupFunctions._
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val r = $(numHashes) / $(bands)
     require(r > 0, s"numHashes (${$(numHashes)}) must be >= bands (${$(bands)})")
@@ -572,24 +576,33 @@ class StreamingMinHashDeduplicator(override val uid: String)
         withSig.filter(col("__sig").isNull || !hitUdf(col("__sig")))
       }
     // in-stream exact canonical dedup (the StreamingDeduplicator state
-    // shape); null text bypasses the state — no evidence, always kept
+    // shape); null text bypasses the state — no evidence, always kept.
+    // The split is on the INPUT's nullness, not the fingerprint's:
+    // Spark hash expressions are never null (xxhash64(NULL) returns the
+    // seed), so a __fp-isNull branch would be dead and every null-text
+    // row would collapse into one constant state key (review find).
+    // __sig drops BEFORE the stateful dedup — ~numHashes×8 ≈ 1 KB/row
+    // that the state-store exchange has no reason to carry.
     val canon = canonical(col(getInputCol))
-    val withFp = cleared
+    val withFp = cleared.drop("__sig")
       .withColumn("__fp", xxhash64(canon))
       .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), canon))
-    val nn = withFp.filter(col("__fp").isNotNull)
-    val nulls = withFp.filter(col("__fp").isNull)
+    val nn = withFp.filter(col(getInputCol).isNotNull)
+    val nulls = withFp.filter(col(getInputCol).isNull)
     val deduped =
       if (df.isStreaming)
         nn.withWatermark($(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp", "__fp2")
       else nn.dropDuplicates("__fp", "__fp2")
-    deduped.unionByName(nulls).drop("__sig", "__fp", "__fp2")
+    deduped.unionByName(nulls).drop("__fp", "__fp2")
   }
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains(getInputCol),
       s"inputCol '$getInputCol' not found in " +
         schema.fieldNames.mkString(", "))
+    Seq("__sig", "__fp", "__fp2").foreach(c =>
+      require(!schema.fieldNames.contains(c),
+        s"input already has a column named '$c' (reserved internally)"))
     schema
   }
   override def copy(extra: ParamMap): StreamingMinHashDeduplicator =

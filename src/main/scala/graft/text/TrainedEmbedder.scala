@@ -387,12 +387,16 @@ class TrainedEmbedderModel(override val uid: String)
       }
       m
     }
-    val subTable = ds.sparkSession.sparkContext.broadcast {
-      val m = new java.util.HashMap[Integer, Array[Float]](
-        if (useSub) $(subwordVectors).size * 2 else 0)
-      if (useSub) $(subwordVectors).foreach { case (b, v) => m.put(b, v) }
-      m
-    }
+    // only materialized when subwords are on — a subwordBits=0 model
+    // must not register an empty broadcast per transform call
+    val subTable =
+      if (!useSub) null
+      else ds.sparkSession.sparkContext.broadcast {
+        val m = new java.util.HashMap[Integer, Array[Float]](
+          $(subwordVectors).size * 2)
+        $(subwordVectors).foreach { case (b, v) => m.put(b, v) }
+        m
+      }
     val mask = (1 << $(subwordBits)) - 1
     val embUdf = udf { text: String =>
       if (text == null) null

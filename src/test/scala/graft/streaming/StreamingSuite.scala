@@ -223,13 +223,21 @@ class StreamingSuite extends TestBase {
       (10L, base + " extra"),                  // near-dup of corpus
       (11L, (1 to 20).map(i => s"z$i").mkString(" ")), // fresh
       (12L, (1 to 20).map(i => s"z$i").mkString(" ")), // exact repeat
-      (13L, null.asInstanceOf[String]))        // no evidence
+      (13L, null.asInstanceOf[String]),        // no evidence
+      (14L, null.asInstanceOf[String]))        // BOTH nulls must pass:
+      // Spark's xxhash64(NULL) is the seed, never null, so a
+      // fingerprint-nullness split would collapse them (review find)
       .toDF("doc_id", "text")
     val out = new StreamingMinHashDeduplicator().setInputCol("text")
       .setThreshold(0.8).setCorpusIndex(idx)
       .transform(batch).select("doc_id").as[Long].collect().sorted
-    assert(out.length == 2 && out.contains(13L))
+    assert(out.length == 3 && out.contains(13L) && out.contains(14L))
     assert(out.contains(11L) || out.contains(12L))
+    // reserved internal columns clash at plan construction
+    intercept[IllegalArgumentException] {
+      new StreamingMinHashDeduplicator().setInputCol("text")
+        .transform(batch.withColumn("__sig", lit(1)))
+    }
   }
 
   test("StreamingMinHashDeduplicator empty-shingle docs match the batch " +
