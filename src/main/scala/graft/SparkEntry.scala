@@ -989,6 +989,60 @@ object SparkEntry {
         .select(col("vec_id"))
     },
 
+    // Incremental SEMANTIC dedup (round 17) — the snapshot-delta face
+    // of SemDeDup, completing the incremental family (exact + MinHash
+    // lexical faces exist since round 12): the quantizer fits ONCE on
+    // the corpus, the corpus embedding index persists, and each batch
+    // assigns + joins by cell — corpus work is never repeated per
+    // snapshot. Auto-k operating point, rows-only (the cell partition
+    // is not SQL-replayable); the exactness companion below replays
+    // everything all-pairs.
+    "semdedup_incremental" -> { (s, dir) =>
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 375L
+        case "sf0.1" => 1500L
+        case _ => 0L
+      }
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
+        .fit(corpus)
+      m.setCorpusIndex(m.indexCorpus(corpus))
+        .transform(batch)
+        .select(col("vec_id"))
+    },
+
+    // the incremental semantic exactness companion (the semdedup_exact
+    // pattern): nClusters=1 compares every batch-vs-corpus pair and the
+    // within-batch pass is exhaustive too, so the whole decision
+    // replays all-pairs in SQL. 0.465 sits in the measured cosine-
+    // spectrum gap (nearest pairs 0.4666/0.4597), offset copies of
+    // corpus rows are identical vectors (cosine 1 — must drop), and
+    // the corpus-always-survives rule means only batch ids appear
+    "semdedup_incremental_exact" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465).setNClusters(1)
+        .fit(corpus)
+      m.setCorpusIndex(m.indexCorpus(corpus))
+        .setWithinBatchClusters(1).setMaxClusterSize(4096)
+        .transform(batch)
+        .select(col("vec_id"))
+    },
+
     // ---- topic clustering + cluster-balanced curation ----------------
     // EmbeddingClusterer gated on EXACT recovery of a planted partition:
     // 6 orthogonal planted directions (one per doc_id % 6) with tiny
@@ -4454,6 +4508,33 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT r FROM p WHERE cs >= 0.465)""".stripMargin,
+
+    // all-pairs replay of the incremental semantic decisions: a batch
+    // row drops on any corpus pair at cosine >= 0.465 (the corpus copy
+    // always survives), then the surviving batch near-dedups against
+    // itself with the minId rule — the semdedup_exact arithmetic on
+    // both legs (DuckDB orders NaN above every number like Spark, so
+    // zero-norm pairs agree too)
+    "semdedup_incremental_exact" ->
+      """WITH corp AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+        |bat AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 8 = 1),
+        |cd AS (
+        |  SELECT DISTINCT b.vec_id AS r FROM bat b, corp c
+        |  WHERE list_cosine_similarity(b.embedding, c.embedding) >= 0.465),
+        |surv AS MATERIALIZED (
+        |  SELECT vec_id, embedding FROM bat
+        |  WHERE vec_id NOT IN (SELECT r FROM cd)),
+        |wd AS (
+        |  SELECT DISTINCT b.vec_id AS r FROM surv a, surv b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.465)
+        |SELECT vec_id FROM surv
+        |WHERE vec_id NOT IN (SELECT r FROM wd)""".stripMargin,
 
     "sar_item_similarity" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, event_type AS itm FROM events),

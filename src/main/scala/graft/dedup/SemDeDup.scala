@@ -187,6 +187,13 @@ class SemDeDup(override val uid: String) extends Transformer
       .orderBy(xxhash64(col("__id")))
       .limit(sampleCap)
       .collect().map(r => graft.sim.IVF.normalize(r.getSeq[Double](1).toArray))
+    // zero comparable vectors (empty frame, or every embedding null) —
+    // nothing to dedup and nothing to train on: every row survives by
+    // the null-embedding contract. Pre-round-17 this crashed inside the
+    // quantizer fit ("empty training sample"), found when the
+    // incremental face chained a within-batch pass over survivors that
+    // happened to be all-null.
+    if (sample.isEmpty) return df
     val tSample = System.nanoTime()
     // Flat driver k-means is O(sample·k·dim·iters) per restart and flat
     // assignment is O(k·dim) per ROW — both melt past a few hundred
@@ -196,47 +203,7 @@ class SemDeDup(override val uid: String) extends Transformer
     // each coarse cell's sample members — training AND per-row
     // assignment drop to O(√k·dim).
     val twoLevel = k > SemDeDup.TwoLevelAbove
-    val (coarse, subs, base) =
-      if (!twoLevel) {
-        val cs = graft.sim.IVF.lloyd(sample, k, $(maxIter), $(seed))
-        (cs, cs.map(Array(_)), cs.indices.toArray)
-      } else {
-        val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
-        val k2 = math.max(1, (k + k1 - 1) / k1)
-        val cs = graft.sim.IVF.lloyd(sample, k1, $(maxIter), $(seed))
-        val members = Array.fill(cs.length)(
-          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-        sample.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var s = 0.0; var i = 0
-            val cc = cs(c)
-            while (i < v.length && i < cc.length) {
-              val d = v(i) - cc(i); s += d * d; i += 1
-            }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          members(best) += v
-        }
-        // sub-cell fits are independent with per-cell seeds, so running
-        // them on the driver's cores is hash-identical to the former
-        // sequential loop — this single-threaded region was the prime
-        // suspect for the round-13 122-vs-178 s @100x wall spread (the
-        // restart count itself is FIXED, so the spread could only be
-        // contention/JIT on a long serial driver phase; round 14)
-        val sub = new Array[Array[Array[Double]]](cs.length)
-        java.util.stream.IntStream.range(0, cs.length).parallel()
-          .forEach { c =>
-            sub(c) =
-              if (members(c).isEmpty) Array(cs(c))
-              else graft.sim.IVF.lloyd(members(c).toArray, k2, $(maxIter),
-                $(seed) + c + 1, restarts = 2)
-          }
-        val b = sub.scanLeft(0)(_ + _.length).dropRight(1)
-        (cs, sub, b)
-      }
+    val quant = SemDeDup.fitQuantizer(sample, k, $(maxIter), $(seed))
     val tTrain = System.nanoTime()
     // per-phase walls: the driver-side phases are the only serial part,
     // so any unexplained run-over-run spread shows up HERE as a number
@@ -244,32 +211,12 @@ class SemDeDup(override val uid: String) extends Transformer
     logInfo(f"SemDeDup driver phases: sample=${(tSample - t0) / 1e9}%.2fs " +
       f"train=${(tTrain - tSample) / 1e9}%.2fs k=$k twoLevel=$twoLevel " +
       f"sampleRows=${sample.length}")
-    val ctr = df.sparkSession.sparkContext.broadcast((coarse, subs, base))
+    val ctr = df.sparkSession.sparkContext.broadcast(quant)
     // one narrow pass: cluster assignment + centroid cosine for the keep
     // rule (unit sphere: cos = 1 - d2/2, so argmin L2 IS argmax cosine);
     // csim is against the FINEST centroid — the one whose neighborhood
     // the paper's keep rule reasons about
-    val assignUdf = udf((v: Seq[Double]) => {
-      val (cs, sub, b) = ctr.value
-      val va = graft.sim.IVF.normalize(v.toArray)
-      def argmin(arr: Array[Array[Double]]): (Int, Double) = {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < arr.length) {
-          var s = 0.0; var i = 0
-          val cc = arr(c)
-          while (i < va.length && i < cc.length) {
-            val d = va(i) - cc(i); s += d * d; i += 1
-          }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        (best, bestD)
-      }
-      val (c1, _) = argmin(cs)
-      val (c2, d2) = argmin(sub(c1))
-      (b(c1) + c2, 1.0 - d2 / 2.0)
-    })
+    val assignUdf = udf((v: Seq[Double]) => SemDeDup.assign(ctr.value, v))
     // one narrow pass emits (id, vector, cell, centroid-sim); clusters
     // then aggregate their members through the bounded smallest-id cap
     // (the candidatePairs contract: overflow is counted, observable as
@@ -352,6 +299,87 @@ object SemDeDup extends graft.core.GraftReadable[SemDeDup] {
     * (coarse × sub) quantizer; below it a flat k-means is cheaper and
     * slightly better-balanced. */
   val TwoLevelAbove = 64
+
+  /** Fitted (possibly two-level) spherical quantizer: coarse centroids,
+    * per-coarse sub-centroids, and each coarse cell's flat base offset.
+    * Serializable, so [[IncrementalSemDeDup]] persists one as a complex
+    * Param. */
+  case class Quantizer(coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]], base: Array[Int])
+      extends Serializable
+
+  /** Train the quantizer on a (normalized) sample — extracted verbatim
+    * from the round-16 transform so [[SemDeDup]] and
+    * [[IncrementalSemDeDup]] share one arithmetic (the committed
+    * semdedup gates pin it hash-identical). Flat below
+    * [[TwoLevelAbove]] cells; above it √k coarse × sub cells, sub-fits
+    * parallel with per-cell seeds (order-independent). */
+  private[dedup] def fitQuantizer(sample: Array[Array[Double]], k: Int,
+      maxIter: Int, seed: Long): Quantizer =
+    if (k <= TwoLevelAbove) {
+      val cs = graft.sim.IVF.lloyd(sample, k, maxIter, seed)
+      Quantizer(cs, cs.map(Array(_)), cs.indices.toArray)
+    } else {
+      val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      val k2 = math.max(1, (k + k1 - 1) / k1)
+      val cs = graft.sim.IVF.lloyd(sample, k1, maxIter, seed)
+      val members = Array.fill(cs.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          val cc = cs(c)
+          while (i < v.length && i < cc.length) {
+            val d = v(i) - cc(i); s += d * d; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        members(best) += v
+      }
+      // sub-cell fits are independent with per-cell seeds, so running
+      // them on the driver's cores is hash-identical to the former
+      // sequential loop — this single-threaded region was the prime
+      // suspect for the round-13 122-vs-178 s @100x wall spread (the
+      // restart count itself is FIXED, so the spread could only be
+      // contention/JIT on a long serial driver phase; round 14)
+      val sub = new Array[Array[Array[Double]]](cs.length)
+      java.util.stream.IntStream.range(0, cs.length).parallel()
+        .forEach { c =>
+          sub(c) =
+            if (members(c).isEmpty) Array(cs(c))
+            else graft.sim.IVF.lloyd(members(c).toArray, k2, maxIter,
+              seed + c + 1, restarts = 2)
+        }
+      val b = sub.scanLeft(0)(_ + _.length).dropRight(1)
+      Quantizer(cs, sub, b)
+    }
+
+  /** Two-level assignment: (flat cell id, cosine to the FINEST
+    * centroid) — unit sphere, cos = 1 − d²/2, so argmin L2 IS argmax
+    * cosine. Extracted verbatim from the round-16 transform UDF. */
+  private[dedup] def assign(q: Quantizer, v: Seq[Double]): (Int, Double) = {
+    val va = graft.sim.IVF.normalize(v.toArray)
+    def argmin(arr: Array[Array[Double]]): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < arr.length) {
+        var s = 0.0; var i = 0
+        val cc = arr(c)
+        while (i < va.length && i < cc.length) {
+          val d = va(i) - cc(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+    val (c1, _) = argmin(q.coarse)
+    val (c2, d2) = argmin(q.subs(c1))
+    (q.base(c1) + c2, 1.0 - d2 / 2.0)
+  }
 
   /** One cluster member riding the grouped verify: id, ORIGINAL vector
     * (cosine must match the former expression-based verify), centroid
