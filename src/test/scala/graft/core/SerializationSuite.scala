@@ -41,6 +41,24 @@ class SerializationSuite extends TestBase {
     roundTrip(m.transform(df), back.transform(df))
   }
 
+  test("IncrementalSemDeDupModel save/load") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.02, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.02, 1.0, 0.0))).toDF("doc_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1.0, 0.05, 0.0, 0.0)),  // near-dup of corpus 0
+      (12L, Seq(0.0, 0.0, 0.0, 1.0))    // novel
+    ).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val p = tmp("isdd"); m.write.overwrite().save(p)
+    val back = graft.dedup.IncrementalSemDeDupModel.load(p)
+    // the persisted quantizer pins the cell partition and the decisions
+    roundTrip(
+      m.setCorpusIndex(m.indexCorpus(corpus)).transform(batch),
+      back.setCorpusIndex(back.indexCorpus(corpus)).transform(batch))
+  }
+
   test("EmbeddingClustererModel save/load") {
     val df = (0 until 40).map { i =>
       val base =
