@@ -12,7 +12,18 @@ package graft.core
   * `sun.net.httpserver.nodelay` property is read ONCE when the JDK's
   * ServerConfig classloads (the first `HttpServer.create` in the JVM),
   * so every creation site calls [[ensure]] first. An explicit
-  * user-set value is respected. */
+  * user-set value is respected.
+  *
+  * **Embedder caveat (first-classload ordering).** Because the JDK
+  * reads the property exactly once, [[ensure]] only takes effect if it
+  * runs before the FIRST `HttpServer.create` anywhere in the JVM — an
+  * embedding application that creates its own HttpServer before any
+  * graft server silently keeps Nagle on for graft's servers too; and
+  * conversely, when graft's call wins the race it changes the nodelay
+  * behavior of every later user-created HttpServer in the process.
+  * Embedders that care either way should set
+  * `-Dsun.net.httpserver.nodelay=...` themselves at JVM start — an
+  * explicit value is never overridden here. */
 object ServerTuning {
   def ensure(): Unit =
     if (System.getProperty("sun.net.httpserver.nodelay") == null)

@@ -51,3 +51,25 @@ trait HasFeaturesCol extends Params {
   final def getFeaturesCol: String = $(featuresCol)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
 }
+
+/** Fail-fast schema validation shared by every stage's transformSchema:
+  * a forgotten setIdCol/setInputCol must surface at plan-construction
+  * time with the role and column NAMED, not minutes into a 100x
+  * transform as a raw unresolved-column error (the round-16/17 advice
+  * pattern, swept family-wide in round 18). Error message style matches
+  * the fingerprint family's, so suites can pin one wording. */
+object SchemaChecks {
+  import org.apache.spark.sql.types.StructType
+
+  /** Require each (role, columnName) to exist in the schema. */
+  def requireCols(schema: StructType, named: (String, String)*): Unit =
+    named.foreach { case (role, name) =>
+      require(schema.fieldNames.contains(name),
+        s"$role '$name' not found in ${schema.fieldNames.mkString(", ")}")
+    }
+
+  /** Require none of the internally-reserved names to be present. */
+  def requireAbsent(schema: StructType, reserved: String*): Unit =
+    reserved.foreach(c => require(!schema.fieldNames.contains(c),
+      s"input already has a column named '$c' (reserved internally)"))
+}

@@ -96,6 +96,7 @@ class BloomIncrementalDeduplicator(override val uid: String)
   def setCorpusIndex(df: DataFrame): this.type = { exactIdx = df; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     require(bloomIdx != null, "setBloomIndex first")
     require($(verify) == "approximate" || exactIdx != null,
       "verify=exact needs setCorpusIndex (the (__fp,__fp2) frame)")
@@ -135,7 +136,13 @@ class BloomIncrementalDeduplicator(override val uid: String)
     }
     out.select(col("__row.*"))
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    if (isSet(priorityCol))
+      SchemaChecks.requireCols(schema, "priorityCol" -> $(priorityCol))
+    schema
+  }
   override def copy(extra: ParamMap): BloomIncrementalDeduplicator =
     defaultCopy(extra)
 }

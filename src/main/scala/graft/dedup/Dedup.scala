@@ -264,6 +264,7 @@ class ExactDeduplicator(override val uid: String) extends Transformer
   def setRawKey(v: Boolean): this.type = set(rawKey, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val canon = if ($(rawKey)) col(getInputCol)
       else DedupFunctions.canonical(col(getInputCol))
@@ -295,7 +296,16 @@ class ExactDeduplicator(override val uid: String) extends Transformer
         .as("__row"))
       .select(col("__row.*"))
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    // fail at plan-construction time with the role and column named —
+    // not mid-shuffle with a raw unresolved-column error (the
+    // FingerprintDeduplicatorBase pattern, swept family-wide round 18)
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    if (isSet(priorityCol))
+      SchemaChecks.requireCols(schema, "priorityCol" -> $(priorityCol))
+    schema
+  }
   override def copy(extra: ParamMap): ExactDeduplicator = defaultCopy(extra)
 }
 object ExactDeduplicator extends graft.core.GraftReadable[ExactDeduplicator]
@@ -340,6 +350,7 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     val r = $(numHashes) / $(bands)
@@ -362,7 +373,14 @@ class MinHashDeduplicator(override val uid: String) extends Transformer
       jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold), $(restrictVerify))
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    // the survivor anti-join references the bare name __dup_id; an input
+    // column of that name would make the join condition ambiguous
+    SchemaChecks.requireAbsent(schema, "__dup_id")
+    schema
+  }
   override def copy(extra: ParamMap): MinHashDeduplicator = defaultCopy(extra)
 }
 object MinHashDeduplicator extends graft.core.GraftReadable[MinHashDeduplicator]
@@ -401,6 +419,7 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     val nBlocks = $(blocks)
@@ -409,7 +428,14 @@ class SimHashDeduplicator(override val uid: String) extends Transformer
       $(maxBucketSize), s"${uid}_dropped")
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    // __fp is written onto the input frame; __dup_id anchors the
+    // survivor anti-join condition
+    SchemaChecks.requireAbsent(schema, "__fp", "__dup_id")
+    schema
+  }
   override def copy(extra: ParamMap): SimHashDeduplicator = defaultCopy(extra)
 }
 object SimHashDeduplicator extends graft.core.GraftReadable[SimHashDeduplicator]
@@ -457,6 +483,7 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     // full (distinct, hash-sorted) shingle sets; reused by the DF count,
@@ -497,7 +524,12 @@ class NGramJaccardDeduplicator(override val uid: String) extends Transformer
       jaccard(col("__sh_l"), col("__sh_r")) >= $(threshold), $(restrictVerify))
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    SchemaChecks.requireAbsent(schema, "__dup_id")
+    schema
+  }
   override def copy(extra: ParamMap): NGramJaccardDeduplicator = defaultCopy(extra)
 }
 object NGramJaccardDeduplicator extends graft.core.GraftReadable[NGramJaccardDeduplicator]
@@ -538,6 +570,7 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions.{candidatePairs, dupIdsOf}
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     val dim = df.select(size(col(getInputCol))).head().getInt(0)
@@ -560,7 +593,12 @@ class EmbeddingNearDupDeduplicator(override val uid: String) extends Transformer
     val dupIds = dupIdsOf(pairs, vecs, "__v", cos >= $(threshold), restrict = false)
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    SchemaChecks.requireAbsent(schema, "__dup_id")
+    schema
+  }
   override def copy(extra: ParamMap): EmbeddingNearDupDeduplicator = defaultCopy(extra)
 }
 object EmbeddingNearDupDeduplicator extends graft.core.GraftReadable[EmbeddingNearDupDeduplicator]

@@ -60,6 +60,7 @@ class IncrementalDeduplicator(override val uid: String) extends Transformer
   def setCorpusIndex(df: DataFrame): this.type = { corpusIdx = df; corpusRaw = null; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     require(corpusRaw != null || corpusIdx != null,
       "setCorpus or setCorpusIndex first")
     val df = ds.toDF()
@@ -82,7 +83,13 @@ class IncrementalDeduplicator(override val uid: String) extends Transformer
       .join(index, Seq("__fp", "__fp2"), "left_anti")
       .select(col("__row.*"))
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    if (isSet(priorityCol))
+      SchemaChecks.requireCols(schema, "priorityCol" -> $(priorityCol))
+    schema
+  }
   override def copy(extra: ParamMap): IncrementalDeduplicator = defaultCopy(extra)
 }
 

@@ -83,6 +83,7 @@ class IncrementalMinHashDeduplicator(override val uid: String)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     val r = $(numHashes) / $(bands)
@@ -143,7 +144,13 @@ class IncrementalMinHashDeduplicator(override val uid: String)
       .setMaxBucketSize($(maxBucketSize))
       .transform(survivors)
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    // the survivor anti-join references the bare name __drop_id
+    SchemaChecks.requireAbsent(schema, "__drop_id")
+    schema
+  }
   override def copy(extra: ParamMap): IncrementalMinHashDeduplicator =
     defaultCopy(extra)
 }

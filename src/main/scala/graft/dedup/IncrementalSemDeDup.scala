@@ -51,12 +51,33 @@ import org.apache.spark.sql.types._
   * `nClusters = 1` is the exhaustive setting: every batch-vs-corpus
   * pair is compared, so the result is exact pairwise cosine dedup and
   * the driver gate replays it all-pairs in SQL (the `semdedup_exact`
-  * pattern). Null batch embeddings are never candidates and always
-  * survive; null corpus embeddings never enter the index
-  * ([[IncrementalSemDeDupModel.indexCorpus]] filters them). Zero-norm
-  * cosines are NaN, which orders above every number (Spark and the
-  * DuckDB oracle agree), so zero-norm pairs count as duplicates — the
-  * [[SemDeDup]] convention.
+  * pattern). The per-cell cap cannot silently break that claim: when
+  * the quantizer is single-cell and `maxClusterSize` is left at its
+  * default, the cap auto-raises to effectively unbounded (all members
+  * sit in the one cell — bounding it would drop corpus members from
+  * candidacy and pass capped batch members UNCHECKED, so exactness
+  * would quietly depend on hand-sizing the cap; round-17 advice). An
+  * EXPLICITLY set cap is always honored — overflow then shows in the
+  * drop metrics, same as the multi-cell case. Null batch embeddings
+  * are never candidates and always survive; null corpus embeddings
+  * never enter the index ([[IncrementalSemDeDupModel.indexCorpus]]
+  * filters them). Zero-norm cosines are NaN, which orders above every
+  * number (Spark and the DuckDB oracle agree), so zero-norm pairs
+  * count as duplicates — the [[SemDeDup]] convention.
+  *
+  * **Recall contract (cell-boundary misses).** With `nClusters > 1` a
+  * batch document within `threshold` of a corpus document that the
+  * quantizer assigned to a DIFFERENT cell is NOT compared and
+  * therefore survives — inherent to the SemDeDup cell partition (the
+  * batch [[SemDeDup]] has the same property; the paper accepts it as
+  * the price of O(n·cellSize) pair work). For the snapshot-delta use
+  * this miss COMPOUNDS across folds: each fold's survivors join the
+  * index with their cell frozen under the shared quantizer, so a pair
+  * straddling a cell boundary is never revisited by any later batch
+  * either. Size `targetClusterSize` (recall grows with cell size) or
+  * use `nClusters = 1` where exactness matters more than scale;
+  * IncrementalSemDeDupSuite pins the miss behavior with a planted
+  * cross-cell near pair.
   */
 class IncrementalSemDeDup(override val uid: String)
     extends Estimator[IncrementalSemDeDupModel] with HasInputCol
@@ -103,6 +124,7 @@ class IncrementalSemDeDup(override val uid: String)
   def setTrainSample(v: Int): this.type = set(trainSample, v)
 
   override def fit(ds: Dataset[_]): IncrementalSemDeDupModel = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val narrow = df.select(
       col($(idCol)).cast("long").as("__id"),
@@ -135,7 +157,15 @@ class IncrementalSemDeDup(override val uid: String)
     m.setParent(this)
   }
 
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    // fail at fit-construction time with the role and column named
+    // (the FingerprintDeduplicatorBase pattern, swept family-wide
+    // round 18) — a forgotten setIdCol used to surface as a raw
+    // unresolved-column error mid-fit
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    schema
+  }
   override def copy(extra: ParamMap): IncrementalSemDeDup =
     defaultCopy(extra)
 }
@@ -200,11 +230,21 @@ class IncrementalSemDeDupModel(override val uid: String)
   def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     require(isSet(quantizer), "model has no quantizer (not fitted?)")
     require(corpusIndex != null, "setCorpusIndex first (indexCorpus)")
     val df = ds.toDF()
     val id = col($(idCol))
-    val bc = df.sparkSession.sparkContext.broadcast($(quantizer))
+    val q = $(quantizer)
+    // single-cell quantizer + default cap: auto-raise so the exhaustive
+    // setting stays exact (see the estimator scaladoc; an explicit cap
+    // is honored — SemDeDupSuite pins that contract). Int.MaxValue / 4
+    // keeps the aggregator's 2·max compaction trigger overflow-free.
+    val effCap =
+      if (q.coarse.length == 1 && q.subs(0).length == 1 &&
+          !isSet(maxClusterSize)) Int.MaxValue / 4
+      else $(maxClusterSize)
+    val bc = df.sparkSession.sparkContext.broadcast(q)
     val assignUdf = udf((v: Seq[Double]) => SemDeDup.assign(bc.value, v))
     val batch = df
       .select(id.cast("long").as("__id"),
@@ -223,7 +263,7 @@ class IncrementalSemDeDupModel(override val uid: String)
     // plain SemDeDup handles in 16.8 s (the round-16 payload-per-pair
     // trap in a milder costume); grouped both sides: 24.0 s, alpha 0.46.
     val bounded = udaf(
-      new SemDeDup.BoundedCellAggregator($(maxClusterSize)),
+      new SemDeDup.BoundedCellAggregator(effCap),
       org.apache.spark.sql.Encoders.product[SemDeDup.CellEntry])
     val cells = corpusIndex
       .select(col("__id"), col("__v"), col("__cell"), col("__csim"))
@@ -281,14 +321,26 @@ class IncrementalSemDeDupModel(override val uid: String)
     val survivors = df.join(dropIds,
       id.cast("long") === col("__drop_id"), "left_anti")
     if (!$(dedupWithinBatch)) survivors
-    else new SemDeDup().setInputCol(getInputCol).setIdCol($(idCol))
-      .setThreshold(thr).setKeepRule("minId")
-      .setNClusters($(withinBatchClusters))
-      .setMaxClusterSize($(maxClusterSize))
-      .transform(survivors)
+    else {
+      val within = new SemDeDup().setInputCol(getInputCol)
+        .setIdCol($(idCol)).setThreshold(thr).setKeepRule("minId")
+        .setNClusters($(withinBatchClusters))
+      // propagate an explicit cap; leave SemDeDup's own default (and
+      // its single-cell auto-raise) in charge otherwise
+      if (isSet(maxClusterSize)) within.setMaxClusterSize($(maxClusterSize))
+      within.transform(survivors)
+    }
   }
 
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    // the internal __id/__v/__cell/__csim names live only in derived
+    // select-projections; the one bare-name reference against the
+    // input frame is the survivor anti-join's __drop_id
+    SchemaChecks.requireAbsent(schema, "__drop_id")
+    schema
+  }
   override def copy(extra: ParamMap): IncrementalSemDeDupModel =
     defaultCopy[IncrementalSemDeDupModel](extra).setParent(parent)
 }

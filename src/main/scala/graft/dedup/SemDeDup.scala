@@ -66,7 +66,11 @@ import org.apache.spark.sql.types._
   * `nClusters = 1` degenerates to exhaustive exact pairwise dedup — the
   * driver gate's SQL-replayable companion (the `knn_ivf_recall` pattern:
   * the exhaustive setting of the approximate operator equals the exact
-  * oracle).
+  * oracle). With a DEFAULT `maxClusterSize` the single-cell cap
+  * auto-raises to effectively unbounded so that claim cannot silently
+  * depend on hand-sizing the cap (round-17 advice); an explicitly set
+  * cap is honored — overflow then shows in the drop metric, the
+  * documented degraded mode.
   *
   * Null embeddings are never candidates and always survive (they carry
   * no vector to compare). Zero-NORM embeddings follow Spark comparison
@@ -143,6 +147,7 @@ class SemDeDup(override val uid: String) extends Transformer
   def setKeepRule(v: String): this.type = set(keepRule, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val id = col($(idCol))
     // ONE materialization of the narrow (id, vector) frame: every
@@ -203,6 +208,13 @@ class SemDeDup(override val uid: String) extends Transformer
     // each coarse cell's sample members — training AND per-row
     // assignment drop to O(√k·dim).
     val twoLevel = k > SemDeDup.TwoLevelAbove
+    // single-cell + default cap: auto-raise so nClusters=1 stays the
+    // exhaustive setting (see scaladoc; an explicit cap is honored —
+    // the degraded-mode suite test pins that). Int.MaxValue / 4 keeps
+    // the aggregator's 2·max compaction trigger overflow-free.
+    val effCap =
+      if (k == 1 && !isSet(maxClusterSize)) Int.MaxValue / 4
+      else $(maxClusterSize)
     val quant = SemDeDup.fitQuantizer(sample, k, $(maxIter), $(seed))
     val tTrain = System.nanoTime()
     // per-phase walls: the driver-side phases are the only serial part,
@@ -232,7 +244,7 @@ class SemDeDup(override val uid: String) extends Transformer
       .select(col("__id"), col("__v"), assignUdf(col("__v")).as("__a"))
       .select(col("__id"), col("__v"),
         col("__a._1").as("__cell"), col("__a._2").as("__csim"))
-    val bounded = udaf(new SemDeDup.BoundedCellAggregator($(maxClusterSize)),
+    val bounded = udaf(new SemDeDup.BoundedCellAggregator(effCap),
       org.apache.spark.sql.Encoders.product[SemDeDup.CellEntry])
     val cells = assigned.groupBy(col("__cell"))
       .agg(bounded(col("__id"), col("__v"), col("__csim")).as("__b"))
@@ -291,7 +303,16 @@ class SemDeDup(override val uid: String) extends Transformer
       .distinct()
     df.join(dupIds, id.cast("long") === col("__dup_id"), "left_anti")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    // the internal __id/__v/__cell/__csim names live only in derived
+    // select-projections and can never clash with input columns; the
+    // one bare-name reference against the input frame is the survivor
+    // anti-join's __dup_id
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "inputCol" -> getInputCol)
+    SchemaChecks.requireAbsent(schema, "__dup_id")
+    schema
+  }
   override def copy(extra: ParamMap): SemDeDup = defaultCopy(extra)
 }
 object SemDeDup extends graft.core.GraftReadable[SemDeDup] {

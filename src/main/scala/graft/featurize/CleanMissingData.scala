@@ -27,6 +27,7 @@ class CleanMissingData(override val uid: String) extends Estimator[CleanMissingD
   def setCustomValue(v: Double): this.type = set(customValue, v)
 
   override def fit(ds: Dataset[_]): CleanMissingDataModel = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val fills: Map[String, Double] = $(cleaningMode) match {
       case "Custom" => getInputCols.map(_ -> $(customValue)).toMap
@@ -45,7 +46,11 @@ class CleanMissingData(override val uid: String) extends Estimator[CleanMissingD
     m.fillValues = fills
     m
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      getInputCols.toIndexedSeq.map("inputCols entry" -> _): _*)
+    schema
+  }
   override def copy(extra: ParamMap): CleanMissingData = defaultCopy(extra)
 }
 object CleanMissingData extends graft.core.GraftReadable[CleanMissingData]
@@ -58,9 +63,17 @@ class CleanMissingDataModel(override val uid: String)
 
   var fillValues: Map[String, Double] = Map.empty
 
-  override def transform(ds: Dataset[_]): DataFrame =
+  override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     ds.toDF().na.fill(fillValues)
-  override def transformSchema(schema: StructType): StructType = schema
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    // na.fill silently skips unknown names — validate so a misnamed
+    // inputCols surfaces instead of a silent no-op fill
+    SchemaChecks.requireCols(schema,
+      getInputCols.toIndexedSeq.map("inputCols entry" -> _): _*)
+    schema
+  }
   override def copy(extra: ParamMap): CleanMissingDataModel = {
     val c = new CleanMissingDataModel(uid); c.fillValues = fillValues
     copyValues(c, extra)

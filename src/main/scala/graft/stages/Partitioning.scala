@@ -63,6 +63,7 @@ class StratifiedRepartition(override val uid: String) extends Transformer
   def setExactCounts(v: Boolean): this.type = set(exactCounts, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val numPartitions = df.queryExecution.toRdd.getNumPartitions
     val counts = df.groupBy(getLabelCol).count().collect()
@@ -139,7 +140,10 @@ class StratifiedRepartition(override val uid: String) extends Transformer
       .map(_._2)
     spark.createDataFrame(spread, df.schema)
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema, "labelCol" -> getLabelCol)
+    schema
+  }
   override def copy(extra: ParamMap): StratifiedRepartition = defaultCopy(extra)
 }
 object StratifiedRepartition extends graft.core.GraftReadable[StratifiedRepartition]

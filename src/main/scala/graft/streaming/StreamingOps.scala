@@ -216,7 +216,10 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
   def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
+    if (df.isStreaming) // batch parity mode never touches the time column
+      graft.core.SchemaChecks.requireCols(df.schema, "timeCol" -> $(timeCol))
     val canon = graft.dedup.DedupFunctions.canonical(col(getInputCol))
     val withFp = df.withColumn("__fp", xxhash64(canon))
       .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), canon))
@@ -234,7 +237,13 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
       else cleared.dropDuplicates("__fp", "__fp2")
     deduped.drop("__fp", "__fp2")
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    graft.core.SchemaChecks.requireCols(schema, "inputCol" -> getInputCol)
+    // __fp/__fp2 are written onto the input frame; __hit anchors the
+    // corpus-index filter after the join
+    graft.core.SchemaChecks.requireAbsent(schema, "__fp", "__fp2", "__hit")
+    schema
+  }
   override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
 }
 object StreamingDeduplicator
@@ -324,6 +333,8 @@ class StreamingFingerprintDeduplicator(override val uid: String)
     require($(blocks) > $(maxHamming),
       s"blocks (${$(blocks)}) must exceed maxHamming (${$(maxHamming)})")
     val df = ds.toDF()
+    if (df.isStreaming) // batch parity mode never touches the time column
+      graft.core.SchemaChecks.requireCols(df.schema, "timeCol" -> $(timeCol))
     val mod = $(modality)
     val fpUdf = udf((b: Array[Byte]) =>
       StreamingFingerprintDeduplicator.fp(mod, b))
@@ -512,6 +523,8 @@ class StreamingMinHashDeduplicator(override val uid: String)
     import graft.dedup.DedupFunctions._
     transformSchema(ds.schema)
     val df = ds.toDF()
+    if (df.isStreaming) // batch parity mode never touches the time column
+      graft.core.SchemaChecks.requireCols(df.schema, "timeCol" -> $(timeCol))
     val r = $(numHashes) / $(bands)
     require(r > 0, s"numHashes (${$(numHashes)}) must be >= bands (${$(bands)})")
     val withSig = df.withColumn("__sig",

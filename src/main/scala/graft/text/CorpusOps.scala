@@ -82,13 +82,17 @@ class QualityFilter(override val uid: String) extends Transformer
   def setMinStopwordHits(v: Long): this.type = set(minStopwordHits, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val c = col(getInputCol)
     ds.toDF().filter(
       TextFunctions.tokenCount(c).between($(minTokens), $(maxTokens)) &&
         TextFunctions.qualityScaled(c) >= $(minQualityQ4) &&
         TextFunctions.stopwordHits(c) >= $(minStopwordHits))
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema, "inputCol" -> getInputCol)
+    schema
+  }
   override def copy(extra: ParamMap): QualityFilter = defaultCopy(extra)
 }
 object QualityFilter extends graft.core.GraftReadable[QualityFilter]

@@ -339,6 +339,7 @@ class DomainMixtureSampler(override val uid: String) extends Transformer
   def setSalt(v: String): this.type = set(salt, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val thrMap = $(weights).map { case (k, w) =>
       k -> DomainMixtureSampler.hexThreshold(w)
     }
@@ -350,7 +351,11 @@ class DomainMixtureSampler(override val uid: String) extends Transformer
       md5(concat(col($(idCol)).cast("string"), lit(":" + $(salt)))), 1, 8)
     ds.toDF().filter(key < thr)
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "domainCol" -> $(domainCol))
+    schema
+  }
   override def copy(extra: ParamMap): DomainMixtureSampler = defaultCopy(extra)
 }
 /** Temperature-scaled domain mixture (the multilingual-pretraining
@@ -396,6 +401,7 @@ class TemperatureSampler(override val uid: String) extends Transformer
   def setMaxDomains(v: Int): this.type = set(maxDomains, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     // domain histogram: map-side-combined, key space = #domains; the
     // collect is bounded by the fail-fast cap (limit cap+1, not count(),
@@ -426,7 +432,11 @@ class TemperatureSampler(override val uid: String) extends Transformer
       .setWeights(rates).setDefaultWeight(0.0).setSalt($(salt))
       .transform(df)
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema,
+      "idCol" -> $(idCol), "domainCol" -> $(domainCol))
+    schema
+  }
   override def copy(extra: ParamMap): TemperatureSampler = defaultCopy(extra)
 }
 object TemperatureSampler
@@ -599,6 +609,7 @@ class TokenBudgetSampler(override val uid: String) extends Transformer
   def setMaxDomains(v: Int): this.type = set(maxDomains, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val dom = col($(domainCol)).cast("string")
     val toks = coalesce(col($(tokensCol)).cast("long"), lit(0L))
@@ -651,7 +662,11 @@ class TokenBudgetSampler(override val uid: String) extends Transformer
         .setSalt($(salt)).transform(df)
     }
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    SchemaChecks.requireCols(schema, "idCol" -> $(idCol),
+      "domainCol" -> $(domainCol), "tokensCol" -> $(tokensCol))
+    schema
+  }
   override def copy(extra: ParamMap): TokenBudgetSampler = defaultCopy(extra)
 }
 object TokenBudgetSampler

@@ -70,6 +70,7 @@ class ScoreSelector(override val uid: String) extends Transformer
   def setPartitionCol(v: String): this.type = set(partitionCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     $(mode) match {
       // exact mode keeps ceil(0·n) = 0 rows; approx's >=-threshold
@@ -101,7 +102,19 @@ class ScoreSelector(override val uid: String) extends Transformer
           .drop("__sel_rn", "__sel_n")
     }
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    // fail at plan-construction time with the role and column named
+    // (the fingerprint-family pattern, swept family-wide round 18)
+    SchemaChecks.requireCols(schema, "scoreCol" -> $(scoreCol))
+    if ($(mode) == "exact")
+      SchemaChecks.requireCols(schema, "idCol" -> $(idCol))
+    if (isSet(partitionCol))
+      SchemaChecks.requireCols(schema, "partitionCol" -> $(partitionCol))
+    // __sel_rn/__sel_n are written onto the input frame (exact mode);
+    // __sel_thr anchors the joined-threshold filter (approx per-group)
+    SchemaChecks.requireAbsent(schema, "__sel_rn", "__sel_n", "__sel_thr")
+    schema
+  }
   override def copy(extra: ParamMap): ScoreSelector = defaultCopy(extra)
 }
 object ScoreSelector extends graft.core.GraftReadable[ScoreSelector]

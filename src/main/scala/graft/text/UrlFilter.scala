@@ -113,6 +113,7 @@ class UrlFilter(override val uid: String)
     Option[(DataFrame, String, Int, graft.core.CompactStringSet)] = None
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
     val df = ds.toDF()
     val base = df.filter(UrlFilter.keeps(col(getInputCol),
       $(blockedDomains).toIndexedSeq, $(blockedTerms).toIndexedSeq))
@@ -133,7 +134,10 @@ class UrlFilter(override val uid: String)
           $(multiSuffixes).toIndexedSeq, $(tableMode))
     }
   }
-  override def transformSchema(schema: StructType): StructType = schema
+  override def transformSchema(schema: StructType): StructType = {
+    graft.core.SchemaChecks.requireCols(schema, "inputCol" -> getInputCol)
+    schema
+  }
   override def copy(extra: ParamMap): UrlFilter = defaultCopy(extra)
 }
 

@@ -201,4 +201,28 @@ class DedupSuite extends TestBase {
       assert(dropped > 0, "dropped_candidates metric never observed")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("the dedup family fails fast on a missing idCol/inputCol with the " +
+    "role and column named (round-18 family-wide sweep)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(new ExactDeduplicator().setInputCol("text").setIdCol("nope")
+      .transform(docs)).contains("idCol 'nope' not found"))
+    assert(msg(new MinHashDeduplicator().setInputCol("missing")
+      .setIdCol("id").transform(docs))
+      .contains("inputCol 'missing' not found"))
+    assert(msg(new SimHashDeduplicator().setInputCol("text").setIdCol("id")
+      .transform(docs.withColumn("__fp", lit(1L)))).contains("__fp"))
+    assert(msg(new NGramJaccardDeduplicator().setInputCol("text")
+      .setIdCol("id").transform(docs.withColumn("__dup_id", lit(1L))))
+      .contains("__dup_id"))
+    val inc = new IncrementalDeduplicator().setInputCol("text")
+      .setIdCol("id")
+    inc.setCorpusIndex(
+      IncrementalDeduplicator.fingerprintIndex(docs, "text"))
+    assert(msg(inc.transform(docs.drop("text")))
+      .contains("inputCol 'text' not found"))
+  }
 }

@@ -106,4 +106,78 @@ class IncrementalSemDeDupSuite extends TestBase {
       .transform(batch)
     assert(ids(out) == Seq(12L, 14L))
   }
+
+  test("recall contract: a threshold-near pair straddling a cell " +
+    "boundary is MISSED in clustered mode, caught exhaustively") {
+    // two blobs around e1 and e2 pin the k=2 centroids; the planted
+    // pair sits astride the boundary: corpus (0.6, 0.4) lands in the
+    // e1 cell, batch (0.4, 0.6) in the e2 cell, yet their cosine is
+    // 0.48/0.52 ~ 0.923 >= the 0.9 threshold — the documented
+    // cell-partition miss (scaladoc "Recall contract")
+    val cps = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.98, 0.02)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.02, 0.98)),
+      (4L, Array(0.6, 0.4)) // the boundary-adjacent corpus member
+    ).toDF("doc_id", "embedding")
+    val bat = Seq((10L, Array(0.4, 0.6))).toDF("doc_id", "embedding")
+    val m2 = new IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(2).setThreshold(0.9).fit(cps)
+    // sanity: the pair really does land in different cells
+    val cells = m2.indexCorpus(cps).select("__id", "__cell")
+      .as[(Long, Int)].collect().toMap
+    val bCell = m2.indexCorpus(bat).select("__cell").as[Int].head()
+    assert(cells(4L) != bCell,
+      s"fixture broken: corpus 4 and batch 10 share cell ${bCell}")
+    val missed = m2.setCorpusIndex(m2.indexCorpus(cps))
+      .setDedupWithinBatch(false).transform(bat)
+    assert(ids(missed) == Seq(10L), "cross-cell near pair must be missed")
+    // nClusters=1 (exhaustive) catches the same pair
+    val m1 = new IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.9).fit(cps)
+    val caught = m1.setCorpusIndex(m1.indexCorpus(cps))
+      .setDedupWithinBatch(false).transform(bat)
+    assert(ids(caught) == Seq())
+  }
+
+  test("single-cell default cap auto-raises: exhaustive mode stays " +
+    "exact past the default maxClusterSize population") {
+    // 2100 corpus copies of one direction (> the 2048 default cap) and
+    // a batch twin: with the old fixed cap the corpus buffer would
+    // truncate and/or the batch row could pass unchecked; the
+    // auto-raise keeps every pair compared
+    val big = (0 until 2100)
+      .map(i => (i.toLong, Array(1.0, 0.0001 * (i % 3), 0.0)))
+      .toDF("doc_id", "embedding")
+    val m = new IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(big)
+    val out = m.setCorpusIndex(m.indexCorpus(big))
+      .setDedupWithinBatch(false)
+      .transform(Seq((9000L, Array(1.0, 0.0, 0.0)))
+        .toDF("doc_id", "embedding"))
+    assert(out.count() == 0, "batch twin of corpus member 2099 must drop")
+  }
+
+  test("transformSchema validates idCol/inputCol and the reserved " +
+    "__drop_id (fail-fast, named errors)") {
+    val e1 = intercept[IllegalArgumentException] {
+      new IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("nope").fit(corpus)
+    }
+    assert(e1.getMessage.contains("idCol 'nope' not found"))
+    val e2 = intercept[IllegalArgumentException] {
+      new IncrementalSemDeDup().setInputCol("missing").fit(corpus)
+    }
+    assert(e2.getMessage.contains("inputCol 'missing' not found"))
+    val m = new IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).fit(corpus)
+    m.setCorpusIndex(m.indexCorpus(corpus))
+    val e3 = intercept[IllegalArgumentException] {
+      m.transform(batch.withColumn("__drop_id", lit(1)))
+    }
+    assert(e3.getMessage.contains("__drop_id"))
+    val e4 = intercept[IllegalArgumentException] {
+      m.transform(batch.withColumnRenamed("embedding", "emb2"))
+    }
+    assert(e4.getMessage.contains("inputCol 'embedding' not found"))
+  }
 }

@@ -174,4 +174,33 @@ class SemDeDupSuite extends TestBase {
     // with a 2-id cap only {0,1} form a candidate pair; 3 escapes the cap
     assert(ids(out).contains(0L) && ids(out).contains(2L))
   }
+
+  test("nClusters=1 with the DEFAULT cap auto-raises past the 2048 " +
+    "population: exhaustive stays exact (round-17 advice)") {
+    import spark.implicits._
+    // 2100 near-identical vectors (> the 2048 default cap): with a
+    // fixed cap the overflow would escape candidacy and survive; the
+    // single-cell auto-raise compares every pair -> one survivor
+    val big = (0 until 2100)
+      .map(i => (i.toLong, Array(1.0, 0.0001 * (i % 3), 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+      .setNClusters(1).setThreshold(0.99).setKeepRule("minId")
+      .transform(big)
+    assert(out.count() == 1)
+  }
+
+  test("transformSchema validates idCol/inputCol and reserved __dup_id " +
+    "(fail-fast, named errors)") {
+    val e1 = intercept[IllegalArgumentException] {
+      new SemDeDup().setInputCol("embedding").setIdCol("nope")
+        .transform(vecs)
+    }
+    assert(e1.getMessage.contains("idCol 'nope' not found"))
+    val e2 = intercept[IllegalArgumentException] {
+      new SemDeDup().setInputCol("embedding").setIdCol("vec_id")
+        .transform(vecs.withColumn("__dup_id", lit(1)))
+    }
+    assert(e2.getMessage.contains("__dup_id"))
+  }
 }
