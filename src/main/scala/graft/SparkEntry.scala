@@ -2167,6 +2167,46 @@ object SparkEntry {
         .distinct()
     },
 
+    // the SAME near-dup streaming fixture through the LARGE-INDEX mode
+    // (round 18): a real engine run whose sink is foreachBatch +
+    // StreamingMinHashDeduplicator.transformMicroBatch — Bloom band-key
+    // prefilter broadcast (tier 1), flagged rows verified through a
+    // distributed equi band join on the persisted index (tier 2), NO
+    // signature broadcast. Decisions match the DSL path (Bloom has no
+    // false negatives; the verify is the same signature agreement), so
+    // the gate shares dedup_minhash_stream's oracle verbatim.
+    "dedup_minhash_stream_fb" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpus = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.streaming.StreamingMinHashDeduplicator
+        .signatureIndex(corpus, "doc_id", "text", 3, 128)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "documents", "mh_fb_stream"))
+      val stream = src().filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(src().filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(src().filter(col("doc_id") % 8 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val stage = new graft.streaming.StreamingMinHashDeduplicator()
+        .setInputCol("text").setThreshold(0.85).setCorpusIndex(idx)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("mh_fb_out").toString
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          stage.transformMicroBatch(b)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(graft.dedup.DedupFunctions.canonical(col("text")).as("ct"))
+        .distinct()
+    },
+
     // Streaming PERCEPTUAL dedup — the fingerprint family's streaming
     // face (round 17; mirrors dedup_exact_stream): the corpus index
     // holds every member of the EVEN planted audio groups; the stream
@@ -2206,6 +2246,112 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
         .select((col("doc_id") / 4).cast("long").as("group_id"))
+    },
+
+    // Streaming SEMANTIC dedup (round 18) — closes the last cell of the
+    // batch/incremental/streaming × exact/near-dup/perceptual/semantic
+    // dedup matrix. The semdedup_incremental_exact fixture run through
+    // the REAL engine: the corpus (vec_id % 4 != 0) persists its
+    // embedding index under a single-cell quantizer (the exhaustive,
+    // SQL-replayable setting — every corpus member shares the stream
+    // doc's cell, so the broadcast probe compares every pair); the
+    // stream carries the %4==0 vectors plus id-offset VERBATIM copies:
+    // the %8==1 copies duplicate CORPUS vectors (cosine exactly 1) and
+    // must drop via the broadcast cell probe, while the %8==4 copies
+    // duplicate %4==0 STREAM vectors and exercise the IN-STREAM
+    // exact-embedding state instead (their bit-identical twin rides the
+    // same run). A %4==0 doc drops iff a corpus vector sits at cosine
+    // >= 0.465 — the threshold in the measured sf0.01 cosine-spectrum
+    // gap (nearest pairs 0.4666/0.4597, the semdedup_exact margins).
+    // The gate emits the DISTINCT surviving BASE-id set (vec_id %
+    // 1000000 — which copy of bit-identical vectors survives the
+    // in-stream state is engine-arbitrary, the set is not; all
+    // embeddings-table vectors are pairwise distinct, so distinct base
+    // ids replay closed-form).
+    "semdedup_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465).setNClusters(1)
+        .fit(corpus)
+      val idx = m.indexCorpus(corpus)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "embeddings", "semdd_stream"))
+      val stream = src().filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(src().filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(src().filter(col("vec_id") % 8 === 4)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+        .withColumn("ts", to_timestamp(from_unixtime(
+          col("vec_id") % 1000000L + lit(1700000000L))))
+      val dedup = new graft.streaming.StreamingSemDeDup()
+        .setInputCol("embedding").setTimeCol("ts")
+        .setWatermarkDelay("3650 days")
+        // the single-cell exhaustive probe is FAT (every corpus member
+        // in one buffer) and the fixture source is one parquet file
+        // (~3 splits): without the spread the x100 sweep stranded the
+        // probe on 2 of 32 cores
+        .setSpreadProbe(true)
+        .setFromModel(m).setCorpusIndex(idx)
+        .transform(stream)
+      val qname = s"semdd_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
+    },
+
+    // the streaming semantic face at its 100 TB OPERATING POINT
+    // (auto-k quantizer -> each stream doc probes ONE ~256-member cell
+    // buffer instead of the whole corpus): rows-only by design — the
+    // k-means cell partition is not SQL-replayable — with
+    // semdedup_stream (single-cell = exhaustive) as the hash-green
+    // exactness companion, the semdedup_incremental/-_exact pattern.
+    // Also the SCALING.md streaming-semantic row's handle.
+    "semdedup_stream_autok" -> { (s, dir) =>
+      val hint = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 375L
+        case "sf0.1" => 1500L
+        case _ => 0L
+      }
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465)
+        .setTargetClusterSize(256).setCorpusSizeHint(hint)
+        .fit(corpus)
+      val idx = m.indexCorpus(corpus)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "embeddings", "semdd_stream_ak"))
+      val stream = src().filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(src().filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(src().filter(col("vec_id") % 8 === 4)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+        .withColumn("ts", to_timestamp(from_unixtime(
+          col("vec_id") % 1000000L + lit(1700000000L))))
+      val dedup = new graft.streaming.StreamingSemDeDup()
+        .setInputCol("embedding").setTimeCol("ts")
+        .setWatermarkDelay("3650 days")
+        .setFromModel(m).setCorpusIndex(idx)
+        .transform(stream)
+      val qname = s"semdd_stream_ak_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
     },
 
     // Stateful sessionization executed through the Structured Streaming
@@ -2489,6 +2635,43 @@ object SparkEntry {
       bf.join(ivf, Seq("query_id", "id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))
         .select(col("query_id"), col("hits"), lit(5L).as("k"))
+    },
+
+    // the billion-image serving path at its REAL operating point
+    // (round 18; image_ivf_recall asserts exactness at nProbe ==
+    // nLists, this asserts the recall FLOOR at nProbe = nLists/8 = 1 —
+    // the setting a latency-bound serving tier actually runs): over
+    // the planted re-encode groups (within-group cosine >= 0.99989,
+    // cross <= 0.68908 — PHashProbe margins over all sf0.1 ids), each
+    // query's true top-4 is exactly its own 4-member group, and
+    // probing ONE cell must recover >= 90% of those planted neighbors
+    // (group members quantize together except for the rare group
+    // astride a centroid boundary — tools.IVFServingProbe measured
+    // 160/160 recovered at nProbe=1 on ALL THREE sf dirs, so the 144
+    // floor has maximal margin). Emits the single boolean the floor
+    // defines; the k-means is seeded, so the value is deterministic
+    // per SF.
+    "image_ivf_serving" -> { (s, dir) =>
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      // localCheckpoint: the image_knn convention — un-materialized
+      // decode UDFs re-decode under every internal pass
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+        .localCheckpoint()
+      val queries = emb.filter(col("doc_id") < 40)
+      val ivf = new IVFNearestNeighbors().setInputCol("image_embedding")
+        .setIdCol("doc_id").setNLists(8).fit(emb)
+        .setK(4).setNProbe(1)
+        .setQueries(queries, "doc_id", "image_embedding")
+        .transform(emb)
+        .select(col("query_id"), explode(col("neighbors.id")).as("id"))
+      // planted pairs = 40 queries x 4 group members; floor 0.9 -> 144
+      ivf.agg(sum(when((col("id") / 4).cast("long") ===
+          (col("query_id") / 4).cast("long"), 1L).otherwise(0L))
+          .as("recovered"))
+        .select((col("recovered") >= lit(144L)).cast("int").as("ok"))
     },
 
     // Energy-contour audio near-dedup — the audio member of the
@@ -3608,7 +3791,15 @@ object SparkEntry {
     s"CAST(floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)" +
       " * 10000.0 + 0.5) AS BIGINT)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // the foreachBatch (two-tier, large-index) run of the SAME fixture
+    // decides identically to the broadcast DSL path — one oracle serves
+    // both (Bloom tier 1 has no false negatives; tier 2 verifies the
+    // same signature agreement)
+    oracleSqlBase +
+      ("dedup_minhash_stream_fb" -> oracleSqlBase("dedup_minhash_stream"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "featurize_datetime" ->
       """SELECT o_orderkey,
         |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS epoch_ms,
@@ -5037,6 +5228,11 @@ object SparkEntry {
         |  CAST(5 AS BIGINT) AS k
         |FROM documents WHERE doc_id < 20""".stripMargin,
 
+    // the serving-point floor is a planted boolean: >= 90% of the
+    // 40x4 group-member pairs recovered at nProbe=1 (seeded k-means,
+    // deterministic per SF; the Spark side computes the count)
+    "image_ivf_serving" -> "SELECT CAST(1 AS INTEGER) AS ok",
+
     // survivors = min id per planted 4-id group (testFpWavBytes: one
     // amplitude grid per group, exact volume re-encode variants)
     "audio_fp_dedup" ->
@@ -5569,6 +5765,22 @@ object SparkEntry {
       """SELECT DISTINCT
         |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ct
         |FROM documents""".stripMargin,
+
+    // all-pairs replay of the streaming semantic decisions (single-cell
+    // quantizer => the broadcast probe IS exhaustive): a base %4==0 id
+    // survives iff no corpus vector sits at cosine >= 0.465; the %8==1
+    // offset copies are identical to corpus vectors (cosine 1, always
+    // dropped by the probe) and the %8==4 copies collapse onto their
+    // bit-identical base twin in the in-stream exact state, so the
+    // distinct base-id set is exactly the probe decisions
+    "semdedup_stream" ->
+      """WITH corp AS MATERIALIZED (
+        |  SELECT embedding FROM embeddings WHERE vec_id % 4 <> 0)
+        |SELECT vec_id FROM embeddings b
+        |WHERE vec_id % 4 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM corp c
+        |  WHERE list_cosine_similarity(b.embedding, c.embedding)
+        |    >= 0.465)""".stripMargin,
 
     // streaming survivors = exactly the odd planted groups (even groups
     // are in the corpus index; in-stream bit-identical pairs collapse

@@ -63,6 +63,15 @@ object DedupFunctions {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.HashExpressions.sortedLongJaccard(a, b)
 
+  /** Fraction of agreeing components of two equal-length MinHash
+    * signatures — the unbiased estimate of Jaccard (shared by the
+    * incremental and streaming near-dup verifiers so the two paths can
+    * never disagree on the arithmetic). */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(a)
+
   /** Charikar 64-bit SimHash of the whitespace-tokenized, lowercased text
     * — backed by the native codegen'd
     * [[graft.functions.HashExpressions.SimHash64]] expression (one pass

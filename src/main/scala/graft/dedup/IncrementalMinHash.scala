@@ -75,12 +75,6 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     * [[IncrementalMinHashDeduplicator.signatureIndex]] (signature mode only). */
   def setCorpusIndex(df: DataFrame): this.type = { corpusIdx = df; corpusRaw = null; this }
 
-  /** Fraction of agreeing components of two equal-length signatures. */
-  private def sigAgreement(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(a)
-
   override def transform(ds: Dataset[_]): DataFrame = {
     import DedupFunctions._
     transformSchema(ds.schema)

@@ -335,7 +335,7 @@ object SemDeDup extends graft.core.GraftReadable[SemDeDup] {
     * semdedup gates pin it hash-identical). Flat below
     * [[TwoLevelAbove]] cells; above it √k coarse × sub cells, sub-fits
     * parallel with per-cell seeds (order-independent). */
-  private[dedup] def fitQuantizer(sample: Array[Array[Double]], k: Int,
+  private[graft] def fitQuantizer(sample: Array[Array[Double]], k: Int,
       maxIter: Int, seed: Long): Quantizer =
     if (k <= TwoLevelAbove) {
       val cs = graft.sim.IVF.lloyd(sample, k, maxIter, seed)
@@ -381,7 +381,7 @@ object SemDeDup extends graft.core.GraftReadable[SemDeDup] {
   /** Two-level assignment: (flat cell id, cosine to the FINEST
     * centroid) — unit sphere, cos = 1 − d²/2, so argmin L2 IS argmax
     * cosine. Extracted verbatim from the round-16 transform UDF. */
-  private[dedup] def assign(q: Quantizer, v: Seq[Double]): (Int, Double) = {
+  private[graft] def assign(q: Quantizer, v: Seq[Double]): (Int, Double) = {
     val va = graft.sim.IVF.normalize(v.toArray)
     def argmin(arr: Array[Array[Double]]): (Int, Double) = {
       var best = 0; var bestD = Double.MaxValue

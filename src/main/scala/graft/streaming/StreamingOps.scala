@@ -474,11 +474,32 @@ object StreamingFingerprintDeduplicator
   *    state shape). In-stream NEAR-dup pairs are caught at the next
   *    index fold — the family's steady-state refresh contract.
   *
-  * Empty/short documents (no `shingleSize`-shingle) carry the
-  * all-sentinel signature and MATCH other empty documents (agreement
-  * 1) — the batch family's semantics, kept identical so the streaming
-  * and batch paths decide the same rows. Null text is no evidence and
-  * always passes. */
+  * **Estimate-vs-exact contract.** This stage decides corpus drops on
+  * the signature-AGREEMENT estimate of Jaccard (`threshold` compares
+  * against agreement, se ≈ sqrt(t(1−t)/numHashes) ≈ 0.035 at t=0.8 /
+  * 128 hashes), the [[graft.dedup.IncrementalMinHashDeduplicator]]
+  * `signature` mode — only the index is ever read, never the corpus
+  * text. The BATCH [[graft.dedup.MinHashDeduplicator]] instead
+  * verifies candidates by EXACT shingle Jaccard, so a pair whose true
+  * Jaccard sits within ~2 se of the threshold can decide differently
+  * between the batch and streaming paths. That is the documented trade
+  * for a text-free probe; pipelines that need batch-identical
+  * decisions at the cutoff fold micro-batches through the incremental
+  * deduplicator's `exact` mode instead (raw corpus required).
+  *
+  * **Past the broadcast ceiling — [[transformMicroBatch]]** (the
+  * two-tier large-index mode, round-18): instead of broadcasting full
+  * signatures, broadcast only a Bloom filter of the corpus BAND KEYS
+  * (~7 bits/key at the 3% default `prefilterFpp` vs numHashes·8
+  * bytes/signature — ~2 orders of magnitude more index entries per
+  * broadcast MB) and verify the flagged minority through a per-batch
+  * distributed equi-join on the persisted index. Bloom filters have no
+  * false negatives, so tier 1 never loses a candidate; false positives
+  * only cost a wasted tier-2 verify. Drive it from `foreachBatch`
+  * (fold each batch's survivors into the index for the next epoch —
+  * the incremental family's refresh); the DSL `transform` path stays
+  * the small-index fast path with in-map verification and zero
+  * per-batch shuffle. */
 class StreamingMinHashDeduplicator(override val uid: String)
     extends Transformer with HasInputCol with graft.core.GraftWritable {
   def this() = this(Identifiable.randomUID("StreamingMinHashDeduplicator"))
@@ -513,11 +534,30 @@ class StreamingMinHashDeduplicator(override val uid: String)
     ParamValidators.gt(0))
   setDefault(maxIndexEntries -> (1 << 19))
   def setMaxIndexEntries(v: Int): this.type = set(maxIndexEntries, v)
+  final val maxBucketSize = new IntParam(this, "maxBucketSize",
+    "transformMicroBatch tier 2: per-band-bucket corpus candidate cap " +
+      "(skew guard, the incremental family's bounded aggregator; " +
+      "overflow counts in the <uid>_dropped observation)",
+    ParamValidators.gt(0))
+  setDefault(maxBucketSize -> 1000)
+  def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
+  final val prefilterFpp = new DoubleParam(this, "prefilterFpp",
+    "transformMicroBatch tier 1: Bloom false-positive rate for the " +
+      "broadcast band-key prefilter (false positives cost a wasted " +
+      "tier-2 verify, never a wrong decision)",
+    ParamValidators.inRange(0.0, 1.0, false, false))
+  setDefault(prefilterFpp -> 0.03)
+  def setPrefilterFpp(v: Double): this.type = set(prefilterFpp, v)
 
   /** Persisted corpus `(__id, __sig)` signature index — the batch
     * family's [[graft.dedup.IncrementalMinHashDeduplicator.signatureIndex]]. */
   private var corpusIndex: DataFrame = _
-  def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
+  def setCorpusIndex(df: DataFrame): this.type = {
+    corpusIndex = df
+    probeCache.foreach(_._1.unpersist()) // derived state of the old index
+    probeCache = None
+    this
+  }
 
   override def transform(ds: Dataset[_]): DataFrame = {
     import graft.dedup.DedupFunctions._
@@ -540,8 +580,10 @@ class StreamingMinHashDeduplicator(override val uid: String)
           .collect().map(_.getSeq[Long](0).toArray)
         require(sigs.length <= $(maxIndexEntries),
           s"corpus index exceeds maxIndexEntries ${$(maxIndexEntries)} — " +
-            "shard the stream (one index per shard) or fold micro-batches " +
-            "through the batch band join instead of broadcasting")
+            "drive transformMicroBatch from foreachBatch (the two-tier " +
+            "Bloom-prefiltered band join; no signature broadcast), shard " +
+            "the stream (one index per shard), or fold micro-batches " +
+            "through IncrementalMinHashDeduplicator's batch band join")
         val nb = $(bands); val rr = r
         val buckets = new java.util.HashMap[java.lang.Long,
           scala.collection.mutable.ArrayBuffer[Int]]()
@@ -609,6 +651,121 @@ class StreamingMinHashDeduplicator(override val uid: String)
       else nn.dropDuplicates("__fp", "__fp2")
     deduped.unionByName(nulls).drop("__fp", "__fp2")
   }
+
+  // per-index probe state for transformMicroBatch, built once and
+  // reused across micro-batches (the UrlFilter packCache pattern):
+  // the capped (band key -> corpus id) frame persists executor-side,
+  // the Bloom filter of its keys broadcasts driver-side
+  @transient private var probeCache: Option[(DataFrame, DataFrame,
+    org.apache.spark.util.sketch.BloomFilter)] = None
+
+  /** The large-index corpus probe, for `foreachBatch` — same decisions
+    * as [[transform]]'s broadcast path (band candidacy, then
+    * signature-agreement ≥ `threshold`; Bloom tier 1 has no false
+    * negatives) with NO signature broadcast, so the index is bounded
+    * by cluster disk instead of executor memory:
+    *
+    *  1. tier 1 (map-only): each document's `bands` band keys probe the
+    *     broadcast Bloom filter of corpus band keys; no hit — the
+    *     overwhelming majority on a mostly-novel stream — passes
+    *     without touching the join;
+    *  2. tier 2 (distributed): flagged documents explode their band
+    *     keys into an equi-join against the persisted index's capped
+    *     (key → corpus id) frame (per-bucket `maxBucketSize`, drop
+    *     metric — the incremental family's skew guard), verify by
+    *     [[graft.dedup.DedupFunctions.sigAgreement]] against corpus
+    *     signatures joined back by id, and drop on any hit. Decisions
+    *     ride the 128-bit canonical fingerprint, which determines the
+    *     signature, so canonical-equal copies always decide together;
+    *  3. within the batch, exact canonical repeats collapse (smallest
+    *     arbitrary copy — the engine-state analogue). Cross-batch
+    *     repeats are the caller's index fold: union each batch's
+    *     surviving signatures onto the index for the next epoch.
+    *
+    * The corpus index should be a storage-backed (parquet) frame — tier
+    * 2 re-joins it per micro-batch; the derived band-key frame is
+    * persisted here once per index reference. */
+  def transformMicroBatch(batch: DataFrame): DataFrame = {
+    import graft.dedup.DedupFunctions._
+    transformSchema(batch.schema)
+    require(!batch.isStreaming,
+      "transformMicroBatch expects the PLAIN batch frame foreachBatch " +
+        "hands over, not a streaming frame (use transform for the DSL " +
+        "path)")
+    require(corpusIndex != null, "setCorpusIndex first (signatureIndex)")
+    val r = $(numHashes) / $(bands)
+    require(r > 0,
+      s"numHashes (${$(numHashes)}) must be >= bands (${$(bands)})")
+    val (cKeyed, cSigs, bloom) = probeCache match {
+      case Some((k, s, b)) => (k, s, b)
+      case None =>
+        val keys = corpusIndex.select(col("__id").as("__cid"),
+          explode(bandHashes(col("__sig"), $(bands), r)).as("__key"))
+        val bounded = udaf(new BoundedIdSetAggregator($(maxBucketSize)),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val k = keys.groupBy(col("__key"))
+          .agg(bounded(col("__cid")).as("__b"))
+          .observe(s"${uid}_dropped",
+            sum(col("__b.dropped")).as("dropped_candidates"))
+          .select(col("__key"), explode(col("__b.ids")).as("__cid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = math.max(1L, k.count()) // also materializes the persist
+        val b = k.stat.bloomFilter("__key", n, $(prefilterFpp))
+        val s = corpusIndex.select(col("__id").as("__cid"),
+          col("__sig").as("__csig"))
+        probeCache = Some((k, s, b))
+        (k, s, b)
+    }
+    val spark = batch.sparkSession
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val mightUdf = udf { keys: Seq[Long] =>
+      var i = 0
+      var hit = false
+      while (i < keys.length && !hit) {
+        if (bcBloom.value.mightContainLong(keys(i))) hit = true
+        i += 1
+      }
+      hit
+    }
+    val canon = canonical(col(getInputCol))
+    val keyed = batch
+      .withColumn("__fp", xxhash64(canon))
+      .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), canon))
+    // one signature per DISTINCT canonical fingerprint: the tokenizer
+    // lowercases and splits on whitespace, so canonical-equal texts
+    // shingle identically and the fp determines the signature
+    val sigs = keyed.filter(col(getInputCol).isNotNull)
+      .select(col("__fp"), col("__fp2"),
+        minHashSignature(hashedShingles(col(getInputCol), $(shingleSize)),
+          $(numHashes)).as("__sig"))
+      .dropDuplicates("__fp", "__fp2")
+      .withColumn("__keys", bandHashes(col("__sig"), $(bands), r))
+    val flagged = sigs.filter(mightUdf(col("__keys")))
+    // per-batch joins keep the BIG sides (the 32M-row band frame, the
+    // 1 GB signature index) as streamed scan sides and broadcast the
+    // O(batch) sides: the first formulation joined them the default
+    // way and the x100 nameplate measured 44 s/batch of band-frame
+    // shuffle+sort; broadcasting the exploded batch keys (24 B/row)
+    // and the candidate subset cut it to index-scan time. Per-batch
+    // broadcast bytes stay O(batch size), never O(index).
+    val flaggedKeys = flagged
+      .select(col("__fp"), col("__fp2"), explode(col("__keys")).as("__key"))
+    val candPairs = cKeyed.join(broadcast(flaggedKeys), Seq("__key"))
+      .select(col("__fp"), col("__fp2"), col("__cid")).distinct()
+    val withBatchSig = candPairs.join(
+      flagged.select(col("__fp"), col("__fp2"), col("__sig")),
+      Seq("__fp", "__fp2"))
+    val dropFps = cSigs.join(broadcast(withBatchSig), Seq("__cid"))
+      .filter(sigAgreement(col("__sig"), col("__csig")) >= $(threshold))
+      .select(col("__fp"), col("__fp2")).distinct()
+    val survivors = keyed.join(dropFps, Seq("__fp", "__fp2"), "left_anti")
+    // within-batch exact canonical dedup (nulls bypass — no evidence)
+    val nn = survivors.filter(col(getInputCol).isNotNull)
+      .dropDuplicates("__fp", "__fp2")
+    val nulls = survivors.filter(col(getInputCol).isNull)
+    nn.unionByName(nulls).drop("__fp", "__fp2")
+  }
+
   override def transformSchema(schema: StructType): StructType = {
     require(schema.fieldNames.contains(getInputCol),
       s"inputCol '$getInputCol' not found in " +
@@ -643,4 +800,202 @@ object StreamingMinHashDeduplicator
     h
   }
 }
+
+/** Streaming face of SEMANTIC dedup — the last open cell of the
+  * batch/incremental/streaming × exact/near-dup/perceptual/semantic
+  * dedup matrix (round-17 verdict, next-round #1). The
+  * [[graft.dedup.IncrementalSemDeDup]] snapshot-delta machinery
+  * transplanted to the engine, on the family's two-defense contract:
+  *
+  *  - **against the persisted corpus**: the fitted quantizer (the
+  *    incremental model's complex Param — set it via [[setFromModel]]
+  *    so stream and batch share ONE cell partition) and a
+  *    (cell → corpus embedding buffer) table built from the persisted
+  *    [[graft.dedup.IncrementalSemDeDupModel.indexCorpus]] index
+  *    broadcast to the executors; each stream document assigns its
+  *    cell and exact-cosine-verifies against that cell's buffer,
+  *    map-only per micro-batch, zero shuffle. A document within
+  *    `threshold` cosine of ANY same-cell corpus member drops — the
+  *    corpus copy always survives (the incremental-family convention).
+  *    This is the family's FATTEST per-entry index — full embedding
+  *    vectors, ~(dim·8 + 40) B/entry (~150 MB at dim 64 and the 2¹⁸
+  *    default `maxIndexEntries`) vs 8 B for fingerprints — so the
+  *    fail-fast ceiling is the lowest; past it, shard the stream by
+  *    modality/tenant (one index each) or fold micro-batches through
+  *    [[graft.dedup.IncrementalSemDeDupModel.transform]] (the batch
+  *    cell-to-cell join, no broadcast) — the fail-fast names both.
+  *  - **within the stream**: EXACT embedding repeats (bit-identical
+  *    vectors, hashed as a 128-bit xxhash64 pair of the raw array)
+  *    drop inside the watermark horizon; state per retained document
+  *    is 16 bytes + row overhead, never the vector. Near-dup in-stream
+  *    pairs are caught at the next index fold — the family's
+  *    steady-state refresh contract ([[StreamingDeduplicator]],
+  *    [[StreamingFingerprintDeduplicator]]).
+  *
+  * Recall contract: identical to the incremental face — a stream
+  * document within `threshold` of a corpus member in an ADJACENT cell
+  * is missed (see the [[graft.dedup.IncrementalSemDeDup]] scaladoc;
+  * a single-cell quantizer is the exhaustive, SQL-replayable setting).
+  * Cosines follow the family arithmetic: zero-norm pairs are NaN and
+  * count as duplicates. Null embeddings carry no evidence — they skip
+  * both defenses and always pass. On a batch frame the same stage runs
+  * without the watermark (parity testing). */
+class StreamingSemDeDup(override val uid: String)
+    extends Transformer with HasInputCol with graft.core.GraftWritable {
+  def this() = this(Identifiable.randomUID("StreamingSemDeDup"))
+
+  final val timeCol = new Param[String](this, "timeCol", "event-time column")
+  setDefault(timeCol -> "ts")
+  def setTimeCol(v: String): this.type = set(timeCol, v)
+  final val watermarkDelay = new Param[String](this, "watermarkDelay",
+    "how long in-stream embedding fingerprints are remembered")
+  setDefault(watermarkDelay -> "1 hour")
+  def setWatermarkDelay(v: String): this.type = set(watermarkDelay, v)
+  final val threshold = new DoubleParam(this, "threshold",
+    "cosine cutoff", ParamValidators.inRange(-1.0, 1.0))
+  setDefault(threshold -> 0.95)
+  def setThreshold(v: Double): this.type = set(threshold, v)
+  final val maxIndexEntries = new IntParam(this, "maxIndexEntries",
+    "fail-fast cap on corpus index entries (full embedding vectors are " +
+      "broadcast — see the class scaladoc for the scale paths past it)",
+    ParamValidators.gt(0))
+  setDefault(maxIndexEntries -> (1 << 18))
+  def setMaxIndexEntries(v: Int): this.type = set(maxIndexEntries, v)
+  /** The [[graft.dedup.FingerprintDeduplicatorBase.spreadDecode]] lever
+    * for the probe: a map-only probe inherits the SOURCE's split count,
+    * and a fat probe (big cells, high dim, or the single-cell
+    * exhaustive setting) on a few-split source strands the executors —
+    * the round-18 x100 sweep measured the single-file exhaustive
+    * fixture at ~2 of 32 cores without it. Pays one payload shuffle
+    * per micro-batch; leave off when the source is already wide
+    * (Kafka partitions, many files) or the probe is cheap (the
+    * ~256-member operating point). */
+  final val spreadProbe = new BooleanParam(this, "spreadProbe",
+    "repartition each micro-batch across all slots before the probe")
+  setDefault(spreadProbe -> false)
+  def setSpreadProbe(v: Boolean): this.type = set(spreadProbe, v)
+
+  /** The fitted cell partition — MUST be the same quantizer that built
+    * the corpus index (one partition, batch and stream; a complex
+    * Param, so it persists with the stage). */
+  final val quantizer = new Param[graft.dedup.SemDeDup.Quantizer](this,
+    "quantizer", "fitted spherical quantizer (from IncrementalSemDeDup)")
+  def setQuantizer(q: graft.dedup.SemDeDup.Quantizer): this.type =
+    set(quantizer, q)
+
+  /** Copy the quantizer and threshold from a fitted
+    * [[graft.dedup.IncrementalSemDeDupModel]] — the one-line wiring for
+    * "fit once on the corpus, probe the same partition from the
+    * stream". */
+  def setFromModel(m: graft.dedup.IncrementalSemDeDupModel): this.type = {
+    set(quantizer, m.getOrDefault(m.quantizer))
+    set(threshold, m.getOrDefault(m.threshold))
+  }
+
+  /** Persisted corpus embedding index — the `(__id, __v, __cell,
+    * __csim)` frame from
+    * [[graft.dedup.IncrementalSemDeDupModel.indexCorpus]]; only
+    * `__v`/`__cell` are consumed here. */
+  private var corpusIndex: DataFrame = _
+  def setCorpusIndex(df: DataFrame): this.type = { corpusIndex = df; this }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    transformSchema(ds.schema)
+    require(isSet(quantizer),
+      "setQuantizer (or setFromModel) first — the stream must assign " +
+        "cells under the SAME partition that built the corpus index")
+    val df0 = ds.toDF()
+    if (df0.isStreaming) // batch parity mode never touches the time column
+      graft.core.SchemaChecks.requireCols(df0.schema, "timeCol" -> $(timeCol))
+    val df =
+      if ($(spreadProbe))
+        df0.repartition(df0.sparkSession.sparkContext.defaultParallelism)
+      else df0
+    val vCol = col(getInputCol).cast(ArrayType(DoubleType))
+    val cleared =
+      if (corpusIndex == null) df
+      else {
+        val rows = corpusIndex
+          .select(col("__cell").cast("int"), col("__v"))
+          .na.drop()
+          .limit($(maxIndexEntries) + 1)
+          .collect()
+        require(rows.length <= $(maxIndexEntries),
+          s"corpus index exceeds maxIndexEntries ${$(maxIndexEntries)} — " +
+            "shard the stream (one index per shard) or fold micro-batches " +
+            "through IncrementalSemDeDupModel.transform (the batch " +
+            "cell-to-cell join) instead of broadcasting")
+        val byCell = new java.util.HashMap[Integer,
+          scala.collection.mutable.ArrayBuffer[Array[Double]]]()
+        rows.foreach { r =>
+          val b = byCell.computeIfAbsent(r.getInt(0),
+            _ => scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+          b += r.getSeq[Double](1).toArray
+        }
+        val packed = new java.util.HashMap[Integer, Array[Array[Double]]](
+          byCell.size * 2)
+        byCell.forEach((k, b) => packed.put(k, b.toArray))
+        val bcq = df.sparkSession.sparkContext.broadcast($(quantizer))
+        val bct = df.sparkSession.sparkContext.broadcast(packed)
+        val thr = $(threshold)
+        val hitUdfRaw = udf { v: Seq[Double] =>
+          val cell = graft.dedup.SemDeDup.assign(bcq.value, v)._1
+          val cands = bct.value.get(cell)
+          var hit = false
+          if (cands != null) {
+            val a = v.toArray
+            var j = 0
+            while (j < cands.length && !hit) {
+              // the family cosine arithmetic (IncrementalSemDeDup verify):
+              // zero-norm pairs are NaN and count as duplicates
+              val b = cands(j)
+              val m = math.min(a.length, b.length)
+              var d = 0.0; var na = 0.0; var nb = 0.0
+              var t = 0
+              while (t < m) {
+                d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t)
+                t += 1
+              }
+              val cos = d / (math.sqrt(na) * math.sqrt(nb))
+              if (cos.isNaN || cos >= thr) hit = true
+              j += 1
+            }
+          }
+          hit
+        }
+        // spreadProbe: PushDownPredicates happily pushes a DETERMINISTIC
+        // filter back through the Repartition, silently undoing the
+        // spread (the round-18 x100 re-measure caught it: 431 s, still
+        // ~5 of 32 cores). The probe is pure — the nondeterministic
+        // marker only pins its placement above the exchange.
+        val hitUdf =
+          if ($(spreadProbe)) hitUdfRaw.asNondeterministic() else hitUdfRaw
+        df.filter(vCol.isNull || !hitUdf(vCol))
+      }
+    // in-stream exact-embedding dedup: 128-bit hash pair of the raw
+    // array (identical arrays collide, distinct ones don't at any
+    // realistic corpus size); null embeddings bypass the state — the
+    // split is on the INPUT's nullness because Spark hash expressions
+    // are never null (the StreamingMinHashDeduplicator review find)
+    val withFp = cleared
+      .withColumn("__fp", xxhash64(col(getInputCol)))
+      .withColumn("__fp2", xxhash64(lit(0x9e3779b9L), col(getInputCol)))
+    val nn = withFp.filter(col(getInputCol).isNotNull)
+    val nulls = withFp.filter(col(getInputCol).isNull)
+    val deduped =
+      if (df.isStreaming)
+        nn.withWatermark($(timeCol), $(watermarkDelay))
+          .dropDuplicatesWithinWatermark("__fp", "__fp2")
+      else nn.dropDuplicates("__fp", "__fp2")
+    deduped.unionByName(nulls).drop("__fp", "__fp2")
+  }
+  override def transformSchema(schema: StructType): StructType = {
+    graft.core.SchemaChecks.requireCols(schema, "inputCol" -> getInputCol)
+    graft.core.SchemaChecks.requireAbsent(schema, "__fp", "__fp2")
+    schema
+  }
+  override def copy(extra: ParamMap): StreamingSemDeDup = defaultCopy(extra)
+}
+object StreamingSemDeDup
+    extends graft.core.GraftReadable[StreamingSemDeDup]
 

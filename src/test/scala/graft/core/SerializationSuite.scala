@@ -59,6 +59,26 @@ class SerializationSuite extends TestBase {
       back.setCorpusIndex(back.indexCorpus(corpus)).transform(batch))
   }
 
+  test("StreamingSemDeDup save/load (complex quantizer param)") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.02, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.02, 1.0, 0.0))).toDF("doc_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1.0, 0.05, 0.0, 0.0)),  // near-dup of corpus 0
+      (12L, Seq(0.0, 0.0, 0.0, 1.0))    // novel
+    ).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val stage = new graft.streaming.StreamingSemDeDup()
+      .setInputCol("embedding").setFromModel(m)
+    val p = tmp("ssdd"); stage.write.overwrite().save(p)
+    val back = graft.streaming.StreamingSemDeDup.load(p)
+    val idx = m.indexCorpus(corpus)
+    roundTrip(
+      stage.setCorpusIndex(idx).transform(batch),
+      back.setCorpusIndex(idx).transform(batch))
+  }
+
   test("EmbeddingClustererModel save/load") {
     val df = (0 until 40).map { i =>
       val base =

@@ -240,6 +240,58 @@ class StreamingSuite extends TestBase {
     }
   }
 
+  test("StreamingMinHashDeduplicator.transformMicroBatch decides " +
+    "identically to the broadcast DSL path (two-tier large-index mode)") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val base2 = (1 to 20).map(i => s"y$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, base2), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 3, 128)
+    val batch = Seq(
+      (10L, base + " extra"),                  // near-dup of corpus 1
+      (11L, base2.toUpperCase + "  "),         // canonical-equal to corpus 2
+      (12L, (1 to 20).map(i => s"z$i").mkString(" ")), // fresh
+      (13L, (1 to 20).map(i => s"z$i").mkString(" ")), // exact repeat of 12
+      (14L, "tiny doc"),                       // empty-shingle: matches
+      // corpus 3's sentinel signature (agreement 1) -> drop
+      (15L, null.asInstanceOf[String]),        // no evidence
+      (16L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val stage = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setThreshold(0.8)
+    val viaDsl = ids(stage.setCorpusIndex(idx).transform(batch))
+    val viaMb = ids(stage.setCorpusIndex(idx).transformMicroBatch(batch))
+    // 10/11/14 drop via the probe; 12/13 collapse to one; nulls pass.
+    // which of an exact-repeat pair survives is arbitrary on both
+    // paths — compare decision classes, not raw ids
+    def canon(s: Set[Long]): Set[Long] =
+      s.map(i => if (i == 13L) 12L else i)
+    assert(canon(viaMb) == canon(viaDsl),
+      s"micro-batch $viaMb vs DSL $viaDsl")
+    assert(canon(viaMb) == Set(12L, 15L, 16L))
+  }
+
+  test("StreamingMinHashDeduplicator.transformMicroBatch handles an " +
+    "index the broadcast ceiling refuses") {
+    val docs = (0 until 8)
+      .map(i => (i.toLong, (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      docs, "doc_id", "text", 3, 128)
+    val stage = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setMaxIndexEntries(2).setCorpusIndex(idx)
+    val e = intercept[IllegalArgumentException] {
+      stage.transform(docs)
+    }
+    assert(e.getMessage.contains("transformMicroBatch"))
+    // the two-tier path shoulders the same index: every doc is its own
+    // corpus twin -> all drop
+    assert(stage.transformMicroBatch(docs).count() == 0)
+  }
+
   test("StreamingMinHashDeduplicator empty-shingle docs match the batch " +
     "family's semantics (empty matches empty)") {
     val corpus = Seq((1L, "too short")).toDF("doc_id", "text") // < 3 tokens
@@ -284,6 +336,117 @@ class StreamingSuite extends TestBase {
       assert(texts.length == 1 && texts.head.startsWith("z1"),
         s"got ${texts.toSeq}")
     } finally q.stop()
+  }
+
+  test("StreamingSemDeDup: corpus-cell probe + in-stream exact-embedding " +
+    "dedup + null passthrough (batch parity)") {
+    // the IncrementalSemDeDupSuite geometry: two separated directions
+    // in the corpus; batch carries a near-dup of each, a novel
+    // direction, its exact repeat, and nulls
+    val corpus = Seq(
+      (0L, Array(1.0, 0.02, 0.0, 0.0)),
+      (1L, Array(0.0, 0.02, 1.0, 0.0))
+    ).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val batch = Seq(
+      (10L, Array(1.0, 0.05, 0.0, 0.0)),  // near-dup of corpus 0 -> drop
+      (11L, Array(0.0, 0.05, 1.0, 0.0)),  // near-dup of corpus 1 -> drop
+      (12L, Array(0.0, 0.0, 0.0, 1.0)),   // novel -> keep
+      (13L, Array(0.0, 0.0, 0.0, 1.0)),   // exact repeat of 12 -> collapse
+      (14L, null.asInstanceOf[Array[Double]]), // no evidence -> keep
+      (15L, null.asInstanceOf[Array[Double]])  // both nulls must pass
+    ).toDF("doc_id", "embedding")
+    val out = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx)
+      .transform(batch).select("doc_id").as[Long].collect().sorted
+    assert(out.length == 3 && out.contains(14L) && out.contains(15L))
+    assert(out.contains(12L) || out.contains(13L))
+    // the spreadProbe lever (payload shuffle before the probe) cannot
+    // change decisions
+    val spread = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx).setSpreadProbe(true)
+      .transform(batch).select("doc_id").as[Long].collect().sorted
+    assert(spread.length == 3 &&
+      spread.contains(14L) && spread.contains(15L))
+    // reserved internal columns clash at plan construction
+    intercept[IllegalArgumentException] {
+      new StreamingSemDeDup().setInputCol("embedding").setFromModel(m)
+        .transform(batch.withColumn("__fp", lit(1)))
+    }
+    // missing quantizer is a named error, not an NPE mid-probe
+    val e = intercept[IllegalArgumentException] {
+      new StreamingSemDeDup().setInputCol("embedding").transform(batch)
+    }
+    assert(e.getMessage.contains("setQuantizer"))
+  }
+
+  test("StreamingSemDeDup dedups a stream against the persisted corpus " +
+    "index and exactly within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, Array(1.0, 0.02, 0.0))).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val vecOf = (id: Long) =>
+      if (id == 1L) Array(1.0, 0.03, 0.0)      // near-dup of corpus
+      else Array(0.0, 0.01 * (id / 10), 1.0)   // novel direction
+    val withVec = mem.toDF().toDF("ts", "doc_id")
+      .withColumn("embedding", udf(vecOf).apply(col("doc_id")))
+    val dedup = new StreamingSemDeDup().setInputCol("embedding")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .setFromModel(m).setCorpusIndex(idx)
+      .transform(withVec)
+    val q = dedup.writeStream.format("memory").queryName("streamsemdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L), // corpus dup
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 20L)) // novel
+      q.processAllAvailable()
+      mem.addData( // bit-identical repeat of 20's vector, in-watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 20L))
+      q.processAllAvailable()
+      val ids = spark.table("streamsemdedup").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(20L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("StreamingSemDeDup maxIndexEntries fails fast and names the " +
+    "scale paths") {
+    val corpus = (0 until 8)
+      .map(i => (i.toLong, Array(i.toDouble, 1.0)))
+      .toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).fit(corpus)
+    val e = intercept[IllegalArgumentException] {
+      new StreamingSemDeDup().setInputCol("embedding").setFromModel(m)
+        .setMaxIndexEntries(2).setCorpusIndex(m.indexCorpus(corpus))
+        .transform(corpus)
+    }
+    assert(e.getMessage.contains("maxIndexEntries") &&
+      e.getMessage.contains("IncrementalSemDeDupModel.transform"))
+  }
+
+  test("StreamingSemDeDup honors the shared cell partition: a cross-cell " +
+    "near pair is missed (the incremental recall contract)") {
+    // the IncrementalSemDeDupSuite boundary fixture: blobs pin k=2
+    // centroids at e1/e2; corpus (0.6,0.4) sits in the e1 cell, the
+    // stream doc (0.4,0.6) in the e2 cell, cosine ~0.923 >= 0.9
+    val cps = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.98, 0.02)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.02, 0.98)),
+      (4L, Array(0.6, 0.4))
+    ).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(2).setThreshold(0.9).fit(cps)
+    val out = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(m.indexCorpus(cps))
+      .transform(Seq((10L, Array(0.4, 0.6))).toDF("doc_id", "embedding"))
+    assert(out.count() == 1, "cross-cell near pair must be missed")
   }
 
   test("StreamingFingerprintDeduplicator maxIndexEntries fails fast") {
