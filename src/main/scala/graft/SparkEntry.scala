@@ -424,6 +424,107 @@ object SparkEntry {
     b.array()
   }
 
+  /** Deterministic MPEG-1 Layer III stream for the mp3_metadata gate —
+    * every header field closed-form in doc_id: 32 kHz (1152 samples =
+    * exactly 36 ms/frame), `2 + id % 4` frames, first-frame bitrate
+    * index `9 + id % 5` (128/160/192/224/256 kbps), mono when id is
+    * even (which also gets an ID3v2 tag of `(id % 7) * 3` bytes the
+    * parser must skip), and ids % 3 == 0 alternate the bitrate index
+    * per frame (VBR — duration must come from the frame walk, not
+    * bitrate math). id % 16 == 7 is GARBAGE (no sync) → null metadata. */
+  private[graft] def testMp3Bytes(id: Long): Array[Byte] = {
+    if (id % 16 == 7)
+      return Array.tabulate(64)(i => ((id + i) & 0x3f).toByte) // no sync
+    val frames = 2 + (id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) { // ID3v2 header + filler
+      val n = ((id % 7) * 3).toInt
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      out.write(Array[Byte](0, 0, ((n >> 7) & 0x7f).toByte,
+        (n & 0x7f).toByte))
+      var i = 0
+      while (i < n) { out.write((i & 0x7f)); i += 1 }
+    }
+    val brBase = 9 + (id % 5).toInt
+    var f = 0
+    while (f < frames) {
+      val brIdx =
+        if (id % 3 == 0 && f % 2 == 1) brBase + 1 else brBase // VBR ids
+      val kbps = Array(128, 160, 192, 224, 256, 320)(brIdx - 9)
+      val frameLen = 144 * kbps * 1000 / 32000 // exact for these rates
+      out.write(0xff)
+      out.write(0xfb) // sync | MPEG1 | Layer III | no CRC
+      out.write((brIdx << 4) | (2 << 2)) // bitrate idx, 32 kHz, no pad
+      out.write(if (id % 2 == 0) 0xc0 else 0x00) // mono / stereo
+      var i = 4
+      while (i < frameLen) { out.write(((id + f + i) & 0x7f).toInt); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic ISO BMFF (MP4) box tree for the mp4_metadata gate:
+    * ftyp(isom) + moov(mvhd timescale 1000, duration `500 * (1 + id %
+    * 8)` + a video trak with tkhd 16.16 dimensions `16*(1+id%4)` ×
+    * `16*(1+id%3)` + an audio trak when id is even) + mdat. id % 16 ==
+    * 3 is GARBAGE (valid-looking sizes, no moov) → null metadata. */
+  private[graft] def testMp4Bytes(id: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    if (id % 16 == 3)
+      return box("free", Array.tabulate(24)(i => ((id + i) & 0x7f).toByte))
+    def concat(bs: Array[Byte]*): Array[Byte] = bs.flatten.toArray
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                         // version 0 + flags
+        .putInt(0).putInt(0)              // ctime, mtime
+        .putInt(1000)                     // timescale
+        .putInt((500L * (1 + id % 8)).toInt) // duration
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      b.position(b.position() + 10)       // reserved
+      b.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000) // unity matrix
+      b.position(b.position() + 24)       // predefined
+      b.putInt(3)                         // next track id
+      box("mvhd", b.array())
+    }
+    def tkhd(w: Int, h: Int, trackId: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7)                         // version 0 + enabled flags
+        .putInt(0).putInt(0).putInt(trackId).putInt(0)
+        .putInt((500L * (1 + id % 8)).toInt) // duration
+      b.position(b.position() + 8 + 2 + 2 + 2 + 2) // reserved etc.
+      b.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      b.putInt(w << 16).putInt(h << 16)   // 16.16 fixed point
+      box("tkhd", b.array())
+    }
+    def hdlr(kind: String): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(25)
+      b.putInt(0).putInt(0).put(kind.getBytes("US-ASCII"))
+      b.position(b.position() + 12)       // reserved
+      b.put(0.toByte)                     // empty name
+      box("hdlr", b.array())
+    }
+    val videoTrak = box("trak", concat(
+      tkhd(16 * (1 + id % 4).toInt, 16 * (1 + id % 3).toInt, 1),
+      box("mdia", hdlr("vide"))))
+    val audioTrak =
+      if (id % 2 == 0) box("trak", concat(tkhd(0, 0, 2),
+        box("mdia", hdlr("soun"))))
+      else Array.empty[Byte]
+    concat(
+      box("ftyp", concat("isom".getBytes("US-ASCII"),
+        Array[Byte](0, 0, 0, 0), "iso2".getBytes("US-ASCII"))),
+      box("moov", concat(mvhd, videoTrak, audioTrak)),
+      box("mdat", Array.tabulate(16)(i => ((id + i) & 0x7f).toByte)))
+  }
+
   /** Planted-region image fixture for the ImageLIME gate: 32×32 BGR,
     * all black except one all-white 16×16 quadrant selected by
     * `id % 4` in SLIC grid order (TL, TR, BL, BR) — with numSegments=4
@@ -2690,6 +2791,49 @@ object SparkEntry {
         .setInputCol("payload").setIdCol("doc_id")
         .transform(docs)
         .select(col("doc_id"))
+    },
+
+    // Compressed-media METADATA without a codec (round 18 — the
+    // metadata half of the declared compressed-media gap): MPEG audio
+    // frame-header walk over planted MP3 streams whose every field is
+    // closed-form in doc_id — incl. an ID3v2 tag to skip on even ids,
+    // VBR frame-length changes on ids % 3 == 0 (duration must come
+    // from the walk, not bitrate math), and planted GARBAGE on ids %
+    // 16 == 7 (null metadata — no evidence). 32 kHz / 1152 samples =
+    // exactly 36 ms per frame, so duration_ms is integer-exact.
+    "mp3_metadata" -> { (s, dir) =>
+      val mp3 = udf((id: Long) => SparkEntry.testMp3Bytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", mp3(col("doc_id")))
+      new graft.io.binary.MediaMetadataExtractor()
+        .setInputCol("payload").setFormat("mp3")
+        .transform(docs)
+        .select(col("doc_id"),
+          col("media_meta.sampleRate").as("sample_rate"),
+          col("media_meta.channels").as("channels"),
+          col("media_meta.frames").as("frames"),
+          col("media_meta.durationMs").as("duration_ms"),
+          col("media_meta.bitrateKbps").as("bitrate_kbps"))
+    },
+
+    // ISO BMFF (MP4) box-tree metadata: ftyp brand, mvhd
+    // timescale/duration, track count, and the video trak's 16.16
+    // tkhd dimensions — all closed-form in doc_id; ids % 16 == 3 are
+    // a moov-less box run (structurally valid, no evidence -> null)
+    "mp4_metadata" -> { (s, dir) =>
+      val mp4 = udf((id: Long) => SparkEntry.testMp4Bytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", mp4(col("doc_id")))
+      new graft.io.binary.MediaMetadataExtractor()
+        .setInputCol("payload").setFormat("mp4")
+        .transform(docs)
+        .select(col("doc_id"),
+          col("media_meta.majorBrand").as("major_brand"),
+          col("media_meta.timescale").as("timescale"),
+          col("media_meta.durationMs").as("duration_ms"),
+          col("media_meta.tracks").as("tracks"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
     },
 
     // Luma-contour video near-dedup — completes the multimodal dedup
@@ -5237,6 +5381,39 @@ object SparkEntry {
     // amplitude grid per group, exact volume re-encode variants)
     "audio_fp_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY doc_id // 4",
+
+    // closed-form replay of the planted MP3 headers (testMp3Bytes);
+    // garbage ids carry no evidence -> NULL metadata
+    "mp3_metadata" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 16 = 7 THEN NULL ELSE 32000 END
+        |    AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 16 = 7 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 16 = 7 THEN NULL
+        |    ELSE 2 + doc_id % 4 END AS INTEGER) AS frames,
+        |  CAST(CASE WHEN doc_id % 16 = 7 THEN NULL
+        |    ELSE 36 * (2 + doc_id % 4) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 16 = 7 THEN NULL
+        |    ELSE 128 + 32 * (doc_id % 5) END AS INTEGER) AS bitrate_kbps
+        |FROM documents""".stripMargin,
+
+    // closed-form replay of the planted MP4 box trees (testMp4Bytes)
+    "mp4_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 16 = 3 THEN NULL ELSE 'isom' END
+        |    AS major_brand,
+        |  CAST(CASE WHEN doc_id % 16 = 3 THEN NULL ELSE 1000 END
+        |    AS INTEGER) AS timescale,
+        |  CAST(CASE WHEN doc_id % 16 = 3 THEN NULL
+        |    ELSE 500 * (1 + doc_id % 8) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 16 = 3 THEN NULL
+        |    WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS tracks,
+        |  CAST(CASE WHEN doc_id % 16 = 3 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 4) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 16 = 3 THEN NULL
+        |    ELSE 16 * (1 + doc_id % 3) END AS INTEGER) AS height
+        |FROM documents""".stripMargin,
 
     // every image's nearest non-self neighbor lands in its own planted
     // group — the mismatch count is identically zero

@@ -1,0 +1,102 @@
+package graft.io.binary
+
+import graft.TestBase
+import org.apache.spark.sql.functions._
+
+/** Structural-parser edge cases for the compressed-media metadata
+  * extractors (the parsers are pure functions — most cases run
+  * driver-side; the stage itself is covered through the planted
+  * fixtures and the null/garbage conventions). */
+class MediaMetadataSuite extends TestBase {
+  import spark.implicits._
+
+  test("MP3: frame walk over the planted fixture fields") {
+    // even id: ID3v2 + mono; id % 3 == 0 exercises the VBR walk
+    val m = MediaMetadata.parseMp3(graft.SparkEntry.testMp3Bytes(6L)).get
+    assert(m.mpegVersion == 1 && m.layer == 3)
+    assert(m.sampleRate == 32000 && m.channels == 1)
+    assert(m.frames == 4 && m.durationMs == 144) // 4 frames x 36 ms
+    assert(m.bitrateKbps == 160)                 // idx 9 + (6 % 5)
+    val s = MediaMetadata.parseMp3(graft.SparkEntry.testMp3Bytes(5L)).get
+    assert(s.channels == 2 && s.frames == 3 && s.durationMs == 108)
+  }
+
+  test("MP3: garbage, truncation, and nulls carry no evidence") {
+    assert(MediaMetadata.parseMp3(null).isEmpty)
+    assert(MediaMetadata.parseMp3(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaMetadata
+      .parseMp3(graft.SparkEntry.testMp3Bytes(7L)).isEmpty) // planted garbage
+    // a valid stream truncated mid-frame keeps the WHOLE frames seen
+    // (id 1: odd -> no ID3, 3 frames of 720 bytes at 160 kbps)
+    val full = graft.SparkEntry.testMp3Bytes(1L)
+    val oneFrame = java.util.Arrays.copyOf(full, 720 + 100)
+    val t = MediaMetadata.parseMp3(oneFrame).get
+    assert(t.frames == 1 && t.durationMs == 36)
+    // an ID3 tag claiming to cover the whole payload = no frames
+    val id3Only = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(MediaMetadata.parseMp3(id3Only).isEmpty)
+  }
+
+  test("MP3: trailing garbage after valid frames is tolerated") {
+    val full = graft.SparkEntry.testMp3Bytes(1L)
+    val withTail = full ++ Array[Byte](0x41, 0x42, 0x43)
+    val m = MediaMetadata.parseMp3(withTail).get
+    assert(m.frames == 3)
+  }
+
+  test("MP4: box tree over the planted fixture fields") {
+    val m = MediaMetadata.parseMp4(graft.SparkEntry.testMp4Bytes(10L)).get
+    assert(m.majorBrand == "isom" && m.timescale == 1000)
+    assert(m.durationMs == 500L * (1 + 10 % 8))
+    assert(m.tracks == 2) // even id adds the audio trak
+    assert(m.width == 16 * 3 && m.height == 16 * 2)
+    val odd = MediaMetadata.parseMp4(graft.SparkEntry.testMp4Bytes(9L)).get
+    assert(odd.tracks == 1)
+  }
+
+  test("MP4: 64-bit largesize boxes, moov-less runs, corrupt sizes") {
+    // wrap the moov of a valid fixture in a largesize box shell
+    val base = graft.SparkEntry.testMp4Bytes(1L)
+    assert(MediaMetadata.parseMp4(base).isDefined)
+    assert(MediaMetadata
+      .parseMp4(graft.SparkEntry.testMp4Bytes(3L)).isEmpty) // no moov
+    assert(MediaMetadata.parseMp4(null).isEmpty)
+    assert(MediaMetadata.parseMp4(Array[Byte](0, 0, 0, 99, 'f', 'o')).isEmpty)
+    // a box whose size overruns the payload is corruption, not a crash
+    val bad = java.nio.ByteBuffer.allocate(16)
+      .putInt(1000).put("moov".getBytes("US-ASCII")).array()
+    assert(MediaMetadata.parseMp4(bad).isEmpty)
+    // size==1 largesize: a free box covering the remainder
+    val big = java.nio.ByteBuffer.allocate(24)
+    big.putInt(1).put("free".getBytes("US-ASCII")).putLong(24)
+    big.putLong(0x1122334455667788L)
+    assert(MediaMetadata.parseMp4(big.array()).isEmpty) // valid walk, no moov
+  }
+
+  test("MediaMetadataExtractor: null struct for invalid payloads, " +
+    "schema validation, save/load") {
+    val df = Seq(
+      (1L, graft.SparkEntry.testMp3Bytes(1L)),
+      (7L, graft.SparkEntry.testMp3Bytes(7L)),   // garbage -> null
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val stage = new MediaMetadataExtractor().setInputCol("payload")
+      .setFormat("mp3")
+    val out = stage.transform(df)
+      .select(col("doc_id"), col("media_meta.frames").as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(1L) == 3 && out(7L) == -1 && out(3L) == -1)
+    intercept[IllegalArgumentException] {
+      stage.transform(df.withColumnRenamed("payload", "p2"))
+    }
+    intercept[IllegalArgumentException] {
+      stage.transform(df.withColumn("media_meta", lit(1)))
+    }
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_mm").toString + "/m"
+    stage.write.overwrite().save(p)
+    val back = MediaMetadataExtractor.load(p)
+    assert(back.getOrDefault(back.format) == "mp3")
+  }
+}
