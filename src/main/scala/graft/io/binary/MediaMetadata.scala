@@ -56,12 +56,14 @@ object MediaMetadata {
   def parseMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
     if (bytes == null || bytes.length < 4) return None
     var off = 0
-    // ID3v2: "ID3" vmaj vmin flags size(4 x 7-bit syncsafe)
+    // ID3v2: "ID3" vmaj vmin flags size(4 x 7-bit syncsafe); the v2.4
+    // footer flag (0x10) appends 10 more on-disk bytes after the tag
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
       val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      val skip = 10L + sz
+      val footer = if ((bytes(5) & 0x10) != 0) 10L else 0L
+      val skip = 10L + sz + footer
       if (skip >= bytes.length) return None
       off = skip.toInt
     }
@@ -179,6 +181,12 @@ object MediaMetadata {
       var tracks = 0
       var width = 0; var height = 0
       var sawMoov = false
+      // corruption ANYWHERE in the tree must yield None, not a
+      // confidently-parsed partial result — nested walks report up
+      var corrupt = false
+      def walk(from: Long, to: Long)(
+          f: (String, Long, Long) => Unit): Unit =
+        if (!walkBoxes(bytes, from, to)(f)) corrupt = true
       val okTop = walkBoxes(bytes, 0L, bytes.length.toLong) {
         (typ, from, to) =>
           typ match {
@@ -186,13 +194,17 @@ object MediaMetadata {
               brand = fourcc(bytes, from.toInt)
             case "moov" =>
               sawMoov = true
-              walkBoxes(bytes, from, to) { (t2, f2, t2e) =>
+              walk(from, to) { (t2, f2, t2e) =>
                 t2 match {
                   case "mvhd" if t2e - f2 >= 20 =>
+                    // v0: ctime(4) mtime(4) ts@12 dur(4)@16;
+                    // v1: ctime(8) mtime(8) ts@20 dur(8)@24
                     val version = bytes(f2.toInt) & 0xff
-                    if (version == 1 && t2e - f2 >= 28) {
-                      timescale = u32(bytes, f2.toInt + 12).toInt
-                      duration = u64(bytes, f2.toInt + 16)
+                    if (version == 1) {
+                      if (t2e - f2 >= 32) {
+                        timescale = u32(bytes, f2.toInt + 20).toInt
+                        duration = u64(bytes, f2.toInt + 24)
+                      }
                     } else {
                       timescale = u32(bytes, f2.toInt + 12).toInt
                       duration = u32(bytes, f2.toInt + 16)
@@ -201,7 +213,7 @@ object MediaMetadata {
                     tracks += 1
                     var isVideo = false
                     var w = 0; var h = 0
-                    walkBoxes(bytes, f2, t2e) { (t3, f3, t3e) =>
+                    walk(f2, t2e) { (t3, f3, t3e) =>
                       t3 match {
                         case "tkhd" if t3e - f3 >= 8 =>
                           // width/height: the box's last 8 bytes,
@@ -209,7 +221,7 @@ object MediaMetadata {
                           w = (u32(bytes, (t3e - 8).toInt) >> 16).toInt
                           h = (u32(bytes, (t3e - 4).toInt) >> 16).toInt
                         case "mdia" =>
-                          walkBoxes(bytes, f3, t3e) { (t4, f4, t4e) =>
+                          walk(f3, t3e) { (t4, f4, t4e) =>
                             if (t4 == "hdlr" && t4e - f4 >= 12 &&
                                 fourcc(bytes, f4.toInt + 8) == "vide")
                               isVideo = true
@@ -226,7 +238,8 @@ object MediaMetadata {
             case _ =>
           }
       }
-      if (!okTop || !sawMoov || timescale <= 0 || duration < 0) None
+      if (!okTop || corrupt || !sawMoov || timescale <= 0 ||
+          duration < 0) None
       else Some(Mp4Meta(brand, timescale,
         duration * 1000L / timescale, tracks, width, height))
     } catch { case _: Exception => None }

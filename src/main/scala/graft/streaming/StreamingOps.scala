@@ -554,7 +554,9 @@ class StreamingMinHashDeduplicator(override val uid: String)
   private var corpusIndex: DataFrame = _
   def setCorpusIndex(df: DataFrame): this.type = {
     corpusIndex = df
-    probeCache.foreach(_._1.unpersist()) // derived state of the old index
+    probeCache.foreach { case (_, k, _, b) => // old index's derived state
+      k.unpersist(); b.destroy()
+    }
     probeCache = None
     this
   }
@@ -655,9 +657,15 @@ class StreamingMinHashDeduplicator(override val uid: String)
   // per-index probe state for transformMicroBatch, built once and
   // reused across micro-batches (the UrlFilter packCache pattern):
   // the capped (band key -> corpus id) frame persists executor-side,
-  // the Bloom filter of its keys broadcasts driver-side
-  @transient private var probeCache: Option[(DataFrame, DataFrame,
-    org.apache.spark.util.sketch.BloomFilter)] = None
+  // the Bloom filter of its keys broadcasts ONCE (re-broadcasting the
+  // O(index) filter per micro-batch would contradict the O(batch)
+  // per-batch-bytes contract — review find). Keyed on the band-shape
+  // params: a setBands/setNumHashes/... between calls must rebuild,
+  // or corpus and batch keys silently desynchronize (review find).
+  @transient private var probeCache: Option[((Int, Int, Int, Double),
+    DataFrame, DataFrame,
+    org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])] = None
 
   /** The large-index corpus probe, for `foreachBatch` — same decisions
     * as [[transform]]'s broadcast path (band candidacy, then
@@ -696,9 +704,11 @@ class StreamingMinHashDeduplicator(override val uid: String)
     val r = $(numHashes) / $(bands)
     require(r > 0,
       s"numHashes (${$(numHashes)}) must be >= bands (${$(bands)})")
-    val (cKeyed, cSigs, bloom) = probeCache match {
-      case Some((k, s, b)) => (k, s, b)
-      case None =>
+    val shape = ($(bands), $(numHashes), $(maxBucketSize), $(prefilterFpp))
+    val (cKeyed, cSigs, bcBloom) = probeCache match {
+      case Some((cached, k, s, b)) if cached == shape => (k, s, b)
+      case prior =>
+        prior.foreach { case (_, k, _, b) => k.unpersist(); b.destroy() }
         val keys = corpusIndex.select(col("__id").as("__cid"),
           explode(bandHashes(col("__sig"), $(bands), r)).as("__key"))
         val bounded = udaf(new BoundedIdSetAggregator($(maxBucketSize)),
@@ -710,14 +720,13 @@ class StreamingMinHashDeduplicator(override val uid: String)
           .select(col("__key"), explode(col("__b.ids")).as("__cid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = math.max(1L, k.count()) // also materializes the persist
-        val b = k.stat.bloomFilter("__key", n, $(prefilterFpp))
+        val b = batch.sparkSession.sparkContext.broadcast(
+          k.stat.bloomFilter("__key", n, $(prefilterFpp)))
         val s = corpusIndex.select(col("__id").as("__cid"),
           col("__sig").as("__csig"))
-        probeCache = Some((k, s, b))
+        probeCache = Some((shape, k, s, b))
         (k, s, b)
     }
-    val spark = batch.sparkSession
-    val bcBloom = spark.sparkContext.broadcast(bloom)
     val mightUdf = udf { keys: Seq[Long] =>
       var i = 0
       var hit = false

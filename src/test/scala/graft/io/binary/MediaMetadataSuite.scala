@@ -73,6 +73,63 @@ class MediaMetadataSuite extends TestBase {
     assert(MediaMetadata.parseMp4(big.array()).isEmpty) // valid walk, no moov
   }
 
+  test("MP3: an ID3v2.4 footer is part of the tag's on-disk size " +
+    "(review find)") {
+    val frames = {
+      val full = graft.SparkEntry.testMp3Bytes(1L) // odd: no ID3
+      full
+    }
+    val n = 6
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte, // footer flag
+      0, 0, 0, n.toByte) ++ Array.fill(n)(0x41.toByte) ++
+      Array[Byte]('3', 'D', 'I', 4, 0, 0x10.toByte, 0, 0, 0, n.toByte)
+    val m = MediaMetadata.parseMp3(tag ++ frames)
+    assert(m.isDefined && m.get.frames == 3,
+      "footer bytes must be skipped with the tag")
+  }
+
+  test("MP4: version-1 mvhd reads the 64-bit offsets (review find)") {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    // v1 body: version/flags(4) ctime(8) mtime(8) ts(4) dur(8) = 32
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.putInt(0x01000000)          // version 1
+        .putLong(7L).putLong(9L)    // ctime/mtime: NOT the ts slot
+        .putInt(600)                // timescale
+        .putLong(1200L)             // duration -> 2000 ms
+      box("mvhd", b.array())
+    }
+    val m = MediaMetadata.parseMp4(box("moov", mvhd1)).get
+    assert(m.timescale == 600 && m.durationMs == 2000L)
+  }
+
+  test("MP4: corruption inside moov yields None, not a partial parse " +
+    "(review find)") {
+    val base = graft.SparkEntry.testMp4Bytes(2L)
+    // find the moov box and corrupt its SECOND child's size field to
+    // overrun the moov end
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var off = 0
+    var moovAt = -1
+    while (moovAt < 0 && off + 8 <= base.length) {
+      if (new String(base, off + 4, 4, "US-ASCII") == "moov") moovAt = off
+      else off += u32(base, off)
+    }
+    assert(moovAt >= 0)
+    val firstChild = moovAt + 8
+    val secondChild = firstChild + u32(base, firstChild)
+    val bad = base.clone()
+    bad(secondChild) = 0x7f.toByte // size -> huge, overruns moov
+    assert(MediaMetadata.parseMp4(base).isDefined)
+    assert(MediaMetadata.parseMp4(bad).isEmpty)
+  }
+
   test("MediaMetadataExtractor: null struct for invalid payloads, " +
     "schema validation, save/load") {
     val df = Seq(

@@ -274,6 +274,21 @@ class StreamingSuite extends TestBase {
     assert(canon(viaMb) == Set(12L, 15L, 16L))
   }
 
+  test("StreamingMinHashDeduplicator.transformMicroBatch rebuilds the " +
+    "probe when the band shape changes between calls (review find)") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 3, 128)
+    val batch = Seq((10L, base + " extra")).toDF("doc_id", "text")
+    val stage = new StreamingMinHashDeduplicator().setInputCol("text")
+      .setThreshold(0.8).setCorpusIndex(idx)
+    assert(stage.setBands(16).transformMicroBatch(batch).count() == 0)
+    // same stage, different band count: stale 16-band corpus keys would
+    // find zero candidates and wrongly pass the near-dup through
+    assert(stage.setBands(32).transformMicroBatch(batch).count() == 0)
+  }
+
   test("StreamingMinHashDeduplicator.transformMicroBatch handles an " +
     "index the broadcast ceiling refuses") {
     val docs = (0 until 8)
