@@ -2408,6 +2408,57 @@ object SparkEntry {
         .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
     },
 
+    // the COMPOSED streaming curation chain (round 18): exact-text
+    // dedup THEN semantic dedup as TWO stateful stages of ONE append
+    // query — the multiple-stateful-operator capability the dedup
+    // matrix's composability story rests on (each stage only sets the
+    // watermark when the stream has none, so the chain shares the
+    // first stage's — WatermarkUtil). Same fixture as semdedup_stream
+    // with text derived from the BASE id: the %8==4 offset copies now
+    // collapse at the EXACT-TEXT stage (identical text AND vector, so
+    // the semantic decision is unchanged whichever copy survives) and
+    // the %8==1 corpus copies pass it (distinct text) to drop at the
+    // semantic probe — the surviving base-id set is IDENTICAL to
+    // semdedup_stream's, so the oracle is shared verbatim.
+    "semdedup_stream_chained" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465).setNClusters(1)
+        .fit(corpus)
+      val idx = m.indexCorpus(corpus)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "embeddings", "semdd_chain"))
+      val stream = src().filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(src().filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(src().filter(col("vec_id") % 8 === 4)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+        .withColumn("ts", to_timestamp(from_unixtime(
+          col("vec_id") % 1000000L + lit(1700000000L))))
+        .withColumn("text",
+          concat(lit("doc "), (col("vec_id") % 1000000L).cast("string")))
+      val exactStage = new graft.streaming.StreamingDeduplicator()
+        .setInputCol("text").setTimeCol("ts").setWatermarkDelay("3650 days")
+        .transform(stream)
+      val dedup = new graft.streaming.StreamingSemDeDup()
+        .setInputCol("embedding").setTimeCol("ts")
+        .setWatermarkDelay("3650 days").setSpreadProbe(true)
+        .setFromModel(m).setCorpusIndex(idx)
+        .transform(exactStage)
+      val qname = s"semdd_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dedup.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
+    },
+
     // the streaming semantic face at its 100 TB OPERATING POINT
     // (auto-k quantizer -> each stream doc probes ONE ~256-member cell
     // buffer instead of the whole corpus): rows-only by design — the
@@ -3941,7 +3992,12 @@ object SparkEntry {
     // both (Bloom tier 1 has no false negatives; tier 2 verifies the
     // same signature agreement)
     oracleSqlBase +
-      ("dedup_minhash_stream_fb" -> oracleSqlBase("dedup_minhash_stream"))
+      ("dedup_minhash_stream_fb" -> oracleSqlBase("dedup_minhash_stream")) +
+      // the chained run collapses the %8==4 copies at the exact-text
+      // stage instead of the in-stream embedding state, but the copies
+      // are identical in BOTH text and vector, so the surviving
+      // base-id set is the same all-pairs decision set
+      ("semdedup_stream_chained" -> oracleSqlBase("semdedup_stream"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "featurize_datetime" ->

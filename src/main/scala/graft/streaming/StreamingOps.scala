@@ -174,6 +174,23 @@ object SessionizeStream {
   }
 }
 
+/** Watermark chaining support for the streaming dedup family: the
+  * engine disallows REDEFINING a watermark, so a stage only sets its
+  * own when the incoming stream has none — a chain of dedup stages
+  * (exact → semantic, the curation-pipeline shape) shares the
+  * upstream stage's watermark instead of failing analysis. */
+private[streaming] object WatermarkUtil {
+  def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical
+          .EventTimeWatermark => e
+    }.isDefined
+
+  /** `withWatermark` unless one is already defined upstream. */
+  def ensure(df: DataFrame, timeCol: String, delay: String): DataFrame =
+    if (hasWatermark(df)) df else df.withWatermark(timeCol, delay)
+}
+
 /** Exact deduplication that works identically on batch and streaming
   * frames — the streaming side of [[graft.dedup.ExactDeduplicator]] for
   * continuous training-data ingestion. On a stream, rows carry a
@@ -232,7 +249,7 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
         .filter(col("__hit").isNull).drop("__hit")
     val deduped =
       if (df.isStreaming)
-        cleared.withWatermark($(timeCol), $(watermarkDelay))
+        WatermarkUtil.ensure(cleared, $(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp", "__fp2")
       else cleared.dropDuplicates("__fp", "__fp2")
     deduped.drop("__fp", "__fp2")
@@ -390,7 +407,7 @@ class StreamingFingerprintDeduplicator(override val uid: String)
     val nulls = cleared.filter(col("__fp").isNull)
     val deduped =
       if (df.isStreaming)
-        nn.withWatermark($(timeCol), $(watermarkDelay))
+        WatermarkUtil.ensure(nn, $(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp")
       else nn.dropDuplicates("__fp")
     deduped.unionByName(nulls).drop("__fp")
@@ -648,7 +665,7 @@ class StreamingMinHashDeduplicator(override val uid: String)
     val nulls = withFp.filter(col(getInputCol).isNull)
     val deduped =
       if (df.isStreaming)
-        nn.withWatermark($(timeCol), $(watermarkDelay))
+        WatermarkUtil.ensure(nn, $(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp", "__fp2")
       else nn.dropDuplicates("__fp", "__fp2")
     deduped.unionByName(nulls).drop("__fp", "__fp2")
@@ -993,7 +1010,7 @@ class StreamingSemDeDup(override val uid: String)
     val nulls = withFp.filter(col(getInputCol).isNull)
     val deduped =
       if (df.isStreaming)
-        nn.withWatermark($(timeCol), $(watermarkDelay))
+        WatermarkUtil.ensure(nn, $(timeCol), $(watermarkDelay))
           .dropDuplicatesWithinWatermark("__fp", "__fp2")
       else nn.dropDuplicates("__fp", "__fp2")
     deduped.unionByName(nulls).drop("__fp", "__fp2")

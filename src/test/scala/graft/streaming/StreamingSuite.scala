@@ -464,6 +464,45 @@ class StreamingSuite extends TestBase {
     assert(out.count() == 1, "cross-cell near pair must be missed")
   }
 
+  test("streaming curation chain: two watermarked dedup stages compose " +
+    "in one query (exact text then semantic)") {
+    // the composability claim behind the streaming dedup matrix: Spark
+    // 3.5+ multiple-stateful support lets the exact-text state and the
+    // semantic face's exact-embedding state chain in ONE append query
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, Array(1.0, 0.02, 0.0))).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val vecOf = (id: Long) =>
+      if (id == 1L) Array(1.0, 0.03, 0.0)    // semantic dup of corpus
+      else Array(0.0, 0.01 * id, 1.0)        // novel
+    val withVec = mem.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("embedding", udf(vecOf).apply(col("doc_id")))
+    val chained = new StreamingSemDeDup().setInputCol("embedding")
+      .setTimeCol("ts").setWatermarkDelay("10 minutes")
+      .setFromModel(m).setCorpusIndex(idx)
+      .transform(
+        new StreamingDeduplicator().setInputCol("text").setTimeCol("ts")
+          .setWatermarkDelay("10 minutes").transform(withVec))
+    val q = chained.writeStream.format("memory").queryName("curationchain")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "aa"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 20L, "bb"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 30L, "  BB "))
+      q.processAllAvailable()
+      val ids = spark.table("curationchain").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      // 1 drops at the semantic probe; 30 collapses onto 20's canonical
+      // text at the exact stage; one of {20, 30} survives both
+      assert(ids.length == 1 && (ids(0) == 20L || ids(0) == 30L),
+        s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("StreamingFingerprintDeduplicator maxIndexEntries fails fast") {
     val wav = (id: Long) => graft.SparkEntry.testFpWavBytes(id)
     // ids 0,4,8,12: four distinct groups -> four distinct fps
