@@ -2408,6 +2408,52 @@ object SparkEntry {
         .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
     },
 
+    // Streaming ANN ENRICHMENT (round 18) — the retrieval face of the
+    // streaming family: each streamed image embeds and is tagged with
+    // its top-4 corpus neighbors from the broadcast IVF index, map-only
+    // per micro-batch, zero state. nProbe == nLists probes every cell,
+    // so the result is EXACT and the planted re-encode groups make it
+    // closed-form: every query's true top-4 is its own 4-member group
+    // (within-group cosine >= 0.99989, cross <= 0.68908 — the
+    // PHashProbe margins), so per-query in-group hits == 4.
+    "knn_stream" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val bmp = udf((id: Long) => SparkEntry.testBmpBytes(id))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      val emb = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(docs).select(col("doc_id"), col("image_embedding"))
+        .localCheckpoint()
+      val ivf = new IVFNearestNeighbors().setInputCol("image_embedding")
+        .setIdCol("doc_id").setNLists(8).fit(emb)
+      val stream = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "documents", "knn_stream"))
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+        .withColumn("payload", bmp(col("doc_id")))
+      val embedded = new graft.image.ImageEmbedder().setInputCol("payload")
+        .transform(stream)
+      val tagged = new graft.streaming.StreamingNearestNeighbors()
+        .setInputCol("image_embedding").setK(4).setNProbe(8)
+        // the x100 sweep corpus holds 500k vectors (~270 MB at dim 63
+        // — fine on 128 GiB executors); the conservative 2^18 default
+        // stays for users who haven't sized their broadcast
+        .setMaxIndexEntries(1 << 20)
+        .setFromModel(ivf).setCorpus(emb, "doc_id", "image_embedding")
+        .transform(embedded)
+      val qname = s"knn_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = tagged.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("doc_id"), explode(col("neighbors.id")).as("id"))
+        .filter((col("id") / 4).cast("long") ===
+          (col("doc_id") / 4).cast("long"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    },
+
     // the COMPOSED streaming curation chain (round 18): exact-text
     // dedup THEN semantic dedup as TWO stateful stages of ONE append
     // query — the multiple-stateful-operator capability the dedup
@@ -5432,6 +5478,12 @@ object SparkEntry {
     // 40x4 group-member pairs recovered at nProbe=1 (seeded k-means,
     // deterministic per SF; the Spark side computes the count)
     "image_ivf_serving" -> "SELECT CAST(1 AS INTEGER) AS ok",
+
+    // every streamed query's exact top-4 is its own planted 4-member
+    // group (nProbe == nLists), so in-group hits is the constant 4
+    "knn_stream" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS hits
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     // survivors = min id per planted 4-id group (testFpWavBytes: one
     // amplitude grid per group, exact volume re-encode variants)

@@ -464,6 +464,86 @@ class StreamingSuite extends TestBase {
     assert(out.count() == 1, "cross-cell near pair must be missed")
   }
 
+  test("StreamingNearestNeighbors: broadcast-IVF top-k enrichment, " +
+    "null passthrough, exactness at nProbe == nLists (batch parity)") {
+    // two planted directions; corpus members tilt slightly so top-k
+    // order is unambiguous
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(1.0, 0.1, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0)), (3L, Array(0.0, 0.1, 1.0))
+    ).toDF("doc_id", "embedding")
+    val ivf = new graft.sim.IVFNearestNeighbors()
+      .setInputCol("embedding").setIdCol("doc_id").setNLists(2)
+      .fit(corpus)
+    val stage = new StreamingNearestNeighbors().setInputCol("embedding")
+      .setK(2).setNProbe(2) // == nLists: exact
+      .setFromModel(ivf).setCorpus(corpus, "doc_id", "embedding")
+    val batch = Seq(
+      (10L, Array(1.0, 0.01, 0.0)),   // x-direction query
+      (11L, Array(0.0, 0.01, 1.0)),   // z-direction query
+      (12L, null.asInstanceOf[Array[Double]])
+    ).toDF("doc_id", "embedding")
+    val out = stage.transform(batch)
+      .select(col("doc_id"), col("neighbors.id").as("ids"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).toSet)).toMap
+    assert(out(10L) == Set(0L, 1L) && out(11L) == Set(2L, 3L))
+    assert(out(12L) == null)
+    // exactness: the first neighbor of a near-axis query is the pure
+    // axis vector (cosine ordering, not insertion order)
+    val first = stage.transform(batch.filter(col("doc_id") === 10L))
+      .select(col("neighbors")(0)("id")).head().getLong(0)
+    assert(first == 0L)
+    // fail-fasts carry names
+    val e = intercept[IllegalArgumentException] {
+      new StreamingNearestNeighbors().setInputCol("embedding")
+        .setCorpus(corpus, "doc_id", "embedding").transform(batch)
+    }
+    assert(e.getMessage.contains("setCentroids"))
+    val e2 = intercept[IllegalArgumentException] {
+      stage.setMaxIndexEntries(2).transform(batch)
+    }
+    assert(e2.getMessage.contains("maxIndexEntries"))
+    stage.setMaxIndexEntries(1 << 18)
+    // save/load round-trips the complex centroids param
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_snn").toString + "/m"
+    stage.write.overwrite().save(p)
+    val back = StreamingNearestNeighbors.load(p)
+      .setCorpus(corpus, "doc_id", "embedding")
+    val b = back.transform(batch.filter(col("doc_id") === 10L))
+      .select(col("neighbors.id")).head().getSeq[Long](0).toSet
+    assert(b == Set(0L, 1L))
+  }
+
+  test("StreamingNearestNeighbors enriches a live stream map-only " +
+    "(no state, no watermark needed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))
+    ).toDF("doc_id", "embedding")
+    val ivf = new graft.sim.IVFNearestNeighbors()
+      .setInputCol("embedding").setIdCol("doc_id").setNLists(1)
+      .fit(corpus)
+    val mem = MemoryStream[(Long, Double)]
+    val withVec = mem.toDF().toDF("doc_id", "x")
+      .withColumn("embedding", array(col("x"), lit(1.0) - col("x")))
+    val tagged = new StreamingNearestNeighbors().setInputCol("embedding")
+      .setK(1).setNProbe(1).setFromModel(ivf)
+      .setCorpus(corpus, "doc_id", "embedding")
+      .transform(withVec)
+    val q = tagged.writeStream.format("memory").queryName("snnstream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 1.0), (11L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("snnstream")
+        .select(col("doc_id"), col("neighbors")(0)("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(10L -> 0L, 11L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming curation chain: two watermarked dedup stages compose " +
     "in one query (exact text then semantic)") {
     // the composability claim behind the streaming dedup matrix: Spark
