@@ -143,8 +143,11 @@ class BloomIncrementalDeduplicator(override val uid: String)
       SchemaChecks.requireCols(schema, "priorityCol" -> $(priorityCol))
     schema
   }
-  override def copy(extra: ParamMap): BloomIncrementalDeduplicator =
-    defaultCopy(extra)
+  override def copy(extra: ParamMap): BloomIncrementalDeduplicator = {
+    val c = defaultCopy[BloomIncrementalDeduplicator](extra)
+    c.bloomIdx = bloomIdx; c.exactIdx = exactIdx
+    c
+  }
 }
 
 object BloomIncrementalDeduplicator

@@ -90,7 +90,12 @@ class IncrementalDeduplicator(override val uid: String) extends Transformer
       SchemaChecks.requireCols(schema, "priorityCol" -> $(priorityCol))
     schema
   }
-  override def copy(extra: ParamMap): IncrementalDeduplicator = defaultCopy(extra)
+  override def copy(extra: ParamMap): IncrementalDeduplicator = {
+    // attached per-run corpus survives copy (Pipeline/ParamMap paths)
+    val c = defaultCopy[IncrementalDeduplicator](extra)
+    c.corpusRaw = corpusRaw; c.corpusIdx = corpusIdx
+    c
+  }
 }
 
 object IncrementalDeduplicator

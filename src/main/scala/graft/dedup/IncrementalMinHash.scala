@@ -145,8 +145,11 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     SchemaChecks.requireAbsent(schema, "__drop_id")
     schema
   }
-  override def copy(extra: ParamMap): IncrementalMinHashDeduplicator =
-    defaultCopy(extra)
+  override def copy(extra: ParamMap): IncrementalMinHashDeduplicator = {
+    val c = defaultCopy[IncrementalMinHashDeduplicator](extra)
+    c.corpusRaw = corpusRaw; c.corpusIdx = corpusIdx
+    c
+  }
 }
 
 object IncrementalMinHashDeduplicator

@@ -341,8 +341,11 @@ class IncrementalSemDeDupModel(override val uid: String)
     SchemaChecks.requireAbsent(schema, "__drop_id")
     schema
   }
-  override def copy(extra: ParamMap): IncrementalSemDeDupModel =
-    defaultCopy[IncrementalSemDeDupModel](extra).setParent(parent)
+  override def copy(extra: ParamMap): IncrementalSemDeDupModel = {
+    val c = defaultCopy[IncrementalSemDeDupModel](extra).setParent(parent)
+    c.setCorpusIndex(corpusIndex)
+    c
+  }
 }
 object IncrementalSemDeDupModel
     extends GraftReadable[IncrementalSemDeDupModel]

@@ -176,19 +176,25 @@ object SessionizeStream {
 
 /** Watermark chaining support for the streaming dedup family: the
   * engine disallows REDEFINING a watermark, so a stage only sets its
-  * own when the incoming stream has none — a chain of dedup stages
-  * (exact → semantic, the curation-pipeline shape) shares the
-  * upstream stage's watermark instead of failing analysis. */
+  * own when the incoming stream already carries one ON THE SAME
+  * event-time column — a chain of dedup stages (exact → semantic, the
+  * curation-pipeline shape) then shares the upstream stage's watermark
+  * (the upstream DELAY governs; configure the horizon at the first
+  * stage). A watermark on a DIFFERENT column is NOT treated as ours:
+  * the stage still calls `withWatermark` and the engine's loud
+  * redefinition error surfaces the genuinely conflicting config
+  * instead of this helper silently substituting a foreign horizon
+  * (review find). */
 private[streaming] object WatermarkUtil {
-  def hasWatermark(df: DataFrame): Boolean =
+  def hasWatermark(df: DataFrame, timeCol: String): Boolean =
     df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical
-          .EventTimeWatermark => e
+          .EventTimeWatermark if e.eventTime.name == timeCol => e
     }.isDefined
 
-  /** `withWatermark` unless one is already defined upstream. */
+  /** `withWatermark` unless one on `timeCol` is already defined. */
   def ensure(df: DataFrame, timeCol: String, delay: String): DataFrame =
-    if (hasWatermark(df)) df else df.withWatermark(timeCol, delay)
+    if (hasWatermark(df, timeCol)) df else df.withWatermark(timeCol, delay)
 }
 
 /** Exact deduplication that works identically on batch and streaming
@@ -261,7 +267,13 @@ class StreamingDeduplicator(override val uid: String) extends Transformer
     graft.core.SchemaChecks.requireAbsent(schema, "__fp", "__fp2", "__hit")
     schema
   }
-  override def copy(extra: ParamMap): StreamingDeduplicator = defaultCopy(extra)
+  override def copy(extra: ParamMap): StreamingDeduplicator = {
+    // per-run attached state survives copy (the IVFNearestNeighborsModel
+    // precedent — Pipeline/ParamMap paths call copy on configured stages)
+    val c = defaultCopy[StreamingDeduplicator](extra)
+    c.corpusIndex = corpusIndex
+    c
+  }
 }
 object StreamingDeduplicator
     extends graft.core.GraftReadable[StreamingDeduplicator] {
@@ -420,8 +432,11 @@ class StreamingFingerprintDeduplicator(override val uid: String)
       "input already has a column named '__fp' (reserved internally)")
     schema
   }
-  override def copy(extra: ParamMap): StreamingFingerprintDeduplicator =
-    defaultCopy(extra)
+  override def copy(extra: ParamMap): StreamingFingerprintDeduplicator = {
+    val c = defaultCopy[StreamingFingerprintDeduplicator](extra)
+    c.corpusIndex = corpusIndex
+    c
+  }
 }
 object StreamingFingerprintDeduplicator
     extends graft.core.GraftReadable[StreamingFingerprintDeduplicator] {
@@ -801,8 +816,11 @@ class StreamingMinHashDeduplicator(override val uid: String)
         s"input already has a column named '$c' (reserved internally)"))
     schema
   }
-  override def copy(extra: ParamMap): StreamingMinHashDeduplicator =
-    defaultCopy(extra)
+  override def copy(extra: ParamMap): StreamingMinHashDeduplicator = {
+    val c = defaultCopy[StreamingMinHashDeduplicator](extra)
+    c.corpusIndex = corpusIndex // probeCache stays per-instance (rebuilt)
+    c
+  }
 }
 object StreamingMinHashDeduplicator
     extends graft.core.GraftReadable[StreamingMinHashDeduplicator] {
@@ -1020,7 +1038,11 @@ class StreamingSemDeDup(override val uid: String)
     graft.core.SchemaChecks.requireAbsent(schema, "__fp", "__fp2")
     schema
   }
-  override def copy(extra: ParamMap): StreamingSemDeDup = defaultCopy(extra)
+  override def copy(extra: ParamMap): StreamingSemDeDup = {
+    val c = defaultCopy[StreamingSemDeDup](extra)
+    c.corpusIndex = corpusIndex
+    c
+  }
 }
 object StreamingSemDeDup
     extends graft.core.GraftReadable[StreamingSemDeDup]
@@ -1043,8 +1065,11 @@ object StreamingSemDeDup
   * work exactly like the batch model (`nProbe == nLists` is exact;
   * the `image_ivf_serving` gate measured 160/160 planted neighbors
   * at nProbe = nLists/8 over this fixture family). Same scoring
-  * arithmetic as the batch path: assignment on the unit sphere, exact
-  * cosine on the RAW vectors. Null embeddings enrich as null. Past
+  * arithmetic as the batch path — assignment on the unit sphere,
+  * exact cosine on the RAW vectors — with one stated exception:
+  * zero-norm endpoints (NaN cosine) are NEVER emitted as neighbors
+  * (the batch TopKAggregator's total order ranks NaN last, the same
+  * user-visible contract). Null embeddings enrich as null. Past
   * `maxIndexEntries`, shard the corpus (one index per shard, union
   * the tags) or run the batch IVF join per micro-batch via
   * foreachBatch — the fail-fast names both. */
@@ -1146,7 +1171,13 @@ class StreamingNearestNeighbors(override val uid: String)
         (s, c)
       }.sortBy(_._1).take(np).map(_._2)
       // exact cosine over the probed cells, top-k by insertion (k is
-      // small; avoids a heap allocation per row)
+      // small; avoids a heap allocation per row). The query self-norm
+      // is invariant per row — hoisted out of the candidate loop
+      // (review find: it was a third of the inner-loop FLOPs)
+      var qna = 0.0
+      var qi = 0
+      while (qi < qa.length) { qna += qa(qi) * qa(qi); qi += 1 }
+      val qNorm = math.sqrt(qna)
       val topS = new Array[Double](kk)
       val topI = new Array[Long](kk)
       var n = 0
@@ -1156,26 +1187,32 @@ class StreamingNearestNeighbors(override val uid: String)
         while (j < cvs.length) {
           val b = cvs(j)
           val m = math.min(qa.length, b.length)
-          var d = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0.0; var nb = 0.0
           var t = 0
           while (t < m) {
-            d += qa(t) * b(t); na += qa(t) * qa(t); nb += b(t) * b(t)
+            d += qa(t) * b(t); nb += b(t) * b(t)
             t += 1
           }
-          val cos = d / (math.sqrt(na) * math.sqrt(nb))
-          if (n < kk) {
-            var p = n
-            while (p > 0 && topS(p - 1) < cos) {
-              topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+          val cos = d / (qNorm * math.sqrt(nb))
+          // a zero-norm endpoint yields NaN: NEVER a neighbor — an
+          // un-displaceable NaN slot would freeze the top-k and break
+          // the score ordering (review find; the batch TopKAggregator's
+          // total order ranks NaN last, same user-visible contract)
+          if (!cos.isNaN) {
+            if (n < kk) {
+              var p = n
+              while (p > 0 && topS(p - 1) < cos) {
+                topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+              }
+              topS(p) = cos; topI(p) = cis(j)
+              n += 1
+            } else if (cos > topS(kk - 1)) {
+              var p = kk - 1
+              while (p > 0 && topS(p - 1) < cos) {
+                topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+              }
+              topS(p) = cos; topI(p) = cis(j)
             }
-            topS(p) = cos; topI(p) = cis(j)
-            n += 1
-          } else if (cos > topS(kk - 1)) {
-            var p = kk - 1
-            while (p > 0 && topS(p - 1) < cos) {
-              topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
-            }
-            topS(p) = cos; topI(p) = cis(j)
           }
           j += 1
         }
@@ -1193,8 +1230,11 @@ class StreamingNearestNeighbors(override val uid: String)
       ArrayType(StructType(Seq(StructField("score", DoubleType),
         StructField("id", LongType)))), nullable = true))
   }
-  override def copy(extra: ParamMap): StreamingNearestNeighbors =
-    defaultCopy(extra)
+  override def copy(extra: ParamMap): StreamingNearestNeighbors = {
+    val c = defaultCopy[StreamingNearestNeighbors](extra)
+    c.corpus = corpus
+    c
+  }
 }
 object StreamingNearestNeighbors
     extends graft.core.GraftReadable[StreamingNearestNeighbors]

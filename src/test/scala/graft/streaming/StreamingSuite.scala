@@ -516,6 +516,56 @@ class StreamingSuite extends TestBase {
     assert(b == Set(0L, 1L))
   }
 
+  test("StreamingNearestNeighbors: zero-norm corpus vectors are never " +
+    "neighbors, and copy() keeps the attached corpus (review finds)") {
+    val corpus = Seq(
+      (0L, Array(0.0, 0.0)), // zero-norm: NaN cosine to everything
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1))
+    ).toDF("doc_id", "embedding")
+    val ivf = new graft.sim.IVFNearestNeighbors()
+      .setInputCol("embedding").setIdCol("doc_id").setNLists(1)
+      .fit(corpus)
+    val stage = new StreamingNearestNeighbors().setInputCol("embedding")
+      .setK(3).setNProbe(1).setFromModel(ivf)
+      .setCorpus(corpus, "doc_id", "embedding")
+    val batch = Seq((10L, Array(1.0, 0.01))).toDF("doc_id", "embedding")
+    val ns = stage.transform(batch)
+      .select(col("neighbors.id")).head().getSeq[Long](0)
+    // id 0 (NaN) excluded even though k=3 has room; order by cosine
+    assert(ns == Seq(1L, 2L), s"got $ns")
+    // copy() must keep the attached corpus (Pipeline/ParamMap paths)
+    val copied = stage.copy(org.apache.spark.ml.param.ParamMap.empty)
+    val ns2 = copied.transform(batch)
+      .select(col("neighbors.id")).head().getSeq[Long](0)
+    assert(ns2 == Seq(1L, 2L))
+  }
+
+  test("streaming dedup copies keep their attached corpus index " +
+    "(review find)") {
+    val corpus = Seq("known corpus doc").toDF("text")
+    val idx = StreamingDeduplicator.fingerprintIndex(corpus, "text")
+    val stage = new StreamingDeduplicator().setInputCol("text")
+      .setCorpusIndex(idx)
+    val copied = stage.copy(org.apache.spark.ml.param.ParamMap.empty)
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "KNOWN corpus doc"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "fresh doc")
+    ).toDF("ts", "text")
+    val out = copied.transform(batch).select("text").as[String].collect()
+    assert(out.toSeq == Seq("fresh doc"))
+  }
+
+  test("WatermarkUtil: a same-column upstream watermark is reused; a " +
+    "different-column one is NOT treated as ours") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "other_ts", "text")
+    val marked = df.withWatermark("ts", "5 minutes")
+    assert(WatermarkUtil.hasWatermark(marked, "ts"))
+    assert(!WatermarkUtil.hasWatermark(marked, "other_ts"))
+    assert(!WatermarkUtil.hasWatermark(df, "ts"))
+  }
+
   test("StreamingNearestNeighbors enriches a live stream map-only " +
     "(no state, no watermark needed)") {
     implicit val sqlCtx = spark.sqlContext
