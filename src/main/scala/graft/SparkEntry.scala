@@ -2408,6 +2408,50 @@ object SparkEntry {
         .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
     },
 
+    // the SAME semantic streaming fixture through the LARGE-INDEX mode
+    // (round 19 — the MinHash face's dedup_minhash_stream_fb pattern on
+    // the family's FATTEST index): a real engine run whose sink is
+    // foreachBatch + StreamingSemDeDup.transformMicroBatch —
+    // occupied-cell BitSet prefilter broadcast (tier 1, exact), flagged
+    // rows verified through ONE distributed cell equi-join against the
+    // bounded per-cell corpus buffer frame (tier 2), NO vector
+    // broadcast. Decisions match the DSL path (the BitSet tier cannot
+    // lose or invent a candidate cell; the verify is the same family
+    // cosine rule), so the gate shares semdedup_stream's oracle
+    // verbatim.
+    "semdedup_stream_fb" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val emb = tbl(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+        .setIdCol("vec_id").setThreshold(0.465).setNClusters(1)
+        .fit(corpus)
+      val idx = m.indexCorpus(corpus)
+      def src() = s.readStream.schema(schema)
+        .parquet(streamingPath(dir, "embeddings", "semdd_fb_stream"))
+      val stream = src().filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(src().filter(col("vec_id") % 8 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(src().filter(col("vec_id") % 8 === 4)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      val stage = new graft.streaming.StreamingSemDeDup()
+        .setInputCol("embedding").setFromModel(m).setCorpusIndex(idx)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("semdd_fb_out").toString
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          stage.transformMicroBatch(b)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select((col("vec_id") % 1000000L).as("vec_id")).distinct()
+    },
+
     // Streaming ANN ENRICHMENT (round 18) — the retrieval face of the
     // streaming family: each streamed image embeds and is tagged with
     // its top-4 corpus neighbors from the broadcast IVF index, map-only
@@ -2865,11 +2909,15 @@ object SparkEntry {
         .setQueries(queries, "doc_id", "image_embedding")
         .transform(emb)
         .select(col("query_id"), explode(col("neighbors.id")).as("id"))
-      // planted pairs = 40 queries x 4 group members; floor 0.9 -> 144
+      // planted pairs = 40 queries x 4 group members; the oracle pins
+      // the EXACT recovered count — tools.IVFServingProbe measured it
+      // DETERMINISTIC at 160/160 on all three SFs (seeded k-means), so
+      // a silent recall regression that still clears the documented
+      // 144 floor turns the gate red instead of hiding under it
+      // (round-18 verdict, What's wrong #5)
       ivf.agg(sum(when((col("id") / 4).cast("long") ===
           (col("query_id") / 4).cast("long"), 1L).otherwise(0L))
-          .as("recovered"))
-        .select((col("recovered") >= lit(144L)).cast("int").as("ok"))
+          .cast("int").as("recovered"))
     },
 
     // Energy-contour audio near-dedup — the audio member of the
@@ -4039,6 +4087,10 @@ object SparkEntry {
     // same signature agreement)
     oracleSqlBase +
       ("dedup_minhash_stream_fb" -> oracleSqlBase("dedup_minhash_stream")) +
+      // the semantic face's two-tier run: the occupied-cell BitSet is
+      // exact and the tier-2 verify is the same cosine rule, so the
+      // all-pairs oracle serves it verbatim too
+      ("semdedup_stream_fb" -> oracleSqlBase("semdedup_stream")) +
       // the chained run collapses the %8==4 copies at the exact-text
       // stage instead of the in-stream embedding state, but the copies
       // are identical in BOTH text and vector, so the surviving
@@ -5477,7 +5529,10 @@ object SparkEntry {
     // the serving-point floor is a planted boolean: >= 90% of the
     // 40x4 group-member pairs recovered at nProbe=1 (seeded k-means,
     // deterministic per SF; the Spark side computes the count)
-    "image_ivf_serving" -> "SELECT CAST(1 AS INTEGER) AS ok",
+    // 40 planted queries x 4 group members, measured deterministic at
+    // nProbe=1 on all three SFs (IVFServingProbe) — the exact count,
+    // not the 144 floor, is the pinned contract
+    "image_ivf_serving" -> "SELECT CAST(160 AS INTEGER) AS recovered",
 
     // every streamed query's exact top-4 is its own planted 4-member
     // group (nProbe == nLists), so in-group hits is the constant 4

@@ -61,15 +61,26 @@ trait HasFeaturesCol extends Params {
 object SchemaChecks {
   import org.apache.spark.sql.types.StructType
 
+  // name matching honors spark.sql.caseSensitive (the analyzer's own
+  // resolver, case-INsensitive by default): a schema the analyzer would
+  // resolve must not fail these checks, and a reserved-name clash the
+  // analyzer would hit must not slip past them (round-18 advice)
+  private def resolver: (String, String) => Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.resolver
+
   /** Require each (role, columnName) to exist in the schema. */
-  def requireCols(schema: StructType, named: (String, String)*): Unit =
+  def requireCols(schema: StructType, named: (String, String)*): Unit = {
+    val r = resolver
     named.foreach { case (role, name) =>
-      require(schema.fieldNames.contains(name),
+      require(schema.fieldNames.exists(f => r(f, name)),
         s"$role '$name' not found in ${schema.fieldNames.mkString(", ")}")
     }
+  }
 
   /** Require none of the internally-reserved names to be present. */
-  def requireAbsent(schema: StructType, reserved: String*): Unit =
-    reserved.foreach(c => require(!schema.fieldNames.contains(c),
+  def requireAbsent(schema: StructType, reserved: String*): Unit = {
+    val r = resolver
+    reserved.foreach(c => require(!schema.fieldNames.exists(f => r(f, c)),
       s"input already has a column named '$c' (reserved internally)"))
+  }
 }

@@ -72,6 +72,7 @@ object MediaMetadata {
     var sr0 = -1; var ch0 = -1; var ver0 = -1; var layer0 = -1
     var kbps0 = -1
     var ok = true
+    var lastFrameLen = 0
     while (ok && off + 4 <= bytes.length) {
       val b1 = bytes(off) & 0xff; val b2 = bytes(off + 1) & 0xff
       val b3 = bytes(off + 2) & 0xff; val b4 = bytes(off + 3) & 0xff
@@ -123,6 +124,7 @@ object MediaMetadata {
             if (ok) {
               frames += 1
               samples += spf
+              lastFrameLen = frameLen
               off += frameLen
             }
           }
@@ -130,6 +132,14 @@ object MediaMetadata {
       }
     }
     if (frames == 0) None
+    // a break INSIDE the stream (bad sync / bad bitrate / overrunning
+    // frame length with more than a tag's worth of payload left) is
+    // corruption, not a tolerated tail: returning confidently-parsed
+    // partial metadata would undercount frames/duration with no signal
+    // (round-18 advice). Tolerated tail = up to max(last frame length,
+    // 128) trailing bytes — a truncated final frame or an ID3v1 tag
+    // (128 B) / short garbage; anything longer returns no evidence.
+    else if (!ok && bytes.length - off > math.max(lastFrameLen, 128)) None
     else Some(Mp3Meta(ver0, layer0, sr0, ch0, frames,
       samples * 1000L / sr0, kbps0))
   }
@@ -207,7 +217,12 @@ object MediaMetadata {
                       }
                     } else {
                       timescale = u32(bytes, f2.toInt + 12).toInt
-                      duration = u32(bytes, f2.toInt + 16)
+                      val d = u32(bytes, f2.toInt + 16)
+                      // all-ones is the spec's 'unknown duration'
+                      // sentinel, not a 49-day runtime — no evidence
+                      // (round-18 advice; the v1 sentinel is all-ones
+                      // 64-bit = negative, already rejected below)
+                      duration = if (d == 0xffffffffL) -1L else d
                     }
                   case "trak" =>
                     tracks += 1
@@ -238,8 +253,12 @@ object MediaMetadata {
             case _ =>
           }
       }
+      // the duration bound keeps `duration * 1000L` overflow-free: a
+      // hostile v1 duration past it would wrap to a bogus-but-positive
+      // value (round-18 advice); ~292 million years is safely past any
+      // real media
       if (!okTop || corrupt || !sawMoov || timescale <= 0 ||
-          duration < 0) None
+          duration < 0 || duration > Long.MaxValue / 1000L) None
       else Some(Mp4Meta(brand, timescale,
         duration * 1000L / timescale, tracks, width, height))
     } catch { case _: Exception => None }

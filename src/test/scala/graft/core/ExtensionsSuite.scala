@@ -46,4 +46,29 @@ class ExtensionsSuite extends TestBase {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("SchemaChecks honors spark.sql.caseSensitive (round-18 advice): " +
+    "the analyzer's resolver, not exact string match") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("Text", StringType)))
+    // default (case-insensitive): 'text' resolves against 'Text', and a
+    // differently-cased reserved name still clashes
+    graft.core.SchemaChecks.requireCols(schema, "inputCol" -> "text")
+    intercept[IllegalArgumentException] {
+      graft.core.SchemaChecks.requireAbsent(
+        StructType(Seq(StructField("__FP", StringType))), "__fp")
+    }
+    // case-sensitive session: exact-match semantics come back
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val prev = conf.caseSensitiveAnalysis
+    conf.setConf(org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE, true)
+    try {
+      intercept[IllegalArgumentException] {
+        graft.core.SchemaChecks.requireCols(schema, "inputCol" -> "text")
+      }
+      graft.core.SchemaChecks.requireAbsent(
+        StructType(Seq(StructField("__FP", StringType))), "__fp")
+    } finally conf.setConf(
+      org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE, prev)
+  }
 }

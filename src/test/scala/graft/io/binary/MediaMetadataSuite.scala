@@ -156,4 +156,102 @@ class MediaMetadataSuite extends TestBase {
     val back = MediaMetadataExtractor.load(p)
     assert(back.getOrDefault(back.format) == "mp3")
   }
+
+  /** One synthetic frame: 4-byte header + filler to `len`. */
+  private def mpegFrame(verBits: Int, layerBits: Int, brIdx: Int,
+      srIdx: Int, pad: Int, mode: Int, len: Int): Array[Byte] =
+    Array[Byte](0xff.toByte,
+      (0xe0 | (verBits << 3) | (layerBits << 1) | 1).toByte,
+      ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte,
+      (mode << 6).toByte) ++ Array.fill(len - 4)(0x55.toByte)
+
+  test("MP3: every (version, layer) table row walks with hand-computed " +
+    "frame lengths (round-18 verdict, next-round #7)") {
+    // MPEG-1 Layer II, 48 kHz, brIdx 8 -> 128 kbps:
+    // frameLen = 144*128000/48000 = 384; 1152 spf -> 24 ms/frame
+    val v1l2 = (1 to 3).flatMap(_ =>
+      mpegFrame(3, 2, 8, 1, 0, 0, 384)).toArray
+    val m12 = MediaMetadata.parseMp3(v1l2).get
+    assert(m12.mpegVersion == 1 && m12.layer == 2 &&
+      m12.sampleRate == 48000 && m12.bitrateKbps == 128 &&
+      m12.frames == 3 && m12.durationMs == 72)
+    // MPEG-1 Layer I, 44.1 kHz, brIdx 4 -> 128 kbps:
+    // frameLen = (12*128000/44100)*4 = 34*4 = 136; 384 spf
+    // 2 frames: 768*1000/44100 = 17 ms (integer)
+    val v1l1 = (1 to 2).flatMap(_ =>
+      mpegFrame(3, 3, 4, 0, 0, 0, 136)).toArray
+    val m11 = MediaMetadata.parseMp3(v1l1).get
+    assert(m11.mpegVersion == 1 && m11.layer == 1 &&
+      m11.sampleRate == 44100 && m11.bitrateKbps == 128 &&
+      m11.frames == 2 && m11.durationMs == 17)
+    // MPEG-2 Layer III, 16 kHz, brIdx 8 -> 64 kbps:
+    // frameLen = 72*64000/16000 = 288; 576 spf -> 36 ms/frame
+    val v2l3 = (1 to 2).flatMap(_ =>
+      mpegFrame(2, 1, 8, 2, 0, 3, 288)).toArray
+    val m23 = MediaMetadata.parseMp3(v2l3).get
+    assert(m23.mpegVersion == 2 && m23.layer == 3 &&
+      m23.sampleRate == 16000 && m23.bitrateKbps == 64 &&
+      m23.channels == 1 && m23.frames == 2 && m23.durationMs == 72)
+    // MPEG-2 Layer II, 24 kHz, brIdx 8 -> 64 kbps:
+    // frameLen = 144*64000/24000 = 384; 1152 spf -> 48 ms/frame
+    val v2l2 = mpegFrame(2, 2, 8, 1, 0, 0, 384)
+    val m22 = MediaMetadata.parseMp3(v2l2).get
+    assert(m22.mpegVersion == 2 && m22.layer == 2 &&
+      m22.sampleRate == 24000 && m22.bitrateKbps == 64 &&
+      m22.frames == 1 && m22.durationMs == 48)
+    // MPEG-2.5 Layer III, 8 kHz, brIdx 5 -> 40 kbps:
+    // frameLen = 72*40000/8000 = 360; 576 spf -> 72 ms/frame
+    val v25l3 = (1 to 2).flatMap(_ =>
+      mpegFrame(0, 1, 5, 2, 0, 0, 360)).toArray
+    val m253 = MediaMetadata.parseMp3(v25l3).get
+    assert(m253.mpegVersion == 25 && m253.layer == 3 &&
+      m253.sampleRate == 8000 && m253.bitrateKbps == 40 &&
+      m253.frames == 2 && m253.durationMs == 144)
+    // padding bit: MPEG-1 Layer III, 44.1 kHz, brIdx 9 -> 128 kbps,
+    // pad=1: frameLen = 144*128000/44100 + 1 = 418
+    val padded = mpegFrame(3, 1, 9, 0, 1, 0, 418)
+    val mp = MediaMetadata.parseMp3(padded).get
+    assert(mp.layer == 3 && mp.bitrateKbps == 128 && mp.frames == 1)
+  }
+
+  test("MP3: a corrupt frame mid-stream is corruption, not a tolerated " +
+    "tail (round-18 advice)") {
+    val frame = mpegFrame(3, 2, 8, 1, 0, 0, 384)
+    // frames 1-2 valid, frame 3's sync byte destroyed, frames 4-5
+    // still present after it: far more than a tag's worth remains
+    val broken = frame.clone(); broken(0) = 0x00
+    val bad = frame ++ frame ++ broken ++ frame ++ frame
+    assert(MediaMetadata.parseMp3(bad).isEmpty,
+      "mid-stream corruption must not return partial metadata")
+    // the same break within the last frame-length of the payload is
+    // the documented tolerated tail (truncated final frame / ID3v1)
+    val tail = frame ++ frame ++ Array.fill(128)(0x41.toByte)
+    assert(MediaMetadata.parseMp3(tail).exists(_.frames == 2))
+  }
+
+  test("MP4: the v0 all-ones 'unknown duration' sentinel and hostile " +
+    "v1 durations carry no evidence (round-18 advice)") {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    def mvhd0(duration: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(20)
+      b.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(duration)
+      box("mvhd", b.array())
+    }
+    assert(MediaMetadata.parseMp4(box("moov", mvhd0(2000))).get
+      .durationMs == 2000L)
+    assert(MediaMetadata.parseMp4(box("moov", mvhd0(-1))).isEmpty,
+      "0xFFFFFFFF is the spec's unknown-duration sentinel")
+    // v1 duration past Long.MaxValue/1000 would overflow the ms math
+    val mvhd1 = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.putInt(0x01000000).putLong(0L).putLong(0L)
+        .putInt(1000).putLong(Long.MaxValue / 500L)
+      box("mvhd", b.array())
+    }
+    assert(MediaMetadata.parseMp4(box("moov", mvhd1)).isEmpty)
+  }
 }

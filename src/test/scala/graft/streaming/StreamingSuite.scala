@@ -647,4 +647,179 @@ class StreamingSuite extends TestBase {
     }
     assert(e.getMessage.contains("maxIndexEntries"))
   }
+
+  test("StreamingNearestNeighbors builds the index broadcast ONCE per " +
+    "corpus reference and destroys it on setCorpus (round-18 verdict)") {
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))
+    ).toDF("doc_id", "embedding")
+    val ivf = new graft.sim.IVFNearestNeighbors()
+      .setInputCol("embedding").setIdCol("doc_id").setNLists(1).fit(corpus)
+    val batch = Seq((10L, Array(1.0, 0.1))).toDF("doc_id", "embedding")
+    val stage = new StreamingNearestNeighbors().setInputCol("embedding")
+      .setK(1).setNProbe(1).setFromModel(ivf)
+      .setCorpus(corpus, "doc_id", "embedding")
+    assert(stage.cachedProbe.isEmpty)
+    stage.transform(batch).collect()
+    val b1 = stage.cachedProbe.get
+    stage.transform(batch).collect() // repeated call: NO re-collect/re-broadcast
+    assert(stage.cachedProbe.get.id == b1.id,
+      "repeated transform must reuse the cached broadcast")
+    // replacing the corpus destroys the old broadcast and rebuilds
+    stage.setCorpus(corpus, "doc_id", "embedding")
+    assert(stage.cachedProbe.isEmpty)
+    intercept[org.apache.spark.SparkException] { b1.value }
+    val out = stage.transform(batch)
+      .select(col("neighbors")(0)("id")).as[Long].collect()
+    assert(out.toSeq == Seq(0L))
+    val b2 = stage.cachedProbe.get
+    stage.release()
+    intercept[org.apache.spark.SparkException] { b2.value }
+  }
+
+  test("StreamingSemDeDup builds the DSL probe broadcasts ONCE per index " +
+    "reference and destroys them on setCorpusIndex") {
+    val corpus = Seq((0L, Array(1.0, 0.02, 0.0))).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.99).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val batch = Seq((10L, Array(1.0, 0.03, 0.0))).toDF("doc_id", "embedding")
+    val stage = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx)
+    stage.transform(batch).collect()
+    val b1 = stage.cachedProbe.get
+    stage.transform(batch).collect()
+    assert(stage.cachedProbe.get.id == b1.id,
+      "repeated transform must reuse the cached broadcasts")
+    stage.setCorpusIndex(idx)
+    assert(stage.cachedProbe.isEmpty)
+    intercept[org.apache.spark.SparkException] { b1.value }
+    assert(stage.transform(batch).count() == 0) // rebuilt, same decisions
+  }
+
+  test("StreamingSemDeDup.transformMicroBatch decides identically to the " +
+    "broadcast DSL path (two-tier large-index mode)") {
+    val corpus = Seq(
+      (0L, Array(1.0, 0.02, 0.0, 0.0)),
+      (1L, Array(0.0, 0.02, 1.0, 0.0))
+    ).toDF("doc_id", "embedding")
+    // TWO cells so the occupied-cell tier actually partitions
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(2).setThreshold(0.99).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val batch = Seq(
+      (10L, Array(1.0, 0.05, 0.0, 0.0)),  // near-dup of corpus 0 -> drop
+      (11L, Array(0.0, 0.05, 1.0, 0.0)),  // near-dup of corpus 1 -> drop
+      (12L, Array(0.0, 0.0, 0.0, 1.0)),   // novel -> keep
+      (13L, Array(0.0, 0.0, 0.0, 1.0)),   // exact repeat of 12 -> collapse
+      (14L, null.asInstanceOf[Array[Double]]), // no evidence -> keep
+      (15L, null.asInstanceOf[Array[Double]])
+    ).toDF("doc_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val stage = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx)
+    val viaDsl = ids(stage.transform(batch))
+    val viaMb = ids(stage.transformMicroBatch(batch))
+    // which of an exact-repeat pair survives is arbitrary on both paths
+    def canon(s: Set[Long]): Set[Long] =
+      s.map(i => if (i == 13L) 12L else i)
+    assert(canon(viaMb) == canon(viaDsl), s"micro-batch $viaMb vs DSL $viaDsl")
+    assert(canon(viaMb) == Set(12L, 14L, 15L))
+    // probe state is built once per index reference and reused
+    val b1 = stage.cachedFbProbe.get
+    stage.transformMicroBatch(batch)
+    assert(stage.cachedFbProbe.get.id == b1.id)
+    stage.setCorpusIndex(idx)
+    assert(stage.cachedFbProbe.isEmpty)
+    intercept[org.apache.spark.SparkException] { b1.value }
+  }
+
+  test("StreamingSemDeDup.transformMicroBatch handles an index the " +
+    "broadcast ceiling refuses") {
+    val corpus = (0 until 8)
+      .map(i => (i.toLong, Array(math.cos(i * 0.7), math.sin(i * 0.7))))
+      .toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.999).fit(corpus)
+    val stage = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setMaxIndexEntries(2)
+      .setCorpusIndex(m.indexCorpus(corpus))
+    val e = intercept[IllegalArgumentException] { stage.transform(corpus) }
+    assert(e.getMessage.contains("transformMicroBatch"))
+    // the two-tier path shoulders the same index: every doc is its own
+    // corpus twin at cosine exactly 1 -> all drop
+    assert(stage.transformMicroBatch(corpus).count() == 0)
+  }
+
+  test("StreamingSemDeDup.transformMicroBatch honors an explicit " +
+    "maxClusterSize cap and auto-raises for the single-cell setting") {
+    // one cell, three corpus members: ids 0/1 point along e1, id 2
+    // along the (0.8, 0.6) direction the batch doc duplicates
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.995, 0.1)),
+      (2L, Array(0.8, 0.6))
+    ).toDF("doc_id", "embedding")
+    val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(1).setThreshold(0.97).fit(corpus)
+    val idx = m.indexCorpus(corpus)
+    val batch = Seq((10L, Array(0.8, 0.6))).toDF("doc_id", "embedding")
+    // auto-raised (cap unset): the exhaustive setting sees member 2
+    val full = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx)
+    assert(full.transformMicroBatch(batch).count() == 0)
+    // explicit cap 2 keeps the two SMALLEST ids (0, 1): member 2 is
+    // dropped from the buffer and the duplicate survives — the
+    // documented bounded-aggregator skew-guard trade
+    val capped = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setCorpusIndex(idx).setMaxClusterSize(2)
+    assert(capped.transformMicroBatch(batch).count() == 1)
+  }
+
+  test("StreamingMinHashDeduplicator verifyMode=exact makes corpus " +
+    "decisions batch-identical at the cutoff (parity with the " +
+    "incremental exact mode on threshold-straddling pairs)") {
+    // corpus doc i holds 40 tokens c<i>_*; batch doc i shares a graded
+    // prefix of them — exact Jaccard sweeps through the 0.5 threshold
+    def ctext(i: Int): String =
+      (1 to 40).map(j => s"c${i}_$j").mkString(" ")
+    def btext(i: Int): String =
+      ((1 to (10 + i)).map(j => s"c${i}_$j") ++
+        ((10 + i + 1) to 40).map(j => s"b${i}_$j")).mkString(" ")
+    val corpus = (0 until 20).map(i => (i.toLong, ctext(i)))
+      .toDF("doc_id", "text")
+    val batch = (0 until 20).map(i => (i + 100L, btext(i)))
+      .toDF("doc_id", "text")
+    val idx = StreamingMinHashDeduplicator.signatureIndex(
+      corpus, "doc_id", "text", 3, 32)
+    def survivors(mode: String): Set[Long] = {
+      val st = new StreamingMinHashDeduplicator().setInputCol("text")
+        .setNumHashes(32).setBands(16).setThreshold(0.5)
+        .setVerifyMode(mode).setCorpusIndex(idx)
+      if (mode == "exact") st.setCorpus(corpus, "doc_id", "text")
+      st.transformMicroBatch(batch).select("doc_id").as[Long].collect().toSet
+    }
+    val exact = survivors("exact")
+    val sig = survivors("signature")
+    // the reference decisions: the batch incremental deduplicator's
+    // exact corpus check on the same shape
+    val incr = new graft.dedup.IncrementalMinHashDeduplicator()
+      .setInputCol("text").setIdCol("doc_id")
+      .setNumHashes(32).setBands(16).setThreshold(0.5)
+      .setVerifyMode("exact").setCorpus(corpus)
+      .transform(batch).select("doc_id").as[Long].collect().toSet
+    assert(exact == incr, s"streaming exact $exact vs incremental $incr")
+    // at 32 hashes (se ~0.09 at t=0.5) the graded fixture straddles:
+    // the estimate-based and exact decisions genuinely differ on at
+    // least one pair, so the tier switch is observable
+    assert(exact != sig,
+      s"fixture no longer straddles the cutoff (exact == signature == $exact)")
+    // DSL path refuses exact mode (text-free by design)
+    val e = intercept[IllegalArgumentException] {
+      new StreamingMinHashDeduplicator().setInputCol("text")
+        .setVerifyMode("exact").setCorpusIndex(idx)
+        .transform(batch)
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+  }
 }
