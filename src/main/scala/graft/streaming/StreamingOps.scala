@@ -1010,14 +1010,6 @@ class StreamingSemDeDup(override val uid: String)
     ParamValidators.gt(0))
   setDefault(maxIndexEntries -> (1 << 18))
   def setMaxIndexEntries(v: Int): this.type = set(maxIndexEntries, v)
-  final val maxClusterSize = new IntParam(this, "maxClusterSize",
-    "transformMicroBatch tier 2: per-cell corpus candidate cap (the " +
-      "SemDeDup bounded-aggregator skew guard; overflow counts in the " +
-      "<uid>_dropped observation; auto-raised for a single-cell " +
-      "quantizer when unset — the IncrementalSemDeDupModel contract)",
-    ParamValidators.gt(1))
-  setDefault(maxClusterSize -> 2048)
-  def setMaxClusterSize(v: Int): this.type = set(maxClusterSize, v)
   /** The [[graft.dedup.FingerprintDeduplicatorBase.spreadDecode]] lever
     * for the probe: a map-only probe inherits the SOURCE's split count,
     * and a fat probe (big cells, high dim, or the single-cell
@@ -1192,13 +1184,13 @@ class StreamingSemDeDup(override val uid: String)
     deduped.unionByName(nulls).drop("__fp", "__fp2")
   }
   // per-index probe state for transformMicroBatch, built once per
-  // (index, quantizer, cap) reference and reused across micro-batches
-  // (the StreamingMinHashDeduplicator probeCache shape): the bounded
-  // per-cell corpus buffer frame persists executor-side; the
+  // (index, quantizer) reference and reused across micro-batches
+  // (the StreamingMinHashDeduplicator probeCache shape): the narrow
+  // (cell, vector) index projection persists executor-side; the
   // occupied-cell BitSet — EXACT, unlike the MinHash face's Bloom,
   // because cell ids are dense ints bounded by the quantizer's cell
   // count (~cells/8 bytes, 0.5 MB at 4M cells) — broadcasts once.
-  @transient private var fbCache: Option[((AnyRef, AnyRef, Int),
+  @transient private var fbCache: Option[((AnyRef, AnyRef),
     DataFrame,
     org.apache.spark.broadcast.Broadcast[graft.dedup.SemDeDup.Quantizer],
     org.apache.spark.broadcast.Broadcast[java.util.BitSet])] = None
@@ -1216,26 +1208,31 @@ class StreamingSemDeDup(override val uid: String)
   /** The large-index corpus probe, for `foreachBatch` — same decisions
     * as [[transform]]'s broadcast path (cell candidacy under the shared
     * quantizer, then exact cosine ≥ `threshold`, NaN counts as
-    * duplicate) with NO vector broadcast, so the index — the family's
+    * duplicate) with NO index broadcast, so the index — the family's
     * fattest, ~dim·8 B/entry — is bounded by cluster disk instead of
-    * executor memory (the [[StreamingMinHashDeduplicator
-    * .transformMicroBatch]] two-tier shape, round-18 verdict
-    * next-round #5):
+    * executor memory (round-18 verdict next-round #5; the
+    * [[StreamingMinHashDeduplicator.transformMicroBatch]] contract —
+    * per-batch broadcast bytes stay O(batch), never O(index)):
     *
-    *  1. tier 1 (map-only): each document assigns its cell under the
-    *     broadcast quantizer and probes the broadcast BitSet of
-    *     OCCUPIED cells; an empty cell — the overwhelming majority of
-    *     a well-spread partition on a mostly-novel stream — passes
-    *     without touching the join. The BitSet is exact (no false
-    *     positives, unlike the MinHash face's Bloom): a flagged
-    *     document's cell genuinely holds corpus members.
-    *  2. tier 2 (distributed): flagged documents equi-join the
-    *     persisted per-cell bounded corpus buffer frame on the cell id
-    *     — each flagged document meets exactly ONE buffer row, so the
-    *     join output is O(flagged) — and exact-cosine-verify inside
-    *     the buffer (per-cell `maxClusterSize` cap, drop metric — the
-    *     SemDeDup skew guard). The O(batch) flagged side broadcasts;
-    *     the buffer frame stays the scan side.
+    *  1. tier 1 (map-only): each distinct batch embedding assigns its
+    *     cell under the broadcast quantizer and probes the broadcast
+    *     BitSet of OCCUPIED cells; an empty cell — the overwhelming
+    *     majority of a well-spread partition on a mostly-novel
+    *     stream — passes without ever reaching tier 2. The BitSet is
+    *     exact (no false positives, unlike the MinHash face's Bloom).
+    *  2. tier 2 (distributed, index-scan side): the flagged minority
+    *     broadcasts as a plain (cell → batch members) table — the DSL
+    *     path's own mechanism with the roles REVERSED — and ONE
+    *     map-only pass over the persisted (cell, vector) index
+    *     projection emits the fingerprints of batch members within
+    *     `threshold` of each corpus entry. The per-executor table
+    *     deserializes ONCE; per-corpus-row work is O(batch members in
+    *     its cell). A cell-buffer equi-join was measured 15× worse at
+    *     10x (129 s vs the DSL path's 8.7 s at sf0.1): every joined
+    *     row re-deserialized its cell's whole buffer — the round-16
+    *     payload-per-pair trap. No corpus-side cap is needed: nothing
+    *     materializes O(pairs), so decisions are EXACTLY the DSL
+    *     path's at any cell size.
     *  3. within the batch, exact-embedding repeats collapse on the
     *     128-bit hash pair (which determines the vector, so decisions
     *     ride it — bit-identical copies always decide together).
@@ -1244,7 +1241,10 @@ class StreamingSemDeDup(override val uid: String)
     *     next epoch.
     *
     * The corpus index should be a storage-backed (parquet) frame —
-    * the buffer frame is derived from it once per index reference. */
+    * the narrow (cell, vector) projection is persisted here once per
+    * index reference; tier 2 re-scans it per micro-batch. The
+    * per-batch batch-members broadcast is cleaned by Spark's
+    * ContextCleaner when the batch's plan is garbage-collected. */
   def transformMicroBatch(batch: DataFrame): DataFrame = {
     transformSchema(batch.schema)
     require(!batch.isStreaming,
@@ -1256,44 +1256,35 @@ class StreamingSemDeDup(override val uid: String)
         "cells under the SAME partition that built the corpus index")
     require(corpusIndex != null, "setCorpusIndex first (indexCorpus)")
     val q = $(quantizer)
-    // single-cell quantizer + default cap: auto-raise so the exhaustive
-    // setting stays exact (the IncrementalSemDeDupModel contract);
-    // Int.MaxValue / 4 keeps the aggregator's 2·max compaction trigger
-    // overflow-free
-    val effCap =
-      if (q.coarse.length == 1 && q.subs(0).length == 1 &&
-          !isSet(maxClusterSize)) Int.MaxValue / 4
-      else $(maxClusterSize)
-    val (cBuf, bcq, bcBits) = fbCache match {
-      case Some((key, buf, bq, bb)) if (key._1 eq corpusIndex) &&
-          (key._2 eq q) && key._3 == effCap => (buf, bq, bb)
+    val (cIdx, bcq, bcBits) = fbCache match {
+      case Some((key, ci, bq, bb)) if (key._1 eq corpusIndex) &&
+          (key._2 eq q) => (ci, bq, bb)
       case prior =>
-        prior.foreach { case (_, buf, bq, bb) =>
-          buf.unpersist()
+        prior.foreach { case (_, ci, bq, bb) =>
+          ci.unpersist()
           bq.destroy(); bb.destroy()
         }
-        val bounded = udaf(
-          new graft.dedup.SemDeDup.BoundedCellAggregator(effCap),
-          org.apache.spark.sql.Encoders.product[graft.dedup.SemDeDup.CellEntry])
-        val buf = corpusIndex
-          .select(col("__cell").cast("int").as("__cell"), col("__id"),
-            col("__v"), col("__csim"))
-          .groupBy(col("__cell"))
-          .agg(bounded(col("__id"), col("__v"), col("__csim")).as("__b"))
-          .observe(s"${uid}_dropped",
-            sum(col("__b.dropped")).as("dropped_candidates"))
-          .select(col("__cell"), col("__b.entries").as("__es"))
+        // the probe work lives on THIS scan side — a few-split source
+        // (one parquet file at small SF, a localCheckpoint lineage)
+        // would strand the per-batch pass on 2-3 of 32 cores (the
+        // round-18 spreadProbe lesson, transplanted to the index side:
+        // the x100 gate measured 909 s stranded vs 75.7 s spread).
+        // One repartition at build time; every batch scans 32 cached
+        // splits.
+        val ci = corpusIndex
+          .select(col("__cell").cast("int").as("__cell"), col("__v"))
+          .repartition(batch.sparkSession.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // one row per OCCUPIED cell after the group-by, so the collect
-        // is O(occupied cells), not O(index)
         val nCells = q.base(q.coarse.length - 1) +
           q.subs(q.coarse.length - 1).length
         val bits = new java.util.BitSet(nCells)
-        buf.select(col("__cell")).collect().foreach(r => bits.set(r.getInt(0)))
+        // one row per occupied cell — O(cells), not O(index)
+        ci.select(col("__cell")).distinct().collect()
+          .foreach(r => bits.set(r.getInt(0)))
         val bq = batch.sparkSession.sparkContext.broadcast(q)
         val bb = batch.sparkSession.sparkContext.broadcast(bits)
-        fbCache = Some(((corpusIndex, q, effCap), buf, bq, bb))
-        (buf, bq, bb)
+        fbCache = Some(((corpusIndex, q), ci, bq, bb))
+        (ci, bq, bb)
     }
     val vCol = col(getInputCol).cast(ArrayType(DoubleType))
     val assignUdf = udf((v: Seq[Double]) =>
@@ -1308,33 +1299,58 @@ class StreamingSemDeDup(override val uid: String)
       .select(col("__fp"), col("__fp2"), vCol.as("__bv"))
       .dropDuplicates("__fp", "__fp2")
       .withColumn("__cell", assignUdf(col("__bv")))
-    val flagged = vecs.filter(occUdf(col("__cell")))
-    val thr = $(threshold)
-    // the family cosine arithmetic (IncrementalSemDeDup verify):
-    // zero-norm pairs are NaN and count as duplicates
-    val hitUdf = udf { (v: Seq[Double], es: Seq[org.apache.spark.sql.Row]) =>
-      val a = v.toArray
-      var hit = false
-      var j = 0
-      while (j < es.length && !hit) {
-        val b = es(j).getSeq[Double](1).toArray
-        val m = math.min(a.length, b.length)
-        var d = 0.0; var na = 0.0; var nb = 0.0
-        var t = 0
-        while (t < m) {
-          d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t)
-          t += 1
-        }
-        val cos = d / (math.sqrt(na) * math.sqrt(nb))
-        if (cos.isNaN || cos >= thr) hit = true
-        j += 1
+    // the O(batch ∩ occupied-cells) flagged minority rides to the
+    // driver and back out as ONE per-batch broadcast (micro-batches
+    // are bounded by contract; a mostly-novel stream flags few rows)
+    val flagged = vecs.filter(occUdf(col("__cell"))).collect()
+    val byCell = new java.util.HashMap[Integer,
+      (Array[Long], Array[Long], Array[Array[Double]])]()
+    locally {
+      val grouped = flagged.groupBy(_.getInt(3))
+      grouped.foreach { case (cell, rows) =>
+        byCell.put(cell, (rows.map(_.getLong(0)), rows.map(_.getLong(1)),
+          rows.map(_.getSeq[Double](2).toArray)))
       }
-      hit
     }
-    val dropFps = cBuf.join(broadcast(flagged), Seq("__cell"))
-      .filter(hitUdf(col("__bv"), col("__es")))
-      .select(col("__fp"), col("__fp2")).distinct()
-    val survivors = keyed.join(dropFps, Seq("__fp", "__fp2"), "left_anti")
+    val bcBatch = batch.sparkSession.sparkContext.broadcast(byCell)
+    val thr = $(threshold)
+    // corpus-side probe: for each index entry, emit the fp pairs of
+    // same-cell batch members within the threshold (the family cosine
+    // arithmetic — zero-norm pairs are NaN and count as duplicates)
+    val hitsUdf = udf { (cell: Int, v: Seq[Double]) =>
+      val members = bcBatch.value.get(cell)
+      if (members == null) Seq.empty[(Long, Long)]
+      else {
+        val (fps, fp2s, vs) = members
+        val b = v.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = 0
+        while (j < vs.length) {
+          val a = vs(j)
+          val m = math.min(a.length, b.length)
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          var t = 0
+          while (t < m) {
+            d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t)
+            t += 1
+          }
+          val cos = d / (math.sqrt(na) * math.sqrt(nb))
+          if (cos.isNaN || cos >= thr) out += ((fps(j), fp2s(j)))
+          j += 1
+        }
+        out.toSeq
+      }
+    }
+    // an all-novel batch (tier 1 clean) skips the index pass entirely
+    val survivors =
+      if (flagged.isEmpty) keyed
+      else {
+        val dropFps = cIdx
+          .select(explode(hitsUdf(col("__cell"), col("__v"))).as("__h"))
+          .select(col("__h._1").as("__fp"), col("__h._2").as("__fp2"))
+          .distinct()
+        keyed.join(dropFps, Seq("__fp", "__fp2"), "left_anti")
+      }
     // within-batch exact-embedding dedup (nulls bypass — no evidence)
     val nn = survivors.filter(col(getInputCol).isNotNull)
       .dropDuplicates("__fp", "__fp2")

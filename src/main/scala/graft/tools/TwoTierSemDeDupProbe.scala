@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * mode: build an embedding index PAST the DSL broadcast ceiling
   * (2¹⁸ entries — the family's FATTEST per-entry index, ~dim·8
   * B/entry), show the DSL path refuses it, then push a micro-batch
-  * through `transformMicroBatch` and report the setup (per-cell
-  * buffer frame + occupied-cell BitSet) and per-batch walls. The
+  * through `transformMicroBatch` and report the setup (narrow
+  * (cell, vector) index persist + occupied-cell BitSet) and
+  * per-batch walls. The
   * index is the embeddings table UNION perturbed copies (distinct
   * vectors → distinct index entries) under an auto-k quantizer, so
   * the per-cell buffers stay at the ~256-member operating point.
@@ -72,7 +73,7 @@ object TwoTierSemDeDupProbe {
       val out2 = stage.transformMicroBatch(batch).count()
       val t3 = System.nanoTime()
       println(f"microBatch(${batchRows} rows): first=" +
-        f"${(t2 - t1) / 1e9}%.1fs (incl. cell-buffer persist + BitSet " +
+        f"${(t2 - t1) / 1e9}%.1fs (incl. index persist + BitSet " +
         f"build), steady=${(t3 - t2) / 1e9}%.1fs, survivors=$out1/$out2")
     } finally spark.stop()
   }

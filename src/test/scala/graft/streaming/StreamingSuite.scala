@@ -752,28 +752,34 @@ class StreamingSuite extends TestBase {
     assert(stage.transformMicroBatch(corpus).count() == 0)
   }
 
-  test("StreamingSemDeDup.transformMicroBatch honors an explicit " +
-    "maxClusterSize cap and auto-raises for the single-cell setting") {
-    // one cell, three corpus members: ids 0/1 point along e1, id 2
-    // along the (0.8, 0.6) direction the batch doc duplicates
-    val corpus = Seq(
-      (0L, Array(1.0, 0.0)), (1L, Array(0.995, 0.1)),
-      (2L, Array(0.8, 0.6))
-    ).toDF("doc_id", "embedding")
+  test("StreamingSemDeDup.transformMicroBatch has no per-cell cap: a " +
+    "degenerate cell decides exactly like the DSL path, and an " +
+    "all-novel batch skips the index pass") {
+    // one fat cell (the exhaustive worst case): the duplicate of the
+    // cell's LAST member must still drop — nothing in tier 2
+    // materializes O(pairs), so no skew cap exists to miss it
+    val corpus = ((0 until 64).map(i =>
+      (i.toLong, Array(1.0, i * 0.001))) :+ (64L -> Array(0.8, 0.6)))
+      .toDF("doc_id", "embedding")
     val m = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
       .setNClusters(1).setThreshold(0.97).fit(corpus)
     val idx = m.indexCorpus(corpus)
     val batch = Seq((10L, Array(0.8, 0.6))).toDF("doc_id", "embedding")
-    // auto-raised (cap unset): the exhaustive setting sees member 2
-    val full = new StreamingSemDeDup().setInputCol("embedding")
+    val stage = new StreamingSemDeDup().setInputCol("embedding")
       .setFromModel(m).setCorpusIndex(idx)
-    assert(full.transformMicroBatch(batch).count() == 0)
-    // explicit cap 2 keeps the two SMALLEST ids (0, 1): member 2 is
-    // dropped from the buffer and the duplicate survives — the
-    // documented bounded-aggregator skew-guard trade
-    val capped = new StreamingSemDeDup().setInputCol("embedding")
-      .setFromModel(m).setCorpusIndex(idx).setMaxClusterSize(2)
-    assert(capped.transformMicroBatch(batch).count() == 1)
+    assert(stage.transformMicroBatch(batch).count() == 0)
+    // an all-novel batch under a MULTI-cell quantizer: unoccupied
+    // cells pass tier 1 and the batch survives intact
+    val m2 = new graft.dedup.IncrementalSemDeDup().setInputCol("embedding")
+      .setNClusters(2).setThreshold(0.97)
+      .fit(Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+        .toDF("doc_id", "embedding"))
+    val corpus2 = Seq((0L, Array(1.0, 0.0))).toDF("doc_id", "embedding")
+    val stage2 = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m2).setCorpusIndex(m2.indexCorpus(corpus2))
+    val novel = Seq((20L, Array(0.0, 1.0)), (21L, Array(0.01, 1.0)))
+      .toDF("doc_id", "embedding")
+    assert(stage2.transformMicroBatch(novel).count() == 2)
   }
 
   test("StreamingMinHashDeduplicator verifyMode=exact makes corpus " +
