@@ -650,7 +650,8 @@ class StreamingMinHashDeduplicator(override val uid: String)
     * discard the stage. */
   def release(): Unit = {
     probeCache.foreach { case (_, k, _, b, sh) =>
-      k.unpersist(); b.destroy(); sh.foreach(_.unpersist())
+      k.unpersist(); b.destroy()
+      sh.foreach(_.unpersist())
     }
     probeCache = None
   }
@@ -828,6 +829,12 @@ class StreamingMinHashDeduplicator(override val uid: String)
         val n = math.max(1L, k.count()) // also materializes the persist
         val b = batch.sparkSession.sparkContext.broadcast(
           k.stat.bloomFilter("__key", n, $(prefilterFpp)))
+        // NOT persisted/repartitioned: the tier-2 verify joins this
+        // side by __cid against a broadcast O(batch) frame — the scan
+        // is cheap per row, and a measured attempt to repartition +
+        // persist the ~1 GB frame at the 1M-entry nameplate REGRESSED
+        // steady-state 13.0 -> 17.5 s/batch (GC pressure from caching
+        // signatures the broadcast join streams through fine)
         val s = corpusIndex.select(col("__id").as("__cid"),
           col("__sig").as("__csig"))
         // exact mode rereads the corpus text ONCE per index reference:
