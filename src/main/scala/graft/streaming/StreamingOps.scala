@@ -1280,6 +1280,7 @@ class StreamingSemDeDup(override val uid: String)
         // splits.
         val ci = corpusIndex
           .select(col("__cell").cast("int").as("__cell"), col("__v"))
+          .na.drop() // no-evidence index rows, the DSL path's posture
           .repartition(batch.sparkSession.sparkContext.defaultParallelism)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nCells = q.base(q.coarse.length - 1) +

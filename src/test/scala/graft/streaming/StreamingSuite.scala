@@ -750,6 +750,15 @@ class StreamingSuite extends TestBase {
     // the two-tier path shoulders the same index: every doc is its own
     // corpus twin at cosine exactly 1 -> all drop
     assert(stage.transformMicroBatch(corpus).count() == 0)
+    // a hand-built index with no-evidence (null) rows must not NPE the
+    // corpus-side probe (the DSL path's na.drop posture)
+    val withNulls = m.indexCorpus(corpus).unionByName(
+      spark.sql("SELECT CAST(NULL AS BIGINT) AS __id, " +
+        "CAST(NULL AS ARRAY<DOUBLE>) AS __v, " +
+        "CAST(NULL AS INT) AS __cell, CAST(NULL AS DOUBLE) AS __csim"))
+    val stage2 = new StreamingSemDeDup().setInputCol("embedding")
+      .setFromModel(m).setMaxIndexEntries(2).setCorpusIndex(withNulls)
+    assert(stage2.transformMicroBatch(corpus).count() == 0)
   }
 
   test("StreamingSemDeDup.transformMicroBatch has no per-cell cap: a " +
