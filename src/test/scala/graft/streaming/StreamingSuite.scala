@@ -566,6 +566,43 @@ class StreamingSuite extends TestBase {
     assert(!WatermarkUtil.hasWatermark(df, "ts"))
   }
 
+  test("WatermarkUtil warns — not silently — when an upstream watermark " +
+    "overrides the stage's configured delay (round-18 advice)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val marked = mem.toDF().toDF("ts", "text").withWatermark("ts", "5 minutes")
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val logger = ctx.getLogger("graft.streaming.WatermarkUtil")
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "wm-capture", null, null, false,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.synchronized {
+          captured += e.getMessage.getFormattedMessage
+        }
+    }
+    app.start()
+    val prevLevel = logger.getLevel
+    logger.addAppender(app)
+    logger.setLevel(org.apache.logging.log4j.Level.WARN)
+    try {
+      // same delay (equivalent spelling): reused, no warning
+      WatermarkUtil.ensure(marked, "ts", "300 seconds")
+      assert(captured.isEmpty, s"unexpected warning: $captured")
+      // different delay: still reused (the engine forbids redefining),
+      // but the substitution is LOGGED
+      WatermarkUtil.ensure(marked, "ts", "2 hours")
+      assert(captured.exists(m => m.contains("IGNORED") && m.contains("ts")),
+        s"expected an override warning, got: $captured")
+    } finally {
+      logger.removeAppender(app)
+      logger.setLevel(prevLevel)
+      app.stop()
+    }
+  }
+
   test("StreamingNearestNeighbors enriches a live stream map-only " +
     "(no state, no watermark needed)") {
     implicit val sqlCtx = spark.sqlContext
