@@ -83,4 +83,17 @@ object SchemaChecks {
     reserved.foreach(c => require(!schema.fieldNames.exists(f => r(f, c)),
       s"input already has a column named '$c' (reserved internally)"))
   }
+
+  /** The schema's ACTUAL field name for a configured column, under the
+    * session resolver — for code paths that index rows/schemas by
+    * exact name (`fieldIndex`, `Row.getAs`) after a [[requireCols]]
+    * that accepted a case-differing spelling: without this, a config
+    * the analyzer (and requireCols) resolves would still throw at the
+    * exact-match accessor — per executor TASK in the `Row.getAs` case
+    * (review find). Falls back to the configured name when nothing
+    * matches (the accessor's own error then names it). */
+  def resolve(schema: StructType, name: String): String = {
+    val r = resolver
+    schema.fieldNames.find(f => r(f, name)).getOrElse(name)
+  }
 }

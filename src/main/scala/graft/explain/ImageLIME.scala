@@ -61,8 +61,8 @@ class ImageLIME(override val uid: String) extends Transformer with graft.core.Gr
     val nS = $(numSamples)
     val nSeg = $(numSegments)
     val sd = $(seed)
-    val idIdx = df.schema.fieldIndex($(idCol))
-    val imgIdx = df.schema.fieldIndex($(imageCol))
+    val idIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(idCol)))
+    val imgIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(imageCol)))
 
     val sampleSchema = StructType(Seq(
       StructField("__id", LongType),
@@ -165,8 +165,8 @@ class ImageSHAP(override val uid: String) extends Transformer with graft.core.Gr
     val nS = math.max($(numSamples), 4)
     val nSeg = $(numSegments)
     val sd = $(seed)
-    val idIdx = df.schema.fieldIndex($(idCol))
-    val imgIdx = df.schema.fieldIndex($(imageCol))
+    val idIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(idCol)))
+    val imgIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(imageCol)))
 
     val sampleSchema = StructType(Seq(
       StructField("__id", LongType),

@@ -58,8 +58,8 @@ class TextLIME(override val uid: String) extends Transformer with graft.core.Gra
     val nS = $(numSamples)
     val maxT = $(maxTokens)
     val sd = $(seed)
-    val idIdx = df.schema.fieldIndex($(idCol))
-    val txtIdx = df.schema.fieldIndex($(textCol))
+    val idIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(idCol)))
+    val txtIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(textCol)))
 
     val sampleSchema = StructType(Seq(
       StructField("__id", LongType),
@@ -159,8 +159,8 @@ class TextSHAP(override val uid: String) extends Transformer with graft.core.Gra
     val nS = math.max($(numSamples), 4)
     val maxT = $(maxTokens)
     val sd = $(seed)
-    val idIdx = df.schema.fieldIndex($(idCol))
-    val txtIdx = df.schema.fieldIndex($(textCol))
+    val idIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(idCol)))
+    val txtIdx = df.schema.fieldIndex(SchemaChecks.resolve(df.schema, $(textCol)))
 
     val sampleSchema = StructType(Seq(
       StructField("__id", LongType),

@@ -200,7 +200,7 @@ class MultimodalFeaturizer(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val inIdx = df.schema.fieldIndex(getInputCol)
+    val inIdx = df.schema.fieldIndex(graft.core.SchemaChecks.resolve(df.schema, getInputCol))
     val d = $(dim)
     val bs = $(batchSize)
     val mod = $(modality)

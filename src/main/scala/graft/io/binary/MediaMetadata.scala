@@ -136,12 +136,29 @@ object MediaMetadata {
     // frame length with more than a tag's worth of payload left) is
     // corruption, not a tolerated tail: returning confidently-parsed
     // partial metadata would undercount frames/duration with no signal
-    // (round-18 advice). Tolerated tail = up to max(last frame length,
-    // 128) trailing bytes — a truncated final frame or an ID3v1 tag
-    // (128 B) / short garbage; anything longer returns no evidence.
-    else if (!ok && bytes.length - off > math.max(lastFrameLen, 128)) None
+    // (round-18 advice). Tolerated tail = a recognizable end-of-file
+    // tag of ANY length (stacked APEv2 + Lyrics3 + extended ID3v1 runs
+    // to hundreds of bytes on legitimately tagged files — review
+    // find), else up to max(last frame length, 128) bytes — a
+    // truncated final frame, a bare ID3v1, or short garbage.
+    else if (!ok && !Mp3TailTags.exists(t => startsWith(bytes, off, t)) &&
+        bytes.length - off > math.max(lastFrameLen, 128)) None
     else Some(Mp3Meta(ver0, layer0, sr0, ch0, frames,
       samples * 1000L / sr0, kbps0))
+  }
+
+  // end-of-file tag magics a walk may legitimately stop at: ID3v1
+  // ("TAG", incl. the "TAG+" extended form), APEv2 ("APETAGEX"),
+  // Lyrics3 ("LYRICSBEGIN"), appended ID3v2 ("ID3")
+  private val Mp3TailTags: Array[Array[Byte]] =
+    Array("TAG", "APETAGEX", "LYRICSBEGIN", "ID3")
+      .map(_.getBytes("US-ASCII"))
+
+  private def startsWith(b: Array[Byte], off: Int, m: Array[Byte]): Boolean = {
+    if (off + m.length > b.length) return false
+    var i = 0
+    while (i < m.length) { if (b(off + i) != m(i)) return false; i += 1 }
+    true
   }
 
   /** ISO BMFF (MP4/MOV) structural metadata from the box tree. */

@@ -79,7 +79,7 @@ class HTTPTransformer(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
-    val inIdx = df.schema.fieldIndex(getInputCol)
+    val inIdx = df.schema.fieldIndex(graft.core.SchemaChecks.resolve(df.schema, getInputCol))
     val outSchema = transformSchema(df.schema)
     val conc = $(concurrency)
     val tmo = $(timeoutMs)

@@ -125,7 +125,12 @@ class StratifiedRepartition(override val uid: String) extends Transformer
                              counts: Map[Any, Long]): DataFrame = {
     val spark = df.sparkSession
     val (withReplacement, fractions) = modeFractions(counts, numPartitions)
-    val keyed = df.rdd.map(r => r.getAs[Any](getLabelCol) -> r)
+    // resolve ONCE driver-side: getAs is an exact-name lookup per ROW,
+    // and a case-differing labelCol that requireCols (analyzer
+    // semantics) accepted must not fail inside every executor task
+    // (review find)
+    val labelName = SchemaChecks.resolve(df.schema, getLabelCol)
+    val keyed = df.rdd.map(r => r.getAs[Any](labelName) -> r)
     val sampled = keyed.sampleByKeyExact(withReplacement, fractions, $(seed))
     // spread each label across all partitions: per-label running index
     val spread = sampled

@@ -188,11 +188,18 @@ object SessionizeStream {
 private[streaming] object WatermarkUtil
     extends org.apache.spark.internal.Logging {
   private def existing(df: DataFrame, timeCol: String)
-      : Option[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark] =
+      : Option[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark] = {
+    // the analyzer's resolver, not exact match: a case-differing
+    // upstream watermark column would otherwise be missed here, and
+    // the stage's own withWatermark would then resolve onto that SAME
+    // column and silently REDEFINE the horizon — the exact class this
+    // helper exists to prevent (review find)
+    val r = org.apache.spark.sql.internal.SQLConf.get.resolver
     df.queryExecution.logical.collectFirst {
       case e: org.apache.spark.sql.catalyst.plans.logical
-          .EventTimeWatermark if e.eventTime.name == timeCol => e
+          .EventTimeWatermark if r(e.eventTime.name, timeCol) => e
     }
+  }
 
   def hasWatermark(df: DataFrame, timeCol: String): Boolean =
     existing(df, timeCol).isDefined
@@ -839,12 +846,19 @@ class StreamingMinHashDeduplicator(override val uid: String)
           col("__sig").as("__csig"))
         // exact mode rereads the corpus text ONCE per index reference:
         // the shingle frame (numHashes-independent) persists beside the
-        // band frame and is the tier-2 scan side every batch
+        // band frame and is the tier-2 scan side every batch. Unlike
+        // the streamed-through cSigs above, this frame's split count
+        // is FROZEN by the persist — repartition at build time or a
+        // single-file corpus pins every batch's exact-verify pass to
+        // ~3 of 32 cores (the semantic face's measured stranding,
+        // review find)
         val sh =
           if ($(verifyMode) == "exact")
             Some(corpusRaw
               .select(col("__cid"),
                 hashedShingles(col("__ctext"), $(shingleSize)).as("__csh"))
+              .repartition(
+                batch.sparkSession.sparkContext.defaultParallelism)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           else None
         probeCache = Some((shape, k, s, b, sh))

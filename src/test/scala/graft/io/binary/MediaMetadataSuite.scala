@@ -227,6 +227,17 @@ class MediaMetadataSuite extends TestBase {
     // the documented tolerated tail (truncated final frame / ID3v1)
     val tail = frame ++ frame ++ Array.fill(128)(0x41.toByte)
     assert(MediaMetadata.parseMp3(tail).exists(_.frames == 2))
+    // a RECOGNIZABLE end-of-file tag is tolerated at ANY length —
+    // stacked APEv2 + ID3v1 runs to hundreds of bytes on legitimately
+    // tagged files (review find)
+    val ape = frame ++ frame ++ "APETAGEX".getBytes("US-ASCII") ++
+      Array.fill(480)(0x21.toByte) ++
+      "TAG".getBytes("US-ASCII") ++ Array.fill(125)(0x20.toByte)
+    assert(MediaMetadata.parseMp3(ape).exists(_.frames == 2),
+      "a long stacked trailing tag must not be treated as corruption")
+    // the same length of UNRECOGNIZED bytes is still corruption
+    val junk = frame ++ frame ++ Array.fill(616)(0x21.toByte)
+    assert(MediaMetadata.parseMp3(junk).isEmpty)
   }
 
   test("MP4: the v0 all-ones 'unknown duration' sentinel and hostile " +

@@ -141,6 +141,18 @@ class StagesSuite extends TestBase {
     assert(out.count() == 4)
   }
 
+  test("StratifiedRepartition resolves a case-differing labelCol like " +
+    "the analyzer (exact path's per-row getAs — review find)") {
+    val skewed = spark.range(0, 20).toDF("id").withColumn("Lab", lit("big"))
+      .union(spark.range(20, 24).toDF("id").withColumn("Lab", lit("small")))
+    // configured 'lab' vs column 'Lab': requireCols accepts it under
+    // the default case-insensitive resolver, so the executor-side
+    // exact-name row accessor must too
+    val out = new StratifiedRepartition().setLabelCol("lab")
+      .setMode("equal").transform(skewed)
+    assert(out.count() > 0)
+  }
+
   test("StratifiedRepartition equal mode upsamples minorities to max count") {
     val skewed = spark.range(0, 90).toDF("id").withColumn("lab", lit("big"))
       .union(spark.range(90, 100).toDF("id").withColumn("lab", lit("small")))
