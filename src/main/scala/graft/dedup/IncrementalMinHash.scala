@@ -106,30 +106,74 @@ class IncrementalMinHashDeduplicator(override val uid: String)
       .observe(s"${uid}_dropped", sum(col("__b.dropped"))
         .as("dropped_candidates"))
       .select(col("__key"), explode(col("__b.ids")).as("__cid"))
+    // materialized: the verify joins reference the candidate frame three
+    // times (batch restrict, corpus restrict, pair join) and without the
+    // barrier each reference replans — and re-executes — the whole band
+    // join. Bounded: candidates are batch docs that agreed with an
+    // already-deduplicated corpus on a band, O(dup rate · batch) rows
+    // (the same O(batch) bound the streaming face's per-batch broadcasts
+    // ride). The barrier also stops the (far larger) plan-tree
+    // duplication measured at sf0.1: the lazy formulation replanned this
+    // subtree into every verify/anti consumer — 1,873 physical operators
+    // / 450 exchanges / 540 scans for the gate query (plans/r19/).
     val cands = batchKeys.join(cKeyed, Seq("__key"))
       .select(col("__id"), col("__cid")).distinct()
+      .localCheckpoint()
+    // verification payloads are computed ONLY for candidate rows: the
+    // batch/corpus text is semi-joined down to candidate ids BEFORE the
+    // shingle/signature projection, so the expensive hashing runs per
+    // candidate, not per corpus document (the restrict=true shape of
+    // joinCandidatePayload — here candidates ≪ corpus BY DESIGN, the
+    // index describes an already-deduplicated corpus). The id frames are
+    // broadcast explicitly: they derive from a checkpointed RDD (no
+    // catalog stats), and their size is bounded by the candidate bound
+    // above.
     val dropIds = $(verifyMode) match {
       case "signature" =>
+        val bSig = df.select(id.cast("long").as("__id"),
+            col(getInputCol).as("__t"))
+          .join(broadcast(cands.select(col("__id")).distinct()),
+            Seq("__id"), "left_semi")
+          .select(col("__id"), minHashSignature(
+            hashedShingles(col("__t"), $(shingleSize)), $(numHashes))
+            .as("__sig"))
+        val cSig = index
+          .join(broadcast(cands.select(col("__cid").as("__id")).distinct()),
+            Seq("__id"), "left_semi")
+          .select(col("__id").as("__cid"), col("__sig").as("__csig"))
         cands
-          .join(batchSig, Seq("__id"))
-          .join(index.select(col("__id").as("__cid"),
-            col("__sig").as("__csig")), Seq("__cid"))
+          .join(bSig, Seq("__id"))
+          .join(cSig, Seq("__cid"))
           .filter(sigAgreement(col("__sig"), col("__csig")) >= $(threshold))
           .select(col("__id")).distinct()
       case "exact" =>
         val bsh = df.select(id.cast("long").as("__id"),
-          hashedShingles(col(getInputCol), $(shingleSize)).as("__sh"))
+            col(getInputCol).as("__t"))
+          .join(broadcast(cands.select(col("__id")).distinct()),
+            Seq("__id"), "left_semi")
+          .select(col("__id"),
+            hashedShingles(col("__t"), $(shingleSize)).as("__sh"))
         val csh = corpusRaw.select(col($(idCol)).cast("long").as("__cid"),
-          hashedShingles(col(getInputCol), $(shingleSize)).as("__csh"))
+            col(getInputCol).as("__t"))
+          .join(broadcast(cands.select(col("__cid")).distinct()),
+            Seq("__cid"), "left_semi")
+          .select(col("__cid"),
+            hashedShingles(col("__t"), $(shingleSize)).as("__csh"))
         cands
           .join(bsh, Seq("__id"))
           .join(csh, Seq("__cid"))
           .filter(jaccard(col("__sh"), col("__csh")) >= $(threshold))
           .select(col("__id")).distinct()
     }
+    // materialized survivor boundary: the inner self-dedup references its
+    // input FOUR times (band explode, the l/r payload joins, the survivor
+    // anti-join); without the barrier each reference re-executes the
+    // whole corpus-clear pipeline above. Survivors are O(batch) rows —
+    // the delta a snapshot pipeline holds by definition.
     val survivors = df.join(
-      dropIds.select(col("__id").as("__drop_id")),
+      broadcast(dropIds.select(col("__id").as("__drop_id"))),
       id.cast("long") === col("__drop_id"), "left_anti")
+      .localCheckpoint()
     // near-dedup WITHIN the corpus-cleared batch (exact-Jaccard verify —
     // the batch's own text is at hand)
     new MinHashDeduplicator().setInputCol(getInputCol).setIdCol($(idCol))

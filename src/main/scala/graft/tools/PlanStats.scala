@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Structural plan sweep (optimization guide §7.2): for every SparkEntry
+  * query, build the DataFrame and print one line of plan-shape stats —
+  * operator count, Exchange count, parquet-scan count, formatted-plan
+  * size — WITHOUT running the final action (construction itself may run
+  * eager work: fits, localCheckpoints, streaming gates; its wall is
+  * reported separately as buildSec). This is how the round-19 sweep
+  * found the 1,873-operator IncrementalMinHash plan; op counts far
+  * above the stage count signal replanned subtrees (plan-time driver
+  * cost) and multiply-referenced frames.
+  * Usage: PlanStats <sfDir> [query ...]   (default: all queries)
+  */
+object PlanStats {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PlanStats <sfDir> [query...]")
+    val dir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.tail.nonEmpty) args.tail.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { q =>
+      try {
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(q)(spark, dir)
+        val build = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.explainString(
+          ExplainMode.fromString("formatted"))
+        val ops = "\\(\\d+\\)".r.findAllIn(
+          plan.linesIterator.takeWhile(_.nonEmpty).mkString("\n")).size
+        val ex = plan.linesIterator.count(_.contains("Exchange"))
+        val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+        val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+        val bnl = plan.linesIterator.count(
+          _.contains("BroadcastNestedLoopJoin")) +
+          plan.linesIterator.count(_.contains("CartesianProduct"))
+        println(f"PLANSTAT $q%-36s ops=$ops%5d ex=$ex%3d scans=$scans%3d " +
+          f"smj=$smj%2d bnl=$bnl%2d build=$build%6.2f planChars=${plan.length}%8d")
+      } catch {
+        case e: Throwable =>
+          println(s"PLANSTAT $q ERROR ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    }
+    spark.stop()
+    try graft.MockServices.stopAll() catch { case _: Throwable => () }
+    sys.exit(0)
+  }
+}
