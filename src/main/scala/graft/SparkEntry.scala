@@ -3535,8 +3535,16 @@ object SparkEntry {
         .withColumn("label", (col("doc_id") % 2 === 1).cast("double"))
         .withColumn("text", when(col("label") === 1.0,
           concat(col("text"), lit(" curatedtok"))).otherwise(col("text")))
+      // numBits=14 sizes the hash space to the problem (the language_id
+      // round-13 lesson): at 2^18 every L-BFGS iteration allocated and
+      // shipped a 2 MB dense gradient, 16x the useful size — the
+      // iteration fixed cost, not the 5k-row data pass, dominated the
+      // wall (measured 7.6 s isolated at sf0.1; an 8-way repartition of
+      // the fit input made it WORSE, 11.7 s, because it multiplied the
+      // dense-gradient allocation 8x). n ≪ 2^14 at every SF, so the
+      // planted rule stays exactly recoverable
       val m = new graft.text.QualityClassifier().setInputCol("text")
-        .setLabelCol("label").setNumBits(18).setMaxIter(25).fit(docs)
+        .setLabelCol("label").setNumBits(14).setMaxIter(25).fit(docs)
       m.transform(docs).select(col("doc_id"), col("quality_pred"))
     },
 

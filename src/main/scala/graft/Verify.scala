@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench: AQE may re-coalesce cached-plan output (see the
+      // rationale there) — correctness must be checked under the exact
+      // configuration the bench runs with
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -67,7 +67,6 @@ object GraphFunctions {
     val spark = edges.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val part = new HashPartitioner(parts)
 
     var e = canonical(
       edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
@@ -75,6 +74,19 @@ object GraphFunctions {
       .distinct(parts).persist(StorageLevel.MEMORY_AND_DISK)
     e.localCheckpoint()
     var prevSig = signature(e)
+    // Size-adaptive round partitioning (the AQE-coalesce rule, applied by
+    // hand because the iteration lives in RDD land where AQE cannot): a
+    // round is three shuffles of a narrow 16-byte pair, and at the conf
+    // partition count a small edge set pays `parts` tasks per shuffle for
+    // microscopic blocks — measured 395 pinned tasks / 22 stages on the
+    // sf0.1 near-dup gates. Derive the ROUND partitioner from the
+    // measured edge count (signature() already materialized it): ~512k
+    // pairs ≈ 8 MB per partition, never above the session conf (the
+    // cluster operator's lever), never below 1. The fixpoint is
+    // partition-independent (scaladoc), so the label output is unchanged.
+    val roundParts = math.max(1L, math.min(parts.toLong,
+      prevSig._1 / 524288L + 1L)).toInt
+    val part = new HashPartitioner(roundParts)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -97,7 +109,7 @@ object GraphFunctions {
       val ss = half.join(mins2).flatMap { case (u, (v, m)) =>
         if (v == m) Iterator((u, m)) else Iterator((v, m), (u, m))
       }
-      val next = canonical(ss).distinct(parts)
+      val next = canonical(ss).distinct(roundParts)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.localCheckpoint() // truncate lineage; freed round's RDD can go
       val sig = signature(next) // materializes next (and the checkpoint)

@@ -17,6 +17,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { q =>

@@ -25,6 +25,8 @@ object PlanStats {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true") // match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =

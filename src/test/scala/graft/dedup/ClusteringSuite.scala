@@ -38,6 +38,18 @@ class ClusteringSuite extends TestBase {
     assert(got == want)
   }
 
+  test("connectedComponents coalesces round partitioning to the edge count") {
+    // a small edge set must iterate on ONE partition regardless of the
+    // session's shuffle-partition conf (the size-adaptive round
+    // partitioner — 395 pinned tasks at sf0.1 before), and the labels
+    // must be identical either way (partition-independent fixpoint)
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("src", "dst")
+    val out = GraphFunctions.connectedComponents(edges, "src", "dst")
+    assert(out.rdd.getNumPartitions == 1)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("connectedComponents handles a long path (many rounds) and a hub") {
     // path 0-1-2-...-63 forces multiple contraction rounds; star around 100
     val path = (0L until 63L).map(i => (i, i + 1))

@@ -81,6 +81,17 @@ class StagesSuite extends TestBase {
     assert(math.abs(row.getAs[Double]("mean") - 25.0) < 1e-9)
   }
 
+  test("SummarizeData exactUnique split jobs match the singlePass stats") {
+    // the concurrent path runs count_distinct as its OWN job per column
+    // (keeping the decimal/moment aggs off the mixed-distinct Expand);
+    // every stat must be bit-identical to the one-wide-agg path
+    val stage = new SummarizeData().setExactUnique(true).setExactMoments(true)
+    val in = df.select("id", "v")
+    val split = stage.transform(in)
+    val single = stage.setSinglePass(true).transform(in)
+    assertDFEq(split, single)
+  }
+
   test("CleanMissingData fills with mean") {
     val withNulls = Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
       .toDF("id", "v")
