@@ -38,12 +38,16 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fast":$fast$om,"sf":"$sfDir"}"""
   }
 
-  /** The driver captures a ~2048-byte stdout tail; anything past it is cut
-    * from the HEAD of the line, which made BENCH_r{7,8} unparseable. Keep a
-    * margin for capture-side framing: the sbt "[info] " prefix (7 B) plus
-    * the "[success] Total time..." epilogue (~75 B) leave ~1966 B of tail
-    * for the line itself. */
-  val MaxLineBytes = 1930
+  /** The driver captures a 2000-byte stdout tail (measured from the
+    * BENCH_r18/r19 records — NOT 2048 as previously assumed); anything
+    * past it is cut from the HEAD of the line, which made BENCH_r{7,8}
+    * unparseable and voided PERF_r19 (the r19 line rendered at exactly
+    * the old 1930-byte budget and lost its first 3 bytes). After the sbt
+    * "[info] " prefix (7 B), the "[success] Total time..." epilogue
+    * (~72 B) and two newlines, ~1919 B remain for the line itself; 1890
+    * leaves real margin for epilogue drift. The degrade rungs in
+    * [[renderLine]] absorb any budget. */
+  val MaxLineBytes = 1890
 
   /** Render the contract line: full names + walls for every query with
     * wall ≥ [[FastThreshold]], one aggregate field for the rest. Degrade

@@ -3541,8 +3541,13 @@ object SparkEntry {
       // iteration fixed cost, not the 5k-row data pass, dominated the
       // wall (measured 7.6 s isolated at sf0.1; an 8-way repartition of
       // the fit input made it WORSE, 11.7 s, because it multiplied the
-      // dense-gradient allocation 8x). n ≪ 2^14 at every SF, so the
-      // planted rule stays exactly recoverable
+      // dense-gradient allocation 8x). The bound that matters is the
+      // feature VOCABULARY, not the row count: the fixture draws from
+      // bounded word pools, so the distinct hashed n-gram vocabulary is
+      // a few thousand ≪ 2^14 buckets at EVERY SF (more rows reuse the
+      // same pools) and the planted token's features stay separable
+      // from colliders — oracle-verified at sf0.001/0.01/0.1, the
+      // largest supported SF
       val m = new graft.text.QualityClassifier().setInputCol("text")
         .setLabelCol("label").setNumBits(14).setMaxIter(25).fit(docs)
       m.transform(docs).select(col("doc_id"), col("quality_pred"))

@@ -59,6 +59,19 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     "per-band-bucket corpus candidate cap (skew guard)")
   setDefault(maxBucketSize -> 1000)
   def setMaxBucketSize(v: Int): this.type = set(maxBucketSize, v)
+  final val broadcastMaxCandidates = new LongParam(this,
+    "broadcastMaxCandidates",
+    "broadcast the candidate/drop id frames into the verify and " +
+      "survivor joins only while the measured candidate-pair count is " +
+      "at or under this bound; above it the joins fall back to the " +
+      "planner's shuffle strategy (a huge snapshot delta with a high " +
+      "dup rate can push these frames past Spark's broadcast limits — " +
+      "a shuffle join finishes where a forced broadcast would fail); " +
+      "0 disables the hints outright",
+    ParamValidators.gtEq(0))
+  setDefault(broadcastMaxCandidates -> 5000000L)
+  def setBroadcastMaxCandidates(v: Long): this.type =
+    set(broadcastMaxCandidates, v)
   final val verifyMode = new Param[String](this, "verifyMode",
     "'signature' verifies against the index alone (MinHash Jaccard " +
       "estimate); 'exact' verifies candidates by exact shingle Jaccard " +
@@ -116,6 +129,12 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     // duplication measured at sf0.1: the lazy formulation replanned this
     // subtree into every verify/anti consumer — 1,873 physical operators
     // / 450 exchanges / 540 scans for the gate query (plans/r19/).
+    // localCheckpoint trades fault tolerance for the plan truncation: the
+    // checkpointed blocks are NOT recomputable, so an executor loss (e.g.
+    // dynamic deallocation at cluster scale) fails the batch job instead
+    // of recomputing — acceptable for a snapshot delta, which simply
+    // re-runs; a deployment that cannot re-run a batch should persist the
+    // frame to reliable storage instead.
     val cands = batchKeys.join(cKeyed, Seq("__key"))
       .select(col("__id"), col("__cid")).distinct()
       .localCheckpoint()
@@ -124,21 +143,29 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     // shingle/signature projection, so the expensive hashing runs per
     // candidate, not per corpus document (the restrict=true shape of
     // joinCandidatePayload — here candidates ≪ corpus BY DESIGN, the
-    // index describes an already-deduplicated corpus). The id frames are
-    // broadcast explicitly: they derive from a checkpointed RDD (no
-    // catalog stats), and their size is bounded by the candidate bound
-    // above.
+    // index describes an already-deduplicated corpus). The id frames
+    // carry no catalog stats (they derive from a checkpointed RDD), so
+    // the planner cannot size them itself: hint broadcast, but only
+    // under a MEASURED row bound — counting the materialized checkpoint
+    // is nearly free, and candidates are only O(dup rate · batch)
+    // RELATIVE to the corpus, not absolutely small (r19 verdict: a huge
+    // high-dup-rate delta could push an unconditional hint past the 8 GB
+    // broadcast cap and fail where a shuffle join finishes). dropIds ⊆
+    // the batch side of cands, so one measurement guards every hint.
+    val candCount = cands.count()
+    def maybeBroadcast(f: DataFrame): DataFrame =
+      if (candCount <= $(broadcastMaxCandidates)) broadcast(f) else f
     val dropIds = $(verifyMode) match {
       case "signature" =>
         val bSig = df.select(id.cast("long").as("__id"),
             col(getInputCol).as("__t"))
-          .join(broadcast(cands.select(col("__id")).distinct()),
+          .join(maybeBroadcast(cands.select(col("__id")).distinct()),
             Seq("__id"), "left_semi")
           .select(col("__id"), minHashSignature(
             hashedShingles(col("__t"), $(shingleSize)), $(numHashes))
             .as("__sig"))
         val cSig = index
-          .join(broadcast(cands.select(col("__cid").as("__id")).distinct()),
+          .join(maybeBroadcast(cands.select(col("__cid").as("__id")).distinct()),
             Seq("__id"), "left_semi")
           .select(col("__id").as("__cid"), col("__sig").as("__csig"))
         cands
@@ -149,13 +176,13 @@ class IncrementalMinHashDeduplicator(override val uid: String)
       case "exact" =>
         val bsh = df.select(id.cast("long").as("__id"),
             col(getInputCol).as("__t"))
-          .join(broadcast(cands.select(col("__id")).distinct()),
+          .join(maybeBroadcast(cands.select(col("__id")).distinct()),
             Seq("__id"), "left_semi")
           .select(col("__id"),
             hashedShingles(col("__t"), $(shingleSize)).as("__sh"))
         val csh = corpusRaw.select(col($(idCol)).cast("long").as("__cid"),
             col(getInputCol).as("__t"))
-          .join(broadcast(cands.select(col("__cid")).distinct()),
+          .join(maybeBroadcast(cands.select(col("__cid")).distinct()),
             Seq("__cid"), "left_semi")
           .select(col("__cid"),
             hashedShingles(col("__t"), $(shingleSize)).as("__csh"))
@@ -171,7 +198,7 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     // whole corpus-clear pipeline above. Survivors are O(batch) rows —
     // the delta a snapshot pipeline holds by definition.
     val survivors = df.join(
-      broadcast(dropIds.select(col("__id").as("__drop_id"))),
+      maybeBroadcast(dropIds.select(col("__id").as("__drop_id"))),
       id.cast("long") === col("__drop_id"), "left_anti")
       .localCheckpoint()
     // near-dedup WITHIN the corpus-cleared batch (exact-Jaccard verify —

@@ -39,14 +39,18 @@ object PlanStats {
         val build = (System.nanoTime() - t0) / 1e9
         val plan = df.queryExecution.explainString(
           ExplainMode.fromString("formatted"))
-        val ops = "\\(\\d+\\)".r.findAllIn(
-          plan.linesIterator.takeWhile(_.nonEmpty).mkString("\n")).size
-        val ex = plan.linesIterator.count(_.contains("Exchange"))
-        val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-        val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
-        val bnl = plan.linesIterator.count(
-          _.contains("BroadcastNestedLoopJoin")) +
-          plan.linesIterator.count(_.contains("CartesianProduct"))
+        // count in the TREE section only (the details section repeats
+        // every operator name and double-counted r19's Exchange figures:
+        // 225 tree Exchanges printed as "450 exchanges" elsewhere), and
+        // never count a ReusedExchange as a new shuffle
+        val tree = plan.linesIterator.takeWhile(_.nonEmpty).toSeq
+        val ops = "\\(\\d+\\)".r.findAllIn(tree.mkString("\n")).size
+        val ex = tree.count(l =>
+          l.contains("Exchange") && !l.contains("ReusedExchange"))
+        val scans = tree.count(_.contains("Scan parquet"))
+        val smj = tree.count(_.contains("SortMergeJoin"))
+        val bnl = tree.count(_.contains("BroadcastNestedLoopJoin")) +
+          tree.count(_.contains("CartesianProduct"))
         println(f"PLANSTAT $q%-36s ops=$ops%5d ex=$ex%3d scans=$scans%3d " +
           f"smj=$smj%2d bnl=$bnl%2d build=$build%6.2f planChars=${plan.length}%8d")
       } catch {

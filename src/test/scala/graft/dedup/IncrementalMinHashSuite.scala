@@ -59,6 +59,49 @@ class IncrementalMinHashSuite extends TestBase {
       Seq(20L, 21L))
   }
 
+  test("over-threshold candidate count falls back to shuffle joins") {
+    // the broadcast hints on the candidate/drop id frames are gated on
+    // the MEASURED candidate count (the frames carry no stats): above
+    // broadcastMaxCandidates no join may carry a broadcast HINT — the
+    // strategy is the planner's again (a huge high-dup-rate delta could
+    // otherwise push a forced broadcast past Spark's 8 GB cap; AQE
+    // re-broadcasting a frame it MEASURED as tiny at runtime stays
+    // legitimate and is why the assertion reads the optimized plan's
+    // hints, not the executed strategy) and the result must be
+    // unchanged.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.optimizedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      def antiJoinPlans(): Seq[String] = {
+        org.apache.spark.graftshims.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext, 5000)
+        val p = plans.synchronized { val s = plans.toSeq; plans.clear(); s }
+        p.filter(_.contains("LeftAnti"))
+      }
+      val small = op("exact").setCorpus(corpus)
+        .setBroadcastMaxCandidates(0L).transform(batch)
+      val overPlans = antiJoinPlans()
+      assert(overPlans.nonEmpty, "expected the survivor anti-join to run")
+      assert(!overPlans.exists(_.contains("strategy=broadcast")),
+        "over-threshold path must not hint a broadcast")
+      val default = op("exact").setCorpus(corpus).transform(batch)
+      val underPlans = antiJoinPlans()
+      assert(underPlans.exists(_.contains("strategy=broadcast")),
+        "under-threshold path should keep the broadcast hint")
+      assert(ids(small) == Seq(11L, 13L) && ids(default) == Seq(11L, 13L),
+        "fallback must not change decisions")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("matches a from-scratch MinHashDeduplicator over the union") {
     // corpus already near-deduped with smaller ids: a full rebuild's
     // batch-side survivors must equal the incremental (exact-mode) result

@@ -4,13 +4,17 @@ import graft.{Bench, SparkEntry}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the bench contract line's size. The driver captures only a
-  * ~2048-byte stdout tail and truncates from the HEAD of the line; rounds
-  * 7-8 lost the line (and with it all per-query walls) because
-  * full-precision doubles pushed it to ~2.2 kB, and round 10's all-names
-  * line outgrew the tail budget at 88 queries (name mass alone ~1.7 kB).
-  * The renderer now names only queries with wall ≥ 0.5 s and aggregates
-  * the rest into a "fast" summary; these tests pin that behavior at the
-  * CURRENT query count so growth can't silently re-overflow capture.
+  * 2000-byte stdout tail (measured from the BENCH_r18/r19 records) and
+  * truncates from the HEAD of the line; rounds 7-8 lost the line (and
+  * with it all per-query walls) because full-precision doubles pushed it
+  * to ~2.2 kB, round 10's all-names line outgrew the tail budget at 88
+  * queries (name mass alone ~1.7 kB), and round 19's contended run pushed
+  * 79 queries past the fast threshold, rendered at exactly the old
+  * 1930-byte budget, and lost its first 3 bytes — the driver parsed null
+  * and recorded every bench query as dropped. The renderer names only
+  * queries with wall ≥ 0.5 s and aggregates the rest into a "fast"
+  * summary; these tests pin that behavior at the CURRENT query count so
+  * growth can't silently re-overflow capture.
   */
 class BenchLineSuite extends AnyFunSuite {
 
@@ -67,6 +71,33 @@ class BenchLineSuite extends AnyFunSuite {
       "/root/testdata/sf0.1")
     assert(bytes(line) <= Bench.MaxLineBytes)
     assert(line.contains(":999"), "capped display expected")
+  }
+
+  test("budget stays inside the driver's measured 2000-byte tail") {
+    // 2000 B of tail − 7 B "[info] " prefix − ~72 B "[success] ..."
+    // epilogue − 2 newlines ≈ 1919 B available for the line. The budget
+    // must sit under that with margin for epilogue drift (its length
+    // varies with the formatted duration and date).
+    assert(Bench.MaxLineBytes <= 1900,
+      "MaxLineBytes must leave headroom inside the driver's 2000-byte " +
+        "stdout tail (~1919 B available after sbt framing) — r19's " +
+        "1930-byte line lost its head and voided PERF_r19")
+  }
+
+  test("the r19 contended shape (79 slow queries) now fits the tail") {
+    // replay of the exact failure: a contended suite run pushed 79
+    // queries past the 0.5 s fast threshold with 1-2-digit walls; the
+    // renderer fit the line at exactly the old 1930-byte budget and the
+    // driver's 2000-byte tail cut its head. Must fit ≤ MaxLineBytes AND
+    // the hard 1919-byte driver window.
+    val rng = new scala.util.Random(19)
+    val walls = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 180 < 79) 1.0 + rng.nextDouble() * 40 else 0.1)
+    }
+    val line = Bench.renderLine(walls, walls.map(_._2).sum,
+      "/root/testdata/sf0.1")
+    assert(bytes(line) <= Bench.MaxLineBytes)
+    assert(bytes(line) <= 1919, "line must fit the driver's hard window")
   }
 
   test("fmt renders locale-stable 3-decimal seconds") {

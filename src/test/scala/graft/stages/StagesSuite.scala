@@ -82,9 +82,11 @@ class StagesSuite extends TestBase {
   }
 
   test("SummarizeData exactUnique split jobs match the singlePass stats") {
-    // the concurrent path runs count_distinct as its OWN job per column
-    // (keeping the decimal/moment aggs off the mixed-distinct Expand);
-    // every stat must be bit-identical to the one-wide-agg path
+    // the concurrent path runs ONE mixed agg per column (count_distinct
+    // alongside the decimal/moment sums — a split was tried r19 and
+    // measured WORSE; Spark plans a single distinct group without an
+    // Expand); every per-column job must be bit-identical to the
+    // one-wide-agg singlePass path
     val stage = new SummarizeData().setExactUnique(true).setExactMoments(true)
     val in = df.select("id", "v")
     val split = stage.transform(in)
