@@ -150,23 +150,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine-recommended confs (cached-plan AQE coalescing — rationale
+    // and r19 measurements in graft.core.SessionDefaults) come from the
+    // shared helper so the bench, the correctness gate and a real
+    // deployment all run the same plans
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // let AQE coalesce the output partitioning of CACHED plans like any
-      // other shuffle (default false exists only so cache consumers can
-      // reuse the fixed partitioning): the persist-heavy operators
-      // (RankingAdapter/SAR/RankingTVS) otherwise pin every downstream
-      // stage at spark.sql.shuffle.partitions regardless of data size —
-      // measured r19: ranking_tvs 910 -> 69 tasks, ranking_metrics and
-      // sar_recommend 429 -> 25, walls -25..45% at sf0.1. Scale-adaptive
-      // by construction (AQE derives counts from bytes), so the same
-      // setting is right at any SF and core count.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // surface named loggers at INFO (comma-separated class names) —

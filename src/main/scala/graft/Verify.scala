@@ -8,18 +8,15 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     val only = rest.toSet // optional query-name subset for local iteration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // match Bench: the shared SessionDefaults confs — correctness must
+    // be checked under the exact configuration the bench runs with
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // match Bench: AQE may re-coalesce cached-plan output (see the
-      // rationale there) — correctness must be checked under the exact
-      // configuration the bench runs with
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -11,15 +11,13 @@ object Explain {
     require(args.length >= 2, "usage: Explain <sfDir> <query> [query...]")
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true") // match Bench
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      .getOrCreate() // SessionDefaults: match Bench
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, dir)

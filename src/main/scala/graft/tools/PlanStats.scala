@@ -19,15 +19,13 @@ object PlanStats {
     require(args.nonEmpty, "usage: PlanStats <sfDir> [query...]")
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true") // match Bench
-      .getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))
+      .getOrCreate() // SessionDefaults: match Bench
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.tail.nonEmpty) args.tail.toSeq
