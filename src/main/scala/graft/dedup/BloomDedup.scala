@@ -128,11 +128,20 @@ class BloomIncrementalDeduplicator(override val uid: String)
     val out = $(verify) match {
       case "approximate" => joined.filter(!maybe)
       case "exact" =>
-        val neg = joined.filter(!maybe)
-        val pos = joined.filter(maybe)
-          .join(exactIdx.select(col("__fp"), col("__fp2")),
-            Seq("__fp", "__fp2"), "left_anti")
-        neg.unionByName(pos)
+        // ONE conditional anti-join, not neg ∪ (pos anti-join): a row
+        // survives unless it is maybe-seen AND its fingerprint is in
+        // the exact index — identical decisions, but the collapsed+
+        // probe subtree appears once in the plan instead of twice
+        // (sf0.1 plan 69 -> 38 ops, 9 -> 5 scans; the union formulation
+        // re-planned it per branch and re-filtered the reused exchange)
+        val l = joined.as("l")
+        val maybeL = BloomIncrementalDeduplicator.containsUdf(
+          col("l.__bits"), col("l.__fp"), col("l.__fp2"),
+          col("l.__m"), col("l.__k"))
+        l.join(exactIdx.select(col("__fp"), col("__fp2")).as("r"),
+          col("l.__fp") === col("r.__fp") &&
+            col("l.__fp2") === col("r.__fp2") && maybeL,
+          "left_anti")
     }
     out.select(col("__row.*"))
   }
