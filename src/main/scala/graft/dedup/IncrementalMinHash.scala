@@ -128,7 +128,10 @@ class IncrementalMinHashDeduplicator(override val uid: String)
     // ride). The barrier also stops the (far larger) plan-tree
     // duplication measured at sf0.1: the lazy formulation replanned this
     // subtree into every verify/anti consumer — 1,873 physical operators
-    // / 450 exchanges / 540 scans for the gate query (plans/r19/).
+    // / 225 tree-section Exchanges / 540 scans for the gate query
+    // (plans/r19/; the formatted output's details section repeats every
+    // operator name, so naive substring counts doubled these figures —
+    // PlanStats now counts the tree section only).
     // localCheckpoint trades fault tolerance for the plan truncation: the
     // checkpointed blocks are NOT recomputable, so an executor loss (e.g.
     // dynamic deallocation at cluster scale) fails the batch job instead
